@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Parquet sinks (SURVEY §2.1 S3/S4).
+  *
+  * The reference materializes every output table as exactly ONE parquet
+  * file with a deterministic name: coalesce(1) → write to a tmp UUID dir →
+  * boto3 copy to `<layer>/<name>/<name>.parquet` → delete tmp
+  * (`aws-job-landing-to-bronze/aws-job-landing-to-bronze.py:85-106` and 4
+  * near-identical clones). We implement the same observable contract once,
+  * with the Hadoop FileSystem API (uniform over local FS, HDFS, S3A).
+  *
+  * Scale note: coalesce(1) is the *contract* of this sink (single-file
+  * table), not a general pattern — it collapses the final stage to one
+  * task, so it is applied only at the write boundary, after all wide
+  * transforms have run at full parallelism. For genuinely large outputs
+  * use [[writePartitioned]] instead.
+  */
+object Sinks {
+
+  /** Write `df` as `<layerDir>/<name>/<name>.parquet` (one file). */
+  def writeSingleFile(df: DataFrame, layerDir: String, name: String): Path = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(layerDir, s"tmp_output_$name")
+    val destDir = new Path(layerDir, name)
+    val dest = new Path(destDir, s"$name.parquet")
+    val fs = FileSystem.get(tmp.toUri, conf)
+
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+
+    val part = fs.globStatus(new Path(tmp, "part-*.parquet")) match {
+      case Array(one) => one.getPath
+      case parts => sys.error(s"expected 1 part file in $tmp, got ${parts.length}")
+    }
+    fs.mkdirs(destDir)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(part, dest)) sys.error(s"rename $part -> $dest failed")
+    fs.delete(tmp, true)
+    dest
+  }
+
+  /** The scale path: plain multi-file parquet, optionally bucketed layout
+    * via partitionBy columns. Keeps full write parallelism.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}

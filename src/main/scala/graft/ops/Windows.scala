@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
+
+/** Window functions (SURVEY §2.5 W1).
+  *
+  * The reference's only window op is latest-record-per-group:
+  * `row_number() over (partition by player_name order by game_date desc)`
+  * then keep row 1 (`aws-job-silver-to-gold-player/
+  * aws-job-silver-to-gold-player.py:37-46`).
+  *
+  * Scale notes: a row_number window shuffles by the partition key and
+  * sorts within partitions. For top-1 semantics this is optimal in Spark
+  * (TakeOrderedAndProject only applies to global top-k); AQE handles
+  * skewed partition keys. Callers should pass a TOTAL order (unique
+  * tie-break column) — the reference's `game_date desc` alone is
+  * nondeterministic on date ties, which we refuse to reproduce.
+  */
+object Windows {
+
+  /** Keep the first row per group under `order` (helper col dropped). */
+  def topOnePerGroup(df: DataFrame, partitionCols: Seq[String],
+                     order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** General per-group top-k with rank column retained. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   order: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+}
