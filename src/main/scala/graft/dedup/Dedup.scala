@@ -1,0 +1,180 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension; the reference's only dedup is whole-row `dropDuplicates`,
+  * SURVEY.md §2.4 A5).
+  *
+  * Scale design (the whole point — these must survive 100 TB):
+  *  - Exact dedup is a hash-groupBy: one shuffle keyed by the content
+  *    fingerprint, never a sort of the full text.
+  *  - Near-dup NEVER does all-pairs. Candidates come from an inverted
+  *    index (shared shingle) or MinHash LSH bands (shared band bucket) —
+  *    both are equi-joins Catalyst can hash-partition; the cartesian
+  *    product never appears in the plan.
+  *  - MinHash signatures are computed with integer arithmetic kept below
+  *    2^62 (ANSI mode would throw on silent 64-bit wrap).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `orderCol` per distinct
+    * fingerprint of `textCol` (deterministic keep-first).
+    */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprintMd5(col(textCol))
+    val rn = Iterator.from(0).map(i => s"__dd$i").find(!df.columns.contains(_)).get
+    val w = Window.partitionBy(fp).orderBy(col(orderCol))
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+  }
+
+  /** Exploded (id, shingle) pairs — the inverted index both near-dup
+    * paths build on. Shingles are distinct per doc.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= minJ).
+    *
+    * Candidate pairs are only those sharing >= 1 shingle (inverted-index
+    * equi-join on the shingle), so complexity is sum over shingles of
+    * df^2 — not |docs|^2. `maxShingleDf` optionally drops ubiquitous
+    * shingles (stopword runs) that would otherwise create a skewed hot
+    * key at scale; None keeps exact semantics.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   minJ: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val idx = maxShingleDf.fold(idx0) { cap =>
+      val hot = idx0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("shingle")
+      idx0.join(hot, Seq("shingle"), "left_anti")
+    }
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Large prime below 2^31 for the universal-hash family. */
+  private val P = 2147483629L
+  /** Deterministic (a, b) per permutation — fixed seed, no RNG at plan
+    * time (reproducible across runs and resumable jobs).
+    */
+  private def perms(numPerms: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPerms)((1 + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** MinHash signature columns s0..s{p-1} per id.
+    *
+    * h(shingle) = xxhash64 folded into [0, P); perm_i = (a_i*h + b_i) mod
+    * P (products < 2^62 — safe under ANSI); signature_i = min over the
+    * doc's shingles. One shuffle (groupBy id).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numPerms: Int): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val aggs = perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"s$i")
+    }
+    idx.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
+    * = numPerms), bucket-join docs sharing any band bucket. Tune bands
+    * for the target jaccard threshold (P(candidate) = 1-(1-j^r)^b).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numPerms)
+    // (id, band, bucket): bucket = hash of the band's r signature values
+    val bandRows = (0 until bands).map { bIdx =>
+      val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"s$i"))
+      sig.select(col("id"), lit(bIdx).as("band"),
+        xxhash64(concat_ws(",", cols: _*)).as("bucket"))
+    }.reduce(_ unionAll _)
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified by exact Jaccard. The LSH
+    * stage bounds the verify stage's input — at 100 TB the exact-jaccard
+    * join runs only on candidate ids, not the corpus.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJ: Double = 0.8,
+                        numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands)
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sub = df.join(ids, df(idCol) === ids("id")).drop("id")
+    jaccardPairs(sub, idCol, textCol, n, minJ)
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff
+    * sum over tokens of (2*bit_b(xxhash64(token)) - 1) > 0. Computed as
+    * 64 conditional sums in ONE aggregation (single shuffle by id).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance <= maxHam, found
+    * by chunk banding (pigeonhole: distance <= k ⇒ at least one of k+1
+    * chunks equal) — again an equi-join, never all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHam: Int = 3): DataFrame = {
+    val chunks = maxHam + 1
+    val width = 64 / chunks
+    val sh = simhash(df, idCol, textCol)
+    val chunkRows = (0 until chunks).map { c =>
+      val lo = c * width
+      val w = if (c == chunks - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      sh.select(col("id"), col("simhash"), lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }.reduce(_ unionAll _)
+    val ham = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    chunkRows.as("a").join(chunkRows.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+}

@@ -22,16 +22,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
 object Aggregations {
 
   /** Static multi-aggregate over fixed keys (A1/A3/A4/A7). */
-  def multiAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+  def multiAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "multiAgg needs at least one aggregate expression")
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** A2: sum every integer-typed (int or bigint) non-key column,
-    * discovered from the runtime schema, keeping original names.
+  /** A2: sum every int-typed non-key column, discovered from the runtime
+    * schema, keeping original names. The reference sums only `int`-typed
+    * columns (`aws-job-silver-to-silver.py:45`, `t in ('int')`) — bigints
+    * are silently dropped from its output; `includeLongs = true` opts into
+    * widening that behavior.
     */
-  def dynamicIntSums(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def dynamicIntSums(df: DataFrame, keys: Seq[String],
+                     includeLongs: Boolean = false): DataFrame = {
     val keySet = keys.toSet
     val aggCols = df.schema.fields.collect {
-      case f if !keySet(f.name) && (f.dataType == IntegerType || f.dataType == LongType) =>
+      case f if !keySet(f.name) &&
+        (f.dataType == IntegerType || (includeLongs && f.dataType == LongType)) =>
         sum(col(f.name)).as(f.name)
     }.toSeq
     require(aggCols.nonEmpty, "no integer-typed non-key columns to aggregate")

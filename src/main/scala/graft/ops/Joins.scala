@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions.broadcast
   *
   * Scale notes:
   *  - Dim sides are small → broadcast-hash avoids shuffling the fact
-  *    table entirely. [[enrich]] takes an explicit `broadcastDim` knob for
-  *    when statistics can't see the dim is tiny (e.g. post-transform).
+  *    table entirely. The default is to let Catalyst/AQE decide (under
+  *    `spark.sql.autoBroadcastJoinThreshold`, with runtime re-plan):
+  *    an unconditional broadcast of a "dim" that grew past a few GB at
+  *    100× scale OOMs every executor. Pass `broadcastDim = true` only at
+  *    call sites where cardinality is known tiny.
   *  - Computed keys are still hashable equi-keys for Catalyst; prefer
   *    materializing the derived key column *before* the join so AQE can
   *    see its distribution (skew handling) and the key is reusable.
@@ -23,13 +26,13 @@ object Joins {
 
   /** Left-outer enrichment join on an explicit condition (J1/J2/J3). */
   def enrich(fact: DataFrame, dim: DataFrame, cond: Column,
-             broadcastDim: Boolean = true): DataFrame =
+             broadcastDim: Boolean = false): DataFrame =
     fact.join(if (broadcastDim) broadcast(dim) else dim, cond, "left")
 
   /** USING-style left join on shared column names (J4): one coalesced key
     * column in the output, no duplicate.
     */
   def enrichUsing(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-                  broadcastDim: Boolean = true): DataFrame =
+                  broadcastDim: Boolean = false): DataFrame =
     fact.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
 }

@@ -24,14 +24,18 @@ object Sinks {
   def writeSingleFile(df: DataFrame, layerDir: String, name: String): Path = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = new Path(layerDir, s"tmp_output_$name")
+    // Unique tmp dir per invocation (the reference used a uuid4 —
+    // L2B:86): concurrent writes of the same table must not race.
+    val nonce = java.util.UUID.randomUUID().toString
+    val tmp = new Path(layerDir, s"tmp_output_${name}_$nonce")
     val destDir = new Path(layerDir, name)
     val dest = new Path(destDir, s"$name.parquet")
     val fs = FileSystem.get(tmp.toUri, conf)
 
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
-    val part = fs.globStatus(new Path(tmp, "part-*.parquet")) match {
+    val part = Option(fs.globStatus(new Path(tmp, "part-*.parquet")))
+      .getOrElse(Array.empty) match {
       case Array(one) => one.getPath
       case parts => sys.error(s"expected 1 part file in $tmp, got ${parts.length}")
     }

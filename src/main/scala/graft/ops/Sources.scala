@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Table scans (SURVEY §2.1 S1/S2).
   *
@@ -23,7 +25,22 @@ object Sources {
 
   /** Read a named table from a scale-factor directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+    * raw long (legacy conf) and convert to a microsecond timestamp —
+    * integer `div`, no double round-trip (2024 epoch-nanos ≈ 1.7e18,
+    * far above a double's 2^53 exact-integer range).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Register every harness table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =

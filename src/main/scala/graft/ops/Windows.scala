@@ -23,10 +23,13 @@ object Windows {
   /** Keep the first row per group under `order` (helper col dropped). */
   def topOnePerGroup(df: DataFrame, partitionCols: Seq[String],
                      order: Seq[Column]): DataFrame = {
+    // Non-colliding helper name: withColumn would silently REPLACE an
+    // existing input column of the same name.
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** General per-group top-k with rank column retained. */

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (north-star extension beyond the reference surface — the reference has
+  * no text ops at all, SURVEY.md §2.8).
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — no UDFs — so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly with input: at
+  * 100 TB these run as a single narrow map stage over the parquet scan,
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that appear in `words` (exact match). */
+  def wordMatchCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Characters that are sentence punctuation. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /** Quality heuristics: mean token length (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, " ", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Canonical-form document fingerprint: md5 of
+    * lowercase / whitespace-collapsed / trimmed text. Two documents with
+    * the same fingerprint are exact duplicates modulo case+whitespace.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(normalize(text))
+
+  /** sha2-256 variant of [[fingerprintMd5]] (collision-hardened). */
+  def fingerprintSha256(text: Column): Column =
+    sha2(normalize(text), 256)
+
+  /** lowercase, collapse whitespace runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Per-language stopword lists used by [[langScores]]. Deliberately
+    * tiny — this is the classic cheap n-gram/stopword heuristic, not a
+    * trained model; the point is the *shape* (pure column expressions,
+    * argmax over per-language scores).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"),
+  )
+
+  /** Stopword-hit count per language, as (lang, countColumn). */
+  def langScores(text: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, words) => lang -> wordMatchCount(text, words) }
+
+  /** Predicted language: argmax of [[langScores]]; ties broken by list
+    * order; all-zero scores → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // Explicit CASE chain so the tiebreak is deterministic and trivially
+    // mirrored in ANSI SQL for the DuckDB oracle: lang i wins iff it
+    // strictly beats every earlier lang and is >= every later one.
+    val allZero = scores.map(_._2).reduce(_ + _) === 0
+    val cases = scores.indices.map { i =>
+      val (l, c) = scores(i)
+      val beatsEarlier = scores.take(i).map { case (_, e) => c > e }
+      val geLater = scores.drop(i + 1).map { case (_, later) => c >= later }
+      val cond = (beatsEarlier ++ geLater).reduceOption(_ && _).getOrElse(lit(true))
+      (l, cond)
+    }
+    val chain = cases.foldRight(lit("und")) { case ((l, cond), acc) =>
+      when(cond, lit(l)).otherwise(acc)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
+  /** Distinct word n-gram shingles (space-joined), for Jaccard / MinHash
+    * dedup. Documents shorter than `n` tokens yield an empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks)
+    array_distinct(
+      when(cnt >= n,
+        transform(sequence(lit(1), cnt - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+}
