@@ -588,7 +588,7 @@ object SparkEntry {
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              >= INTERVAL '30 minutes'
+        |              > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |g AS (SELECT user_id, ts, value,

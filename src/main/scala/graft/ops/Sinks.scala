@@ -43,6 +43,10 @@ object Sinks {
     if (fs.exists(dest)) fs.delete(dest, false)
     if (!fs.rename(part, dest)) sys.error(s"rename $part -> $dest failed")
     fs.delete(tmp, true)
+    // ChecksumFileSystem (local FS) renames the .crc sidecar along with the
+    // part file; the contract is ONE file, so drop it (HDFS/S3A have none).
+    val crc = new Path(destDir, s".${dest.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
     dest
   }
 

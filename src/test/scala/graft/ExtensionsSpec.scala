@@ -1,0 +1,186 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.events.EventWindows
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+case class Doc(doc_id: Long, text: String, source: String)
+case class Vec(vec_id: Long, embedding: Array[Float])
+case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+class TextAnalysisSpec extends SparkSpec {
+  def one(c: org.apache.spark.sql.Column, text: String): Any =
+    df(Seq(Doc(1, text, "s"))).select(c.as("r")).collect().head.get(0)
+
+  test("tokens drops empty strings from repeated whitespace") {
+    assert(one(size(TextAnalysis.tokens(col("text"))), "a  b   c") == 3)
+    assert(one(size(TextAnalysis.tokens(col("text"))), "") == 0)
+  }
+
+  test("wordShingles: short docs yield empty, n-grams are distinct") {
+    assert(one(size(TextAnalysis.wordShingles(col("text"), 3)), "a b") == 0)
+    assert(one(TextAnalysis.wordShingles(col("text"), 2), "a b a b")
+      .asInstanceOf[scala.collection.Seq[_]].toSet == Set("a b", "b a"))
+  }
+
+  test("fingerprint is case/whitespace-insensitive") {
+    val a = one(TextAnalysis.fingerprintMd5(col("text")), "Hello  World")
+    val b = one(TextAnalysis.fingerprintMd5(col("text")), "hello world ")
+    assert(a == b)
+  }
+
+  test("langId picks dominant stopword language, und when no hits") {
+    assert(one(TextAnalysis.langId(col("text")), "the cat is in the bag") == "en")
+    assert(one(TextAnalysis.langId(col("text")), "el que la den los") == "es")
+    assert(one(TextAnalysis.langId(col("text")), "xyzzy plugh") == "und")
+  }
+
+  test("langId tie-break prefers earlier language in list order") {
+    // "la de" scores es=2 fr=2 en=0 de=0 -> es (earlier than fr)
+    assert(one(TextAnalysis.langId(col("text")), "la de") == "es")
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  val docs = Seq(
+    Doc(10, "The quick brown fox", "a"),
+    Doc(3, "the  quick brown FOX", "b"),   // dup of 10 modulo case/ws
+    Doc(7, "something else entirely here", "c"))
+
+  test("exactDedup keeps one row per normalized text, smallest orderCol") {
+    val out = Dedup.exactDedup(df(docs), "text", "doc_id")
+    assert(out.count() == 2)
+    assert(out.filter(col("source") === "b").count() == 1, "doc_id 3 < 10 wins")
+    assert(out.filter(col("source") === "a").count() == 0)
+  }
+
+  test("jaccardPairs finds identical docs with jaccard 1.0, no self/dup pairs") {
+    val in = df(Seq(
+      Doc(1, "a b c d e", "s"), Doc(2, "a b c d e", "s"),
+      Doc(3, "z y x w v", "s")))
+    val out = Dedup.jaccardPairs(in, "doc_id", "text", 3, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1 && out.head.getLong(1) == 2)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash candidates include identical docs; pairs verified by jaccard") {
+    val in = df(Seq(
+      Doc(1, "a b c d e f g h", "s"), Doc(2, "a b c d e f g h", "s"),
+      Doc(3, "q r s t u v w x", "s")))
+    val cand = Dedup.minhashCandidates(in, "doc_id", "text", 3, 32, 8).collect()
+    assert(cand.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2))
+    val pairs = Dedup.minhashDedupPairs(in, "doc_id", "text", 3, 0.9, 32, 8).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical docs is identical; pairs found at distance 0") {
+    val in = df(Seq(
+      Doc(1, "alpha beta gamma delta", "s"),
+      Doc(2, "alpha beta gamma delta", "s"),
+      Doc(3, "one two three four five six", "s")))
+    val sh = Dedup.simhash(in, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1) == sh(2))
+    val pairs = Dedup.simhashPairs(in, "doc_id", "text", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1 && r.getLong(1) == 2 &&
+      r.getAs[Number](2).longValue() == 0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  val vecs = Seq(
+    Vec(0, Array(1f, 0f, 0f)),
+    Vec(1, Array(0.9f, 0.1f, 0f)),
+    Vec(2, Array(0f, 1f, 0f)),
+    Vec(3, Array(-1f, 0f, 0f)))
+
+  test("cosine: identical vectors -> 1.0, orthogonal -> 0.0, opposite -> -1.0") {
+    val s = spark
+    import s.implicits._
+    val pairs = vecs.toDF("vec_id", "embedding").as("a")
+      .crossJoin(vecs.toDF("vec_id", "embedding").as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0, 0)) == 1.0)
+    assert(pairs((0, 2)) == 0.0)
+    assert(pairs((0, 3)) == -1.0)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val in = df(vecs.map(v => Vec(v.vec_id, v.embedding)))
+    val out = Similarity.bruteForceTopK(in, in.filter(col("vec_id") === 0), 2)
+      .collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L), "nearest=1 then orthogonal=2")
+    assert(!out.map(_.getLong(2)).contains(0L))
+  }
+}
+
+class EventWindowsSpec extends SparkSpec {
+  def ts(s: String) = Timestamp.valueOf(s)
+  val evs = Seq(
+    Ev(1, ts("2024-01-01 00:01:00"), 1.0),
+    Ev(1, ts("2024-01-01 00:09:59"), 2.0),
+    Ev(1, ts("2024-01-01 00:10:00"), 4.0),
+    Ev(2, ts("2024-01-01 00:55:00"), 8.0))
+
+  test("tumbling buckets are epoch-aligned and width-exclusive at the end") {
+    val out = EventWindows.tumbling(df(evs), "ts", "10 minutes", Nil,
+        Seq(count(lit(1)).as("n")))
+      .orderBy("wstart").collect()
+    assert(out.length == 3)
+    assert(out(0).getTimestamp(0) == ts("2024-01-01 00:00:00") && out(0).getLong(2) == 2,
+      "00:09:59 in first bucket, 00:10:00 starts the next")
+  }
+
+  test("sliding windows assign each row to width/slide windows") {
+    val out = EventWindows.sliding(df(evs.take(1)), "ts", "10 minutes", "5 minutes",
+        Nil, Seq(count(lit(1)).as("n"))).orderBy("wstart").collect()
+    assert(out.map(_.getTimestamp(0)).toSeq ==
+      Seq(ts("2023-12-31 23:55:00"), ts("2024-01-01 00:00:00")))
+  }
+
+  test("session window merges at exactly the gap boundary, splits beyond it") {
+    // Spark session_window semantics (pinned by this test, mirrored in the
+    // q_x_events_session oracle): windows that touch MERGE — an event at
+    // prev + gap exactly joins the session; one second later starts a new one.
+    val in = df(Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1.0),
+      Ev(1, ts("2024-01-01 00:30:00"), 2.0),  // exactly gap after prev -> merges
+      Ev(1, ts("2024-01-01 01:00:01"), 4.0))) // gap + 1s after prev -> new session
+    val out = EventWindows.sessionize(in, "ts", "30 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("n"))).orderBy("wstart").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 2 && out(1).getLong(3) == 1)
+    assert(out(0).getTimestamp(1) == ts("2024-01-01 01:00:00"),
+      "session end = last event + gap")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("asMedia + extractFeatures: stub histogram is L1-normalized, byte_len correct") {
+    val media = Multimodal.asMedia(df(Seq(Doc(5, "abc", "src"))),
+      "doc_id", "text", "text", "source")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.media_id == 5 && f.byte_len == 3)
+    assert(math.abs(f.features.sum - 1.0) < 1e-12)
+    // 'a'=0x61, 'b'=0x62, 'c'=0x63 -> all in bucket 3 (>>5)
+    assert(f.features(3) == 1.0)
+  }
+
+  test("empty payload yields zero histogram, not NaN") {
+    val media = Multimodal.asMedia(df(Seq(Doc(1, "", "src"))),
+      "doc_id", "text", "text", "source")
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.byte_len == 0 && f.features.forall(_ == 0.0))
+  }
+}

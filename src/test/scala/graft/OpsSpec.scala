@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.ops._
+
+case class KV(k: String, v: Long)
+case class Wide(id: Long, name: String, score: Long, extra: String)
+case class LongRow(id: Long, big: Long, small: Long)
+case class NullableLong(id: java.lang.Long, big: java.lang.Long)
+case class Fact(key: String, x: Long)
+case class Dim(key: String, label: String)
+case class Game(player: String, game_date: String, team: String, pts: Long)
+
+class ProjectionsSpec extends SparkSpec {
+  test("renameAll renames mapped columns, passes others through, keeps order") {
+    val out = Projections.renameAll(df(Seq(Wide(1, "a", 2, "x"))),
+      Map("id" -> "ident", "score" -> "points"))
+    assert(out.columns.toSeq == Seq("ident", "name", "points", "extra"))
+    assert(out.collect().head == Row(1L, "a", 2L, "x"))
+  }
+
+  test("renameAll with empty map is identity") {
+    val in = df(Seq(Wide(1, "a", 2, "x")))
+    assert(Projections.renameAll(in, Map.empty).columns.toSeq == in.columns.toSeq)
+  }
+
+  test("dropCols drops present columns and ignores absent ones") {
+    val out = Projections.dropCols(df(Seq(Wide(1, "a", 2, "x"))), Seq("extra", "nope"))
+    assert(out.columns.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("selectCols reorders") {
+    val out = Projections.selectCols(df(Seq(Wide(1, "a", 2, "x"))), Seq("name", "id"))
+    assert(out.columns.toSeq == Seq("name", "id"))
+  }
+}
+
+class CastingSpec extends SparkSpec {
+  test("downcasts longs at the Int.MaxValue boundary, keeps those beyond") {
+    // big straddles the boundary: max = 2^31 exactly -> must stay long
+    val in = df(Seq(LongRow(1, 2147483647L, 7), LongRow(2, 2147483648L, 8)))
+    val out = Casting.safeDowncastLongs(in)
+    assert(out.schema("big").dataType == LongType)
+    assert(out.schema("small").dataType == IntegerType)
+    assert(out.schema("id").dataType == IntegerType)
+  }
+
+  test("max exactly Int.MaxValue downcasts; min below Int.MinValue does not") {
+    val in = df(Seq(LongRow(1, -2147483649L, 2147483647L)))
+    val out = Casting.safeDowncastLongs(in)
+    assert(out.schema("big").dataType == LongType,
+      "reference checked only max; our documented deviation also guards min")
+    assert(out.schema("small").dataType == IntegerType)
+  }
+
+  test("all-null long column is left as long, values preserved") {
+    val in = df(Seq(NullableLong(1L, null), NullableLong(2L, null)))
+    val out = Casting.safeDowncastLongs(in)
+    assert(out.schema("big").dataType == LongType)
+    assert(out.select("big").collect().forall(_.isNullAt(0)))
+  }
+
+  test("no long columns is a no-op") {
+    val in = df(Seq(KV("a", 1L))).select(col("k"))
+    assert(Casting.safeDowncastLongs(in).schema == in.schema)
+  }
+}
+
+class JoinsSpec extends SparkSpec {
+  val fact = Seq(Fact("a", 1), Fact("b", 2), Fact("orphan", 3))
+  val dim = Seq(Dim("a", "A"), Dim("b", "B"), Dim("unused", "U"))
+
+  test("enrich keeps unmatched fact rows with null dim columns (left join)") {
+    val out = Joins.enrich(df(fact).as("f"), df(dim).as("d"),
+      col("f.key") === col("d.key"))
+    assert(out.count() == 3)
+    val orphan = out.filter(col("f.key") === "orphan").collect().head
+    assert(orphan.isNullAt(out.columns.length - 1))
+  }
+
+  test("enrichUsing emits a single coalesced key column") {
+    val out = Joins.enrichUsing(df(fact), df(dim), Seq("key"))
+    assert(out.columns.count(_ == "key") == 1)
+    assert(out.count() == 3)
+  }
+
+  test("left join preserves fact count when dim key is unique") {
+    val out = Joins.enrichUsing(df(fact), df(dim), Seq("key"))
+    assert(out.count() == df(fact).count())
+  }
+}
+
+class WindowsSpec extends SparkSpec {
+  val games = Seq(
+    Game("p1", "2024-01-01", "AAA", 10),
+    Game("p1", "2024-03-01", "BBB", 20),
+    Game("p2", "2024-02-01", "CCC", 30))
+
+  test("topOnePerGroup keeps exactly the latest row per group") {
+    val out = Windows.topOnePerGroup(df(games), Seq("player"),
+      Seq(col("game_date").desc))
+    assert(out.count() == 2)
+    assert(out.filter(col("player") === "p1").select("team").collect().head.getString(0) == "BBB")
+  }
+
+  test("topOnePerGroup does not clobber a pre-existing __rn0 column") {
+    val in = df(games).withColumn("__rn0", lit(99))
+    val out = Windows.topOnePerGroup(in, Seq("player"), Seq(col("game_date").desc))
+    assert(out.columns.contains("__rn0"))
+    assert(out.select("__rn0").collect().forall(_.getInt(0) == 99))
+  }
+
+  test("topKPerGroup returns k rows with rank column") {
+    val out = Windows.topKPerGroup(df(games), Seq(col("player")),
+      Seq(col("pts").desc), 2)
+    assert(out.filter(col("player") === "p1").count() == 2)
+    assert(out.columns.contains("rank"))
+  }
+}
+
+class AggregationsSpec extends SparkSpec {
+  test("dynamicIntSums sums only int-typed non-key columns by default") {
+    val in = df(Seq(Wide(1, "a", 5, "x"), Wide(2, "a", 7, "y")))
+      .withColumn("ints", col("score").cast("int"))
+    val out = Aggregations.dynamicIntSums(in.select("name", "ints"), Seq("name"))
+    assert(out.columns.toSeq == Seq("name", "ints"))
+    assert(out.collect().head.getLong(1) == 12L)
+  }
+
+  test("dynamicIntSums drops long columns unless includeLongs") {
+    val in = df(Seq(Wide(1, "a", 5, "x")))
+    // score is Long: excluded by default -> require fails (nothing to sum)
+    intercept[IllegalArgumentException] {
+      Aggregations.dynamicIntSums(in.select("name", "score"), Seq("name"))
+    }
+    val out = Aggregations.dynamicIntSums(in.select("name", "score"), Seq("name"),
+      includeLongs = true)
+    assert(out.columns.toSeq == Seq("name", "score"))
+  }
+
+  test("multiAgg rejects empty aggregate list") {
+    intercept[IllegalArgumentException] {
+      Aggregations.multiAgg(df(Seq(KV("a", 1))), Seq("k"), Nil)
+    }
+  }
+
+  test("moneySum is invariant to partitioning (decimal accumulation)") {
+    val vals = (1 to 1000).map(i => KV("g", 0L)).zipWithIndex
+      .map { case (_, i) => (i % 7, 0.01 + i * 0.07) }
+    val s = spark
+    import s.implicits._
+    val one = vals.toDF("g", "v").repartition(1)
+      .agg(Aggregations.moneySum(col("v"))).collect().head.getDouble(0)
+    val many = vals.toDF("g", "v").repartition(13)
+      .agg(Aggregations.moneySum(col("v"))).collect().head.getDouble(0)
+    assert(one == many, "decimal-accumulated sum must be bit-identical across partitionings")
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  test("writeSingleFile materializes exactly <layer>/<name>/<name>.parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = df(Seq(KV("a", 1), KV("b", 2))).repartition(3)
+    val dest = Sinks.writeSingleFile(in, tmp, "tbl")
+    assert(dest.toString.endsWith("/tbl/tbl.parquet"))
+    val files = new java.io.File(s"$tmp/tbl").listFiles().map(_.getName).toSeq
+    assert(files == Seq("tbl.parquet"),
+      s"single-file contract (no crc sidecars, no extra parts), got $files")
+    val back = spark.read.parquet(dest.toString)
+    assert(back.count() == 2)
+    assert(new java.io.File(tmp).listFiles().count(_.getName.startsWith("tmp_output")) == 0,
+      "tmp dir must be cleaned up")
+  }
+
+  test("writeSingleFile overwrites an existing table file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    Sinks.writeSingleFile(df(Seq(KV("a", 1))), tmp, "tbl")
+    Sinks.writeSingleFile(df(Seq(KV("b", 2), KV("c", 3))), tmp, "tbl")
+    assert(spark.read.parquet(s"$tmp/tbl/tbl.parquet").count() == 2)
+  }
+}
