@@ -97,18 +97,24 @@ object Dedup {
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
     * = numPerms), bucket-join docs sharing any band bucket. Tune bands
     * for the target jaccard threshold (P(candidate) = 1-(1-j^r)^b).
+    *
+    * Band rows are produced by ONE explode over an array of (band, bucket)
+    * structs — a per-band `unionAll` would paste the whole signature
+    * aggregation subplan into every branch and compute MinHash `bands`
+    * times (measured 16× slowdown at sf0.1).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numPerms: Int = 128, bands: Int = 32): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numPerms)
-    // (id, band, bucket): bucket = hash of the band's r signature values
-    val bandRows = (0 until bands).map { bIdx =>
+    val bandStructs = (0 until bands).map { bIdx =>
       val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"s$i"))
-      sig.select(col("id"), lit(bIdx).as("band"),
-        xxhash64(concat_ws(",", cols: _*)).as("bucket"))
-    }.reduce(_ unionAll _)
+      struct(lit(bIdx).as("band"), xxhash64(concat_ws(",", cols: _*)).as("bucket"))
+    }
+    val bandRows = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -118,17 +124,24 @@ object Dedup {
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard. The LSH
     * stage bounds the verify stage's input — at 100 TB the exact-jaccard
-    * join runs only on candidate ids, not the corpus.
+    * verify runs per candidate pair (array intersect/union over the two
+    * shingle sets), never as a corpus-wide inverted-index join, and the
+    * candidate plan is consumed exactly once.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJ: Double = 0.8,
                         numPerms: Int = 128, bands: Int = 32): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands)
-    val ids = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val sub = df.join(ids, df(idCol) === ids("id")).drop("id")
-    jaccardPairs(sub, idCol, textCol, n, minJ)
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff
@@ -158,13 +171,19 @@ object Dedup {
     val chunks = maxHam + 1
     val width = 64 / chunks
     val sh = simhash(df, idCol, textCol)
-    val chunkRows = (0 until chunks).map { c =>
+    // One explode, not a per-chunk unionAll (which would recompute the
+    // simhash aggregation `chunks` times — see minhashCandidates).
+    val chunkStructs = (0 until chunks).map { c =>
       val lo = c * width
       val w = if (c == chunks - 1) 64 - lo else width
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      sh.select(col("id"), col("simhash"), lit(c).as("chunk"),
+      struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
-    }.reduce(_ unionAll _)
+    }
+    val chunkRows = sh
+      .select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"),
+        col("ck.key").as("key"))
     val ham = {
       val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
       bit_count(x)
