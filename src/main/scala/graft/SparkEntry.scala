@@ -292,6 +292,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_x_cosine_dups" -> ((s, dir) =>
+      Dedup.cosineDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.42)
+        .orderBy("id_a", "id_b")),
+
+    "q_x_cosine_dups_lsh" -> ((s, dir) =>
+      Dedup.cosineDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.42, numPlanes = 4)
+        .orderBy("id_a", "id_b")),
+
     // ---- LLM-pipeline: event-time batch windows
     "q_x_events_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "ts", "10 minutes",
@@ -562,6 +572,17 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q_x_cosine_dups" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${sqlDot("a.embedding", "b.embedding")}
+         |    / (sqrt(${sqlDot("a.embedding", "a.embedding")})
+         |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")}
+         |    / (sqrt(${sqlDot("a.embedding", "a.embedding")})
+         |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.42
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_x_events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,

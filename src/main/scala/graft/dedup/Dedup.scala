@@ -144,6 +144,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-dup pairs, exact: every (a < b) pair with
+    * cosine >= minCos. All-pairs is the CORRECTNESS baseline only — at
+    * scale use [[cosineDupPairsLsh]]. The join condition `id < id` is an
+    * inequality, so this is a (deliberate, documented) broadcast
+    * nested-loop — never run it on a full 100 TB corpus.
+    */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", graft.ann.Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** The scale path: random-hyperplane LSH buckets the corpus, pairs are
+    * generated only within a bucket (equi-join on the bucket id), then
+    * verified by exact cosine. Recall < 1 by construction (tune
+    * numPlanes down / multi-probe up for higher recall); the cartesian
+    * never appears in the plan.
+    */
+  def cosineDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        minCos: Double, numPlanes: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val planes = graft.ann.Similarity.hyperplanes(numPlanes, dim)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.ann.Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", graft.ann.Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff
     * sum over tokens of (2*bit_b(xxhash64(token)) - 1) > 0. Computed as
     * 64 conditional sums in ONE aggregation (single shuffle by id).

@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
 
+  test("cosineDupPairs finds near-parallel vectors; LSH variant is a subset") {
+    val vecs = df(Seq(
+      Vec(1, Array(1f, 0f, 0f)),
+      Vec(2, Array(0.99f, 0.01f, 0f)),   // near-dup of 1
+      Vec(3, Array(0f, 1f, 0f)),
+      Vec(4, Array(-1f, 0.01f, 0f))))
+    val exact = Dedup.cosineDupPairs(vecs, "vec_id", "embedding", 0.95).collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val lsh = Dedup.cosineDupPairsLsh(vecs, "vec_id", "embedding", 0.95,
+      numPlanes = 2, dim = 3).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(exact.map(r => (r.getLong(0), r.getLong(1))).toSet),
+      "LSH candidates verified by exact cosine can only be a subset")
+  }
+
   test("simhash of identical docs is identical; pairs found at distance 0") {
     val in = df(Seq(
       Doc(1, "alpha beta gamma delta", "s"),
