@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.events.EventWindows
+import graft.streaming.StreamingWindows
+import graft.streaming.StreamingWindows.SessionEvent
+
+/** Streaming variants must agree with the batch event-time operators —
+  * same window expressions, plus watermark-driven eviction.
+  */
+class StreamingSpec extends SparkSpec {
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  val events = Seq(
+    SessionEvent(1, ts("2024-01-01 00:01:00"), 1.0),
+    SessionEvent(1, ts("2024-01-01 00:09:00"), 2.0),
+    SessionEvent(1, ts("2024-01-01 00:12:00"), 4.0),
+    SessionEvent(2, ts("2024-01-01 00:55:00"), 8.0),
+    // watermark pusher: far-future event forces all windows/sessions closed
+    SessionEvent(99, ts("2024-01-02 00:00:00"), 0.0))
+
+  test("streaming tumbling window matches the batch operator once closed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.tumbling(mem.toDF(), "ts", "10 minutes",
+      "1 minute", Seq("user_id"),
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+    val q = out.writeStream.format("memory").queryName("tumb")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumb")
+      .filter(col("user_id") =!= 99)
+      .select("wstart", "user_id", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.tumbling(df(events), "ts", "10 minutes",
+        Seq("user_id"), Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+      .filter(col("user_id") =!= 99)
+      .select("wstart", "user_id", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionizer closes sessions at the gap and matches session_window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.sessionizeStateful(mem.toDS(),
+      gapMs = 30 * 60 * 1000, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // second batch advances the watermark so event-time timeouts fire
+    mem.addData(SessionEvent(99, ts("2024-01-03 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess")
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.sessionize(df(events), "ts", "30 minutes",
+        Seq("user_id"), Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stateful sessionizer must reproduce session_window semantics: $streamed vs $batch")
+    assert(streamed.size == 2, "user 1: one merged session; user 2: one session")
+  }
+}
