@@ -160,6 +160,38 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  test("saltedEnrichUsing returns exactly the plain left-join result") {
+    val fact = df((1 to 500).map(i => Fact(if (i % 10 == 0) "cold" + i else "hot", i.toLong)))
+    val dim = df(Seq(Dim("hot", "H")) ++ (1 to 500).filter(_ % 10 == 0)
+      .map(i => Dim("cold" + i, "C")))
+    val plain = Joins.enrichUsing(fact, dim, Seq("key"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val salted = Skew.saltedEnrichUsing(fact, dim, Seq("key"), salts = 8)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted == plain)
+  }
+
+  test("saltedEnrichUsing keeps unmatched fact rows (left semantics)") {
+    val fact = df(Seq(Fact("nokey", 1)))
+    val out = Skew.saltedEnrichUsing(fact, df(Seq(Dim("other", "X"))), Seq("key"), 4)
+    assert(out.count() == 1)
+    assert(out.collect().head.isNullAt(2))
+  }
+
+  test("saltedAgg sum/count matches direct aggregation") {
+    val in = df((1 to 1000).map(i => Fact(if (i % 100 == 0) "rare" else "hot", i.toLong)))
+    val direct = in.groupBy("key")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(in, Seq("key"), salts = 8,
+      partialAggs = Seq(sum(col("x")).as("s"), count(lit(1)).as("n")),
+      finalAggs = Seq(sum(col("s")).as("s"), sum(col("n")).as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}
+
 class SinksSpec extends SparkSpec {
   test("writeSingleFile materializes exactly <layer>/<name>/<name>.parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
