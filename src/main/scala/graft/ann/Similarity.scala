@@ -19,29 +19,42 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product in double precision, accumulated in array order
-    * (deterministic — not a shuffle-order-dependent sum).
+    * (deterministic — not a shuffle-order-dependent sum). Backed by the
+    * codegen'd native kernel [[graft.functions.FloatVecDot]]; the
+    * higher-order-function formulation [[dotHof]] is kept as the
+    * reference implementation (bit-identical results, ~10× slower).
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
+
+  /** HOF reference implementation of [[dot]] (no custom expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float vectors (double math). */
+  /** Cosine similarity of two float vectors (double math). For pairwise
+    * joins prefer precomputing each side's norm once per ROW (see
+    * [[bruteForceTopK]]) instead of recomputing both norms per PAIR.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     *
     * `queries` must be small (it is broadcast); `corpus` is scanned once.
-    * Ties broken by corpus id ascending — fully deterministic output.
-    * Self-matches (same id) are excluded.
+    * Norms are computed once per row BEFORE the join (per-pair work is a
+    * single dot), bit-identical to inline cosine. Ties broken by corpus
+    * id ascending — fully deterministic output. Self-matches excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     graft.ops.Windows.topKPerGroup(
         scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
@@ -74,12 +87,12 @@ object Similarity {
     val dim = 64 // harness embeddings are 64-d; derive from data if needed
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     graft.ops.Windows.topKPerGroup(
         scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)

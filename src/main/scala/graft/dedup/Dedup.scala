@@ -152,10 +152,13 @@ object Dedup {
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    import graft.ann.Similarity.{dot, norm}
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", graft.ann.Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -169,12 +172,14 @@ object Dedup {
   def cosineDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         minCos: Double, numPlanes: Int = 8,
                         dim: Int = 64): DataFrame = {
+    import graft.ann.Similarity.{dot, norm}
     val planes = graft.ann.Similarity.hyperplanes(numPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nm"),
       graft.ann.Similarity.lshBucket(col(vecCol), planes).as("bucket"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", graft.ann.Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")))
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }

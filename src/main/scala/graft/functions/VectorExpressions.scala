@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the hottest vector kernel: float-array
+  * dot product in double precision, sequential accumulation.
+  *
+  * Why a custom Expression and not `aggregate(zip_with(...))`: Spark's
+  * higher-order functions evaluate per element through lambda-variable
+  * indirection and sit outside whole-stage codegen — for a 2M-pair
+  * similarity join that interpretive overhead dominates. This expression
+  * generates a tight primitive loop via doGenCode (plus a matching
+  * interpreted eval), the "(b) custom Catalyst Expression" tier of the
+  * build brief's preference order.
+  *
+  * Semantics match the higher-order-function formulation bit-for-bit
+  * (and therefore the DuckDB oracles): elements cast float→double,
+  * products summed left-to-right from index 0. Null if either side is
+  * null; errors on length mismatch (a wrong-dimension join should fail
+  * loudly, not silently truncate).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  /** Element type per side, resolved lazily (children are unresolved at
+    * construction). Float and double arrays are supported, mixed freely
+    * (the LSH path dots float vectors against double hyperplanes).
+    */
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(FloatType, _) => FloatType
+    case ArrayType(DoubleType, _) => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"graft_vec_dot: expected array<float|double>, got $other")
+  }
+  @transient private lazy val leftIsFloat = elemType(left) == FloatType
+  @transient private lazy val rightIsFloat = elemType(right) == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"graft_vec_dot: dimension mismatch ($n vs ${y.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getX = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_vec_dot: dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($getX) * ($getY);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatVecDot = copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-API handle on the native kernel — no registration needed. */
+  def vecDot(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(FloatVecDot(
+      GraftShim.toExpression(spark, a), GraftShim.toExpression(spark, b)))
+  }
+}
+
+/** SparkSessionExtensions installer for pure-SQL users:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) exposes
+  * `graft_vec_dot(a, b)` in SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("graft_vec_dot"),
+        new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),
+        (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+}

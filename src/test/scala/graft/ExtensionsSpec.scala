@@ -109,6 +109,42 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class VectorExpressionsSpec extends SparkSpec {
+  test("native codegen dot equals the HOF reference bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      Vec(i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val pairs = df(rows).as("a").crossJoin(df(rows).as("b"))
+      .select(
+        graft.ann.Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        graft.ann.Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_vec_dot is callable from SQL via session extensions") {
+    val s = spark
+    import s.implicits._
+    df(Seq(Vec(1, Array(1f, 2f, 3f)))).createOrReplaceTempView("vx")
+    val r = spark.sql(
+      "SELECT graft_vec_dot(embedding, embedding) AS d FROM vx").collect()
+    assert(r.head.getDouble(0) == 14.0)
+  }
+
+  test("dimension mismatch fails loudly") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(graft.ann.Similarity.dot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   val vecs = Seq(
     Vec(0, Array(1f, 0f, 0f)),
