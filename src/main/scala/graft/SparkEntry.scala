@@ -279,6 +279,34 @@ object SparkEntry {
           size(TextAnalysis.wordShingles(col("text"), 3)).as("n_shingles"))
         .orderBy("doc_id")),
 
+    "q_x_text_bpe" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
+    "q_x_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_x_text_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.winnowFingerprint(col("text"), k = 8, w = 4))
+            .as("n_fingerprints"))
+        .orderBy("doc_id")),
+
+    "q_x_events_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -572,6 +600,33 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q_x_text_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(len($sqlToks) AS INTEGER) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_text_quality" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |  CAST(len($sqlToks) AS BIGINT) AS n,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/CAST(n AS DOUBLE) END AS stopword_ratio,
+         |  CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END AS alpha_ratio,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END AS mtl
+         |  FROM s)
+         |SELECT doc_id, stopword_ratio, alpha_ratio,
+         |  0.4*stopword_ratio + 0.4*alpha_ratio + 0.2*least(mtl/8.0, 1.0) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_x_events_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_x_cosine_dups" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

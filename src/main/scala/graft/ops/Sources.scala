@@ -45,4 +45,20 @@ object Sources {
   /** Register every harness table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Landing-zone CSV (the reference's crawler ingests CSV with inferred
+    * schemas — SURVEY §1.3; we read it directly, schema-on-read).
+    * At 100 TB prefer an explicit schema: `inferSchema` runs an extra
+    * full pass over the files.
+    */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** Landing-zone JSON-lines (same crawler surface). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
 }

@@ -91,6 +91,76 @@ object TextAnalysis {
     when(allZero, lit("und")).otherwise(chain)
   }
 
+  /** BPE-style pre-tokenizer regex (the public GPT-2 pattern shape,
+    * ASCII-simplified): contraction suffixes, space-prefixed letter runs,
+    * digit runs, punctuation runs. Kept RE2-compatible so the DuckDB
+    * oracle tokenizes identically.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  /** BPE-ish tokens via one codegen'd regexp_extract_all — the cheap
+    * stand-in for a real BPE vocab merge, which is what you actually run
+    * over 100 TB to estimate token counts before training.
+    */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(tokensBpe(text))
+
+  /** Share of whitespace tokens that are (English) stopwords; 0.0 for
+    * empty docs. A high ratio suggests natural prose, low suggests
+    * boilerplate/code — the classic cheap quality signal.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      wordMatchCount(text, stopwords.head._2).cast("double") / n.cast("double"))
+  }
+
+  /** Share of characters that are ASCII letters; 0.0 for empty text. */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** Composite quality heuristic in [0, 1]: weighted stopword share,
+    * letter share, and saturating mean token length. The weights are a
+    * documented heuristic, not a trained model — the point is the shape
+    * (pure column math, one narrow pass).
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * stopwordRatio(text) + lit(0.4) * alphaRatio(text) +
+      lit(0.2) * least(meanTokenLen(text) / lit(8.0), lit(1.0))
+
+  /** Rolling-hash values of every char k-gram (xxhash64; one per
+    * position). Empty for texts shorter than k. (Spark's `sequence(1, 0)`
+    * is DESCENDING `[1, 0]`, not empty — the short-text case must be
+    * guarded explicitly.)
+    */
+  def rollingHashes(text: Column, k: Int): Column =
+    when(length(text) < k, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - lit(k - 1)),
+        i => xxhash64(text.substr(i, lit(k)))))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
+    * minima of every `w`-wide window over the k-gram rolling hashes.
+    * Guarantees any shared substring of length >= k+w-1 contributes a
+    * shared fingerprint — the standard scalable document-fingerprint for
+    * near-dup/plagiarism detection, here as one narrow Column expression.
+    */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column = {
+    val hs = rollingHashes(text, k)
+    val m = size(hs)
+    when(m === 0, array().cast("array<bigint>"))
+      .when(m <= w, array(array_min(hs)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), m - lit(w - 1)),
+          j => array_min(slice(hs, j, lit(w))))))
+  }
+
   /** Distinct word n-gram shingles (space-joined), for Jaccard / MinHash
     * dedup. Documents shorter than `n` tokens yield an empty array.
     */

@@ -41,6 +41,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.langId(col("text")), "xyzzy plugh") == "und")
   }
 
+  test("BPE-ish tokenizer splits contractions, digits, punct runs") {
+    assert(one(TextAnalysis.tokensBpe(col("text")), "it's 42 spark-jobs!")
+      .asInstanceOf[scala.collection.Seq[_]].toSeq ==
+      Seq("it", "'s", " 42", " spark", "-", "jobs", "!"))
+  }
+
+  test("quality metrics bounded and zero-safe on empty text") {
+    assert(one(TextAnalysis.qualityScore(col("text")), "") == 0.0)
+    val q = one(TextAnalysis.qualityScore(col("text")),
+      "the cat is in the bag and it is happy").asInstanceOf[Double]
+    assert(q > 0.4 && q <= 1.0)
+  }
+
+  test("winnowing: shared long substring yields a shared fingerprint") {
+    val common = "abcdefghijklmnopqrstuv"
+    val fpOf = (t: String) => one(TextAnalysis.winnowFingerprint(col("text"), 8, 4), t)
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val a = fpOf("XXXX " + common + " YYYY")
+    val b = fpOf("ZZZZZZ " + common + " WWW")
+    assert(a.intersect(b).nonEmpty,
+      "substring longer than k+w-1 must contribute a common fingerprint")
+    assert(fpOf("short") == fpOf("short"))
+    assert(one(TextAnalysis.winnowFingerprint(col("text"), 8, 4), "tiny")
+      .asInstanceOf[scala.collection.Seq[_]].isEmpty, "text shorter than k")
+  }
+
   test("langId tie-break prefers earlier language in list order") {
     // "la de" scores es=2 fr=2 en=0 de=0 -> es (earlier than fr)
     assert(one(TextAnalysis.langId(col("text")), "la de") == "es")

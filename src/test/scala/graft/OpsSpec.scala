@@ -160,6 +160,22 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+class SourcesSpec extends SparkSpec {
+  test("csv and json landing readers round-trip schema-on-read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/t.csv"),
+      "id,name,score\n1,alice,3.5\n2,bob,4.0\n")
+    val c = Sources.csv(spark, s"$tmp/t.csv")
+    assert(c.columns.toSeq == Seq("id", "name", "score") && c.count() == 2)
+    assert(c.schema("id").dataType == org.apache.spark.sql.types.IntegerType,
+      "inferSchema must type the columns")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/t.json"),
+      """{"id":1,"tags":["a","b"]}""" + "\n" + """{"id":2,"tags":[]}""" + "\n")
+    val j = Sources.json(spark, s"$tmp/t.json")
+    assert(j.count() == 2 && j.columns.contains("tags"))
+  }
+}
+
 class SkewSpec extends SparkSpec {
   test("saltedEnrichUsing returns exactly the plain left-join result") {
     val fact = df((1 to 500).map(i => Fact(if (i % 10 == 0) "cold" + i else "hot", i.toLong)))

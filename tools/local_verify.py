@@ -32,8 +32,12 @@ for name in sorted(oracle):
     if not parts:
         results[name] = {"status": "NO_SPARK_OUTPUT"}
         continue
-    spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-    duck_rel = con.sql(oracle[name])
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        duck_rel = con.sql(oracle[name])
+    except Exception as ex:
+        results[name] = {"status": f"ORACLE_SQL_ERROR: {ex}"}
+        continue
     s_cols = sorted(zip(spark_rel.columns, map(str, spark_rel.types)))
     d_cols = sorted(zip(duck_rel.columns, map(str, duck_rel.types)))
     entry = {}
