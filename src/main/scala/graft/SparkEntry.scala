@@ -295,10 +295,9 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_x_text_winnow" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(TextAnalysis.winnowFingerprint(col("text"), k = 8, w = 4))
-            .as("n_fingerprints"))
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
+          k = 8, w = 4)
+        .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
         .orderBy("doc_id")),
 
     "q_x_events_props" -> ((s, dir) =>

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 
 /** Text-analysis column functions for large-scale training-data pipelines
   * (north-star extension beyond the reference surface — the reference has
@@ -149,16 +150,39 @@ object TextAnalysis {
     * minima of every `w`-wide window over the k-gram rolling hashes.
     * Guarantees any shared substring of length >= k+w-1 contributes a
     * shared fingerprint — the standard scalable document-fingerprint for
-    * near-dup/plagiarism detection, here as one narrow Column expression.
+    * near-dup/plagiarism detection.
+    *
+    * ⚠ This single-Column form embeds the rolling-hash array inside the
+    * per-window lambda; Catalyst does NOT common-subexpression-eliminate
+    * across lambda boundaries, so every window re-hashes the whole
+    * document — O(chars²) per doc (measured 1060 s for one sf0.1 query).
+    * Use it only on short strings / in tests; pipelines must use
+    * [[winnowFingerprints]], which materializes the hashes once per row.
     */
-  def winnowFingerprint(text: Column, k: Int, w: Int): Column = {
-    val hs = rollingHashes(text, k)
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    winnowFromHashes(rollingHashes(text, k), w)
+
+  private def winnowFromHashes(hs: Column, w: Int): Column = {
     val m = size(hs)
     when(m === 0, array().cast("array<bigint>"))
       .when(m <= w, array(array_min(hs)))
       .otherwise(array_distinct(
         transform(sequence(lit(1), m - lit(w - 1)),
           j => array_min(slice(hs, j, lit(w))))))
+  }
+
+  /** Scale form of [[winnowFingerprint]]: adds `outCol` with the
+    * fingerprint array. The rolling hashes land in their own projection
+    * (a named column), so they are computed ONCE per row and the window
+    * pass is O(chars × w) — CollapseProject keeps the split because the
+    * hash expression is non-cheap and referenced repeatedly.
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         outCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val hsCol = Iterator.from(0).map(i => s"__wh$i").find(!df.columns.contains(_)).get
+    df.withColumn(hsCol, rollingHashes(col(textCol), k))
+      .withColumn(outCol, winnowFromHashes(col(hsCol), w))
+      .drop(hsCol)
   }
 
   /** Distinct word n-gram shingles (space-joined), for Jaccard / MinHash

@@ -67,6 +67,19 @@ class TextAnalysisSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[_]].isEmpty, "text shorter than k")
   }
 
+  test("winnowFingerprints (scale form) equals the Column form") {
+    val docs = df(Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog", "s"),
+      Doc(2, "tiny", "s"), Doc(3, "", "s")))
+    val viaDf = TextAnalysis.winnowFingerprints(docs, "text", "fp", 8, 4)
+      .select("doc_id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaCol = docs.select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text"), 8, 4).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaDf == viaCol)
+  }
+
   test("langId tie-break prefers earlier language in list order") {
     // "la de" scores es=2 fr=2 en=0 de=0 -> es (earlier than fr)
     assert(one(TextAnalysis.langId(col("text")), "la de") == "es")
