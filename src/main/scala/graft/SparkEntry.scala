@@ -274,9 +274,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_x_text_shingles" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(TextAnalysis.wordShingles(col("text"), 3)).as("n_shingles"))
+      TextAnalysis.withShingles(t(s, dir, "documents"), "text", "__sh", 3)
+        .select(col("doc_id"), size(col("__sh")).as("n_shingles"))
         .orderBy("doc_id")),
 
     "q_x_text_bpe" -> ((s, dir) =>
@@ -359,6 +358,20 @@ object SparkEntry {
           date_format(col("wend"), "yyyy-MM-dd HH:mm:ss").as("wend"),
           col("user_id"), col("n"), col("total_value"))
         .orderBy("user_id", "wstart")),
+
+    "q_x_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      graft.ops.AsofJoin.asof(purchases, errors, Seq("user_id"), "ts",
+          Seq("err_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("err_value"))
+        .orderBy("event_id")
+    }),
 
     // ---- LLM-pipeline: multimodal column plumbing
     "q_x_mm_meta" -> ((s, dir) =>
@@ -675,6 +688,16 @@ object SparkEntry {
         |  user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, wstart""".stripMargin,
+
+    "q_x_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+        |  (SELECT e.value FROM events e
+        |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |     AND e.ts <= p.ts
+        |   ORDER BY e.ts DESC LIMIT 1) AS err_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q_x_mm_meta" ->
       """SELECT doc_id AS media_id, 'text' AS media_type,

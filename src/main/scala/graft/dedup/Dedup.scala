@@ -32,11 +32,13 @@ object Dedup {
   }
 
   /** Exploded (id, shingle) pairs — the inverted index both near-dup
-    * paths build on. Shingles are distinct per doc.
+    * paths build on. Shingles are distinct per doc. Tokenization is
+    * materialized once per row (withShingles) before the explode.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+    TextAnalysis.withShingles(df.select(col(idCol).as("id"), col(textCol)),
+        textCol, "__sh", n)
+      .select(col("id"), explode(col("__sh")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= minJ).
     *
@@ -132,8 +134,9 @@ object Dedup {
                         n: Int = 3, minJ: Double = 0.8,
                         numPerms: Int = 128, bands: Int = 32): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands)
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+    val sh = TextAnalysis.withShingles(
+        df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
+      .select("id", "sh")
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the latest right
+  * row with `right.ts <= left.ts` for the same key — the correctness
+  * backbone of feature/training pipelines (no look-ahead leakage). The
+  * reference has no such operator; Spark has no built-in either.
+  *
+  * Per the build's preference order this is tier (a): COMPOSED from
+  * existing operators — union + one window pass — rather than a custom
+  * LogicalPlan/Strategy. Why this beats the naive forms at 100 TB:
+  *  - naive `left JOIN right ON key AND r.ts <= l.ts` + top-1 window is
+  *    an equi-join on key whose output explodes to |matches per key|
+  *    before the window prunes it;
+  *  - a range-join is a nested loop in Spark;
+  *  - this union form shuffles each input ONCE (by key), sorts within
+  *    partitions, and carries right-side values forward with
+  *    `last_value(ignoreNulls)` — linear in |left| + |right|.
+  *
+  * Ties (equal ts): the right row at exactly left.ts IS visible
+  * (`<=` semantics), matching the common "as of now" definition.
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side columns to carry (null when no right
+    *                  row is at-or-before the left row's ts)
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val side = Iterator.from(0).map(i => s"__side$i")
+      .find(c => !left.columns.contains(c)).get
+
+    val leftCols = left.columns
+    // union schema: key, ts, side flag, left payload, right value cols
+    val lNorm = left
+      .withColumn(side, lit(1))
+      .select((keyCols ++ Seq(tsCol, side)).map(col)
+        ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col)
+        ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rNorm = right
+      .withColumn(side, lit(0))
+      .select((keyCols ++ Seq(tsCol, side)).map(col)
+        ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        ++ valueCols.map(col): _*)
+
+    // Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    // right row at exactly left.ts is visible to that left row.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(side) === 1).drop(side)
+  }
+}

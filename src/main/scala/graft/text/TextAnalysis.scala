@@ -187,14 +187,37 @@ object TextAnalysis {
 
   /** Distinct word n-gram shingles (space-joined), for Jaccard / MinHash
     * dedup. Documents shorter than `n` tokens yield an empty array.
+    *
+    * ⚠ `tokens(text)` is referenced inside the transform lambda; Catalyst
+    * re-inlines it per shingle position (no CSE across lambda
+    * boundaries), so this Column form is O(tokens²) per document. Fine
+    * for short strings and tests; pipelines should tokenize into a
+    * column first ([[withShingles]] / [[shinglesFromTokens]]).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-materialized token array column — when
+    * `toks` is a plain column reference the per-position lambda work is
+    * O(n) row-field reads, not a re-tokenization.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     array_distinct(
       when(cnt >= n,
         transform(sequence(lit(1), cnt - lit(n - 1)),
           i => array_join(slice(toks, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
+  }
+
+  /** Scale form: adds `outCol` with the shingle array, tokenizing each
+    * row exactly once in its own projection.
+    */
+  def withShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   outCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val tokCol = Iterator.from(0).map(i => s"__tk$i").find(!df.columns.contains(_)).get
+    df.withColumn(tokCol, tokens(col(textCol)))
+      .withColumn(outCol, shinglesFromTokens(col(tokCol), n))
+      .drop(tokCol)
   }
 }

@@ -160,6 +160,34 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+case class Tick(sym: String, t: Long, px: Double)
+case class Trade(sym: String, t: Long, qty: Long)
+
+class AsofJoinSpec extends SparkSpec {
+  val ticks = Seq(Tick("A", 10, 1.0), Tick("A", 20, 2.0), Tick("B", 15, 9.0))
+  val trades = Seq(
+    Trade("A", 5, 100),   // before any tick -> null px
+    Trade("A", 10, 200),  // exactly at tick 10 -> sees 1.0 (<= semantics)
+    Trade("A", 25, 300),  // after tick 20 -> 2.0
+    Trade("B", 16, 400),  // after B's only tick -> 9.0
+    Trade("C", 50, 500))  // key with no right rows -> null
+
+  test("asof attaches latest right value at-or-before each left row") {
+    val out = AsofJoin.asof(
+        df(trades), df(ticks).withColumnRenamed("px", "px"),
+        Seq("sym"), "t", Seq("px"))
+      .select("sym", "t", "qty", "px").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("A", 5L)) == None)
+    assert(out(("A", 10L)) == Some(1.0))
+    assert(out(("A", 25L)) == Some(2.0))
+    assert(out(("B", 16L)) == Some(9.0))
+    assert(out(("C", 50L)) == None)
+    assert(out.size == 5, "every left row survives (left semantics)")
+  }
+}
+
 class SourcesSpec extends SparkSpec {
   test("csv and json landing readers round-trip schema-on-read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
