@@ -32,13 +32,16 @@ object Dedup {
   }
 
   /** Exploded (id, shingle) pairs — the inverted index both near-dup
-    * paths build on. Shingles are distinct per doc. Tokenization is
-    * materialized once per row (withShingles) before the explode.
+    * paths build on. Shingles are distinct per doc. The token ARRAY is
+    * materialized once per row (CSE guard); the shingle array is built
+    * inside the Generate from that cheap column reference, avoiding a
+    * second row-sized intermediate.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    TextAnalysis.withShingles(df.select(col(idCol).as("id"), col(textCol)),
-        textCol, "__sh", n)
-      .select(col("id"), explode(col("__sh")).as("shingle"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        explode(TextAnalysis.shinglesFromTokens(col("__tk"), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= minJ).
     *

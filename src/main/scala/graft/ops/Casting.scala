@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Casting {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Downcast every LongType column whose values all fit in Int. */
   def safeDowncastLongs(df: DataFrame): DataFrame = {
     val longCols = df.schema.fields.collect { case f if f.dataType == LongType => f.name }
@@ -32,6 +34,11 @@ object Casting {
       mx != null && mn != null &&
         mx.asInstanceOf[Long] <= Int.MaxValue && mn.asInstanceOf[Long] >= Int.MinValue
     }.toSet
+    // The reference prints each downcast decision (L2B:76-81) — keep the
+    // observable diagnostic, one line per column, off the hot path.
+    longCols.foreach { c =>
+      log.info(s"safeDowncastLongs: $c ${if (fits(c)) "-> int" else "stays long"}")
+    }
     val cols = df.columns.map { c =>
       if (fits(c)) col(c).cast(IntegerType).as(c) else col(c)
     }

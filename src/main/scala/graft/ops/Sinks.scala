@@ -50,11 +50,27 @@ object Sinks {
     dest
   }
 
-  /** The scale path: plain multi-file parquet, optionally bucketed layout
-    * via partitionBy columns. Keeps full write parallelism.
+  /** The scale path: plain multi-file parquet, optionally hive-layout
+    * partitioned via partitionBy columns. Keeps full write parallelism.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bucketed catalog table: rows hash-partitioned into `numBuckets` by
+    * `bucketCols` at write time, sorted within buckets. Joins and
+    * aggregations between tables bucketed the same way need NO shuffle —
+    * at 100 TB, pre-bucketing the big fact tables on their join key
+    * turns every downstream equi-join into a zip of co-located buckets
+    * (verify: the join plan has no Exchange under either side).
+    * Requires a catalog (`saveAsTable`) — bucket metadata lives there.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -251,6 +251,20 @@ class SinksSpec extends SparkSpec {
       "tmp dir must be cleaned up")
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 1000).map(i => (i.toLong % 50, s"a$i")).toDF("key", "av")
+    val b = (1 to 1000).map(i => (i.toLong % 50, s"b$i")).toDF("key", "bv")
+    Sinks.writeBucketed(a, "bkt_a", Seq("key"), 8)
+    Sinks.writeBucketed(b, "bkt_b", Seq("key"), 8)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must be shuffle-free, got:\n$plan")
+    assert(joined.count() == 20000, "50 keys x 20 x 20 matches")
+  }
+
   test("writeSingleFile overwrites an existing table file") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     Sinks.writeSingleFile(df(Seq(KV("a", 1))), tmp, "tbl")
