@@ -254,6 +254,18 @@ class SinksSpec extends SparkSpec {
   test("bucketed tables join without any shuffle exchange") {
     val s = spark
     import s.implicits._
+    // Managed-table locations outlive the (in-memory-catalog) test JVM:
+    // drop the tables AND clear leftover warehouse dirs or saveAsTable
+    // fails with LOCATION_ALREADY_EXISTS on re-runs.
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val a = (1 to 1000).map(i => (i.toLong % 50, s"a$i")).toDF("key", "av")
     val b = (1 to 1000).map(i => (i.toLong % 50, s"b$i")).toDF("key", "bv")
     Sinks.writeBucketed(a, "bkt_a", Seq("key"), 8)
