@@ -202,6 +202,52 @@ object SparkEntry {
           col("o_totalprice").as("latest_price"))
         .orderBy("o_custkey")),
 
+    // ---- beyond-reference standard analytics surface (SURVEY §2.6/2.7
+    // list sorts/limits and set ops as absent in the reference; a
+    // complete engine needs them)
+    "q_x_global_topk" -> ((s, dir) =>
+      Windows.globalTopK(t(s, dir, "orders"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_x_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val withOrders = c.select("c_custkey").intersect(buyers)
+      val withoutOrders = c.select("c_custkey").except(buyers)
+      withOrders.withColumn("has_orders", lit(1))
+        .unionByName(withoutOrders.withColumn("has_orders", lit(0)))
+        .orderBy("c_custkey")
+    }),
+
+    "q_x_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("semi").as("side"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("anti").as("side"))
+      semi.unionByName(anti).orderBy("c_custkey", "side")
+    }),
+
+    "q_x_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q_x_pivot" -> ((s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .toDF("o_orderstatus", "urgent", "high", "medium", "not_specified", "low")
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- scalar functions (F1-F11)
     "q_f1_dates" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -503,6 +549,41 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_x_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_x_set_ops" ->
+      """SELECT c_custkey, 1 AS has_orders FROM
+        |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 0 AS has_orders FROM
+        |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_x_semi_anti" ->
+      """SELECT c_custkey, 'semi' AS side FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'anti' AS side FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey, side""".stripMargin,
+
+    "q_x_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_x_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_f1_dates" ->
       """SELECT o_orderkey,

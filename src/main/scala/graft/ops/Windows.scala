@@ -39,4 +39,12 @@ object Windows {
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)
   }
+
+  /** Global top-k: orderBy + limit, which Spark plans as
+    * TakeOrderedAndProject — each partition keeps a k-row heap and only
+    * k rows per partition reach the driver-side merge; the full sort
+    * never happens. The right way to take "top 100 of 100 TB".
+    */
+  def globalTopK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
 }
