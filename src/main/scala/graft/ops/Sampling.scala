@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (no reference
+  * counterpart; `df.sample()` is unsuitable at scale because it is
+  * seed-AND-partitioning dependent — a repartition or retry changes the
+  * sample).
+  *
+  * Both operators key the decision on a HASH of a stable id, so:
+  *  - reproducible across runs, retries, partitionings, and engines;
+  *  - consistent across tables — the same fraction of the same id space
+  *    is selected everywhere, so samples of fact and dim JOIN correctly;
+  *  - narrow (filter) or single-shuffle (per-group top-k), never a
+  *    global sort.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Keep ~`fraction` of rows, decided by `xxhash64(idCol, salt)`.
+    * Same id ⇒ same decision everywhere (consistent sampling).
+    */
+  def consistentSample(df: DataFrame, idCol: String, fraction: Double,
+                       salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val cut = (fraction * Buckets).toLong
+    df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cut)
+  }
+
+  /** At most `k` rows per group, chosen as the k smallest id-hashes —
+    * a uniform without-replacement per-group sample that is fully
+    * deterministic (ties impossible while xxhash64 is injective on the
+    * observed ids; a hash tie would still be broken by row_number's
+    * order on the hash value plus nothing else — acceptable for
+    * sampling). One shuffle by the group keys.
+    */
+  def perGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    Windows.topKPerGroup(df, groupCols.map(col),
+        Seq(xxhash64(lit(salt), col(idCol)).asc), k)
+      .drop("rank")
+  }
+
+  /** Stratified fractions per group: `fractions` maps group value (of a
+    * single stratum column) to its keep-fraction; groups not in the map
+    * keep `defaultFraction`. Decision is per-id hash as in
+    * [[consistentSample]] — still a narrow filter.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
+    val cutExpr = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+      case (acc, (value, f)) =>
+        when(col(stratumCol) === value, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cutExpr)
+  }
+}

@@ -160,6 +160,43 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  lazy val docs = df((1 to 2000).map(i =>
+    Doc2(i.toLong, if (i % 4 == 0) "code" else "web")))
+
+  test("consistentSample is deterministic, partition-invariant, ~fraction-sized") {
+    val a = Sampling.consistentSample(docs, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.consistentSample(docs.repartition(13), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same ids selected regardless of partitioning")
+    assert(math.abs(a.size - 600) < 100, s"~30% of 2000, got ${a.size}")
+  }
+
+  test("consistentSample at nested fractions: smaller sample is a subset") {
+    val big = Sampling.consistentSample(docs, "id", 0.5).collect().map(_.getLong(0)).toSet
+    val small = Sampling.consistentSample(docs, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "hash-threshold sampling nests")
+  }
+
+  test("perGroupSample caps each group at k, deterministically") {
+    val out1 = Sampling.perGroupSample(docs, Seq("src"), "id", 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out2 = Sampling.perGroupSample(docs.repartition(7), Seq("src"), "id", 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out1 == out2)
+    assert(out1.count(_._2 == "code") == 50 && out1.count(_._2 == "web") == 50)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val out = Sampling.stratifiedSample(docs, "src", "id",
+      Map("code" -> 1.0), defaultFraction = 0.0).collect()
+    assert(out.length == 500, "all code docs, no web docs")
+    assert(out.forall(_.getString(1) == "code"))
+  }
+}
+
+case class Doc2(id: Long, src: String)
 case class Tick(sym: String, t: Long, px: Double)
 case class Trade(sym: String, t: Long, qty: Long)
 
