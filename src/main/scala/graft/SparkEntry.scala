@@ -686,7 +686,9 @@ object SparkEntry {
          |    ${sqlDot("q.embedding", "c.embedding")}
          |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
          |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
@@ -727,7 +729,9 @@ object SparkEntry {
          |    / (sqrt(${sqlDot("a.embedding", "a.embedding")})
          |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${sqlDot("a.embedding", "b.embedding")}
+         |WHERE sqrt(${sqlDot("a.embedding", "a.embedding")}) > 0
+         |  AND sqrt(${sqlDot("b.embedding", "b.embedding")}) > 0
+         |  AND ${sqlDot("a.embedding", "b.embedding")}
          |    / (sqrt(${sqlDot("a.embedding", "a.embedding")})
          |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,

@@ -49,10 +49,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Zero-norm vectors are excluded up front: cos would be NaN, and
+    // Spark sorts NaN ABOVE every real double, so a single all-zeros
+    // embedding would otherwise become the rank-1 neighbor of every
+    // query. (Mirrored in the DuckDB oracle.)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+      norm(col(vecCol)).as("cn")).filter(col("cn") > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     graft.ops.Windows.topKPerGroup(
@@ -87,9 +91,11 @@ object Similarity {
     val dim = 64 // harness embeddings are 64-d; derive from data if needed
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))
+        norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))
+      .filter(col("cn") > 0) // see bruteForceTopK: NaN sorts above all
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
+        norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
+      .filter(col("qn") > 0)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -59,8 +59,21 @@ object Dedup {
         .filter(col("df") > cap).select("shingle")
       idx0.join(hot, Seq("shingle"), "left_anti")
     }
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = idx.as("a").join(idx.as("b"),
+    // Per-doc shingle counts come straight from the shingle ARRAY (one
+    // narrow pass, no explode + groupBy) — except under maxShingleDf,
+    // where counts must reflect the post-filter index.
+    val sizes = maxShingleDf.fold(
+      TextAnalysis.withShingles(df.select(col(idCol).as("id"), col(textCol)),
+          textCol, "__sh", n)
+        .select(col("id"), size(col("__sh")).cast("long").as("n_sh"))) { _ =>
+      idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    }
+    // shuffle_hash (not broadcast): both self-join sides then need the
+    // SAME hashpartitioning(shingle) exchange, which ReuseExchange
+    // computes once — a broadcast build side would re-run the whole
+    // tokenize+shingle+explode subplan. Also the only viable plan at
+    // scale: an inverted index over 100 TB never fits a broadcast.
+    val inter = idx.as("a").join(idx.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -159,10 +172,11 @@ object Dedup {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double): DataFrame = {
     import graft.ann.Similarity.{dot, norm}
+    // Zero-norm vectors excluded (cos would be NaN; see bruteForceTopK).
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
+      norm(col(vecCol)).as("na")).filter(col("na") > 0)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
+      norm(col(vecCol)).as("nb")).filter(col("nb") > 0)
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
@@ -181,8 +195,9 @@ object Dedup {
     import graft.ann.Similarity.{dot, norm}
     val planes = graft.ann.Similarity.hyperplanes(numPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nm"),
-      graft.ann.Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+        norm(col(vecCol)).as("nm"),
+        graft.ann.Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+      .filter(col("nm") > 0)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")))

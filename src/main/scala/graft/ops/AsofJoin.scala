@@ -25,36 +25,46 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param valueCols right-side columns to carry (null when no right
-    *                  row is at-or-before the left row's ts)
+  /** @param valueCols right-side columns to carry (all null when no
+    *                  right row is at-or-before the left row's ts)
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val side = Iterator.from(0).map(i => s"__side$i")
-      .find(c => !left.columns.contains(c)).get
+    def fresh(prefix: String) = Iterator.from(0).map(i => s"$prefix$i")
+      .find(c => !left.columns.contains(c) && !right.columns.contains(c)).get
+    val side = fresh("__side")
+    val vals = fresh("__vals")
 
     val leftCols = left.columns
-    // union schema: key, ts, side flag, left payload, right value cols
+    // The right-side values travel as ONE non-null struct per right row
+    // (null on left rows): last(ignoreNulls) then carries the latest
+    // right ROW atomically — a genuinely NULL right-side value inside
+    // the struct is preserved (per-column carry would skip it and
+    // resurrect an older value, and could mix columns from different
+    // right rows).
     val lNorm = left
       .withColumn(side, lit(1))
       .select((keyCols ++ Seq(tsCol, side)).map(col)
         ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col)
-        ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        :+ lit(null).cast(org.apache.spark.sql.types.StructType(
+             valueCols.map(c => org.apache.spark.sql.types.StructField(
+               c, right.schema(c).dataType, nullable = true)))).as(vals): _*)
     val rNorm = right
       .withColumn(side, lit(0))
       .select((keyCols ++ Seq(tsCol, side)).map(col)
         ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        ++ valueCols.map(col): _*)
+        :+ struct(valueCols.map(col): _*).as(vals): _*)
 
     // Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
     // right row at exactly left.ts is visible to that left row.
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(side) === 1).drop(side)
+    lNorm.unionByName(rNorm)
+      .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(col("*") +: valueCols.map(c => col(s"$vals.$c").as(c)): _*)
+      .drop(side, vals)
   }
 }

@@ -25,7 +25,8 @@ object Sampling {
   def consistentSample(df: DataFrame, idCol: String, fraction: Double,
                        salt: String = "graft"): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
-    val cut = (fraction * Buckets).toLong
+    // round, not truncate: (0.000249 * 1e6).toLong == 248
+    val cut = math.round(fraction * Buckets)
     df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cut)
   }
 
@@ -39,9 +40,12 @@ object Sampling {
   def perGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
                      k: Int, salt: String = "graft"): DataFrame = {
     require(k > 0, "k must be positive")
+    // Collision-proof rank name: the default "rank" would silently
+    // replace (and then drop) a user column of that name.
+    val rk = Iterator.from(0).map(i => s"__rk$i").find(!df.columns.contains(_)).get
     Windows.topKPerGroup(df, groupCols.map(col),
-        Seq(xxhash64(lit(salt), col(idCol)).asc), k)
-      .drop("rank")
+        Seq(xxhash64(lit(salt), col(idCol)).asc), k, rankCol = rk)
+      .drop(rk)
   }
 
   /** Stratified fractions per group: `fractions` maps group value (of a
@@ -55,9 +59,9 @@ object Sampling {
                        salt: String = "graft"): DataFrame = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
-    val cutExpr = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+    val cutExpr = fractions.foldLeft(lit(math.round(defaultFraction * Buckets))) {
       case (acc, (value, f)) =>
-        when(col(stratumCol) === value, lit((f * Buckets).toLong)).otherwise(acc)
+        when(col(stratumCol) === value, lit(math.round(f * Buckets))).otherwise(acc)
     }
     df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cutExpr)
   }

@@ -97,8 +97,18 @@ object StreamingWindows {
           }
         }
         cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastTs + gapMs)
+          // flatMapGroupsWithState does NOT drop late rows for us: a
+          // session whose close instant is already at-or-behind the
+          // watermark must be emitted NOW — setTimeoutTimestamp at or
+          // below the watermark throws and kills the whole query.
+          val wm = state.getCurrentWatermarkMs()
+          if (s.lastTs + gapMs <= wm) {
+            closed ::= close(s)
+            state.remove()
+          } else {
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapMs)
+          }
         }
         closed.reverseIterator
       }

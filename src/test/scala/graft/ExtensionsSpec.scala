@@ -211,6 +211,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L), "nearest=1 then orthogonal=2")
     assert(!out.map(_.getLong(2)).contains(0L))
   }
+
+  test("zero-norm vectors never appear as neighbors (NaN would sort first)") {
+    val in = df(vecs :+ Vec(9, Array(0f, 0f, 0f)))
+    val out = Similarity.bruteForceTopK(in, in.filter(col("vec_id") === 0), 3)
+      .collect()
+    assert(!out.map(_.getLong(2)).contains(9L),
+      "all-zeros embedding must be excluded, not rank-1 via NaN")
+    assert(out.forall(r => !r.getDouble(3).isNaN))
+    val dups = graft.dedup.Dedup.cosineDupPairs(in, "vec_id", "embedding", -2.0)
+      .collect()
+    assert(dups.forall(r => !r.getDouble(2).isNaN))
+    assert(!dups.exists(r => r.getLong(0) == 9 || r.getLong(1) == 9))
+  }
 }
 
 class EventWindowsSpec extends SparkSpec {

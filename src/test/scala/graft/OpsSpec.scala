@@ -188,6 +188,15 @@ class SamplingSpec extends SparkSpec {
     assert(out1.count(_._2 == "code") == 50 && out1.count(_._2 == "web") == 50)
   }
 
+  test("perGroupSample preserves a pre-existing 'rank' column") {
+    val s = spark
+    import s.implicits._
+    val in = docs.withColumn("rank", lit(7))
+    val out = Sampling.perGroupSample(in, Seq("src"), "id", 10)
+    assert(out.columns.contains("rank"))
+    assert(out.select("rank").collect().forall(_.getInt(0) == 7))
+  }
+
   test("stratifiedSample applies per-stratum fractions") {
     val out = Sampling.stratifiedSample(docs, "src", "id",
       Map("code" -> 1.0), defaultFraction = 0.0).collect()
@@ -222,6 +231,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(("B", 16L)) == Some(9.0))
     assert(out(("C", 50L)) == None)
     assert(out.size == 5, "every left row survives (left semantics)")
+  }
+
+  test("asof carries a genuinely NULL right value instead of resurrecting older ones") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((("A"), 10L, Option(1.0)), (("A"), 20L, Option.empty[Double]))
+      .toDF("sym", "t", "px")
+    val left = Seq(("A", 25L, 99L)).toDF("sym", "t", "qty")
+    val out = AsofJoin.asof(left, right, Seq("sym"), "t", Seq("px")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("px")),
+      "latest right row has px=NULL; per-column carry would wrongly give 1.0")
+  }
+
+  test("asof with multiple value columns never mixes values across right rows") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(("A", 10L, Option(1.0), Option.empty[String]),
+                    ("A", 20L, Option.empty[Double], Option("x")))
+      .toDF("sym", "t", "px", "tag")
+    val left = Seq(("A", 25L)).toDF("sym", "t")
+    val r = AsofJoin.asof(left, right, Seq("sym"), "t", Seq("px", "tag")).collect().head
+    assert(r.isNullAt(r.fieldIndex("px")) && r.getString(r.fieldIndex("tag")) == "x",
+      "both values must come from the t=20 right row")
   }
 }
 

@@ -79,4 +79,30 @@ class StreamingSpec extends SparkSpec {
       s"stateful sessionizer must reproduce session_window semantics: $streamed vs $batch")
     assert(streamed.size == 2, "user 1: one merged session; user 2: one session")
   }
+
+  test("sessionizer survives a late event whose session is already closeable") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.sessionizeStateful(mem.toDS(),
+      gapMs = 30 * 60 * 1000, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    // batch 1 pushes the watermark to ~2024-06-01
+    mem.addData(SessionEvent(99, ts("2024-06-01 00:00:00"), 0.0))
+    q.processAllAvailable()
+    // batch 2: an event months behind the watermark. Observed Spark 4
+    // semantics (pinned here): the stateful operator filters
+    // watermark-late rows BEFORE the user function, so the event is
+    // dropped silently; the sessionizer's own already-closeable guard is
+    // defense-in-depth for configurations without that filtering. Either
+    // way the query must stay alive.
+    mem.addData(SessionEvent(7, ts("2024-01-01 00:00:00"), 5.0))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val rows = spark.table("sess_late").filter(col("user_id") === 7).collect()
+    assert(rows.isEmpty, "months-late event is dropped by the watermark filter")
+  }
 }
