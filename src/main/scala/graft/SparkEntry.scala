@@ -193,6 +193,12 @@ object SparkEntry {
           (Aggregations.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
         .orderBy("o_orderstatus")),
 
+    "q_x_weighted_mean" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(graft.functions.WeightedMean.of("l_extendedprice", "l_quantity")
+          .as("wavg_price"))
+        .orderBy("l_returnflag")),
+
     // ---- window (W1)
     "q_w1_latest" -> ((s, dir) =>
       Windows.topOnePerGroup(t(s, dir, "orders"), Seq("o_custkey"),
@@ -540,6 +546,12 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_w1_latest" ->
       """SELECT o_custkey, o_orderkey AS latest_order_key,

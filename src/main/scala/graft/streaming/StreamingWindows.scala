@@ -49,6 +49,19 @@ object StreamingWindows {
       ++ g.columns.filterNot(_ == "window").map(col)): _*)
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`)
+    * — two rows with the same key deduplicate iff they arrive within the
+    * watermark delay of each other; older state is evicted. This is the
+    * streaming form of the batch exact-dedup operator: at 100 TB/day the
+    * unbounded-state `dropDuplicates` variant would grow forever.
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One input event for the custom-state sessionizer. */
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   /** Accumulating per-key session state. */

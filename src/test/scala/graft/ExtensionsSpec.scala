@@ -184,6 +184,33 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 }
 
+class WeightedMeanSpec extends SparkSpec {
+  test("weighted mean: exact value, partition-invariant, null-safe") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0))
+    val out = rows.toDF("k", "x", "w").groupBy("k")
+      .agg(graft.functions.WeightedMean.of("x", "w").as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 17.5 && out("b") == 5.0)
+
+    val many = rows.toDF("k", "x", "w").repartition(7).groupBy("k")
+      .agg(graft.functions.WeightedMean.of("x", "w").as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(many == out, "integer accumulation is merge-order invariant")
+
+    val withNulls = Seq(("a", Option(10.0), Option(1.0)),
+      ("a", Option.empty[Double], Option(9.0)),
+      ("b", Option(1.0), Option.empty[Double]))
+      .toDF("k", "x", "w").groupBy("k")
+      .agg(graft.functions.WeightedMean.of("x", "w").as("wm"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(withNulls("a") == Some(10.0), "null value row contributes nothing")
+    assert(withNulls("b") == None, "all-null group yields null, not NaN")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   val vecs = Seq(
     Vec(0, Array(1f, 0f, 0f)),

@@ -80,6 +80,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2, "user 1: one merged session; user 2: one session")
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.dedupStream(mem.toDF(), "ts", "10 minutes",
+      Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      SessionEvent(1, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 00:01:00"), 2.0), // dup key within watermark
+      SessionEvent(2, ts("2024-01-01 00:02:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(users.toSeq == Seq(1L, 2L), "second user-1 event deduplicated")
+  }
+
   test("sessionizer survives a late event whose session is already closeable") {
     val s = spark
     import s.implicits._
