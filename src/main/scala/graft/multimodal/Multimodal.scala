@@ -40,9 +40,30 @@ case class MediaFeatures(
   */
 object Multimodal {
 
+  /** Read a directory of media files as binary records via Spark's
+    * binaryFile source — the real ingestion path for image/audio/video
+    * payloads. `pathGlobFilter` prunes at listing time (e.g. "*.jpg");
+    * ids are stable hashes of the file path (reproducible across runs).
+    * Payload bytes stream through the scan; they are never join/shuffle
+    * keys.
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                    mediaType: String, globFilter: String = "*"): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(mediaType).as("media_type"),
+        col("content"),
+        col("path").as("source"))
+      .as[MediaRecord]
+  }
+
   /** Attach an opaque binary payload column derived from a string column
     * (UTF-8 bytes) — stands in for reading real media files; with real
-    * data this is `spark.read.format("binaryFile")`.
+    * data this is [[readBinaryDir]].
     */
   def asMedia(df: DataFrame, idCol: String, textCol: String,
               mediaType: String, sourceCol: String): Dataset[MediaRecord] = {

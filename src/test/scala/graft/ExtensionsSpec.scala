@@ -307,6 +307,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features(3) == 1.0)
   }
 
+  test("readBinaryDir ingests files as media records with stable ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array[Byte](9))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](0))
+    val media = Multimodal.readBinaryDir(spark, dir.toString, "image", "*.bin")
+      .collect().sortBy(_.source)
+    assert(media.length == 2, "glob filter prunes non-matching files")
+    assert(media.head.content.toSeq == Seq[Byte](1, 2, 3))
+    assert(media.forall(_.media_type == "image"))
+    val again = Multimodal.readBinaryDir(spark, dir.toString, "image", "*.bin")
+      .collect().sortBy(_.source)
+    assert(again.map(_.media_id).toSeq == media.map(_.media_id).toSeq,
+      "path-hash ids are stable across reads")
+  }
+
   test("empty payload yields zero histogram, not NaN") {
     val media = Multimodal.asMedia(df(Seq(Doc(1, "", "src"))),
       "doc_id", "text", "text", "source")

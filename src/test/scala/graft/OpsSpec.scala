@@ -258,6 +258,12 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class EntrySpec extends SparkSpec {
+  test("flagship entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0, "driver smoke-checks rows>0")
+  }
+}
+
 class SourcesSpec extends SparkSpec {
   test("csv and json landing readers round-trip schema-on-read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
