@@ -168,7 +168,9 @@ object TextAnalysis {
       .when(m <= w, array(array_min(hs)))
       .otherwise(array_distinct(
         transform(sequence(lit(1), m - lit(w - 1)),
-          j => array_min(slice(hs, j, lit(w))))))
+          // least over w element_at lookups, not array_min(slice(...)):
+          // slice allocates a w-element array per window position.
+          j => least((0 until w).map(i => element_at(hs, (j + lit(i)).cast("int"))): _*))))
   }
 
   /** Scale form of [[winnowFingerprint]]: adds `outCol` with the
