@@ -193,6 +193,14 @@ object SparkEntry {
           (Aggregations.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
         .orderBy("o_orderstatus")),
 
+    "q_x_validate" -> ((s, dir) =>
+      graft.ops.Validation.check(t(s, dir, "orders"), Seq(
+          "positive_price" -> (col("o_totalprice") > 0),
+          "custkey_not_null" -> col("o_custkey").isNotNull,
+          "known_status" -> col("o_orderstatus").isin("O", "F", "P"),
+          "date_in_range" -> (year(col("o_orderdate")) between(1990, 2000))))
+        .orderBy("rule")),
+
     "q_x_weighted_mean" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(graft.functions.WeightedMean.of("l_extendedprice", "l_quantity")
@@ -361,6 +369,13 @@ object SparkEntry {
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          numLists = 8, nprobe = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -546,6 +561,20 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_validate" ->
+      """WITH t AS (SELECT
+        |  CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS positive_price,
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS custkey_not_null,
+        |  CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS known_status,
+        |  CAST(SUM(CASE WHEN COALESCE(year(o_orderdate) BETWEEN 1990 AND 2000, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS date_in_range,
+        |  COUNT(*) AS total FROM orders)
+        |SELECT rule, violations, total FROM (
+        |  SELECT 'positive_price' AS rule, positive_price AS violations, total FROM t
+        |  UNION ALL SELECT 'custkey_not_null', custkey_not_null, total FROM t
+        |  UNION ALL SELECT 'known_status', known_status, total FROM t
+        |  UNION ALL SELECT 'date_in_range', date_in_range, total FROM t)
+        |ORDER BY rule""".stripMargin,
 
     "q_x_weighted_mean" ->
       """SELECT l_returnflag,
@@ -747,6 +776,24 @@ object SparkEntry {
          |    / (sqrt(${sqlDot("a.embedding", "a.embedding")})
          |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical SQL to q_x_ann_brute: probing every IVF list IS
+    // exhaustive search, so the exact oracle applies
+    "q_x_ann_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_x_events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,

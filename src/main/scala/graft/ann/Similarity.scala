@@ -65,6 +65,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-flat approximate top-k: the corpus is partitioned into
+    * `numLists` inverted lists by nearest centroid; each query probes
+    * its `nprobe` closest lists and scores only those corpus vectors.
+    *
+    * Centroids are a deterministic sample (the `numLists` corpus
+    * vectors with smallest id-hash — no RNG, reproducible; a k-means
+    * refinement would drop in where the centroid frame is built).
+    * Costs, at 100 TB: assignment is |corpus| × numLists scored pairs
+    * (one narrow stage vs a broadcast centroid set + one shuffle for
+    * the per-row argmax); the probe join is an equi-join on list id.
+    * With `nprobe = numLists` every list is probed and the result is
+    * EXACTLY [[bruteForceTopK]] (pinned by test) — recall tuning is the
+    * nprobe/numLists trade.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numLists: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numLists > 0 && nprobe > 0 && nprobe <= numLists,
+      "need 0 < nprobe <= numLists")
+    val cents = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)).asc)
+      .limit(numLists)
+      .select(monotonically_increasing_id().as("list_id"),
+        col(vecCol).as("centroid"))
+
+    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("__cs", dot(col(vecCol), col("centroid")) /
+          (norm(col(vecCol)) * norm(col("centroid"))))
+      graft.ops.Windows.topKPerGroup(scored, Seq(col(idCol)),
+          Seq(col("__cs").desc, col("list_id").asc), keep, rankCol = s"__r_$side")
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
+          col("list_id"))
+    }
+
+    val lists = assign(corpus.filter(norm(col(vecCol)) > 0), "c", 1)
+    val probes = assign(queries.filter(norm(col(vecCol)) > 0), "q", nprobe)
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        (dot(col("q_v"), col("c_v")) /
+          (norm(col("q_v")) * norm(col("c_v")))).as("cos"))
+      // a (query, corpus) pair can arrive via at most one list (corpus
+      // rows live in exactly one list), so no distinct needed
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed): `numPlanes` vectors
     * of dimension `dim`, as literal arrays baked into the plan.
     */

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Expectations-style data-quality validation: evaluate many row-level
+  * rules in ONE narrow pass (each rule is a conditional sum — no
+  * per-rule scans, no shuffle beyond the single global aggregate).
+  * The ingest-gate shape every large pipeline runs before promoting a
+  * batch: count violations per rule, fail/quarantine on thresholds.
+  */
+object Validation {
+
+  /** One violation-count row per rule: (rule, violations, total).
+    * A NULL predicate result counts as a violation (unknown ≠ pass) —
+    * `isNotNull` rules behave as expected.
+    */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0).otherwise(1)).as(name)
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // one aggregate pass → explode the single row into per-rule rows
+    val pairs = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(name).as("violations"),
+        col("__total").as("total"))
+    }
+    row.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.rule"), col("r.violations"), col("r.total"))
+  }
+
+  /** Split into (passing, failing) row sets for quarantine flows —
+    * two filters over one definition, so Catalyst can reuse the scan.
+    */
+  def partitionByRules(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val allPass = rules.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    (df.filter(allPass), df.filter(!allPass))
+  }
+}

@@ -239,6 +239,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_.getLong(2)).contains(0L))
   }
 
+  test("ivfTopK with nprobe = numLists is exactly brute force") {
+    val rnd = new scala.util.Random(11)
+    val many = (0L until 60L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = df(many)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfAll = Similarity.ivfTopK(corpus, queries, 4, numLists = 5, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfAll == brute, "probing every list must equal exhaustive search")
+    val ivfPartial = Similarity.ivfTopK(corpus, queries, 4, numLists = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivfPartial.nonEmpty)
+    assert(ivfPartial.forall { case (q, n) => q != n }, "no self matches")
+  }
+
   test("zero-norm vectors never appear as neighbors (NaN would sort first)") {
     val in = df(vecs :+ Vec(9, Array(0f, 0f, 0f)))
     val out = Similarity.bruteForceTopK(in, in.filter(col("vec_id") === 0), 3)

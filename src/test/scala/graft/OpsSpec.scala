@@ -262,6 +262,18 @@ class EntrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke-checks rows>0")
   }
+
+  test("SQL surface: registered views answer spark.sql identically to the DataFrame API") {
+    Sources.registerAll(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaDf = SparkEntry.queries("q_a4_countdistinct")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaDf)
+  }
 }
 
 class SourcesSpec extends SparkSpec {
