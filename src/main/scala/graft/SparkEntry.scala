@@ -193,6 +193,28 @@ object SparkEntry {
           (Aggregations.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
         .orderBy("o_orderstatus")),
 
+    "q_x_scd2" -> ((s, dir) => {
+      // order-status history per customer as an SCD2 build: dedupe to
+      // one snapshot per (key, ts) first — ties would make run
+      // numbering order-dependent
+      val snaps = Windows.topOnePerGroup(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+        .select("o_custkey", "o_orderdate", "o_orderstatus")
+      graft.ops.Scd.type2(snaps, Seq("o_custkey"), "o_orderdate",
+          Seq("o_orderstatus"))
+        .select(col("o_custkey"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("o_orderstatus"), col("is_current"))
+        .orderBy("o_custkey", "valid_from")
+    }),
+
+    "q_x_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))).as("price_quantiles"))
+        .orderBy("o_orderstatus")),
+
     "q_x_validate" -> ((s, dir) =>
       graft.ops.Validation.check(t(s, dir, "orders"), Seq(
           "positive_price" -> (col("o_totalprice") > 0),
@@ -560,6 +582,33 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_scd2" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1),
+        |s AS (SELECT o_custkey, o_orderdate, o_orderstatus,
+        |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |         OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM snaps WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  ROWS UNBOUNDED PRECEDING) AS run FROM s),
+        |g AS (SELECT o_custkey, run, MIN(o_orderdate) AS vf,
+        |  MIN(o_orderstatus) AS o_orderstatus
+        |  FROM r GROUP BY o_custkey, run)
+        |SELECT o_custkey, strftime(vf, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(vf) OVER wn, '%Y-%m-%d') AS valid_to,
+        |  o_orderstatus,
+        |  lead(vf) OVER wn IS NULL AS is_current
+        |FROM g WINDOW wn AS (PARTITION BY o_custkey ORDER BY vf)
+        |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    "q_x_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.99]) AS price_quantiles
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_x_validate" ->

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history from periodic snapshots —
+  * the standard way a lake tracks dimension changes over time (no
+  * reference counterpart; the reference overwrites its dims wholesale).
+  *
+  * Input: rows (business key, snapshot ts, attributes) from repeated
+  * full snapshots. Output: one row per (key, change run) with
+  * valid_from / valid_to (null = current) and is_current.
+  *
+  * Scale shape: ONE shuffle by business key + in-partition sort by
+  * snapshot ts (a single window pass detects change points via lag and
+  * numbers runs with a running sum); no self-joins, no per-snapshot
+  * scans.
+  */
+object Scd {
+
+  def type2(snapshots: DataFrame, keyCols: Seq[String], tsCol: String,
+            attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val attrStruct = struct(attrCols.map(col): _*)
+    val changed = when(
+      lag(attrStruct, 1).over(w).isNull ||
+        lag(attrStruct, 1).over(w) =!= attrStruct, 1).otherwise(0)
+    val runCol = sum(changed).over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    val withRun = snapshots.withColumn("__run", runCol)
+    val aggExprs = Seq(min(col(tsCol)).as("valid_from")) ++
+      attrCols.map(c => first(col(c)).as(c))
+    val grouped = withRun.groupBy((keyCols :+ "__run").map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    // valid_to = next run's valid_from (exclusive); null while current
+    val wNext = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+  }
+}

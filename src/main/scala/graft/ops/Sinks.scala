@@ -58,6 +58,34 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (measured from the CURRENT compressed
+    * footprint, so the estimate already reflects encoding+compression).
+    * The lake-maintenance chore every long-lived 100 TB table needs —
+    * streaming ingests and per-partition writers accrete thousands of
+    * small files whose open/footer costs dominate scans. Returns the
+    * file count written. Writes via tmp dir + atomic-enough swap so a
+    * concurrent reader never sees a half-compacted table.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent,
+      s".compact_${p.getName}_${java.util.UUID.randomUUID()}")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(p.getParent, s"${tmp.getName}_old")
+    if (!fs.rename(p, old)) sys.error(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) sys.error(s"compact: rename $tmp -> $p failed")
+    fs.delete(old, true)
+    Option(fs.globStatus(new Path(p, "part-*.parquet")))
+      .map(_.length).getOrElse(0)
+  }
+
   /** Bucketed catalog table: rows hash-partitioned into `numBuckets` by
     * `bucketCols` at write time, sorted within buckets. Joins and
     * aggregations between tables bucketed the same way need NO shuffle —

@@ -160,6 +160,48 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+case class Snap(key: String, ts: Long, city: String, tier: String)
+
+class ScdSpec extends SparkSpec {
+  test("type2 collapses runs, reopens on change-back, marks current") {
+    val snaps = Seq(
+      Snap("A", 1, "NYC", "gold"), Snap("A", 2, "NYC", "gold"),
+      Snap("A", 3, "LA", "gold"), Snap("A", 4, "NYC", "gold"),
+      Snap("B", 1, "SF", "silver"))
+    val out = Scd.type2(df(snaps), Seq("key"), "ts", Seq("city", "tier"))
+      .orderBy("key", "valid_from").collect()
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.length == 3, "x,x | y | x -> three history rows (change-back reopens)")
+    assert(a.map(r => (r.getLong(r.fieldIndex("valid_from")),
+      r.getString(r.fieldIndex("city")))).toSeq ==
+      Seq((1L, "NYC"), (3L, "LA"), (4L, "NYC")))
+    assert(a.map(r => Option(r.getAs[Any]("valid_to"))).toSeq ==
+      Seq(Some(3L), Some(4L), None), "valid_to = next valid_from, open-ended current")
+    assert(a.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length == 1 && b.head.getAs[Boolean]("is_current"))
+  }
+}
+
+class CompactionSpec extends SparkSpec {
+  test("compact rewrites many small files into few, preserving data") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(40).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(before >= 30, s"setup should create many files, got $before")
+    val after = Sinks.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(after < before / 4, s"$before files -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()
+      .head.getLong(0) == 5000L * 5001 / 2)
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   lazy val docs = df((1 to 2000).map(i =>
     Doc2(i.toLong, if (i % 4 == 0) "code" else "web")))
