@@ -322,6 +322,12 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.2)
         .orderBy("id_a", "id_b")),
 
+    "q_x_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, minJ = 0.2))
+        .orderBy("id")),
+
     "q_x_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numPerms = 64, bands = 16)
@@ -736,6 +742,27 @@ object SparkEntry {
          |JOIN sizes sb ON i.id_b = sb.id
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_dedup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |        FROM d WHERE len(toks) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_x_text_stats" ->
       s"""SELECT doc_id,

@@ -205,6 +205,60 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** Connected components over near-dup pairs: returns (id, comp) where
+    * comp is the smallest id in the component — the pairs→clusters step
+    * every dedup pipeline needs before "keep one per cluster".
+    *
+    * Iterative min-label propagation (the Pregel/hash-to-min shape):
+    * each round, every node takes the min of its own and its neighbors'
+    * labels; converges in O(graph diameter) rounds — near-dup clusters
+    * are shallow (dozens of docs, diameter ≤ a few hops), so 3-5 rounds
+    * in practice. Each round is one shuffle join + one aggregation;
+    * `localCheckpoint` truncates lineage so plans don't snowball. The
+    * driver-side loop with a convergence action per round is the
+    * standard Spark pattern for fixpoint graph algorithms.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.comp") =!= col("l.comp"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    if (!converged)
+      log.warn(s"connectedComponents: not converged after $maxIter rounds; " +
+        "labels may split one true component — raise maxIter")
+    labels
+  }
+
+  /** Keep one document per near-dup cluster: drops every row whose id is
+    * a non-canonical (non-minimum) member of a component; rows not in
+    * any pair pass through untouched.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select("id")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff
     * sum over tokens of (2*bit_b(xxhash64(token)) - 1) > 0. Computed as
     * 64 conditional sums in ONE aggregation (single shuffle by id).

@@ -134,6 +134,23 @@ class DedupSpec extends SparkSpec {
       "LSH candidates verified by exact cosine can only be a subset")
   }
 
+  test("connectedComponents clusters transitively; keepCanonical keeps min id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 plus isolated pair 7-8: components {1,2,3} and {7,8}
+    val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (7L, 8L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    val docs = df((1L to 9L).map(i => Doc(i, s"doc $i", "s")))
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 9L),
+      "cluster losers 2,3,8 dropped; untouched ids pass through")
+  }
+
   test("simhash of identical docs is identical; pairs found at distance 0") {
     val in = df(Seq(
       Doc(1, "alpha beta gamma delta", "s"),
