@@ -84,30 +84,41 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numLists > 0 && nprobe > 0 && nprobe <= numLists,
       "need 0 < nprobe <= numLists")
+    // Centroids come from the zero-norm-FILTERED corpus (a NaN-cosine
+    // centroid would attract every row — NaN sorts first under desc)
+    // and are materialized ONCE (localCheckpoint): the frame is
+    // referenced from two independent broadcast subplans, and a
+    // re-evaluated monotonically_increasing_id could number centroids
+    // differently on each side, silently mismatching lists and probes.
     val cents = corpus
       .select(col(idCol), col(vecCol))
+      .filter(norm(col(vecCol)) > 0)
       .orderBy(xxhash64(col(idCol)).asc)
       .limit(numLists)
       .select(monotonically_increasing_id().as("list_id"),
-        col(vecCol).as("centroid"))
+        col(vecCol).as("centroid"), norm(col(vecCol)).as("cent_n"))
+      .localCheckpoint()
 
+    // Norms computed once per row/centroid BEFORE the cross join — the
+    // per-pair work is a single dot (see bruteForceTopK).
     def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("__cs", dot(col(vecCol), col("centroid")) /
-          (norm(col(vecCol)) * norm(col("centroid"))))
+      val withNorm = df.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+      val scored = withNorm.crossJoin(broadcast(cents))
+        .withColumn("__cs",
+          dot(col(vecCol), col("centroid")) / (col("__n") * col("cent_n")))
       graft.ops.Windows.topKPerGroup(scored, Seq(col(idCol)),
           Seq(col("__cs").desc, col("list_id").asc), keep, rankCol = s"__r_$side")
         .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
-          col("list_id"))
+          col("__n").as(s"${side}_n"), col("list_id"))
     }
 
-    val lists = assign(corpus.filter(norm(col(vecCol)) > 0), "c", 1)
-    val probes = assign(queries.filter(norm(col(vecCol)) > 0), "q", nprobe)
+    val lists = assign(corpus, "c", 1)
+    val probes = assign(queries, "q", nprobe)
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
-        (dot(col("q_v"), col("c_v")) /
-          (norm(col("q_v")) * norm(col("c_v")))).as("cos"))
+        (dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("cos"))
       // a (query, corpus) pair can arrive via at most one list (corpus
       // rows live in exactly one list), so no distinct needed
     graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
@@ -137,8 +148,8 @@ object Similarity {
     * recall with fewer planes or multi-probe (not needed here).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64 // harness embeddings are 64-d; derive from data if needed
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))

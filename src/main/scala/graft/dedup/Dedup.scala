@@ -220,8 +220,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    // Materialize the edge list ONCE: it is referenced twice per round
+    // (neighbor join + convergence check), and without the checkpoint
+    // the full upstream pairs pipeline (e.g. the MinHash/jaccard joins)
+    // would re-execute 2x per iteration.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

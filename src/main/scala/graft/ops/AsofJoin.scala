@@ -30,6 +30,9 @@ object AsofJoin {
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.forall(!left.columns.contains(_)),
+      s"valueCols ${valueCols.filter(left.columns.contains)} already exist " +
+        "in the left side — the output would carry ambiguous duplicate names")
     def fresh(prefix: String) = Iterator.from(0).map(i => s"$prefix$i")
       .find(c => !left.columns.contains(c) && !right.columns.contains(c)).get
     val side = fresh("__side")
@@ -57,9 +60,13 @@ object AsofJoin {
         :+ struct(valueCols.map(col): _*).as(vals): _*)
 
     // Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    // right row at exactly left.ts is visible to that left row.
+    // right row at exactly left.ts is visible to that left row. The
+    // value struct is the final order key: right rows TIED on (key, ts)
+    // would otherwise sort in partitioning-dependent order and last()
+    // would pick an arbitrary one — with the struct key the greatest
+    // (valueCols) tuple deterministically wins.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc)
+      .orderBy(col(tsCol).asc, col(side).asc, col(vals).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
       .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))

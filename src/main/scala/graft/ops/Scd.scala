@@ -21,6 +21,11 @@ object Scd {
 
   def type2(snapshots: DataFrame, keyCols: Seq[String], tsCol: String,
             attrCols: Seq[String]): DataFrame = {
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    require((keyCols ++ attrCols).forall(!reserved.contains(_)),
+      s"input columns may not use the reserved output names $reserved")
+    val run = Iterator.from(0).map(i => s"__run$i")
+      .find(!snapshots.columns.contains(_)).get
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
     val attrStruct = struct(attrCols.map(col): _*)
     val changed = when(
@@ -30,16 +35,16 @@ object Scd {
       Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    val withRun = snapshots.withColumn("__run", runCol)
+    val withRun = snapshots.withColumn(run, runCol)
     val aggExprs = Seq(min(col(tsCol)).as("valid_from")) ++
       attrCols.map(c => first(col(c)).as(c))
-    val grouped = withRun.groupBy((keyCols :+ "__run").map(col): _*)
+    val grouped = withRun.groupBy((keyCols :+ run).map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
     // valid_to = next run's valid_from (exclusive); null while current
     val wNext = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
     grouped
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__run")
+      .drop(run)
   }
 }

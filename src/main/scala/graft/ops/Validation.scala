@@ -13,17 +13,25 @@ object Validation {
 
   /** One violation-count row per rule: (rule, violations, total).
     * A NULL predicate result counts as a violation (unknown ≠ pass) —
-    * `isNotNull` rules behave as expected.
+    * `isNotNull` rules behave as expected. An empty input yields 0
+    * violations per rule (not NULL — a NULL would silently pass a
+    * `violations > threshold` gate). Rule names are labels only, never
+    * resolved as column references (dots etc. are safe), but must be
+    * distinct.
     */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0).otherwise(1)).as(name)
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be distinct")
+    // positional internal aliases: rule names stay pure labels
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(sum(when(coalesce(pred, lit(false)), 0).otherwise(1)), lit(0))
+        .as(s"__r$i")
     } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
     // one aggregate pass → explode the single row into per-rule rows
-    val pairs = rules.map { case (name, _) =>
-      struct(lit(name).as("rule"), col(name).as("violations"),
+    val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__r$i").as("violations"),
         col("__total").as("total"))
     }
     row.select(explode(array(pairs: _*)).as("r"))

@@ -270,6 +270,14 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(ivfPartial.nonEmpty)
     assert(ivfPartial.forall { case (q, n) => q != n }, "no self matches")
+
+    // a zero-norm corpus vector must be ignored entirely — as a centroid
+    // candidate it would score NaN against everything and absorb the
+    // whole corpus into one list
+    val poisoned = corpus.unionByName(df(Seq(Vec(999, Array.fill(8)(0f)))))
+    val ivfPoisoned = Similarity.ivfTopK(poisoned, queries, 4, numLists = 5, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfPoisoned == brute, "zero-norm vector neither centroid nor neighbor")
   }
 
   test("zero-norm vectors never appear as neighbors (NaN would sort first)") {

@@ -287,6 +287,19 @@ class AsofJoinSpec extends SparkSpec {
       "latest right row has px=NULL; per-column carry would wrongly give 1.0")
   }
 
+  test("asof is deterministic when right rows tie on (key, ts)") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(("A", 10L, 1.0), ("A", 10L, 2.0)).toDF("sym", "t", "px")
+    val left = Seq(("A", 15L, 0L)).toDF("sym", "t", "qty")
+    val picks = (1 to 5).map { i =>
+      AsofJoin.asof(left, right.repartition(i), Seq("sym"), "t", Seq("px"))
+        .collect().head.getDouble(3)
+    }
+    assert(picks.distinct.size == 1 && picks.head == 2.0,
+      "greatest value tuple wins ties, regardless of partitioning")
+  }
+
   test("asof with multiple value columns never mixes values across right rows") {
     val s = spark
     import s.implicits._
@@ -315,6 +328,32 @@ class EntrySpec extends SparkSpec {
     val viaDf = SparkEntry.queries("q_a4_countdistinct")(spark, "/root/testdata/sf0.001")
       .collect().map(_.toSeq).toSeq
     assert(viaSql == viaDf)
+  }
+}
+
+class ValidationSpec extends SparkSpec {
+  test("empty input yields 0 violations (not NULL), dotted rule names are safe") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "price")
+    val out = Validation.check(empty, Seq(
+        "price.positive" -> (col("price") > 0),
+        "id not null" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("price.positive" -> (0L, 0L), "id not null" -> (0L, 0L)),
+      "NULL violations would silently pass a threshold gate")
+  }
+
+  test("NULL predicate counts as violation; partitionByRules quarantines") {
+    val s = spark
+    import s.implicits._
+    val in = Seq((1L, Option(5.0)), (2L, Option(-1.0)), (3L, Option.empty[Double]))
+      .toDF("id", "price")
+    val out = Validation.check(in, Seq("pos" -> (col("price") > 0)))
+      .collect().head
+    assert(out.getLong(1) == 2, "negative AND null both violate")
+    val (pass, fail) = Validation.partitionByRules(in, Seq("pos" -> (col("price") > 0)))
+    assert(pass.count() == 1 && fail.count() == 2)
   }
 }
 
