@@ -58,6 +58,40 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Key-based upsert (merge) into a parquet table: rows in `updates`
+    * replace existing rows with the same key; new keys append. Plain
+    * parquet has no transaction log, so this is the classic
+    * read–merge–rewrite: one left_anti join (existing rows not being
+    * replaced) + union, written to a tmp dir and swapped in — a reader
+    * sees the old or the new table, never a mix. At 100 TB you bound
+    * the rewrite by partitioning the table on a key prefix and merging
+    * only affected partitions; the merge itself is this same plan.
+    */
+  def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
+             updates: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val merged =
+      if (!fs.exists(p)) updates
+      else {
+        val existing = spark.read.parquet(path)
+        existing.join(updates.select(keyCols.map(
+          org.apache.spark.sql.functions.col): _*), keyCols, "left_anti")
+          .unionByName(updates)
+      }
+    val tmp = new Path(p.getParent,
+      s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(p)) {
+      val old = new Path(p.getParent, s"${tmp.getName}_old")
+      if (!fs.rename(p, old)) sys.error(s"upsert: rename $p -> $old failed")
+      if (!fs.rename(tmp, p)) sys.error(s"upsert: rename $tmp -> $p failed")
+      fs.delete(old, true)
+    } else if (!fs.rename(tmp, p)) sys.error(s"upsert: rename $tmp -> $p failed")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (measured from the CURRENT compressed
     * footprint, so the estimate already reflects encoding+compression).

@@ -183,6 +183,19 @@ class ScdSpec extends SparkSpec {
   }
 }
 
+class UpsertSpec extends SparkSpec {
+  test("upsert replaces matching keys, appends new ones, creates when absent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Sinks.upsert(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    Sinks.upsert(spark, dir, Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+}
+
 class CompactionSpec extends SparkSpec {
   test("compact rewrites many small files into few, preserving data") {
     val s = spark
