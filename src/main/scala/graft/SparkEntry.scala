@@ -393,6 +393,26 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // composed training-data pipeline: the oracled variant disables the
+    // near-dup stage (its MinHash sampling hash has no DuckDB
+    // equivalent) and sampling; the full variant runs everything
+    "q_x_training_pipeline" -> ((s, dir) =>
+      graft.pipeline.TrainingData.run(t(s, dir, "documents"),
+          graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = false))
+        .orderBy("doc_id")),
+
+    "q_x_training_pipeline_full" -> ((s, dir) =>
+      graft.pipeline.TrainingData.run(t(s, dir, "documents"),
+          graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = true,
+            minJaccard = 0.5, sampleFraction = 0.8))
+        .orderBy("doc_id")),
+
+    "q_x_training_report" -> ((s, dir) =>
+      graft.pipeline.TrainingData.report(
+          graft.pipeline.TrainingData.run(t(s, dir, "documents"),
+            graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = false)))
+        .orderBy("lang_pred")),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -721,6 +741,37 @@ object SparkEntry {
         |LEFT JOIN latest l USING (o_custkey)
         |LEFT JOIN customer c ON s.o_custkey = c.c_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_x_training_pipeline" ->
+      s"""WITH m0 AS (SELECT doc_id, text, source,
+         |  CAST(len($sqlToks) AS BIGINT) AS n,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('el','la','de','y','que','en','los'))) AS BIGINT) AS es,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('der','die','das','und','zu','den','ist'))) AS BIGINT) AS de,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('le','la','de','et','les','des','est'))) AS BIGINT) AS fr,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
+         |  $sqlFp AS fingerprint
+         |  FROM documents),
+         |m AS (SELECT doc_id, text, source, CAST(n AS INTEGER) AS n_tokens,
+         |  n_bpe_tokens, fingerprint,
+         |  CASE WHEN en + es + de + fr = 0 THEN 'und'
+         |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+         |       WHEN de > en AND de > es AND de >= fr THEN 'de'
+         |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+         |       ELSE 'und' END AS lang_pred,
+         |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(en AS DOUBLE)/CAST(n AS DOUBLE) END)
+         |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
+         |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality
+         |  FROM m0)
+         |SELECT doc_id, text, source, n_tokens, n_bpe_tokens, fingerprint,
+         |  lang_pred, quality
+         |FROM m WHERE quality >= 0.3
+         |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_x_dedup_exact" ->
       s"""SELECT doc_id, source, n_chars FROM documents

@@ -148,6 +148,30 @@ class PipelineSpec extends SparkSpec {
     assert(sd.getLong(cols.indexOf("total_points")) == 7)
   }
 
+  test("training-data pipeline: quality-filters, dedups exactly and nearly, annotates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the bag and it is the best of the cats today", "web"),
+      (2L, "THE cat is in the bag  and it is the best of the cats today", "web"), // exact dup (case/ws)
+      (3L, "the cat is in the bag and it is the best of the cats tonight", "web"), // near dup of 1
+      (4L, "1234 !!! 42 ??", "web"), // no letters, no stopwords -> fails quality gate
+      (5L, "el que la den los y en la que los den y el que la den", "crawl"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.TrainingData.run(docs,
+      graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = true,
+        minJaccard = 0.5))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 5L),
+      "2 exact-dups into 1, 3 near-dups into 1, 4 quality-filtered; 1 and 5 survive")
+    val row1 = out.filter(col("doc_id") === 1).collect().head
+    assert(row1.getAs[String]("lang_pred") == "en")
+    assert(row1.getAs[Int]("n_tokens") == 15)
+    val rep = graft.pipeline.TrainingData.report(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("en" -> 1L, "es" -> 1L))
+  }
+
   test("every materialized table honors the single-file contract") {
     for ((layer, t) <- Seq("bronze" -> "gamelogs", "silver" -> "games_season_teams",
                            "gold" -> "player_resume")) {
