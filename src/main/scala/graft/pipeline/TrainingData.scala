@@ -46,13 +46,20 @@ object TrainingData {
     val qualified = docs
       .filter(TextAnalysis.qualityScore(text) >= cfg.minQuality)
 
-    val exact = Dedup.exactDedup(qualified, cfg.textCol, cfg.idCol)
+    val exact0 = Dedup.exactDedup(qualified, cfg.textCol, cfg.idCol)
 
     val canonical =
-      if (!cfg.nearDup) exact
-      else Dedup.keepCanonical(exact, cfg.idCol,
-        Dedup.minhashDedupPairs(exact, cfg.idCol, cfg.textCol,
-          minJ = cfg.minJaccard))
+      if (!cfg.nearDup) exact0
+      else {
+        // The exact-dedup output feeds the MinHash signature pass, the
+        // per-pair jaccard verify, AND the final canonical filter —
+        // materialize it once or the quality+fingerprint+window subplan
+        // re-executes for each reference.
+        val exact = exact0.localCheckpoint()
+        Dedup.keepCanonical(exact, cfg.idCol,
+          Dedup.minhashDedupPairs(exact, cfg.idCol, cfg.textCol,
+            minJ = cfg.minJaccard))
+      }
 
     val sampled =
       if (cfg.sampleFraction >= 1.0) canonical
