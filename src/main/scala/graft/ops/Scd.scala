@@ -19,20 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** @param tieBreakCols extra ordering columns for snapshots that tie
+    *                     on (key, ts) — REQUIRED for deterministic run
+    *                     numbering if such ties can occur (duplicate
+    *                     timestamps with ambiguous order otherwise make
+    *                     the history partitioning-dependent)
+    */
   def type2(snapshots: DataFrame, keyCols: Seq[String], tsCol: String,
-            attrCols: Seq[String]): DataFrame = {
+            attrCols: Seq[String], tieBreakCols: Seq[String] = Nil): DataFrame = {
     val reserved = Seq("valid_from", "valid_to", "is_current")
     require((keyCols ++ attrCols).forall(!reserved.contains(_)),
       s"input columns may not use the reserved output names $reserved")
     val run = Iterator.from(0).map(i => s"__run$i")
       .find(!snapshots.columns.contains(_)).get
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val order = (tsCol +: tieBreakCols).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val attrStruct = struct(attrCols.map(col): _*)
     val changed = when(
       lag(attrStruct, 1).over(w).isNull ||
         lag(attrStruct, 1).over(w) =!= attrStruct, 1).otherwise(0)
     val runCol = sum(changed).over(
-      Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     val withRun = snapshots.withColumn(run, runCol)

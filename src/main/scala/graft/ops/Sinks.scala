@@ -32,23 +32,52 @@ object Sinks {
     val dest = new Path(destDir, s"$name.parquet")
     val fs = FileSystem.get(tmp.toUri, conf)
 
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-
-    val part = Option(fs.globStatus(new Path(tmp, "part-*.parquet")))
-      .getOrElse(Array.empty) match {
-      case Array(one) => one.getPath
-      case parts => sys.error(s"expected 1 part file in $tmp, got ${parts.length}")
-    }
-    fs.mkdirs(destDir)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(part, dest)) sys.error(s"rename $part -> $dest failed")
-    fs.delete(tmp, true)
-    // ChecksumFileSystem (local FS) renames the .crc sidecar along with the
-    // part file; the contract is ONE file, so drop it (HDFS/S3A have none).
-    val crc = new Path(destDir, s".${dest.getName}.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    dest
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val found = Option(fs.globStatus(new Path(tmp, "part-*.parquet")))
+        .getOrElse(Array.empty)
+      val part = found match {
+        case Array(one) => one.getPath
+        case Array() =>
+          // a ZERO-partition frame (e.g. from an empty source) writes no
+          // part file at all; force one so the contract file exists
+          df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          Option(fs.globStatus(new Path(tmp, "part-*.parquet")))
+            .getOrElse(Array.empty) match {
+            case Array(one) => one.getPath
+            case other => sys.error(s"expected 1 part file in $tmp, got ${other.length}")
+          }
+        case parts => sys.error(s"expected 1 part file in $tmp, got ${parts.length}")
+      }
+      fs.mkdirs(destDir)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(part, dest)) sys.error(s"rename $part -> $dest failed")
+      // ChecksumFileSystem (local FS) renames the .crc sidecar along with
+      // the part file; the contract is ONE file, so drop it.
+      val crc = new Path(destDir, s".${dest.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+      dest
+    } finally fs.delete(tmp, true) // no junk dirs on ANY failure path
   }
+
+  /** Swap a freshly-written tmp dir into `dest`: rename aside, rename in,
+    * delete old. NOT fully atomic — plain filesystems have no atomic
+    * directory swap, so a reader racing the two renames can see a
+    * missing path for an instant, and a crash between them leaves the
+    * data under `<tmp>_old` (recoverable by renaming back). On S3A,
+    * rename is a copy, widening the window. For stronger guarantees use
+    * a table format with a transaction log. Cleans tmp on failure.
+    */
+  private def swapInto(fs: FileSystem, tmp: Path, dest: Path): Unit =
+    try {
+      if (fs.exists(dest)) {
+        val old = new Path(dest.getParent, s"${tmp.getName}_old")
+        if (!fs.rename(dest, old)) sys.error(s"swap: rename $dest -> $old failed")
+        if (!fs.rename(tmp, dest)) sys.error(s"swap: rename $tmp -> $dest failed")
+        fs.delete(old, true)
+      } else if (!fs.rename(tmp, dest))
+        sys.error(s"swap: rename $tmp -> $dest failed")
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
 
   /** The scale path: plain multi-file parquet, optionally hive-layout
     * partitioned via partitionBy columns. Keeps full write parallelism.
@@ -59,13 +88,14 @@ object Sinks {
   }
 
   /** Key-based upsert (merge) into a parquet table: rows in `updates`
-    * replace existing rows with the same key; new keys append. Plain
-    * parquet has no transaction log, so this is the classic
-    * read–merge–rewrite: one left_anti join (existing rows not being
-    * replaced) + union, written to a tmp dir and swapped in — a reader
-    * sees the old or the new table, never a mix. At 100 TB you bound
-    * the rewrite by partitioning the table on a key prefix and merging
-    * only affected partitions; the merge itself is this same plan.
+    * replace existing rows with the same key (null-safely — a null key
+    * REPLACES a null key, it does not duplicate); new keys append.
+    * Plain parquet has no transaction log, so this is the classic
+    * read–merge–rewrite: one null-safe left_anti join + union, written
+    * to a tmp dir and swapped in (see [[swapInto]] for the exact —
+    * non-atomic — guarantees). At 100 TB you bound the rewrite by
+    * partitioning the table on a key prefix and merging only affected
+    * partitions; the merge itself is this same plan.
     */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
              updates: DataFrame, keyCols: Seq[String]): Unit = {
@@ -76,20 +106,22 @@ object Sinks {
     val merged =
       if (!fs.exists(p)) updates
       else {
+        // updates feeds both the anti-join probe and the union —
+        // materialize once (broadcast anti-join sides get no
+        // ReuseExchange)
+        val up = updates.localCheckpoint()
+        val keys = up.select(keyCols.map(
+          org.apache.spark.sql.functions.col): _*).dropDuplicates()
         val existing = spark.read.parquet(path)
-        existing.join(updates.select(keyCols.map(
-          org.apache.spark.sql.functions.col): _*), keyCols, "left_anti")
-          .unionByName(updates)
+        // null-safe equality: a null key must MATCH a null key or the
+        // anti-join keeps the old row and the union adds the new one
+        val cond = keyCols.map(c => existing(c) <=> keys(c)).reduce(_ && _)
+        existing.join(keys, cond, "left_anti").unionByName(up)
       }
     val tmp = new Path(p.getParent,
       s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(p)) {
-      val old = new Path(p.getParent, s"${tmp.getName}_old")
-      if (!fs.rename(p, old)) sys.error(s"upsert: rename $p -> $old failed")
-      if (!fs.rename(tmp, p)) sys.error(s"upsert: rename $tmp -> $p failed")
-      fs.delete(old, true)
-    } else if (!fs.rename(tmp, p)) sys.error(s"upsert: rename $tmp -> $p failed")
+    swapInto(fs, tmp, p)
   }
 
   /** Small-file compaction: rewrite a parquet directory into
@@ -98,11 +130,16 @@ object Sinks {
     * The lake-maintenance chore every long-lived 100 TB table needs —
     * streaming ingests and per-partition writers accrete thousands of
     * small files whose open/footer costs dominate scans. Returns the
-    * file count written. Writes via tmp dir + atomic-enough swap so a
-    * concurrent reader never sees a half-compacted table.
+    * file count written (for partitioned tables: total across
+    * partitions). Swap guarantees: see [[swapInto]].
+    *
+    * Hive-partitioned tables MUST pass their `partitionCols`, or the
+    * rewrite flattens the `col=value/` directory layout into plain data
+    * columns and silently breaks layout-based pruning/appends.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): Int = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
@@ -110,13 +147,20 @@ object Sinks {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent,
       s".compact_${p.getName}_${java.util.UUID.randomUUID()}")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new Path(p.getParent, s"${tmp.getName}_old")
-    if (!fs.rename(p, old)) sys.error(s"compact: rename $p -> $old failed")
-    if (!fs.rename(tmp, p)) sys.error(s"compact: rename $tmp -> $p failed")
-    fs.delete(old, true)
-    Option(fs.globStatus(new Path(p, "part-*.parquet")))
+    // partitioned tables co-locate rows by partition value, or every
+    // task writes a sliver into every partition dir (nFiles × values
+    // files — worse than before compaction)
+    val df0 = spark.read.parquet(path)
+    val repart =
+      if (partitionCols.isEmpty) df0.repartition(nFiles)
+      else df0.repartition(nFiles,
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = repart.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    swapInto(fs, tmp, p)
+    Option(fs.globStatus(new Path(p, if (partitionCols.isEmpty) "part-*.parquet"
+                                     else "*/part-*.parquet")))
       .map(_.length).getOrElse(0)
   }
 

@@ -26,7 +26,9 @@ import graft.text.TextAnalysis
   * @param nearDup     also collapse near-duplicate clusters (MinHash →
   *                    jaccard-verified pairs → connected components →
   *                    keep min-id per cluster)
-  * @param sampleFraction per-source deterministic keep fraction
+  * @param sampleFraction GLOBAL deterministic keep fraction (id-hash)
+  * @param sourceFractions optional per-source keep fractions; sources
+  *                        not in the map fall back to `sampleFraction`
   */
 case class TrainingDataConfig(
     idCol: String = "doc_id",
@@ -35,7 +37,8 @@ case class TrainingDataConfig(
     minQuality: Double = 0.0,
     nearDup: Boolean = true,
     minJaccard: Double = 0.8,
-    sampleFraction: Double = 1.0)
+    sampleFraction: Double = 1.0,
+    sourceFractions: Map[String, Double] = Map.empty)
 
 object TrainingData {
 
@@ -62,7 +65,10 @@ object TrainingData {
       }
 
     val sampled =
-      if (cfg.sampleFraction >= 1.0) canonical
+      if (cfg.sourceFractions.nonEmpty)
+        Sampling.stratifiedSample(canonical, cfg.sourceCol, cfg.idCol,
+          cfg.sourceFractions, defaultFraction = cfg.sampleFraction)
+      else if (cfg.sampleFraction >= 1.0) canonical
       else Sampling.consistentSample(canonical, cfg.idCol, cfg.sampleFraction)
 
     sampled.select(
@@ -83,6 +89,9 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
-        graft.ops.Aggregations.moneySum(col("quality")).as("sum_quality"))
+        // plain double mean: quality is an arbitrary double in [0,1], so
+        // the fixed-point money sums would quantize it; a report metric
+        // tolerates last-ulp order sensitivity
+        avg(col("quality")).as("avg_quality"))
       .orderBy("lang_pred")
 }
