@@ -165,6 +165,26 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class EmptyInputSpec extends SparkSpec {
+  test("operators tolerate empty inputs without throwing") {
+    val s = spark
+    import s.implicits._
+    val noDocs = Seq.empty[Doc].toDF()
+    assert(Dedup.exactDedup(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.minhashCandidates(noDocs, "doc_id", "text", 3, 32, 8).count() == 0)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    val noVecs = Seq.empty[Vec].toDF()
+    assert(graft.ann.Similarity.bruteForceTopK(noVecs, noVecs, 3).count() == 0)
+    assert(graft.pipeline.TrainingData.run(noDocs).count() == 0)
+    val noEvs = Seq.empty[Ev].toDF()
+    assert(graft.events.EventWindows.tumbling(noEvs, "ts", "10 minutes",
+      Nil, Seq(count(lit(1)).as("n"))).count() == 0)
+  }
+}
+
 class VectorExpressionsSpec extends SparkSpec {
   test("native codegen dot equals the HOF reference bit-for-bit") {
     val s = spark
