@@ -300,6 +300,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPoisoned == brute, "zero-norm vector neither centroid nor neighbor")
   }
 
+  test("approximate ANN recall vs brute force on harness embeddings (deterministic)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topkSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = topkSet(Similarity.bruteForceTopK(emb, queries, 10))
+    val lsh = topkSet(Similarity.lshTopK(emb, queries, 10, numPlanes = 4))
+    val ivf = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8, nprobe = 4))
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"recall@10 over 20 queries: lsh(4 planes)=$lshRecall%.3f ivf(4/8 lists)=$ivfRecall%.3f")
+    // everything is seeded/deterministic, so these are fixed numbers for
+    // this data — the floors document the approximate-path quality
+    assert(lshRecall > 0.05 && ivfRecall > 0.3,
+      s"recall floors: lsh=$lshRecall ivf=$ivfRecall")
+    assert(lsh.subsetOf(lsh ++ brute) && ivf.nonEmpty)
+  }
+
   test("zero-norm vectors never appear as neighbors (NaN would sort first)") {
     val in = df(vecs :+ Vec(9, Array(0f, 0f, 0f)))
     val out = Similarity.bruteForceTopK(in, in.filter(col("vec_id") === 0), 3)
