@@ -209,10 +209,16 @@ object SparkEntry {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // scalar quantile columns, not one array column: the driver's
+    // comparator hashes cell values and cannot sort array cells
+    // (CORRECTNESS_r02: "unhashable type: numpy.ndarray")
     "q_x_quantiles" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
-        .agg(percentile(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))).as("price_quantiles"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+          percentile(col("o_totalprice"), lit(0.99)).as("p99"))
         .orderBy("o_orderstatus")),
 
     "q_x_validate" -> ((s, dir) =>
@@ -496,12 +502,19 @@ object SparkEntry {
         .select("media_id", "media_type", "byte_len")
         .orderBy("media_id")),
 
-    "q_x_mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
+    // the normalized feature VECTOR is projected back to 8 scalar bucket
+    // counts (exact integers — hist[k]/total*total rounds to the count),
+    // because the driver's comparator cannot hash array cells
+    "q_x_mm_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text", "source"))
         .toDF()
-        .select("media_id", "byte_len", "features")
-        .orderBy("media_id")),
+      val buckets = (0 until 8).map(k =>
+        round(element_at(col("features"), k + 1) * col("byte_len"))
+          .cast("long").as(s"c$k"))
+      feats.select(col("media_id") +: col("byte_len") +: buckets: _*)
+        .orderBy("media_id")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -518,6 +531,52 @@ object SparkEntry {
     */
   private def sqlDot(a: String, b: String) =
     s"list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+  /** The fixed-seed hyperplanes are deterministic literals baked into the
+    * Spark plan ([[Similarity.hyperplanes]]), so they can be interpolated
+    * into DuckDB SQL verbatim — Double.toString is shortest-round-trip,
+    * so DuckDB parses back the identical bits.
+    */
+  private def sqlPlaneLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+  /** DuckDB sign-bit LSH bucket mirroring [[Similarity.lshBucket]]:
+    * bit i set iff dot(vec, plane_i) > 0 (disjoint bits, so OR == sum).
+    */
+  private def sqlLshBucket(vec: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${sqlDot(vec, sqlPlaneLit(p))} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Oracle for the (nearDup=false) training pipeline — also reused as
+    * the input CTE of the q_x_training_report oracle.
+    */
+  private lazy val trainingPipelineSql: String =
+    s"""WITH m0 AS (SELECT doc_id, text, source,
+       |  CAST(len($sqlToks) AS BIGINT) AS n,
+       |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en,
+       |  CAST(len(list_filter($sqlToks, t -> t IN ('el','la','de','y','que','en','los'))) AS BIGINT) AS es,
+       |  CAST(len(list_filter($sqlToks, t -> t IN ('der','die','das','und','zu','den','ist'))) AS BIGINT) AS de,
+       |  CAST(len(list_filter($sqlToks, t -> t IN ('le','la','de','et','les','des','est'))) AS BIGINT) AS fr,
+       |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+       |  CAST(length(text) AS BIGINT) AS chars,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
+       |  $sqlFp AS fingerprint
+       |  FROM documents),
+       |m AS (SELECT doc_id, text, source, CAST(n AS INTEGER) AS n_tokens,
+       |  n_bpe_tokens, fingerprint,
+       |  CASE WHEN en + es + de + fr = 0 THEN 'und'
+       |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+       |       WHEN de > en AND de > es AND de >= fr THEN 'de'
+       |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+       |       ELSE 'und' END AS lang_pred,
+       |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(en AS DOUBLE)/CAST(n AS DOUBLE) END)
+       |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
+       |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality
+       |  FROM m0)
+       |SELECT doc_id, text, source, n_tokens, n_bpe_tokens, fingerprint,
+       |  lang_pred, quality
+       |FROM m WHERE quality >= 0.3
+       |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_scan_filter" ->
@@ -634,7 +693,10 @@ object SparkEntry {
 
     "q_x_quantiles" ->
       """SELECT o_orderstatus,
-        |  quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.99]) AS price_quantiles
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  quantile_cont(o_totalprice, 0.99) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_x_validate" ->
@@ -743,35 +805,16 @@ object SparkEntry {
         |ORDER BY o_custkey""".stripMargin,
 
     "q_x_training_pipeline" ->
-      s"""WITH m0 AS (SELECT doc_id, text, source,
-         |  CAST(len($sqlToks) AS BIGINT) AS n,
-         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en,
-         |  CAST(len(list_filter($sqlToks, t -> t IN ('el','la','de','y','que','en','los'))) AS BIGINT) AS es,
-         |  CAST(len(list_filter($sqlToks, t -> t IN ('der','die','das','und','zu','den','ist'))) AS BIGINT) AS de,
-         |  CAST(len(list_filter($sqlToks, t -> t IN ('le','la','de','et','les','des','est'))) AS BIGINT) AS fr,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
-         |  CAST(length(text) AS BIGINT) AS chars,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp,
-         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
-         |  $sqlFp AS fingerprint
-         |  FROM documents),
-         |m AS (SELECT doc_id, text, source, CAST(n AS INTEGER) AS n_tokens,
-         |  n_bpe_tokens, fingerprint,
-         |  CASE WHEN en + es + de + fr = 0 THEN 'und'
-         |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-         |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
-         |       WHEN de > en AND de > es AND de >= fr THEN 'de'
-         |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
-         |       ELSE 'und' END AS lang_pred,
-         |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(en AS DOUBLE)/CAST(n AS DOUBLE) END)
-         |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
-         |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality
-         |  FROM m0)
-         |SELECT doc_id, text, source, n_tokens, n_bpe_tokens, fingerprint,
-         |  lang_pred, quality
-         |FROM m WHERE quality >= 0.3
-         |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
-         |ORDER BY doc_id""".stripMargin,
+      s"$trainingPipelineSql\nORDER BY doc_id",
+
+    "q_x_training_report" ->
+      s"""WITH corpus AS ($trainingPipelineSql)
+         |SELECT lang_pred, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(SUM(CAST(round(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+         |FROM corpus GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "q_x_dedup_exact" ->
       s"""SELECT doc_id, source, n_chars FROM documents
@@ -904,6 +947,43 @@ object SparkEntry {
          |       * sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_x_ann_lsh" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |q AS (SELECT vec_id AS query_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE vec_id < 8 AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |scored AS (SELECT q.query_id, c.neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")} / (q.qn * c.cn) AS cos
+         |  FROM c JOIN q ON c.bucket = q.bucket AND q.query_id <> c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_x_cosine_dups_lsh" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH b AS (SELECT vec_id AS id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nm,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0)
+         |SELECT a.id AS id_a, c.id AS id_b,
+         |  ${sqlDot("a.embedding", "c.embedding")} / (a.nm * c.nm) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+         |WHERE ${sqlDot("a.embedding", "c.embedding")} / (a.nm * c.nm) >= 0.42
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // identical SQL to q_x_ann_brute: probing every IVF list IS
     // exhaustive search, so the exact oracle applies
     "q_x_ann_ivf" ->
@@ -974,5 +1054,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS media_type,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the stub decoder's 8-bucket byte histogram over the UTF-8 payload:
+    // bucket of a byte = (b & 0xff) >> 5 = value of its first hex digit
+    // div 2, so counts are countable from the hex encoding
+    "q_x_mm_features" ->
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+         |  octet_length(encode(text)) AS n FROM documents)
+         |SELECT doc_id AS media_id, CAST(n AS INTEGER) AS byte_len,
+         |${(0 until 8).map { k =>
+             val d0 = "0123456789ABCDEF" (2 * k); val d1 = "0123456789ABCDEF" (2 * k + 1)
+             s"  len(list_filter(range(n), i -> h[2*i+1:2*i+1] IN ('$d0','$d1'))) AS c$k"
+           }.mkString(",\n")}
+         |FROM b ORDER BY media_id""".stripMargin,
   )
 }

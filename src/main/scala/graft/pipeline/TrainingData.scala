@@ -89,9 +89,11 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
-        // plain double mean: quality is an arbitrary double in [0,1], so
-        // the fixed-point money sums would quantize it; a report metric
-        // tolerates last-ulp order sensitivity
-        avg(col("quality")).as("avg_quality"))
+        // mean via micro-unit fixed point: a plain double avg() is
+        // shuffle-order-dependent (IEEE addition is non-associative), so
+        // it can't be reproduced bit-for-bit across engines/runs. quality
+        // ∈ [0,1], so round(q*1e6) ≤ 1e6 and the bigint sum is exact.
+        (sum(round(col("quality") * lit(1000000.0)).cast("long")).cast("double")
+          / lit(1000000.0) / count(lit(1)).cast("double")).as("avg_quality"))
       .orderBy("lang_pred")
 }

@@ -40,6 +40,15 @@ for name in sorted(oracle):
         continue
     s_cols = sorted(zip(spark_rel.columns, map(str, spark_rel.types)))
     d_cols = sorted(zip(duck_rel.columns, map(str, duck_rel.types)))
+    # The DRIVER's comparator sorts rows with pandas sort_values, which
+    # crashes on array-typed cells ("unhashable type: numpy.ndarray",
+    # CORRECTNESS_r02 q_x_quantiles / q_x_mm_features). Mirror that as a
+    # hard failure so array-output queries are caught pre-commit.
+    arr_cols = [c for c, t in s_cols + d_cols if "[]" in t or t.startswith("STRUCT")]
+    if arr_cols:
+        results[name] = {"status": "DRIVER_UNHASHABLE_ARRAY_COLUMN",
+                         "columns": sorted(set(arr_cols))}
+        continue
     entry = {}
     entry["schema_match"] = s_cols == d_cols
     if not entry["schema_match"]:
@@ -54,11 +63,8 @@ for name in sorted(oracle):
     if entry["rows_match"]:
         import pandas as pd
         def canon(df):
-            df = df.copy()
-            for c in df.columns:
-                if df[c].dtype == object:
-                    df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                                      str(type(v)).find('ndarray') >= 0 else v)
+            # NO array-to-tuple coercion here: the driver does none, and
+            # the mirror must fail exactly where the driver fails
             return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
         a, b = canon(sd), canon(dd)
         neq = []
