@@ -214,16 +214,17 @@ object Dedup {
     * labels; converges in O(graph diameter) rounds — near-dup clusters
     * are shallow (dozens of docs, diameter ≤ a few hops), so 3-5 rounds
     * in practice. Each round is one shuffle join + one aggregation;
-    * `localCheckpoint` truncates lineage so plans don't snowball. The
-    * driver-side loop with a convergence action per round is the
-    * standard Spark pattern for fixpoint graph algorithms.
+    * `localCheckpoint` truncates lineage so plans don't snowball.
+    * Convergence is read off a per-row `changed` flag carried INSIDE
+    * the round's own result — no separate old-vs-new join (round 2 ran
+    * one per round, doubling each round's shuffle work); the flag check
+    * only scans the freshly checkpointed local blocks.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    // Materialize the edge list ONCE: it is referenced twice per round
-    // (neighbor join + convergence check), and without the checkpoint
-    // the full upstream pairs pipeline (e.g. the MinHash/jaccard joins)
-    // would re-execute 2x per iteration.
+    // Materialize the edge list ONCE: without the checkpoint the full
+    // upstream pairs pipeline (e.g. the MinHash/jaccard joins) would
+    // re-execute every iteration.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -237,13 +238,11 @@ object Dedup {
         .groupBy(col("src").as("id2")).agg(min(col("comp")).as("ncomp"))
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.comp") =!= col("l.comp"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("__chg")).isEmpty
+      labels = updated.drop("__chg")
       i += 1
     }
     if (!converged)

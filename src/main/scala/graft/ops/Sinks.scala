@@ -68,12 +68,20 @@ object Sinks {
     * rename is a copy, widening the window. For stronger guarantees use
     * a table format with a transaction log. Cleans tmp on failure.
     */
-  private def swapInto(fs: FileSystem, tmp: Path, dest: Path): Unit =
+  private[ops] def swapInto(fs: FileSystem, tmp: Path, dest: Path): Unit =
     try {
       if (fs.exists(dest)) {
         val old = new Path(dest.getParent, s"${tmp.getName}_old")
         if (!fs.rename(dest, old)) sys.error(s"swap: rename $dest -> $old failed")
-        if (!fs.rename(tmp, dest)) sys.error(s"swap: rename $tmp -> $dest failed")
+        if (!fs.rename(tmp, dest)) {
+          // roll the old data back into place before the finally block
+          // deletes tmp — otherwise the table would be left ABSENT with
+          // its data stranded at <tmp>_old
+          if (!fs.rename(old, dest))
+            sys.error(s"swap: rename $tmp -> $dest failed AND rollback " +
+              s"$old -> $dest failed; data is at $old")
+          sys.error(s"swap: rename $tmp -> $dest failed (old data restored)")
+        }
         fs.delete(old, true)
       } else if (!fs.rename(tmp, dest))
         sys.error(s"swap: rename $tmp -> $dest failed")
@@ -159,9 +167,16 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     swapInto(fs, tmp, p)
-    Option(fs.globStatus(new Path(p, if (partitionCols.isEmpty) "part-*.parquet"
-                                     else "*/part-*.parquet")))
-      .map(_.length).getOrElse(0)
+    // recursive listing, not a fixed-depth glob: partitioned tables nest
+    // one directory level PER partition column
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-") &&
+          f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** Bucketed catalog table: rows hash-partitioned into `numBuckets` by

@@ -35,11 +35,22 @@ object Sources {
     * far above a double's 2^53 exact-integer range).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // restore the session's prior conf afterwards: leaking nanosAsLong=true
+    // would silently change every LATER nanos-parquet read in the session.
+    // (The conf only needs to hold during analysis of spark.read — the
+    // schema is resolved eagerly at load time.)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Register every harness table as a temp view (for spark.sql paths). */
