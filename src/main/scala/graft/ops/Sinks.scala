@@ -132,6 +132,86 @@ object Sinks {
     swapInto(fs, tmp, p)
   }
 
+  /** Partition-bounded upsert into a hive-partitioned parquet table:
+    * only the partitions that contain updated keys are read, merged
+    * (same null-safe key semantics as [[upsert]]) and swapped; every
+    * other partition directory is left untouched — byte-identical, not
+    * rewritten. THIS is the shape that makes a daily merge into a
+    * 100 TB table feasible: the rewrite is bounded by the updated
+    * partitions, not the table.
+    *
+    * Requirements:
+    *  - `partitionCols` must be a subset of `keyCols` (a key then can
+    *    never move between partitions; otherwise a "moved" row would
+    *    survive in its old partition AND appear in the new one).
+    *  - The affected-partition list is collected to the driver to prune
+    *    the read and is interpolated into one disjunctive filter —
+    *    bounded by the number of DISTINCT PARTITIONS in `updates`
+    *    (thousands at most for a daily batch), never by row count.
+    *
+    * Swap granularity is per partition directory ([[swapInto]]'s
+    * non-atomicity applies per partition, not to the whole table).
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(partitionCols.nonEmpty,
+      "upsertPartitioned needs partition columns; use upsert() for unpartitioned tables")
+    require(partitionCols.forall(keyCols.contains),
+      s"partition columns $partitionCols must be a subset of key columns $keyCols")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    if (!fs.exists(p)) { writePartitioned(updates, path, partitionCols); return }
+
+    // updates feeds the partition listing, the anti-join probe and the
+    // union — materialize once
+    val up = updates.localCheckpoint()
+    val affected = up.select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return
+    // one disjunct per affected partition; <=> matches null partition
+    // values (hive's __HIVE_DEFAULT_PARTITION__)
+    val prune = affected.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val keys = up.select(keyCols.map(col): _*).dropDuplicates()
+    val existing = spark.read.parquet(path).filter(prune)
+    val cond = keyCols.map(c => existing(c) <=> keys(c)).reduce(_ && _)
+    val merged = existing.join(keys, cond, "left_anti").unionByName(up)
+
+    val tmp = new Path(p.getParent,
+      s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
+    try {
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tmp.toString)
+      // swap exactly the partition dirs the merge produced (merged holds
+      // only affected-partition rows, so this IS the affected set, with
+      // directory names already hive-escaped by the writer)
+      def leafDirs(base: Path, depth: Int): Seq[Path] =
+        if (depth == 0) Seq(base)
+        else fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+          .flatMap(d => leafDirs(d.getPath, depth - 1))
+      // listStatus returns scheme-qualified paths (file:/…); qualify the
+      // tmp prefix the same way or stripPrefix silently no-ops and the
+      // "relative" path is the absolute source itself
+      val tmpQ = fs.makeQualified(tmp).toString
+      leafDirs(tmp, partitionCols.length).foreach { src =>
+        val rel = src.toString.stripPrefix(tmpQ).stripPrefix("/")
+        require(rel.nonEmpty && !rel.contains(":"),
+          s"failed to relativize $src against $tmpQ")
+        val dest = new Path(p, rel)
+        fs.mkdirs(dest.getParent) // first write of a NEW nested partition
+        swapInto(fs, src, dest)
+      }
+    } finally fs.delete(tmp, true)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (measured from the CURRENT compressed
     * footprint, so the estimate already reflects encoding+compression).

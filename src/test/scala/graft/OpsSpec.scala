@@ -196,6 +196,48 @@ class UpsertSpec extends SparkSpec {
   }
 }
 
+class UpsertPartitionedSpec extends SparkSpec {
+  private def fileBytes(dir: java.io.File): Map[String, Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+
+  test("merges only affected partitions; untouched partition dirs are byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString + "/t"
+    val base = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 30, "d"))
+      .toDF("id", "day", "v")
+    Sinks.upsertPartitioned(spark, dir, base, Seq("id", "day"), Seq("day"))
+
+    val d20 = new java.io.File(s"$dir/day=20")
+    val d30 = new java.io.File(s"$dir/day=30")
+    val before20 = fileBytes(d20)
+    val before30 = fileBytes(d30)
+    assert(before20.nonEmpty && before30.nonEmpty, "partition dirs written")
+
+    // touch ONLY day=10 (replace id=2) and add a NEW partition day=40
+    Sinks.upsertPartitioned(spark, dir,
+      Seq((2L, 10, "B2"), (5L, 40, "e")).toDF("id", "day", "v"),
+      Seq("id", "day"), Seq("day"))
+
+    assert(fileBytes(d20) == before20, "day=20 files untouched (same names+mtimes)")
+    assert(fileBytes(d30) == before30, "day=30 files untouched")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
+  test("rejects partition columns outside the key (a key could change partitions)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10, "a")).toDF("id", "day", "v")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, "/tmp/never", df, Seq("id"), Seq("day"))
+    }
+  }
+}
+
 class CompactionSpec extends SparkSpec {
   test("compact rewrites many small files into few, preserving data") {
     val s = spark
