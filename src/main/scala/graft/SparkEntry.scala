@@ -439,6 +439,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_x_ann_lsh_mp" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4,
+          probeRadius = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_cosine_dups" -> ((s, dir) =>
       Dedup.cosineDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minCos = 0.42)
@@ -962,6 +969,37 @@ object SparkEntry {
          |scored AS (SELECT q.query_id, c.neighbor_id,
          |    ${sqlDot("q.embedding", "c.embedding")} / (q.qn * c.cn) AS cos
          |  FROM c JOIN q ON c.bucket = q.bucket AND q.query_id <> c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // multi-probe: each query also probes the 4 buckets at Hamming
+    // distance 1 (xor with each single-bit mask) — probe list unnested
+    // query-side, corpus bucketed once, mirroring lshTopK(probeRadius=1)
+    "q_x_ann_lsh_mp" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |q AS (SELECT vec_id AS query_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE vec_id < 8 AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |probes AS (SELECT query_id, embedding, qn,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |  FROM q),
+         |scored AS (SELECT p.query_id, c.neighbor_id,
+         |    ${sqlDot("p.embedding", "c.embedding")} / (p.qn * c.cn) AS cos
+         |  FROM c JOIN probes p ON c.bucket = p.bucket
+         |    AND p.query_id <> c.neighbor_id),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank

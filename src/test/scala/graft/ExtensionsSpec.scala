@@ -307,15 +307,34 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = topkSet(Similarity.bruteForceTopK(emb, queries, 10))
     val lsh = topkSet(Similarity.lshTopK(emb, queries, 10, numPlanes = 4))
-    val ivf = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8, nprobe = 4))
-    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
-    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
-    info(f"recall@10 over 20 queries: lsh(4 planes)=$lshRecall%.3f ivf(4/8 lists)=$ivfRecall%.3f")
-    // everything is seeded/deterministic, so these are fixed numbers for
-    // this data — the floors document the approximate-path quality
-    assert(lshRecall > 0.05 && ivfRecall > 0.3,
-      s"recall floors: lsh=$lshRecall ivf=$ivfRecall")
-    assert(lsh.subsetOf(lsh ++ brute) && ivf.nonEmpty)
+    val lshMp = topkSet(Similarity.lshTopK(emb, queries, 10, numPlanes = 4,
+      probeRadius = 1))
+    val ivf0 = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8,
+      nprobe = 4, kmeansIters = 0))
+    val ivf = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8,
+      nprobe = 4, kmeansIters = 4))
+    val ivf5 = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8,
+      nprobe = 5))
+    def recall(s: Set[(Long, Long)]) = s.intersect(brute).size.toDouble / brute.size
+    info(f"recall@10 over 20 queries: lsh(4 planes)=${recall(lsh)}%.3f " +
+      f"lsh(radius 1)=${recall(lshMp)}%.3f ivf(4/8, sampled)=${recall(ivf0)}%.3f " +
+      f"ivf(4/8, kmeans x4)=${recall(ivf)}%.3f ivf(5/8, kmeans x2)=${recall(ivf5)}%.3f")
+    // The harness embeddings are near-uniform directions (no cluster
+    // structure), so IVF recall is governed mostly by the probed
+    // fraction; k-means still buys +0.07..0.10 at the same nprobe
+    // (measured 0.71 sampled -> 0.81 refined at 4/8; 0.905 at 5/8).
+    // Floors carry margin for the k-means mean's summation-order
+    // nondeterminism. Single-probe/unrefined numbers are documented
+    // baselines; multi-probe and k-means are the deployment defaults.
+    assert(recall(lsh) > 0.05, s"single-probe lsh floor: ${recall(lsh)}")
+    assert(recall(lshMp) >= 0.4, s"multi-probe lsh floor: ${recall(lshMp)}")
+    assert(recall(ivf0) > 0.3, s"sampled-centroid ivf floor: ${recall(ivf0)}")
+    assert(recall(ivf) >= 0.75, s"k-means ivf floor at 4/8: ${recall(ivf)}")
+    assert(recall(ivf5) >= 0.85, s"k-means ivf floor at 5/8: ${recall(ivf5)}")
+    assert(recall(ivf) > recall(ivf0),
+      "k-means refinement must beat sampled centroids at the same nprobe")
+    assert(recall(lshMp) >= recall(lsh) && ivf.nonEmpty,
+      "multi-probe can only widen the candidate set")
   }
 
   test("zero-norm vectors never appear as neighbors (NaN would sort first)") {
