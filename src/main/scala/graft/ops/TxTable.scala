@@ -28,13 +28,19 @@ import java.nio.charset.StandardCharsets
   * }}}
   *
   * Commit protocol: (1) write the new data files, (2) write the full
-  * manifest to a tmp name, (3) rename it into the next free version
-  * slot. The rename is the commit point — atomic on local FS and HDFS.
-  * Concurrency is optimistic: if the slot was taken while writing, the
-  * commit retries against the NEW head (append re-reads the head's file
-  * list, so no appended files are lost; concurrent overwrites are
-  * last-committer-wins). On stores without atomic rename (S3 proper) a
-  * real deployment swaps step 3 for a conditional PUT.
+  * manifest (head line carries the action AND a per-commit nonce) to a
+  * tmp name, (3) atomically claim the next free version slot. The claim
+  * is the commit point. On local FS the claim is a hard link
+  * (`Files.createLink` — O_EXCL semantics: exactly one concurrent
+  * committer can create the slot name, losers get
+  * FileAlreadyExistsException). On HDFS it is `rename` (atomic, fails
+  * when the destination exists) followed by a nonce read-back as
+  * defense in depth against filesystems whose rename clobbers.
+  * Concurrency is optimistic: a lost claim retries against the NEW head
+  * (append re-reads the head's file list, so no appended files are
+  * lost; concurrent overwrites are last-committer-wins). On stores with
+  * neither primitive (S3 proper) a real deployment swaps step 3 for a
+  * conditional PUT.
   *
   * At 100 TB the manifest stays small (file paths, not data) and the
   * driver-side log I/O is O(files per snapshot) — the same order as the
@@ -62,6 +68,9 @@ object TxTable {
     }).sorted
   }
 
+  /** Head line is `<action> <nonce>`; nonce identifies the winning
+    * committer (pre-nonce manifests with a bare action still parse).
+    */
   private def readManifest(fs: FileSystem, p: Path, v: Long): (String, Seq[String]) = {
     val in = fs.open(new Path(new Path(p, LogDir), manifestName(v)))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -70,15 +79,29 @@ object TxTable {
     (lines.head, lines.tail)
   }
 
-  /** Snapshot read of the newest committed version. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Snapshot read of the newest committed version. `mergeSchema` unions
+    * the schemas of all referenced files — required once appends have
+    * widened the table (see [[readVersion]]).
+    */
+  def read(spark: SparkSession, path: String,
+           mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
-    readVersion(spark, path, vs.last)
+    readVersion(spark, path, vs.last, mergeSchema)
   }
 
-  /** Time travel: snapshot read of an exact committed version. */
-  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+  /** Time travel: snapshot read of an exact committed version.
+    *
+    * Schema evolution: data files are immutable, so a snapshot whose
+    * appends added columns holds files with DIFFERENT schemas.
+    * `mergeSchema = true` resolves the union schema across every file in
+    * the snapshot (old files read the added columns as null) — the
+    * mergeSchema=false default keeps single-footer schema resolution
+    * (first listed file wins), which is only correct for homogeneous
+    * snapshots.
+    */
+  def readVersion(spark: SparkSession, path: String, v: Long,
+                  mergeSchema: Boolean = false): DataFrame = {
     val (fs, p) = fsFor(spark, path)
     val (_, files) = readManifest(fs, p, v)
     if (files.isEmpty)
@@ -86,52 +109,112 @@ object TxTable {
       // commit that wrote the (empty) version — its parquet footer is
       // there even with zero rows... there is none, so fail loudly
       sys.error(s"version $v of $path is an empty snapshot with no files")
-    else spark.read.parquet(files.map(f => new Path(p, f).toString): _*)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      // basePath = table root: partition discovery walks each file's
+      // parents collecting key=value dirs (data/<uuid>/day=10/part-…
+      // yields day=10; the uuid segment stops the walk), so a
+      // hive-partitioned tx table reads its partition columns back.
+      // Unpartitioned commits have no key=value parents — no-op.
+      .option("basePath", p.toString)
+      .parquet(files.map(f => new Path(p, f).toString): _*)
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot
     * becomes exactly this write's files).
     */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, df, append = false)
+    commit(spark, path, df, "overwrite", _ => Seq.empty)
 
   /** Append-commit `df`: next version = head's files + this write's. */
   def append(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, df, append = true)
+    commit(spark, path, df, "append", identity)
 
+  /** Replace-commit: next version = the head's files that survive
+    * `keepExisting` + this write's files. The partition-bounded publish
+    * primitive ([[Sinks.upsertPartitioned]] keeps every file outside the
+    * affected partitions and replaces only the rewritten ones) — Delta's
+    * `replaceWhere`, reduced to a file-list filter. `keepExisting`
+    * receives manifest-relative paths (`data/<uuid>/[part=val/]file`).
+    */
+  def replace(spark: SparkSession, path: String, df: DataFrame,
+              partitionCols: Seq[String],
+              keepExisting: String => Boolean): Long =
+    commit(spark, path, df, "replace", _.filter(keepExisting), partitionCols)
+
+  /** Write `df` into a fresh immutable data dir and commit a manifest of
+    * `baseKeep(head's files) ++ the new files` under the next version.
+    * The slot claim loop is lock-free optimistic concurrency: losers
+    * recompute against the new head and retry, so no committed version
+    * is ever lost (see [[claimSlot]] for the atomicity argument).
+    */
   private def commit(spark: SparkSession, path: String, df: DataFrame,
-                     append: Boolean): Long = {
+                     action: String, baseKeep: Seq[String] => Seq[String],
+                     partitionCols: Seq[String] = Nil): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
-    df.write.parquet(new Path(p, dataDir).toString)
-    val newFiles = fs.listStatus(new Path(p, dataDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
-      .map(n => s"$dataDir/$n")
+    val w = df.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(new Path(p, dataDir).toString)
+    val newFiles = {
+      val it = fs.listFiles(new Path(p, dataDir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val prefix = fs.makeQualified(new Path(p, dataDir)).toString
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          buf += s"$dataDir/${f.toString.stripPrefix(prefix).stripPrefix("/")}"
+      }
+      buf.toSeq.sorted
+    }
     fs.mkdirs(new Path(p, LogDir))
 
     var committed = -1L
     while (committed < 0) {
       val head = versions(spark, path).lastOption
-      val base = if (append) head.map(v => readManifest(fs, p, v)._2)
-                             .getOrElse(Seq.empty)
-                 else Seq.empty
+      val base = head.map(v => readManifest(fs, p, v)._2).getOrElse(Seq.empty)
       val next = head.getOrElse(0L) + 1
-      val action = if (append) "append" else "overwrite"
-      val body = (action +: (base ++ newFiles)).mkString("", "\n", "\n")
-      val tmp = new Path(new Path(p, LogDir),
-        s".tmp_${java.util.UUID.randomUUID()}.manifest")
-      val out = fs.create(tmp, false)
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val nonce = java.util.UUID.randomUUID().toString
+      val body = (s"$action $nonce" +: (baseKeep(base) ++ newFiles))
+        .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))
-      // the rename IS the commit point; a concurrent writer that claimed
-      // the slot first makes this rename land as slot/tmpname or fail —
-      // verify by re-listing, retry on loss
-      if (!fs.exists(slot) && fs.rename(tmp, slot)) committed = next
-      else fs.delete(tmp, false)
+      if (claimSlot(fs, slot, body, nonce)) committed = next
+      // lost the race: loop re-reads the NEW head, so an append/replace
+      // rebuilt here includes the winner's files — nothing is dropped
     }
     committed
+  }
+
+  /** Atomically publish `body` as `slot`; true iff THIS commit owns the
+    * slot. The manifest is first written complete to a dot-tmp name
+    * (readers never see a torn manifest), then claimed:
+    *  - local FS: `Files.createLink(slot, tmp)` — a hard link is
+    *    O_EXCL-atomic at the kernel level, so of N concurrent committers
+    *    exactly one creates the slot name and the rest get
+    *    FileAlreadyExistsException. No check-then-act window at all.
+    *  - other FS: `rename(tmp, slot)` — atomic-and-fails-on-existing on
+    *    HDFS. Because some filesystems' rename silently REPLACES an
+    *    existing destination, the slot is read back and must carry this
+    *    commit's nonce; a foreign nonce means the claim was lost and the
+    *    caller retries against the new head.
+    */
+  private def claimSlot(fs: FileSystem, slot: Path, body: String,
+                        nonce: String): Boolean = {
+    val tmp = new Path(slot.getParent, s".tmp_$nonce.manifest")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try {
+      if (fs.getScheme == "file") {
+        val slotNio = java.nio.file.Paths.get(fs.makeQualified(slot).toUri)
+        val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        try { java.nio.file.Files.createLink(slotNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else if (!fs.exists(slot) && fs.rename(tmp, slot)) {
+        val in = fs.open(slot)
+        val head = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                   finally in.close()
+        head.split("\n").headOption.exists(_.endsWith(nonce))
+      } else false
+    } finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
   /** Drop all but the newest `keepVersions` manifests and delete every

@@ -59,6 +59,55 @@ class TxTableSpec extends SparkSpec {
       s"every read must be one full committed version, saw $seen")
   }
 
+  test("two concurrent writers: every commit survives as a distinct version") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx").toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    // two writer threads race 4 appends each; the claim loop must give
+    // every commit its own version — a lost manifest would surface as a
+    // version gap, a duplicate version, or appended rows missing from
+    // the head snapshot (append folds the head's file list in, so a
+    // clobbered manifest drops its rows from every later version too)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (1 to 4).foreach { i =>
+            TxTable.append(spark, dir, Seq((w * 100L + i, s"w$w")).toDF("id", "v"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(60000))
+    assert(errs.isEmpty, s"writer failed: ${errs.toArray.mkString(", ")}")
+    assert(TxTable.versions(spark, dir) == (1L to 9L),
+      "9 commits (1 seed + 8 appends) must occupy versions 1..9 with no gap or loss")
+    val ids = TxTable.read(spark, dir).select("id").as[Long].collect().toSet
+    val expected = Set(0L) ++ (1 to 4).flatMap(i => Seq(100L + i, 200L + i)).toSet
+    assert(ids == expected, s"head snapshot must hold every appended row, got $ids")
+  }
+
+  test("mergeSchema read: widened appends resolve the union schema; old versions still read") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx").toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // append a WIDENED frame: data files are immutable, so the v2
+    // snapshot now holds files with two different schemas
+    TxTable.append(spark, dir, Seq((2L, "b", 7.5)).toDF("id", "v", "score"))
+    val merged = TxTable.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")),
+      "pre-widening rows read the added column as null")
+    assert(byId(2L).getDouble(merged.columns.indexOf("score")) == 7.5)
+    // time travel to the narrow version is unaffected by later widening
+    assert(TxTable.readVersion(spark, dir, 1).columns.toSet == Set("id", "v"))
+  }
+
   test("vacuum keeps recent snapshots readable and drops dead data dirs") {
     val s = spark
     import s.implicits._
