@@ -64,14 +64,20 @@ object Sinks {
     * delete old. NOT fully atomic — plain filesystems have no atomic
     * directory swap, so a reader racing the two renames can see a
     * missing path for an instant, and a crash between them leaves the
-    * data under `<tmp>_old` (recoverable by renaming back). On S3A,
-    * rename is a copy, widening the window. For stronger guarantees use
-    * a table format with a transaction log. Cleans tmp on failure.
+    * data under `.<tmp>_old` in dest's parent. The aside name is
+    * DOT-prefixed deliberately: for partition-leaf swaps it lands inside
+    * the table root (e.g. `<table>/.day=10_old`), where an undotted name
+    * would be picked up by Spark partition discovery as a bogus
+    * partition value; dotted paths are invisible to the FileIndex.
+    * Crash recovery: if `dest` is missing and `.<x>_old` exists, rename
+    * the aside back to `dest`. On S3A, rename is a copy, widening the
+    * window. For stronger guarantees use the tx mode of the callers
+    * ([[TxTable]] manifests). Cleans tmp on failure.
     */
   private[ops] def swapInto(fs: FileSystem, tmp: Path, dest: Path): Unit =
     try {
       if (fs.exists(dest)) {
-        val old = new Path(dest.getParent, s"${tmp.getName}_old")
+        val old = new Path(dest.getParent, s".${tmp.getName.stripPrefix(".")}_old")
         if (!fs.rename(dest, old)) sys.error(s"swap: rename $dest -> $old failed")
         if (!fs.rename(tmp, dest)) {
           // roll the old data back into place before the finally block
@@ -104,15 +110,26 @@ object Sinks {
     * non-atomic — guarantees). At 100 TB you bound the rewrite by
     * partitioning the table on a key prefix and merging only affected
     * partitions; the merge itself is this same plan.
+    *
+    * `tx = true` keeps the identical merge plan but publishes through a
+    * [[TxTable]] manifest commit instead of [[swapInto]]: readers racing
+    * the upsert always resolve a complete committed snapshot (old or
+    * new), never a missing path. The table must then be read via
+    * [[TxTable.read]] and must be a TxTable (or not exist yet).
     */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
-             updates: DataFrame, keyCols: Seq[String]): Unit = {
+             updates: DataFrame, keyCols: Seq[String],
+             tx: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
+    val exists = if (tx) TxTable.exists(spark, path) else fs.exists(p)
+    if (tx && !exists && fs.exists(p)) sys.error(
+      s"tx upsert into $path: path exists but is not a TxTable " +
+        "(no _txlog); migrate it with TxTable.overwrite first")
     val merged =
-      if (!fs.exists(p)) updates
+      if (!exists) updates
       else {
         // updates feeds both the anti-join probe and the union —
         // materialize once (broadcast anti-join sides get no
@@ -120,12 +137,14 @@ object Sinks {
         val up = updates.localCheckpoint()
         val keys = up.select(keyCols.map(
           org.apache.spark.sql.functions.col): _*).dropDuplicates()
-        val existing = spark.read.parquet(path)
+        val existing = if (tx) TxTable.read(spark, path)
+                       else spark.read.parquet(path)
         // null-safe equality: a null key must MATCH a null key or the
         // anti-join keeps the old row and the union adds the new one
         val cond = keyCols.map(c => existing(c) <=> keys(c)).reduce(_ && _)
         existing.join(keys, cond, "left_anti").unionByName(up)
       }
+    if (tx) { TxTable.overwrite(spark, path, merged); return }
     val tmp = new Path(p.getParent,
       s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -151,10 +170,17 @@ object Sinks {
     *
     * Swap granularity is per partition directory ([[swapInto]]'s
     * non-atomicity applies per partition, not to the whole table).
+    *
+    * `tx = true` publishes through [[TxTable.replacePartitions]]
+    * instead: ONE atomic manifest commit replaces exactly the affected
+    * partitions' files while untouched partitions keep their existing
+    * files unrewritten — the partition-bounded rewrite is retained AND
+    * the whole merge becomes a single all-or-nothing snapshot flip.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         updates: DataFrame, keyCols: Seq[String],
-                        partitionCols: Seq[String]): Unit = {
+                        partitionCols: Seq[String],
+                        tx: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     require(partitionCols.nonEmpty,
@@ -164,7 +190,15 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
-    if (!fs.exists(p)) { writePartitioned(updates, path, partitionCols); return }
+    val exists = if (tx) TxTable.exists(spark, path) else fs.exists(p)
+    if (tx && !exists && fs.exists(p)) sys.error(
+      s"tx upsert into $path: path exists but is not a TxTable " +
+        "(no _txlog); migrate it with TxTable.overwrite first")
+    if (!exists) {
+      if (tx) TxTable.overwrite(spark, path, updates, partitionCols)
+      else writePartitioned(updates, path, partitionCols)
+      return
+    }
 
     // updates feeds the partition listing, the anti-join probe and the
     // union — materialize once
@@ -179,10 +213,25 @@ object Sinks {
         .reduce(_ && _)
     }.reduce(_ || _)
     val keys = up.select(keyCols.map(col): _*).dropDuplicates()
-    val existing = spark.read.parquet(path).filter(prune)
+    // Pin the read schema to the update's: partition-column types are
+    // otherwise re-inferred from the key=value directory STRINGS, so a
+    // string day "07" comes back as int 7, the <=> prune matches
+    // nothing, and the partition swap would drop every pre-existing
+    // non-updated key. With an explicit schema the directory strings
+    // parse as the update's types — prune and anti-join compare
+    // like-for-like. (Also skips the footer-sampling schema inference
+    // pass entirely.)
+    val existing =
+      (if (tx) TxTable.read(spark, path, schema = Some(up.schema))
+       else spark.read.option("basePath", path).schema(up.schema).parquet(path))
+        .filter(prune)
     val cond = keyCols.map(c => existing(c) <=> keys(c)).reduce(_ && _)
     val merged = existing.join(keys, cond, "left_anti").unionByName(up)
 
+    if (tx) {
+      TxTable.replacePartitions(spark, path, merged, partitionCols)
+      return
+    }
     val tmp = new Path(p.getParent,
       s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
     try {
@@ -224,25 +273,42 @@ object Sinks {
     * Hive-partitioned tables MUST pass their `partitionCols`, or the
     * rewrite flattens the `col=value/` directory layout into plain data
     * columns and silently breaks layout-based pruning/appends.
+    *
+    * `tx = true` compacts a [[TxTable]]: reads the head snapshot and
+    * commits the rewrite as a new overwrite version — readers pinned to
+    * the old version keep their (small-file) snapshot until vacuum, and
+    * no reader ever sees the table mid-swap. Compaction is exactly the
+    * maintenance operation that runs while readers are live, so this is
+    * the mode a shared table should use.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              partitionCols: Seq[String] = Nil): Int = {
+              partitionCols: Seq[String] = Nil,
+              tx: Boolean = false): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
-    val totalBytes = fs.getContentSummary(p).getLength
+    val df0 = if (tx) TxTable.read(spark, path) else spark.read.parquet(path)
+    // current compressed footprint of the LIVE snapshot only (a tx
+    // table's directory also holds old versions and the log)
+    val totalBytes =
+      if (tx) df0.inputFiles.map(f =>
+        fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+      else fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new Path(p.getParent,
-      s".compact_${p.getName}_${java.util.UUID.randomUUID()}")
     // partitioned tables co-locate rows by partition value, or every
     // task writes a sliver into every partition dir (nFiles × values
     // files — worse than before compaction)
-    val df0 = spark.read.parquet(path)
     val repart =
       if (partitionCols.isEmpty) df0.repartition(nFiles)
       else df0.repartition(nFiles,
         partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    if (tx) {
+      val v = TxTable.overwrite(spark, path, repart, partitionCols)
+      return TxTable.readVersion(spark, path, v).inputFiles.length
+    }
+    val tmp = new Path(p.getParent,
+      s".compact_${p.getName}_${java.util.UUID.randomUUID()}")
     val w = repart.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)

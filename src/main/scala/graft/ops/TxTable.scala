@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
 
@@ -57,6 +58,10 @@ object TxTable {
     (FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** True iff `path` holds at least one committed version. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    versions(spark, path).nonEmpty
+
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, p) = fsFor(spark, path)
@@ -84,10 +89,11 @@ object TxTable {
     * widened the table (see [[readVersion]]).
     */
   def read(spark: SparkSession, path: String,
-           mergeSchema: Boolean = false): DataFrame = {
+           mergeSchema: Boolean = false,
+           schema: Option[StructType] = None): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
-    readVersion(spark, path, vs.last, mergeSchema)
+    readVersion(spark, path, vs.last, mergeSchema, schema)
   }
 
   /** Time travel: snapshot read of an exact committed version.
@@ -99,9 +105,16 @@ object TxTable {
     * mergeSchema=false default keeps single-footer schema resolution
     * (first listed file wins), which is only correct for homogeneous
     * snapshots.
+    *
+    * `schema` pins the read schema explicitly — in particular it pins
+    * PARTITION column types, which are otherwise re-INFERRED from the
+    * `key=value` directory strings (a string partition column holding
+    * "07" infers as int 7 and would no longer equal "07"). Callers that
+    * compare or merge against a frame with known types should pin.
     */
   def readVersion(spark: SparkSession, path: String, v: Long,
-                  mergeSchema: Boolean = false): DataFrame = {
+                  mergeSchema: Boolean = false,
+                  schema: Option[StructType] = None): DataFrame = {
     val (fs, p) = fsFor(spark, path)
     val (_, files) = readManifest(fs, p, v)
     if (files.isEmpty)
@@ -109,46 +122,89 @@ object TxTable {
       // commit that wrote the (empty) version — its parquet footer is
       // there even with zero rows... there is none, so fail loudly
       sys.error(s"version $v of $path is an empty snapshot with no files")
-    else spark.read.option("mergeSchema", mergeSchema.toString)
-      // basePath = table root: partition discovery walks each file's
-      // parents collecting key=value dirs (data/<uuid>/day=10/part-…
-      // yields day=10; the uuid segment stops the walk), so a
-      // hive-partitioned tx table reads its partition columns back.
-      // Unpartitioned commits have no key=value parents — no-op.
-      .option("basePath", p.toString)
-      .parquet(files.map(f => new Path(p, f).toString): _*)
+    else {
+      // Partition discovery walks each file's parents collecting
+      // key=value dirs and requires every file to resolve the SAME
+      // non-partition base — but a snapshot built by append/replace
+      // holds files from several immutable commit dirs
+      // (data/<uuidA>/day=10, data/<uuidB>/day=40), whose bases differ.
+      // So: scan per commit dir (each is internally consistent:
+      // key=value parents under one uuid base) and union the scans.
+      // The union is N = live-commit-dirs branches — bounded by commits
+      // since the last overwrite, vacuum resets it — and filters/pruning
+      // push into every branch.
+      def scan(group: Seq[String]): DataFrame = {
+        val r = spark.read.option("mergeSchema", mergeSchema.toString)
+          .option("basePath", p.toString)
+        schema.fold(r)(r.schema)
+          .parquet(group.map(f => new Path(p, f).toString): _*)
+      }
+      files.groupBy(_.split('/').take(2).mkString("/")).toSeq
+        .sortBy(_._1).map(g => scan(g._2))
+        // mergeSchema also widens ACROSS commit dirs (append may have
+        // added columns); without it a heterogeneous union fails loudly
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    }
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot
     * becomes exactly this write's files).
     */
-  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, df, "overwrite", _ => Seq.empty)
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+                partitionCols: Seq[String] = Nil): Long =
+    commit(spark, path, df, "overwrite", (_, _) => Seq.empty, partitionCols)
 
   /** Append-commit `df`: next version = head's files + this write's. */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, df, "append", identity)
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             partitionCols: Seq[String] = Nil): Long =
+    commit(spark, path, df, "append", (base, _) => base, partitionCols)
 
   /** Replace-commit: next version = the head's files that survive
     * `keepExisting` + this write's files. The partition-bounded publish
-    * primitive ([[Sinks.upsertPartitioned]] keeps every file outside the
-    * affected partitions and replaces only the rewritten ones) — Delta's
-    * `replaceWhere`, reduced to a file-list filter. `keepExisting`
-    * receives manifest-relative paths (`data/<uuid>/[part=val/]file`).
+    * primitive — Delta's `replaceWhere`, reduced to a file-list filter.
+    * `keepExisting` receives manifest-relative paths
+    * (`data/<uuid>/[part=val/]file`).
     */
   def replace(spark: SparkSession, path: String, df: DataFrame,
               partitionCols: Seq[String],
               keepExisting: String => Boolean): Long =
-    commit(spark, path, df, "replace", _.filter(keepExisting), partitionCols)
+    commit(spark, path, df, "replace", (base, _) => base.filter(keepExisting),
+      partitionCols)
+
+  /** Dynamic-partition-overwrite commit (Spark's
+    * `partitionOverwriteMode=dynamic`, as a log commit): the next
+    * version keeps every head file whose partition directory does NOT
+    * appear among this write's partitions, and replaces the ones that
+    * do. The publish step of [[Sinks.upsertPartitioned]] in tx mode —
+    * untouched partitions keep their exact existing files (never
+    * rewritten, never even read), replaced partitions swap atomically
+    * with the manifest claim.
+    */
+  def replacePartitions(spark: SparkSession, path: String, df: DataFrame,
+                        partitionCols: Seq[String]): Long =
+    commit(spark, path, df, "replace", (base, newFiles) => {
+      val replaced = newFiles.map(partitionDirOf).toSet
+      base.filterNot(f => replaced.contains(partitionDirOf(f)))
+    }, partitionCols)
+
+  /** `data/<uuid>/day=10/part-x.parquet` → `day=10` (nested partitions
+    * keep all `key=value` segments; unpartitioned files → ""). Writer
+    * dir names are hive-escaped on BOTH sides, so string equality is
+    * value equality.
+    */
+  private def partitionDirOf(rel: String): String =
+    rel.split('/').drop(2).dropRight(1).mkString("/")
 
   /** Write `df` into a fresh immutable data dir and commit a manifest of
-    * `baseKeep(head's files) ++ the new files` under the next version.
-    * The slot claim loop is lock-free optimistic concurrency: losers
-    * recompute against the new head and retry, so no committed version
-    * is ever lost (see [[claimSlot]] for the atomicity argument).
+    * `baseKeep(head's files, this write's files) ++ the new files` under
+    * the next version. The slot claim loop is lock-free optimistic
+    * concurrency: losers recompute against the new head and retry, so no
+    * committed version is ever lost (see [[claimSlot]] for the
+    * atomicity argument).
     */
   private def commit(spark: SparkSession, path: String, df: DataFrame,
-                     action: String, baseKeep: Seq[String] => Seq[String],
+                     action: String,
+                     baseKeep: (Seq[String], Seq[String]) => Seq[String],
                      partitionCols: Seq[String] = Nil): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
@@ -174,7 +230,7 @@ object TxTable {
       val base = head.map(v => readManifest(fs, p, v)._2).getOrElse(Seq.empty)
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
-      val body = (s"$action $nonce" +: (baseKeep(base) ++ newFiles))
+      val body = (s"$action $nonce" +: (baseKeep(base, newFiles) ++ newFiles))
         .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))
       if (claimSlot(fs, slot, body, nonce)) committed = next

@@ -1,0 +1,149 @@
+package graft
+
+import graft.ops.{Sinks, TxTable}
+
+/** Tx mode of the mutation sinks (VERDICT r3 "Next round" #1): the merge
+  * plans of upsert/upsertPartitioned/compact publish through a TxTable
+  * manifest commit instead of the non-atomic directory swap, so readers
+  * racing a mutation always resolve a complete committed snapshot.
+  */
+class TxSinksSpec extends SparkSpec {
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("tx upsert merges like plain upsert and commits versions") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_upsert")
+    Sinks.upsert(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id"), tx = true)
+    Sinks.upsert(spark, dir, Seq((2L, "B2"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), tx = true)
+    assert(TxTable.versions(spark, dir) == Seq(1L, 2L))
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("tx upsert refuses a plain parquet dir (no silent mixed layout)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_refuse")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    val e = intercept[RuntimeException] {
+      Sinks.upsert(spark, dir, Seq((1L, "A")).toDF("id", "v"),
+        Seq("id"), tx = true)
+    }
+    assert(e.getMessage.contains("not a TxTable"))
+  }
+
+  test("a reader racing tx upsert always sees a complete committed snapshot") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_race")
+    Sinks.upsert(spark, dir, Seq((1L, "v0")).toDF("id", "v"), Seq("id"),
+      tx = true)
+    // committed states are fully known in advance: state i rewrites key 1
+    // and appends key 100+i, so any torn/partial read (old table missing,
+    // half-merged rows) falls outside this set
+    val states: Seq[Map[Long, String]] = (0 to 4).map { i =>
+      Map(1L -> s"v$i") ++ (1 to i).map(j => (100L + j) -> s"n$j").toMap
+    }
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, String]]()
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty)
+        try seen.add(TxTable.read(spark, dir).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap)
+        catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try
+      (1 to 4).foreach { i =>
+        Sinks.upsert(spark, dir,
+          Seq((1L, s"v$i"), (100L + i, s"n$i")).toDF("id", "v"),
+          Seq("id"), tx = true)
+      }
+    finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, s"reader failed mid-upsert: $failure")
+    val observed = seen.toArray.map(_.asInstanceOf[Map[Long, String]]).toSet
+    assert(observed.nonEmpty && observed.subsetOf(states.toSet),
+      s"every read must be one full committed merge, saw $observed")
+  }
+
+  test("tx upsertPartitioned: one commit; untouched partitions keep their exact files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_uppart")
+    val base = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 30, "d"))
+      .toDF("id", "day", "v")
+    Sinks.upsertPartitioned(spark, dir, base, Seq("id", "day"), Seq("day"),
+      tx = true)
+    def filesOf(part: String): Set[String] =
+      TxTable.read(spark, dir).inputFiles.filter(_.contains(part)).toSet
+    val before20 = filesOf("day=20")
+    val before30 = filesOf("day=30")
+    val before10 = filesOf("day=10")
+    assert(before20.nonEmpty && before30.nonEmpty && before10.nonEmpty)
+
+    // touch ONLY day=10 (replace id=2) and add a NEW partition day=40
+    Sinks.upsertPartitioned(spark, dir,
+      Seq((2L, 10, "B2"), (5L, 40, "e")).toDF("id", "day", "v"),
+      Seq("id", "day"), Seq("day"), tx = true)
+
+    assert(TxTable.versions(spark, dir) == Seq(1L, 2L),
+      "the whole partition-bounded merge is ONE atomic commit")
+    assert(filesOf("day=20") == before20,
+      "day=20 keeps its exact files — never rewritten")
+    assert(filesOf("day=30") == before30, "day=30 keeps its exact files")
+    assert(filesOf("day=10").intersect(before10).isEmpty,
+      "day=10 was replaced with freshly-written files")
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // time travel still shows the pre-merge table
+    assert(TxTable.readVersion(spark, dir, 1).collect()
+      .map(r => r.getAs[String]("v")).toSet == Set("a", "b", "c", "d"))
+  }
+
+  test("tx compact shrinks the head snapshot; pinned readers keep the old version") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_compact")
+    TxTable.overwrite(spark,
+      dir, (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+        .repartition(40))
+    val before = TxTable.read(spark, dir).inputFiles.length
+    assert(before >= 30, s"setup should create many files, got $before")
+    val after = Sinks.compact(spark, dir, targetBytes = 512L * 1024, tx = true)
+    assert(after < before / 4, s"$before files -> $after")
+    val back = TxTable.read(spark, dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()
+      .head.getLong(0) == 5000L * 5001 / 2)
+    // compaction must not disturb a reader pinned to the old version
+    assert(TxTable.readVersion(spark, dir, 1).count() == 5000)
+  }
+
+  test("upsertPartitioned pins partition types: leading-zero string partitions survive") {
+    val s = spark
+    import s.implicits._
+    // partition values "07"/"10" re-infer as INTS from the directory
+    // names; before the schema pin the prune filter matched nothing and
+    // the swap dropped every pre-existing non-updated key in "07"
+    val dir = tmpTable("graft_uppart_types")
+    val base = Seq((1L, "07", "a"), (2L, "07", "b"), (3L, "10", "c"))
+      .toDF("id", "day", "v")
+    Sinks.upsertPartitioned(spark, dir, base, Seq("id", "day"), Seq("day"))
+    Sinks.upsertPartitioned(spark, dir,
+      Seq((2L, "07", "B2")).toDF("id", "day", "v"),
+      Seq("id", "day"), Seq("day"))
+    val out = spark.read.option("basePath", dir)
+      .schema(base.schema).parquet(dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+      "id=1 in day=07 must survive an upsert that touches day=07")
+  }
+}
