@@ -334,22 +334,29 @@ object SparkEntry {
             n = 3, minJ = 0.2))
         .orderBy("id")),
 
+    // the oracle-gated dedup queries run with md5Hash60 (bit-for-bit
+    // reproducible in DuckDB, so candidates/pairs/simhash hash-verify
+    // end-to-end); the xxhash64 scale default stays covered by the
+    // known-dup ScalaTests
     "q_x_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, numPerms = 64, bands = 16)
+          n = 3, numPerms = 64, bands = 16, hash = TextAnalysis.md5Hash60)
         .orderBy("id_a", "id_b")),
 
     "q_x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJ = 0.4, numPerms = 64, bands = 16)
+          n = 3, minJ = 0.4, numPerms = 64, bands = 16,
+          hash = TextAnalysis.md5Hash60)
         .orderBy("id_a", "id_b")),
 
     "q_x_simhash" -> ((s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
+          hash = TextAnalysis.md5Hash60)
         .orderBy("id")),
 
     "q_x_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3,
+          hash = TextAnalysis.md5Hash60)
         .orderBy("id_a", "id_b")),
 
     // ---- LLM-pipeline: text analysis
@@ -389,8 +396,9 @@ object SparkEntry {
 
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
-          k = 8, w = 4)
-        .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
+          k = 8, w = 4, hash = TextAnalysis.md5Hash60)
+        .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy("doc_id")),
 
     "q_x_events_props" -> ((s, dir) =>
@@ -410,7 +418,10 @@ object SparkEntry {
     "q_x_training_pipeline_full" -> ((s, dir) =>
       graft.pipeline.TrainingData.run(t(s, dir, "documents"),
           graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = true,
-            minJaccard = 0.5, sampleFraction = 0.8))
+            minJaccard = 0.5, sampleFraction = 0.8,
+            minhashHash = TextAnalysis.md5Hash60,
+            sampleHash = (salt, id) =>
+              TextAnalysis.md5Hash60(concat_ws(":", salt, id))))
         .orderBy("doc_id")),
 
     "q_x_training_report" -> ((s, dir) =>
@@ -551,12 +562,65 @@ object SparkEntry {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${sqlDot(vec, sqlPlaneLit(p))} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-
-  /** Oracle for the (nearDup=false) training pipeline — also reused as
-    * the input CTE of the q_x_training_report oracle.
+  /** DuckDB mirror of [[TextAnalysis.md5Hash60]]: 60-bit bigint from the
+    * md5 hex prefix. Spark's `conv(substring(md5(x),1,15),16,10)` and
+    * DuckDB's 0x-cast parse the same 15 hex digits of the same digest.
     */
-  private lazy val trainingPipelineSql: String =
-    s"""WITH m0 AS (SELECT doc_id, text, source,
+  private def sqlH60(x: String) = s"(('0x'||substr(md5($x),1,15))::BIGINT)"
+  /** Shared CTE chain mirroring
+    * [[Dedup.minhashSignatures]](n=3, numPerms=64, hash=md5Hash60): the
+    * permutation constants are the SAME fixed-seed [[Dedup.perms]]
+    * values the Spark plan bakes in, interpolated verbatim; products
+    * stay < 2^62 so DuckDB bigint arithmetic matches ANSI Spark exactly.
+    */
+  private def sqlMinhashSigFrom(src: String, numPerms: Int): String = {
+    val aggs = Dedup.perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.P}) AS s$i"
+    }.mkString(", ")
+    s"""d AS (SELECT doc_id, $sqlToks AS toks FROM $src),
+       |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+       |        FROM d WHERE len(toks) >= 3),
+       |hs AS (SELECT id, ${sqlH60("shingle")} % ${Dedup.P} AS h FROM idx),
+       |sig AS (SELECT id, $aggs FROM hs GROUP BY id)""".stripMargin
+  }
+  private lazy val sqlMinhashSig: String = sqlMinhashSigFrom("documents", 64)
+  /** Band rows mirroring [[Dedup.minhashCandidates]] banding: bucket =
+    * md5Hash60 of the comma-joined signature slice (bigint→string
+    * rendering is plain decimal in both engines).
+    */
+  private def sqlMinhashBandRowsOf(bands: Int, r: Int): String = {
+    val branches = (0 until bands).map { b =>
+      val cols = (b * r until b * r + r).map(i => s"s$i").mkString(", ")
+      s"SELECT id, $b AS band, ${sqlH60(s"concat_ws(',', $cols)")} AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"bandrows AS ($branches)"
+  }
+  private lazy val sqlMinhashBandRows: String = sqlMinhashBandRowsOf(16, 4)
+  private lazy val sqlMinhashCand: String =
+    s"""cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bandrows a JOIN bandrows b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
+  /** CTE chain mirroring [[Dedup.simhash]] with the 60-bit md5 hash:
+    * bits 60..63 of a 60-bit hash are all-zero, every token contributes
+    * -1 there, the sign test fails, and the simhash never sets them —
+    * so the 60-term SQL equals the Spark plan's 64-term form.
+    */
+  private lazy val sqlSimhash: String = {
+    val sums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val hash = (0 until 60).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id AS id, unnest($sqlToks) AS t FROM documents),
+       |th AS (SELECT id, ${sqlH60("t")} AS h FROM tok),
+       |bits AS (SELECT id, $sums FROM th GROUP BY id),
+       |sh AS (SELECT id, $hash AS simhash FROM bits)""".stripMargin
+  }
+
+  /** Annotation CTEs shared by every training-pipeline oracle: m0 =
+    * per-doc raw counts, m = derived annotations (lang, quality).
+    */
+  private lazy val trainingAnnotateCtes: String =
+    s"""m0 AS (SELECT doc_id, text, source,
        |  CAST(len($sqlToks) AS BIGINT) AS n,
        |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en,
        |  CAST(len(list_filter($sqlToks, t -> t IN ('el','la','de','y','que','en','los'))) AS BIGINT) AS es,
@@ -579,7 +643,13 @@ object SparkEntry {
        |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(en AS DOUBLE)/CAST(n AS DOUBLE) END)
        |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
        |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality
-       |  FROM m0)
+       |  FROM m0)""".stripMargin
+
+  /** Oracle for the (nearDup=false) training pipeline — also reused as
+    * the input CTE of the q_x_training_report oracle.
+    */
+  private lazy val trainingPipelineSql: String =
+    s"""WITH $trainingAnnotateCtes
        |SELECT doc_id, text, source, n_tokens, n_bpe_tokens, fingerprint,
        |  lang_pred, quality
        |FROM m WHERE quality >= 0.3
@@ -814,6 +884,46 @@ object SparkEntry {
     "q_x_training_pipeline" ->
       s"$trainingPipelineSql\nORDER BY doc_id",
 
+    // the FULL pipeline: quality → exact dedup → MinHash(128 perms,
+    // 32 bands, md5Hash60) candidates → jaccard>=0.5 verify → recursive
+    // connected components → drop non-canonical ids → 80% salted-hash
+    // sample → annotations. Every stage mirrors a Spark operator whose
+    // standalone oracle is already green.
+    "q_x_training_pipeline_full" ->
+      s"""WITH RECURSIVE $trainingAnnotateCtes,
+         |ex AS (SELECT doc_id, text, source, n_tokens, n_bpe_tokens,
+         |         fingerprint, lang_pred, quality
+         |  FROM m WHERE quality >= 0.3
+         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |${sqlMinhashSigFrom("ex", 128)},
+         |${sqlMinhashBandRowsOf(32, 4)},
+         |$sqlMinhashCand,
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN idx a ON a.id = c.id_a
+         |  JOIN idx b ON b.id = c.id_b AND a.shingle = b.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |losers AS (SELECT id FROM
+         |  (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) WHERE id <> comp)
+         |SELECT doc_id, text, source, n_tokens, n_bpe_tokens, fingerprint,
+         |  lang_pred, quality
+         |FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |  AND ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 800000
+         |ORDER BY doc_id""".stripMargin,
+
     "q_x_training_report" ->
       s"""WITH corpus AS ($trainingPipelineSql)
          |SELECT lang_pred, COUNT(*) AS n_docs,
@@ -864,6 +974,62 @@ object SparkEntry {
          |  UNION
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_x_minhash_candidates" ->
+      s"""WITH $sqlMinhashSig,
+         |$sqlMinhashBandRows,
+         |$sqlMinhashCand
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_minhash_pairs" ->
+      s"""WITH $sqlMinhashSig,
+         |$sqlMinhashBandRows,
+         |$sqlMinhashCand,
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN idx a ON a.id = c.id_a
+         |  JOIN idx b ON b.id = c.id_b AND a.shingle = b.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.id
+         |JOIN sizes sb ON i.id_b = sb.id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_simhash" ->
+      s"""WITH $sqlSimhash
+         |SELECT id, simhash FROM sh ORDER BY id""".stripMargin,
+
+    "q_x_simhash_pairs" ->
+      s"""WITH $sqlSimhash,
+         |cr AS (SELECT id, simhash, c AS chunk,
+         |         (simhash >> (c * 16)) & 65535 AS key
+         |       FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM cr a JOIN cr b
+         |  ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_text_winnow" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+         |       ELSE list_transform(range(1, length(text) - 6),
+         |              i -> ${sqlH60("substr(text, i, 8)")}) END AS hs
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         |       WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |       ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+         |              j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))) END AS fp
+         |  FROM h)
+         |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fingerprints,
+         |  list_min(fp) AS fp_min, list_max(fp) AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_x_text_stats" ->
       s"""SELECT doc_id,

@@ -86,26 +86,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Large prime below 2^31 for the universal-hash family. */
-  private val P = 2147483629L
+  /** Large prime below 2^31 for the universal-hash family. Exposed (with
+    * [[perms]]) so the oracle SQL can interpolate the identical
+    * constants.
+    */
+  private[graft] val P = 2147483629L
   /** Deterministic (a, b) per permutation — fixed seed, no RNG at plan
     * time (reproducible across runs and resumable jobs).
     */
-  private def perms(numPerms: Int): Seq[(Long, Long)] = {
+  private[graft] def perms(numPerms: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(numPerms)((1 + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
   }
 
   /** MinHash signature columns s0..s{p-1} per id.
     *
-    * h(shingle) = xxhash64 folded into [0, P); perm_i = (a_i*h + b_i) mod
+    * h(shingle) = `hash` folded into [0, P); perm_i = (a_i*h + b_i) mod
     * P (products < 2^62 — safe under ANSI); signature_i = min over the
     * doc's shingles. One shuffle (groupBy id).
+    *
+    * `hash` only needs determinism: the default is xxhash64 (fastest);
+    * pass [[TextAnalysis.md5Hash60]] to make the whole MinHash path
+    * reproducible in an external SQL oracle.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numPerms: Int): DataFrame = {
+                        n: Int, numPerms: Int,
+                        hash: Column => Column = xxhash64(_)): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("h", pmod(hash(col("shingle")), lit(P)))
     val aggs = perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"s$i")
     }
@@ -122,13 +130,14 @@ object Dedup {
     * times (measured 16× slowdown at sf0.1).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+                        n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+                        hash: Column => Column = xxhash64(_)): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numPerms)
+    val sig = minhashSignatures(df, idCol, textCol, n, numPerms, hash)
     val bandStructs = (0 until bands).map { bIdx =>
       val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"s$i"))
-      struct(lit(bIdx).as("band"), xxhash64(concat_ws(",", cols: _*)).as("bucket"))
+      struct(lit(bIdx).as("band"), hash(concat_ws(",", cols: _*)).as("bucket"))
     }
     val bandRows = sig
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
@@ -148,8 +157,9 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJ: Double = 0.8,
-                        numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands)
+                        numPerms: Int = 128, bands: Int = 32,
+                        hash: Column => Column = xxhash64(_)): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands, hash)
     val sh = TextAnalysis.withShingles(
         df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
       .select("id", "sh")
@@ -264,21 +274,25 @@ object Dedup {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff
-    * sum over tokens of (2*bit_b(xxhash64(token)) - 1) > 0. Computed as
+    * sum over tokens of (2*bit_b(hash(token)) - 1) > 0. Computed as
     * 64 conditional sums in ONE aggregation (single shuffle by id).
+    * With a narrower `hash` (e.g. the 60-bit [[TextAnalysis.md5Hash60]])
+    * the high bits are always 0-majority and the simhash simply never
+    * sets them — semantics unchanged.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              hash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", hash(col("t")))
     val bitSums = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { b =>
+    val combined = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), hash.as("simhash"))
+    agg.select(col("id"), combined.as("simhash"))
   }
 
   /** SimHash near-dup candidates with Hamming distance <= maxHam, found
@@ -286,10 +300,11 @@ object Dedup {
     * chunks equal) — again an equi-join, never all-pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHam: Int = 3): DataFrame = {
+                   maxHam: Int = 3,
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxHam + 1
     val width = 64 / chunks
-    val sh = simhash(df, idCol, textCol)
+    val sh = simhash(df, idCol, textCol, hash)
     // One explode, not a per-chunk unionAll (which would recompute the
     // simhash aggregation `chunks` times — see minhashCandidates).
     val chunkStructs = (0 until chunks).map { c =>

@@ -19,15 +19,20 @@ object Sampling {
 
   private val Buckets = 1000000L
 
-  /** Keep ~`fraction` of rows, decided by `xxhash64(idCol, salt)`.
+  /** Keep ~`fraction` of rows, decided by `hash(salt, idCol)`.
     * Same id ⇒ same decision everywhere (consistent sampling).
+    * The default hash is `xxhash64(salt, id)` (fastest); any
+    * deterministic salted hash works — e.g.
+    * `(s, c) => TextAnalysis.md5Hash60(concat_ws(":", s, c))` to make
+    * the selection reproducible in an external SQL oracle.
     */
   def consistentSample(df: DataFrame, idCol: String, fraction: Double,
-                       salt: String = "graft"): DataFrame = {
+                       salt: String = "graft",
+                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
     // round, not truncate: (0.000249 * 1e6).toLong == 248
     val cut = math.round(fraction * Buckets)
-    df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cut)
+    df.filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < cut)
   }
 
   /** At most `k` rows per group, chosen as the k smallest id-hashes —
@@ -56,13 +61,14 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        fractions: Map[String, Double],
                        defaultFraction: Double = 0.0,
-                       salt: String = "graft"): DataFrame = {
+                       salt: String = "graft",
+                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
     val cutExpr = fractions.foldLeft(lit(math.round(defaultFraction * Buckets))) {
       case (acc, (value, f)) =>
         when(col(stratumCol) === value, lit(math.round(f * Buckets))).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(Buckets)) < cutExpr)
+    df.filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < cutExpr)
   }
 }

@@ -29,6 +29,12 @@ import graft.text.TextAnalysis
   * @param sampleFraction GLOBAL deterministic keep fraction (id-hash)
   * @param sourceFractions optional per-source keep fractions; sources
   *                        not in the map fall back to `sampleFraction`
+  * @param minhashHash hash for the MinHash near-dup stage — determinism
+  *                    is the only requirement; the xxhash64 default is
+  *                    fastest, [[TextAnalysis.md5Hash60]] makes the
+  *                    stage reproducible in an external SQL oracle
+  * @param sampleHash  salted id-hash for the sampling decision (same
+  *                    trade-off)
   */
 case class TrainingDataConfig(
     idCol: String = "doc_id",
@@ -38,7 +44,11 @@ case class TrainingDataConfig(
     nearDup: Boolean = true,
     minJaccard: Double = 0.8,
     sampleFraction: Double = 1.0,
-    sourceFractions: Map[String, Double] = Map.empty)
+    sourceFractions: Map[String, Double] = Map.empty,
+    minhashHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      xxhash64(_),
+    sampleHash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = xxhash64(_, _))
 
 object TrainingData {
 
@@ -61,15 +71,17 @@ object TrainingData {
         val exact = exact0.localCheckpoint()
         Dedup.keepCanonical(exact, cfg.idCol,
           Dedup.minhashDedupPairs(exact, cfg.idCol, cfg.textCol,
-            minJ = cfg.minJaccard))
+            minJ = cfg.minJaccard, hash = cfg.minhashHash))
       }
 
     val sampled =
       if (cfg.sourceFractions.nonEmpty)
         Sampling.stratifiedSample(canonical, cfg.sourceCol, cfg.idCol,
-          cfg.sourceFractions, defaultFraction = cfg.sampleFraction)
+          cfg.sourceFractions, defaultFraction = cfg.sampleFraction,
+          hash = cfg.sampleHash)
       else if (cfg.sampleFraction >= 1.0) canonical
-      else Sampling.consistentSample(canonical, cfg.idCol, cfg.sampleFraction)
+      else Sampling.consistentSample(canonical, cfg.idCol, cfg.sampleFraction,
+        hash = cfg.sampleHash)
 
     sampled.select(
       id, text, col(cfg.sourceCol),

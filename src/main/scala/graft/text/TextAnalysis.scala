@@ -54,6 +54,19 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** 60-bit deterministic hash from the md5 hex prefix. The hash the
+    * ORACLE-GATED queries use: it is reproducible bit-for-bit in ANSI
+    * SQL engines (DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`), so
+    * every hash-parameterized operator (MinHash, SimHash, winnowing)
+    * becomes end-to-end hash-verifiable against an external oracle.
+    * Always non-negative (60 < 63 bits). Costs a full md5 digest + hex
+    * decode per call — roughly 3× xxhash64 — so the SCALE default for
+    * those operators stays `xxhash64`; only determinism is required of
+    * the hash, not any particular function.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Per-language stopword lists used by [[langScores]]. Deliberately
     * tiny — this is the classic cheap n-gram/stopword heuristic, not a
     * trained model; the point is the *shape* (pure column expressions,
@@ -140,11 +153,12 @@ object TextAnalysis {
     * is DESCENDING `[1, 0]`, not empty — the short-text case must be
     * guarded explicitly.)
     */
-  def rollingHashes(text: Column, k: Int): Column =
+  def rollingHashes(text: Column, k: Int,
+                    hash: Column => Column = xxhash64(_)): Column =
     when(length(text) < k, array().cast("array<bigint>"))
       .otherwise(transform(
         sequence(lit(1), length(text) - lit(k - 1)),
-        i => xxhash64(text.substr(i, lit(k)))))
+        i => hash(text.substr(i, lit(k)))))
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * minima of every `w`-wide window over the k-gram rolling hashes.
@@ -159,8 +173,9 @@ object TextAnalysis {
     * Use it only on short strings / in tests; pipelines must use
     * [[winnowFingerprints]], which materializes the hashes once per row.
     */
-  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
-    winnowFromHashes(rollingHashes(text, k), w)
+  def winnowFingerprint(text: Column, k: Int, w: Int,
+                        hash: Column => Column = xxhash64(_)): Column =
+    winnowFromHashes(rollingHashes(text, k, hash), w)
 
   private def winnowFromHashes(hs: Column, w: Int): Column = {
     val m = size(hs)
@@ -180,9 +195,10 @@ object TextAnalysis {
     * hash expression is non-cheap and referenced repeatedly.
     */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
-                         outCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+                         outCol: String, k: Int, w: Int,
+                         hash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
     val hsCol = Iterator.from(0).map(i => s"__wh$i").find(!df.columns.contains(_)).get
-    df.withColumn(hsCol, rollingHashes(col(textCol), k))
+    df.withColumn(hsCol, rollingHashes(col(textCol), k, hash))
       .withColumn(outCol, winnowFromHashes(col(hsCol), w))
       .drop(hsCol)
   }
