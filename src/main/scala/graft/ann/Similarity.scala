@@ -79,18 +79,24 @@ object Similarity {
     * (one narrow stage vs a broadcast centroid set + one shuffle for
     * the per-row argmax); the probe join is an equi-join on list id;
     * each Lloyd iteration adds one assignment pass + one (list, dim)
-    * aggregation — at full scale run refinement on a hash-sample of the
-    * corpus (centroid quality needs ~1000 points per list, not every
-    * row). With `nprobe = numLists` every list is probed and the result
-    * is EXACTLY [[bruteForceTopK]] (pinned by test) regardless of where
-    * the centroids sit — recall tuning is the nprobe/numLists trade.
+    * aggregation over the REFINEMENT SET — `refineFraction < 1` runs
+    * refinement on a deterministic hash-sample of the corpus
+    * ([[graft.ops.Sampling.consistentSample]], materialized once),
+    * because centroid quality needs ~1000 points per list, not every
+    * row; at 100 TB this is the difference between Lloyd scanning the
+    * corpus per iteration and scanning a fixed small sample. With
+    * `nprobe = numLists` every list is probed and the result is EXACTLY
+    * [[bruteForceTopK]] (pinned by test) regardless of where the
+    * centroids sit — recall tuning is the nprobe/numLists trade.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numLists: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              kmeansIters: Int = 2): DataFrame = {
+              kmeansIters: Int = 2, refineFraction: Double = 1.0): DataFrame = {
     require(numLists > 0 && nprobe > 0 && nprobe <= numLists,
       "need 0 < nprobe <= numLists")
+    require(refineFraction > 0 && refineFraction <= 1,
+      "need 0 < refineFraction <= 1")
     // Centroids come from the zero-norm-FILTERED corpus (a NaN-cosine
     // centroid would attract every row — NaN sorts first under desc)
     // and are materialized ONCE (localCheckpoint): the frame is
@@ -106,8 +112,16 @@ object Similarity {
         col(vecCol).cast("array<double>").as("centroid"),
         norm(col(vecCol)).as("cent_n"))
       .localCheckpoint()
-    val pts = corpus.select(col(idCol), col(vecCol),
+    val ptsAll = corpus.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    // The sample is materialized once (localCheckpoint), so EVERY Lloyd
+    // iteration re-scans the small cached sample, not the corpus scan +
+    // filter lineage.
+    val pts =
+      if (refineFraction >= 1.0 || kmeansIters == 0) ptsAll
+      else graft.ops.Sampling
+        .consistentSample(ptsAll, idCol, refineFraction)
+        .localCheckpoint()
     val cents = (1 to kmeansIters).foldLeft(seeds) { (c, _) =>
       lloydStep(pts, c, idCol, vecCol).localCheckpoint()
     }
@@ -200,6 +214,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64, probeRadius: Int = 0): DataFrame = {
+    require(numPlanes > 0 && numPlanes <= 63,
+      "need 0 < numPlanes <= 63 (bucket is a long of sign bits)")
     require(probeRadius >= 0 && probeRadius <= numPlanes,
       "need 0 <= probeRadius <= numPlanes")
     val planes = hyperplanes(numPlanes, dim)
@@ -208,8 +224,7 @@ object Similarity {
       .filter(col("cn") > 0) // see bruteForceTopK: NaN sorts above all
     // all bit-flip masks with popcount <= radius; distinct masks give
     // distinct probe buckets, so no (query, neighbor) pair dedup needed
-    val masks = (0 until (1 << numPlanes))
-      .filter(m => Integer.bitCount(m) <= probeRadius).map(_.toLong)
+    val masks = flipMasks(numPlanes, probeRadius)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
       .filter(col("qn") > 0)
@@ -225,5 +240,18 @@ object Similarity {
         scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Distinct bit masks over `n` bit positions with popcount <=
+    * `radius`, enumerated by choosing the set bits directly —
+    * O(sum C(n, i)), so large `n` with a small radius stays cheap
+    * (a 2^n sweep would be intractable AND overflow Int at n >= 31).
+    */
+  private[graft] def flipMasks(n: Int, radius: Int): Seq[Long] = {
+    def choose(start: Int, rem: Int): Seq[Long] =
+      if (rem == 0) Seq(0L)
+      else (start to n - rem).flatMap(i =>
+        choose(i + 1, rem - 1).map(_ | (1L << i)))
+    (0 to radius).flatMap(choose(0, _))
   }
 }

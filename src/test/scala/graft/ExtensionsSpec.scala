@@ -315,10 +315,17 @@ class SimilaritySpec extends SparkSpec {
       nprobe = 4, kmeansIters = 4))
     val ivf5 = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8,
       nprobe = 5))
+    // sampled refinement: Lloyd runs on a 75% hash-sample instead of the
+    // full corpus — the 100 TB configuration. (75% on this 500-vector
+    // fixture keeps ~47 points/list; at scale the absolute sample is
+    // thousands per list and the fraction far smaller.)
+    val ivf5s = topkSet(Similarity.ivfTopK(emb, queries, 10, numLists = 8,
+      nprobe = 5, kmeansIters = 4, refineFraction = 0.75))
     def recall(s: Set[(Long, Long)]) = s.intersect(brute).size.toDouble / brute.size
     info(f"recall@10 over 20 queries: lsh(4 planes)=${recall(lsh)}%.3f " +
       f"lsh(radius 1)=${recall(lshMp)}%.3f ivf(4/8, sampled)=${recall(ivf0)}%.3f " +
-      f"ivf(4/8, kmeans x4)=${recall(ivf)}%.3f ivf(5/8, kmeans x2)=${recall(ivf5)}%.3f")
+      f"ivf(4/8, kmeans x4)=${recall(ivf)}%.3f ivf(5/8, kmeans x2)=${recall(ivf5)}%.3f " +
+      f"ivf(5/8, kmeans x4 on 75%% sample)=${recall(ivf5s)}%.3f")
     // The harness embeddings are near-uniform directions (no cluster
     // structure), so IVF recall is governed mostly by the probed
     // fraction; k-means still buys +0.07..0.10 at the same nprobe
@@ -331,10 +338,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(ivf0) > 0.3, s"sampled-centroid ivf floor: ${recall(ivf0)}")
     assert(recall(ivf) >= 0.75, s"k-means ivf floor at 4/8: ${recall(ivf)}")
     assert(recall(ivf5) >= 0.85, s"k-means ivf floor at 5/8: ${recall(ivf5)}")
+    assert(recall(ivf5s) >= 0.85,
+      s"sample-refined ivf floor at 5/8: ${recall(ivf5s)}")
     assert(recall(ivf) > recall(ivf0),
       "k-means refinement must beat sampled centroids at the same nprobe")
     assert(recall(lshMp) >= recall(lsh) && ivf.nonEmpty,
       "multi-probe can only widen the candidate set")
+  }
+
+  test("flipMasks enumerates combinations, not a 2^n sweep") {
+    val m = Similarity.flipMasks(35, 2)
+    assert(m.size == 1 + 35 + 35 * 34 / 2, "C(35,0)+C(35,1)+C(35,2)")
+    assert(m.distinct.size == m.size, "masks are distinct")
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2))
+    assert(m.forall(x => x >= 0 && x < (1L << 35)))
+    // the old 0-until-(1<<n) sweep overflowed Int at n >= 31; a 63-plane
+    // radius-1 probe list must be exactly the 64 single-flip masks + id
+    assert(Similarity.flipMasks(63, 1).size == 64)
   }
 
   test("zero-norm vectors never appear as neighbors (NaN would sort first)") {
