@@ -51,14 +51,27 @@ object Dedup {
     * shingles (stopword runs) that would otherwise create a skewed hot
     * key at scale; None keeps exact semantics.
     */
+  /** [[shingleIndex]] with ubiquitous shingles (document frequency >
+    * `cap`) removed. A shingle appearing in d documents contributes
+    * d·(d−1)/2 candidate pairs to the inverted-index self-join AND d
+    * rows to one shuffle partition of the shingle key — a single
+    * stopword-run shared by 1M documents is a 5·10^11-pair hot key. The
+    * cap bounds per-key join fan-out and partition row counts at the
+    * cost of ignoring evidence from shingles too common to
+    * discriminate anyway.
+    */
+  def cappedShingleIndex(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, cap: Int): DataFrame = {
+    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val hot = idx0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+    idx0.join(hot, Seq("shingle"), "left_anti")
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    minJ: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val idx0 = shingleIndex(df, idCol, textCol, n)
-    val idx = maxShingleDf.fold(idx0) { cap =>
-      val hot = idx0.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("shingle")
-      idx0.join(hot, Seq("shingle"), "left_anti")
-    }
+    val idx = maxShingleDf.fold(shingleIndex(df, idCol, textCol, n))(
+      cappedShingleIndex(df, idCol, textCol, n, _))
     // Per-doc shingle counts come straight from the shingle ARRAY (one
     // narrow pass, no explode + groupBy) — except under maxShingleDf,
     // where counts must reflect the post-filter index.

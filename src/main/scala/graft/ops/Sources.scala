@@ -37,8 +37,12 @@ object Sources {
   def events(spark: SparkSession, dir: String): DataFrame = {
     // restore the session's prior conf afterwards: leaking nanosAsLong=true
     // would silently change every LATER nanos-parquet read in the session.
-    // (The conf only needs to hold during analysis of spark.read — the
-    // schema is resolved eagerly at load time.)
+    // Version-sensitivity, pinned by test ("nanosAsLong conf scope"):
+    // this relies on the conf being captured into the relation when
+    // spark.read.parquet RESOLVES the scan (so executing the returned —
+    // lazy — frame after the restore still works). That holds in Spark
+    // 4.1; if an upgrade moves the capture to action time, the pinning
+    // test fails loudly rather than this silently breaking downstream.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggregations, Casting, Joins, Projections, Sinks, Windows}
+import graft.ops.{Aggregations, Casting, Joins, Projections, Sinks, TxTable, Windows}
 
 /** The reference's 5-stage medallion topology (landing → bronze → silver →
   * gold; `/root/reference/README.md:9-15`) rebuilt from the ops library.
@@ -38,6 +38,18 @@ object Layers {
     spark.read.parquet(s"$lake/$layer/$table/$table.parquet")
   def write(df: DataFrame, lake: String, layer: String, table: String): Unit =
     Sinks.writeSingleFile(df, s"$lake/$layer", table)
+  /** Gold publish: the single-file contract by default, or a [[TxTable]]
+    * overwrite-commit (`tx = true`) so dashboards reading a resume table
+    * never race the refresh — gold is the layer with live readers, and
+    * the single-file rename window ([[Sinks.writeSingleFile]] delete +
+    * rename) is exactly the race a manifest commit removes. Tx gold
+    * tables live at the same `<lake>/gold/<table>` path and are read
+    * with [[TxTable.read]].
+    */
+  def publish(df: DataFrame, lake: String, layer: String, table: String,
+              tx: Boolean): Unit =
+    if (tx) { TxTable.overwrite(df.sparkSession, s"$lake/$layer/$table", df); () }
+    else write(df, lake, layer, table)
 }
 
 /** Landing → bronze: type cleanup (reference `aws-job-landing-to-bronze/
@@ -195,7 +207,9 @@ object SilverToSilver extends Stage {
 object SilverToGoldPlayer extends Stage {
   val name = "silver_to_gold_player"
 
-  def run(spark: SparkSession, lake: String): Unit = {
+  def run(spark: SparkSession, lake: String): Unit = run(spark, lake, tx = false)
+
+  def run(spark: SparkSession, lake: String, tx: Boolean): Unit = {
     val logs = Layers.read(spark, lake, "silver", "logs_gamesseason")
       .withColumn("game_date", col("game_date").cast("date")) // S2GP:34
     val latest = Windows.topOnePerGroup(logs, Seq("player_name"),
@@ -213,7 +227,7 @@ object SilverToGoldPlayer extends Stage {
         (sum(col("minutes")) * 60).cast("double").as("total_seconds"), // S2GP:70 shape
         countDistinct(col("game_date")).as("games_played"))            // S2GP:71
     val resume = Joins.enrichUsing(grouped, latest, Seq("player_name")) // S2GP:75
-    Layers.write(resume, lake, "gold", "player_resume")
+    Layers.publish(resume, lake, "gold", "player_resume", tx)
   }
 }
 
@@ -223,7 +237,9 @@ object SilverToGoldPlayer extends Stage {
 object SilverToGoldTeam extends Stage {
   val name = "silver_to_gold_team"
 
-  def run(spark: SparkSession, lake: String): Unit = {
+  def run(spark: SparkSession, lake: String): Unit = run(spark, lake, tx = false)
+
+  def run(spark: SparkSession, lake: String, tx: Boolean): Unit = {
     val gst = Layers.read(spark, lake, "silver", "games_season_teams")
     val resume = gst.groupBy("team_name", "nametag", "division", "conference")
       .agg(
@@ -232,7 +248,7 @@ object SilverToGoldTeam extends Stage {
         sum(col("three_point_field_goals_made")).as("total_three_points_made"),
         sum(col("plus_minus")).as("total_plus_minus"),
         countDistinct(col("game_date")).as("games_played"))
-    Layers.write(resume, lake, "gold", "team_resume")
+    Layers.publish(resume, lake, "gold", "team_resume", tx)
   }
 }
 
@@ -243,10 +259,19 @@ object Orchestrator {
   val stages: Seq[Stage] = Seq(LandingToBronze, BronzeToSilver,
     SilverToSilver, SilverToGoldPlayer, SilverToGoldTeam)
 
-  def runAll(spark: SparkSession, lake: String): Unit =
+  /** `goldTx = true` publishes the two gold marts through [[TxTable]]
+    * commits instead of the single-file sink (see [[Layers.publish]]);
+    * bronze/silver keep the reference's single-file contract — they
+    * chain stage-to-stage with no concurrent readers.
+    */
+  def runAll(spark: SparkSession, lake: String, goldTx: Boolean = false): Unit =
     stages.foreach { s =>
       spark.sparkContext.setJobGroup(s.name, s.name)
-      s.run(spark, lake)
+      s match {
+        case SilverToGoldPlayer => SilverToGoldPlayer.run(spark, lake, goldTx)
+        case SilverToGoldTeam => SilverToGoldTeam.run(spark, lake, goldTx)
+        case other => other.run(spark, lake)
+      }
     }
 
   /** CLI entry: `runMain graft.pipeline.Orchestrator <lakeRoot>`. */

@@ -151,6 +151,36 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("maxShingleDf caps hot-key fan-out: bounded per-shingle rows, near-dups kept") {
+    // skewed fixture: every doc shares one ubiquitous phrase (a hot
+    // shingle touching all 40 docs), but only 1 & 2 are real near-dups
+    val hot = "the terms of service apply here"
+    val in = df((1L to 40L).map { i =>
+      val tail = if (i == 2L) "unique payload alpha beta gamma one"
+                 else s"unique payload alpha${i} beta${i} gamma${i} ${i}"
+      Doc(if (i == 1L) 1L else i, s"$hot $tail", "s")
+    }.toSeq ++ Seq(Doc(41L, s"$hot unique payload alpha beta gamma one", "s")))
+
+    // the capped inverted index must bound rows per shingle key — this
+    // IS the per-partition bound for the shingle-keyed shuffle join
+    val cap = 10
+    val maxDf = Dedup.cappedShingleIndex(in, "doc_id", "text", 3, cap)
+      .groupBy("shingle").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    assert(maxDf <= cap, s"capped index still has a shingle in $maxDf docs")
+
+    // capped pairs: the real near-dup pair (2, 41) survives (shares rare
+    // shingles), while hot-shingle-only pairs can no longer reach the
+    // join at all
+    val capped = Dedup.jaccardPairs(in, "doc_id", "text", 3, 0.3,
+      maxShingleDf = Some(cap)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((2L, 41L)), s"true near-dup lost: $capped")
+    val uncapped = Dedup.jaccardPairs(in, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap only removes evidence, never invents pairs")
+  }
+
   test("simhash of identical docs is identical; pairs found at distance 0") {
     val in = df(Seq(
       Doc(1, "alpha beta gamma delta", "s"),
@@ -344,6 +374,23 @@ class SimilaritySpec extends SparkSpec {
       "k-means refinement must beat sampled centroids at the same nprobe")
     assert(recall(lshMp) >= recall(lsh) && ivf.nonEmpty,
       "multi-probe can only widen the candidate set")
+  }
+
+  test("nanosAsLong conf scope: events frame executes after restore; conf not leaked") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val ev = graft.ops.Sources.events(spark, "/root/testdata/sf0.001")
+    // the conf must already be restored (not leaked session-wide) ...
+    assert(spark.conf.getOption(key).forall(_ == "false"), "conf leaked")
+    // ... and the LAZY frame must still execute afterwards — this is the
+    // load-time conf-capture assumption Sources.events documents
+    assert(ev.count() > 0)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // a raw read without the conf still rejects TIMESTAMP(NANOS): the
+    // restore really did return the session to its strict default
+    intercept[Exception] {
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+    }
   }
 
   test("flipMasks enumerates combinations, not a 2^n sweep") {

@@ -179,4 +179,31 @@ class PipelineSpec extends SparkSpec {
       assert(files == Seq(s"$t.parquet"), s"$layer/$t: $files")
     }
   }
+
+  test("goldTx: gold marts published as TxTable commits match the single-file outputs") {
+    import graft.ops.TxTable
+    // a SECOND lake so the golden single-file run above stays untouched
+    val lake2 = java.nio.file.Files.createTempDirectory("graft_lake_tx").toString
+    for (t <- Seq("ld_gamelogs", "ld_games", "ld_season", "ld_teams")) {
+      val src = s"$lake/landing/$t.parquet"
+      spark.read.parquet(src).write.parquet(s"$lake2/landing/$t.parquet")
+    }
+    Orchestrator.runAll(spark, lake2, goldTx = true)
+    for (t <- Seq("player_resume", "team_resume")) {
+      assert(TxTable.versions(spark, s"$lake2/gold/$t") == Seq(1L),
+        s"gold/$t must be one committed version")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).toSet
+      assert(rows(TxTable.read(spark, s"$lake2/gold/$t")) ==
+        rows(Layers.read(spark, lake, "gold", t)),
+        s"tx-published gold/$t differs from the single-file publish")
+      // refresh (stage re-run) commits v2; a pinned reader keeps v1
+      if (t == "player_resume") SilverToGoldPlayer.run(spark, lake2, tx = true)
+      else SilverToGoldTeam.run(spark, lake2, tx = true)
+      assert(TxTable.versions(spark, s"$lake2/gold/$t") == Seq(1L, 2L))
+      assert(rows(TxTable.readVersion(spark, s"$lake2/gold/$t", 1)) ==
+        rows(TxTable.readVersion(spark, s"$lake2/gold/$t", 2)),
+        "idempotent re-run: same content either version")
+    }
+  }
 }
