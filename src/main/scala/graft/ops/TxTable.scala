@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -73,8 +74,11 @@ object TxTable {
     }).sorted
   }
 
-  /** Head line is `<action> <nonce>`; nonce identifies the winning
-    * committer (pre-nonce manifests with a bare action still parse).
+  /** Head line is `<action> [key=value ...] <nonce>`; nonce identifies
+    * the winning committer (pre-nonce manifests with a bare action still
+    * parse). The optional `key=value` tokens carry commit metadata —
+    * notably the idempotence token streaming writes use (see
+    * [[commitMeta]]).
     */
   private def readManifest(fs: FileSystem, p: Path, v: Long): (String, Seq[String]) = {
     val in = fs.open(new Path(new Path(p, LogDir), manifestName(v)))
@@ -82,6 +86,23 @@ object TxTable {
                finally in.close()
     val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     (lines.head, lines.tail)
+  }
+
+  /** Metadata tokens of version `v`'s commit: the `key=value` pairs its
+    * writer embedded in the manifest head line (empty for commits written
+    * without metadata). Used by
+    * [[graft.streaming.StreamingSink]] to make `foreachBatch` appends
+    * idempotent — the committed (txnApp, txnVersion) pair lives in the
+    * same atomic unit as the file list, so a replayed micro-batch is
+    * detected no matter where the previous attempt crashed.
+    */
+  def commitMeta(spark: SparkSession, path: String, v: Long): Map[String, String] = {
+    val (fs, p) = fsFor(spark, path)
+    val head = readManifest(fs, p, v)._1
+    head.split(' ').drop(1).dropRight(1)
+      .filter(_.contains('=')).map { t =>
+        val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
+      }.toMap
   }
 
   /** Snapshot read of the newest committed version. `mergeSchema` unions
@@ -122,28 +143,110 @@ object TxTable {
       // commit that wrote the (empty) version — its parquet footer is
       // there even with zero rows... there is none, so fail loudly
       sys.error(s"version $v of $path is an empty snapshot with no files")
-    else {
-      // Partition discovery walks each file's parents collecting
-      // key=value dirs and requires every file to resolve the SAME
-      // non-partition base — but a snapshot built by append/replace
-      // holds files from several immutable commit dirs
-      // (data/<uuidA>/day=10, data/<uuidB>/day=40), whose bases differ.
-      // So: scan per commit dir (each is internally consistent:
-      // key=value parents under one uuid base) and union the scans.
-      // The union is N = live-commit-dirs branches — bounded by commits
-      // since the last overwrite, vacuum resets it — and filters/pruning
-      // push into every branch.
-      def scan(group: Seq[String]): DataFrame = {
-        val r = spark.read.option("mergeSchema", mergeSchema.toString)
-          .option("basePath", p.toString)
-        schema.fold(r)(r.schema)
-          .parquet(group.map(f => new Path(p, f).toString): _*)
-      }
-      files.groupBy(_.split('/').take(2).mkString("/")).toSeq
-        .sortBy(_._1).map(g => scan(g._2))
-        // mergeSchema also widens ACROSS commit dirs (append may have
-        // added columns); without it a heterogeneous union fails loudly
-        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    else scanFiles(spark, p, files, mergeSchema, schema)
+  }
+
+  /** Scan an explicit manifest-relative file list as one DataFrame.
+    *
+    * Partition discovery walks each file's parents collecting
+    * key=value dirs and requires every file to resolve the SAME
+    * non-partition base — but a snapshot built by append/replace
+    * holds files from several immutable commit dirs
+    * (data/<uuidA>/day=10, data/<uuidB>/day=40), whose bases differ.
+    * So: scan per commit dir (each is internally consistent:
+    * key=value parents under one uuid base) and union the scans.
+    * The union is N = live-commit-dirs branches — bounded by commits
+    * since the last overwrite, vacuum resets it — and filters/pruning
+    * push into every branch.
+    */
+  private def scanFiles(spark: SparkSession, p: Path, files: Seq[String],
+                        mergeSchema: Boolean,
+                        schema: Option[StructType]): DataFrame = {
+    def scan(group: Seq[String]): DataFrame = {
+      val r = spark.read.option("mergeSchema", mergeSchema.toString)
+        .option("basePath", p.toString)
+      schema.fold(r)(r.schema)
+        .parquet(group.map(f => new Path(p, f).toString): _*)
+    }
+    files.groupBy(_.split('/').take(2).mkString("/")).toSeq
+      .sortBy(_._1).map(g => scan(g._2))
+      // mergeSchema also widens ACROSS commit dirs (append may have
+      // added columns); without it a heterogeneous union fails loudly
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
+  /** Manifest-relative data files added and removed between two
+    * committed versions: `(added, removed)` where `added` is in
+    * `toV`'s snapshot but not `fromV`'s and `removed` the reverse.
+    * Pure log arithmetic — no data I/O; cost is two manifest reads
+    * regardless of table size. Data files are immutable and
+    * content-addressed by commit uuid, so path set-difference IS the
+    * change set (a file is never rewritten in place).
+    */
+  def changedFiles(spark: SparkSession, path: String,
+                   fromV: Long, toV: Long): (Seq[String], Seq[String]) = {
+    val (fs, p) = fsFor(spark, path)
+    val from = readManifest(fs, p, fromV)._2.toSet
+    val to = readManifest(fs, p, toV)._2.toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** Incremental read: exactly the rows in files ADDED between `fromV`
+    * (exclusive) and `toV` (inclusive; defaults to the head). This is
+    * the consume-the-delta primitive for incremental pipelines — at
+    * 100 TB the difference between re-scanning the lake and scanning
+    * one day's commits. I/O is proportional to the appended data, not
+    * the table; a consumer that remembers the last version it processed
+    * gets at-least-once incremental processing with no full rescans.
+    *
+    * For append-only tables this is complete CDC. Commits that also
+    * remove files (overwrite / replacePartitions / compact) surface
+    * their rewritten rows as additions — pair with [[readChanges]] when
+    * the removed side matters. `fromV = 0` reads the full head snapshot
+    * (every live file is "added since before version 1").
+    */
+  def readAppended(spark: SparkSession, path: String, fromV: Long,
+                   toV: Long = -1L,
+                   mergeSchema: Boolean = false,
+                   schema: Option[StructType] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val hi = if (toV < 0) vs.last else toV
+    val (fs, p) = fsFor(spark, path)
+    val base =
+      if (fromV <= 0) Set.empty[String]
+      else readManifest(fs, p, fromV)._2.toSet
+    val added = readManifest(fs, p, hi)._2.filterNot(base)
+    if (added.nonEmpty) scanFiles(spark, p, added, mergeSchema, schema)
+    else // no new files: empty frame with the snapshot's schema
+      scanFiles(spark, p, readManifest(fs, p, hi)._2, mergeSchema, schema)
+        .where(lit(false))
+  }
+
+  /** Change-data-capture frame between two versions: rows of added
+    * files tagged `_change_type = "insert"`, rows of removed files
+    * tagged `"delete"`, in one DataFrame. File-granularity CDC — the
+    * same contract as Delta's CDF in its no-deletion-vectors mode: a
+    * rewritten file contributes its old rows as deletes and its new
+    * rows as inserts, and row-level diffing is the consumer's join.
+    * I/O is proportional to the CHANGED files only.
+    */
+  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                  mergeSchema: Boolean = false,
+                  schema: Option[StructType] = None): DataFrame = {
+    val (fs, p) = fsFor(spark, path)
+    val (added, removed) = changedFiles(spark, path, fromV, toV)
+    def tagged(files: Seq[String], tag: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(scanFiles(spark, p, files, mergeSchema, schema)
+        .withColumn("_change_type", lit(tag)))
+    (tagged(added, "insert"), tagged(removed, "delete")) match {
+      case (Some(a), Some(r)) => a.unionByName(r, allowMissingColumns = mergeSchema)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None) =>
+        readVersion(spark, path, toV, mergeSchema, schema)
+          .withColumn("_change_type", lit("insert")).where(lit(false))
     }
   }
 
@@ -151,13 +254,16 @@ object TxTable {
     * becomes exactly this write's files).
     */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-                partitionCols: Seq[String] = Nil): Long =
-    commit(spark, path, df, "overwrite", (_, _) => Seq.empty, partitionCols)
+                partitionCols: Seq[String] = Nil,
+                meta: Map[String, String] = Map.empty): Long =
+    commit(spark, path, df, "overwrite", (_, _) => Seq.empty, partitionCols,
+      meta)
 
   /** Append-commit `df`: next version = head's files + this write's. */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             partitionCols: Seq[String] = Nil): Long =
-    commit(spark, path, df, "append", (base, _) => base, partitionCols)
+             partitionCols: Seq[String] = Nil,
+             meta: Map[String, String] = Map.empty): Long =
+    commit(spark, path, df, "append", (base, _) => base, partitionCols, meta)
 
   /** Replace-commit: next version = the head's files that survive
     * `keepExisting` + this write's files. The partition-bounded publish
@@ -205,7 +311,14 @@ object TxTable {
   private def commit(spark: SparkSession, path: String, df: DataFrame,
                      action: String,
                      baseKeep: (Seq[String], Seq[String]) => Seq[String],
-                     partitionCols: Seq[String] = Nil): Long = {
+                     partitionCols: Seq[String] = Nil,
+                     meta: Map[String, String] = Map.empty): Long = {
+    require(meta.forall { case (k, v) =>
+      k.nonEmpty && !k.contains('=') &&
+        !(k + v).exists(c => c == ' ' || c == '\n')
+    }, "metadata keys must be nonempty and '='-free; keys and values " +
+       "must not contain spaces or newlines (they live in the head line)")
+    val metaTokens = meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -230,7 +343,8 @@ object TxTable {
       val base = head.map(v => readManifest(fs, p, v)._2).getOrElse(Seq.empty)
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
-      val body = (s"$action $nonce" +: (baseKeep(base, newFiles) ++ newFiles))
+      val head = (action +: metaTokens :+ nonce).mkString(" ")
+      val body = (head +: (baseKeep(base, newFiles) ++ newFiles))
         .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))
       if (claimSlot(fs, slot, body, nonce)) committed = next

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TxTable
+
+/** Streaming ingestion into the transaction-log table format:
+  * `foreachBatch` appends whose exactly-once guarantee comes from
+  * recording the (txnApp, txnVersion=micro-batch id) pair INSIDE the
+  * committed manifest (via [[TxTable.commitMeta]]) — the same idempotent-
+  * writer pattern Delta exposes as `txnAppId`/`txnVersion`.
+  *
+  * Why this is exactly-once: Structured Streaming's checkpoint replays
+  * any micro-batch whose sink write may not have completed. The append
+  * and its batch id commit in ONE atomic manifest claim, so on replay
+  * [[lastTxnVersion]] either sees the batch (crash happened after the
+  * claim → skip, no duplicate) or doesn't (crash before → append runs
+  * once). There is no state outside the log to get out of sync.
+  *
+  * Scale shape: each micro-batch is one append commit — O(batch) data
+  * I/O, O(1) manifest I/O — and readers downstream consume the table
+  * incrementally via [[TxTable.readAppended]], so an end-to-end
+  * stream → table → incremental-consumer pipeline never rescans
+  * history. The reference is batch-only (SURVEY.md §2.10); this is the
+  * north-star streaming lift of its publish step.
+  */
+object StreamingSink {
+
+  private val AppKey = "txnApp"
+  private val VerKey = "txnVersion"
+
+  /** Highest micro-batch id `txnApp` has committed to `path`, or None.
+    * Scans manifests newest-first: the common case (the sink's own last
+    * commit is at or near the head) resolves in one or two manifest
+    * reads; the worst case is O(commits since this app's last write),
+    * bounded by vacuum's retention like every other log walk.
+    */
+  def lastTxnVersion(spark: SparkSession, path: String,
+                     txnApp: String): Option[Long] =
+    TxTable.versions(spark, path).reverseIterator.flatMap { v =>
+      val m = TxTable.commitMeta(spark, path, v)
+      if (m.get(AppKey).contains(txnApp)) m.get(VerKey).map(_.toLong)
+      else None
+    }.nextOption()
+
+  /** Idempotent append of one micro-batch: skips iff a manifest already
+    * records a `txnVersion >= batchId` for this `txnApp` (replays are
+    * always of the LAST batch, so `>=` is the full dedup condition).
+    */
+  def appendBatch(path: String, txnApp: String,
+                  partitionCols: Seq[String] = Nil)
+                 (df: Dataset[Row], batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val already = TxTable.exists(spark, path) &&
+      lastTxnVersion(spark, path, txnApp).exists(_ >= batchId)
+    if (!already)
+      TxTable.append(spark, path, df, partitionCols,
+        meta = Map(AppKey -> txnApp, VerKey -> batchId.toString))
+  }
+
+  /** Start a streaming append of `stream` into the TxTable at `path`.
+    * `txnApp` names this writer for idempotence (one logical writer =
+    * one stable id); `checkpoint` is the Structured Streaming
+    * checkpoint dir (offsets + commit log).
+    */
+  def toTxTable(stream: DataFrame, path: String, txnApp: String,
+                checkpoint: String,
+                partitionCols: Seq[String] = Nil): StreamingQuery = {
+    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(appendBatch(path, txnApp, partitionCols) _)
+      .start()
+  }
+}
