@@ -50,7 +50,7 @@ object Joins {
                      expectedItems: Long = 1000000L,
                      numBits: Long = 8388608L): Array[Byte] = {
     val spark = dim.sparkSession
-    val hashed = XxHash64(Seq(GraftShim.toExpression(spark, dim(key))))
+    val hashed = new XxHash64(Seq(GraftShim.toExpression(spark, dim(key))))
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     dim.select(GraftShim.toColumn(agg).as("bf"))
@@ -61,7 +61,7 @@ object Joins {
     * Column — false-positive-prone, false-negative-free.
     */
   def mightContain(bloom: Array[Byte], keyCol: Column): Column = {
-    val value = XxHash64(Seq(GraftShim.toExpression(
+    val value = new XxHash64(Seq(GraftShim.toExpression(
       org.apache.spark.sql.SparkSession.active, keyCol)))
     GraftShim.toColumn(BloomFilterMightContain(Literal(bloom), value))
   }

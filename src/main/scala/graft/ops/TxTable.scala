@@ -343,8 +343,8 @@ object TxTable {
       val base = head.map(v => readManifest(fs, p, v)._2).getOrElse(Seq.empty)
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
-      val head = (action +: metaTokens :+ nonce).mkString(" ")
-      val body = (head +: (baseKeep(base, newFiles) ++ newFiles))
+      val headLine = (action +: metaTokens :+ nonce).mkString(" ")
+      val body = (headLine +: (baseKeep(base, newFiles) ++ newFiles))
         .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))
       if (claimSlot(fs, slot, body, nonce)) committed = next
