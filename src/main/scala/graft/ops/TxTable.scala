@@ -98,12 +98,25 @@ object TxTable {
     */
   def commitMeta(spark: SparkSession, path: String, v: Long): Map[String, String] = {
     val (fs, p) = fsFor(spark, path)
-    val head = readManifest(fs, p, v)._1
-    head.split(' ').drop(1).dropRight(1)
+    parseMeta(readManifest(fs, p, v)._1)
+  }
+
+  private def parseMeta(headLine: String): Map[String, String] =
+    headLine.split(' ').drop(1).dropRight(1)
       .filter(_.contains('=')).map { t =>
         val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
       }.toMap
-  }
+
+  /** Meta keys with this prefix are CARRIED FORWARD: every commit copies
+    * them from the previous head into its own head line (its own `meta`
+    * values winning on conflict). So the head manifest always holds the
+    * LATEST value per carried key even after [[vacuum]] prunes the
+    * manifest that originally wrote it — the log-compaction equivalent
+    * of Delta checkpoints retaining `SetTransaction` actions. Used for
+    * the streaming idempotence tokens (`txn.<app>`), whose loss under
+    * vacuum would silently re-append a replayed micro-batch.
+    */
+  private val CarriedMetaPrefix = "txn."
 
   /** Snapshot read of the newest committed version. `mergeSchema` unions
     * the schemas of all referenced files — required once appends have
@@ -216,11 +229,18 @@ object TxTable {
     val base =
       if (fromV <= 0) Set.empty[String]
       else readManifest(fs, p, fromV)._2.toSet
-    val added = readManifest(fs, p, hi)._2.filterNot(base)
+    val snapshot = readManifest(fs, p, hi)._2
+    val added = snapshot.filterNot(base)
     if (added.nonEmpty) scanFiles(spark, p, added, mergeSchema, schema)
-    else // no new files: empty frame with the snapshot's schema
-      scanFiles(spark, p, readManifest(fs, p, hi)._2, mergeSchema, schema)
-        .where(lit(false))
+    else if (snapshot.nonEmpty) // no new files: empty frame, snapshot schema
+      scanFiles(spark, p, snapshot, mergeSchema, schema).where(lit(false))
+    else schema match { // empty snapshot: no footer anywhere to infer from
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => sys.error(
+        s"version $hi of $path is an empty snapshot with no files — " +
+        "pass an explicit schema to read it as an empty frame")
+    }
   }
 
   /** Change-data-capture frame between two versions: rows of added
@@ -318,7 +338,6 @@ object TxTable {
         !(k + v).exists(c => c == ' ' || c == '\n')
     }, "metadata keys must be nonempty and '='-free; keys and values " +
        "must not contain spaces or newlines (they live in the head line)")
-    val metaTokens = meta.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -340,10 +359,17 @@ object TxTable {
     var committed = -1L
     while (committed < 0) {
       val head = versions(spark, path).lastOption
-      val base = head.map(v => readManifest(fs, p, v)._2).getOrElse(Seq.empty)
+      val (prevHead, base) = head
+        .map(v => readManifest(fs, p, v))
+        .getOrElse(("", Seq.empty[String]))
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
-      val headLine = (action +: metaTokens :+ nonce).mkString(" ")
+      // carried keys survive manifest pruning: re-emit the previous
+      // head's txn.* tokens, this commit's own meta winning on conflict
+      val carried = parseMeta(prevHead)
+        .filter(_._1.startsWith(CarriedMetaPrefix)) ++ meta
+      val allTokens = carried.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      val headLine = (action +: allTokens :+ nonce).mkString(" ")
       val body = (headLine +: (baseKeep(base, newFiles) ++ newFiles))
         .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))

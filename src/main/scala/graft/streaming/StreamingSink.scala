@@ -18,6 +18,13 @@ import graft.ops.TxTable
   * claim → skip, no duplicate) or doesn't (crash before → append runs
   * once). There is no state outside the log to get out of sync.
   *
+  * The `txn.<app>` key is in TxTable's carried-meta namespace: every
+  * later commit re-emits the latest value in its own head line, so the
+  * HEAD manifest always holds each app's newest batch id. That makes the
+  * guarantee survive [[TxTable.vacuum]] (which prunes old manifests) —
+  * the same reason Delta retains `SetTransaction` actions through log
+  * checkpoints — and makes the lookup one manifest read, not a log walk.
+  *
   * Scale shape: each micro-batch is one append commit — O(batch) data
   * I/O, O(1) manifest I/O — and readers downstream consume the table
   * incrementally via [[TxTable.readAppended]], so an end-to-end
@@ -27,22 +34,17 @@ import graft.ops.TxTable
   */
 object StreamingSink {
 
-  private val AppKey = "txnApp"
-  private val VerKey = "txnVersion"
+  private def txnKey(app: String) = s"txn.$app"
 
   /** Highest micro-batch id `txnApp` has committed to `path`, or None.
-    * Scans manifests newest-first: the common case (the sink's own last
-    * commit is at or near the head) resolves in one or two manifest
-    * reads; the worst case is O(commits since this app's last write),
-    * bounded by vacuum's retention like every other log walk.
+    * One manifest read: `txn.*` keys are carried forward by every
+    * commit, so the head manifest holds each app's latest batch id
+    * regardless of how many commits (or vacuums) happened since.
     */
   def lastTxnVersion(spark: SparkSession, path: String,
                      txnApp: String): Option[Long] =
-    TxTable.versions(spark, path).reverseIterator.flatMap { v =>
-      val m = TxTable.commitMeta(spark, path, v)
-      if (m.get(AppKey).contains(txnApp)) m.get(VerKey).map(_.toLong)
-      else None
-    }.nextOption()
+    TxTable.versions(spark, path).lastOption.flatMap(v =>
+      TxTable.commitMeta(spark, path, v).get(txnKey(txnApp)).map(_.toLong))
 
   /** Idempotent append of one micro-batch: skips iff a manifest already
     * records a `txnVersion >= batchId` for this `txnApp` (replays are
@@ -51,12 +53,14 @@ object StreamingSink {
   def appendBatch(path: String, txnApp: String,
                   partitionCols: Seq[String] = Nil)
                  (df: Dataset[Row], batchId: Long): Unit = {
+    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
     val spark = df.sparkSession
     val already = TxTable.exists(spark, path) &&
       lastTxnVersion(spark, path, txnApp).exists(_ >= batchId)
     if (!already)
       TxTable.append(spark, path, df, partitionCols,
-        meta = Map(AppKey -> txnApp, VerKey -> batchId.toString))
+        meta = Map(txnKey(txnApp) -> batchId.toString))
   }
 
   /** Start a streaming append of `stream` into the TxTable at `path`.

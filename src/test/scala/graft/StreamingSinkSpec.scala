@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.TxTable
+import graft.streaming.StreamingSink
+
+/** Exactly-once streaming appends into the TxTable: the (txn.app →
+  * batchId) token commits atomically with the data manifest, is carried
+  * forward by every later commit (so it survives vacuum), and a replayed
+  * micro-batch — whether re-invoked directly or re-run from a crashed
+  * checkpoint — never lands twice (VERDICT r4 "do this" #2/#4; ADVICE r4
+  * vacuum-durability item).
+  */
+class StreamingSinkSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("stream appends land in the TxTable with one commit per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("graft_ss") + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingSink.toTxTable(mem.toDF().toDF("id", "v"),
+      table, "app_e2e", tmp("graft_ss_cp"))
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(TxTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(StreamingSink.lastTxnVersion(spark, table, "app_e2e").contains(1L))
+  }
+
+  test("a directly re-invoked micro-batch (sink-level replay) is skipped") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_ss") + "/t"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamingSink.appendBatch(table, "app_replay")(batch, 0L)
+    StreamingSink.appendBatch(table, "app_replay")(batch, 0L) // replay
+    assert(TxTable.read(spark, table).count() == 2)
+    assert(TxTable.versions(spark, table) == Seq(1L))
+    // an EARLIER batch id replayed after later ones is also skipped (>=)
+    StreamingSink.appendBatch(table, "app_replay")(
+      Seq((3L, "c")).toDF("id", "v"), 1L)
+    StreamingSink.appendBatch(table, "app_replay")(batch, 0L)
+    assert(TxTable.read(spark, table).count() == 3)
+  }
+
+  test("restart from a checkpoint whose last commit was lost replays without duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("graft_ss") + "/t"
+    val cp = tmp("graft_ss_cp")
+    val mem = MemoryStream[(Long, String)]
+    val q1 = StreamingSink.toTxTable(mem.toDF().toDF("id", "v"),
+      table, "app_crash", cp)
+    mem.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(TxTable.read(spark, table).count() == 2)
+
+    // simulate a crash AFTER the sink append but BEFORE the engine
+    // recorded batch 0 in the checkpoint commit log: on restart the
+    // engine re-runs batch 0 with the same id → the sink must skip it
+    Files.delete(Paths.get(cp, "commits", "0"))
+    Files.deleteIfExists(Paths.get(cp, "commits", ".0.crc"))
+    val q2 = StreamingSink.toTxTable(mem.toDF().toDF("id", "v"),
+      table, "app_crash", cp)
+    q2.processAllAvailable() // replays batch 0
+    mem.addData((3L, "c"))
+    q2.processAllAvailable() // new batch 1
+    q2.stop()
+    assert(TxTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "the replayed micro-batch must not re-append its rows")
+    assert(StreamingSink.lastTxnVersion(spark, table, "app_crash").contains(1L))
+  }
+
+  test("the txn token survives vacuum and foreign commits (carried meta)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_ss") + "/t"
+    StreamingSink.appendBatch(table, "app_vac")(Seq((1L, "a")).toDF("id", "v"), 0L)
+    StreamingSink.appendBatch(table, "app_vac")(Seq((2L, "b")).toDF("id", "v"), 1L)
+    // a different writer commits with no meta — the txn.* token must ride along
+    TxTable.append(spark, table, Seq((9L, "z")).toDF("id", "v"))
+    // vacuum prunes every manifest that originally recorded app_vac's batches
+    TxTable.vacuum(spark, table, keepVersions = 1)
+    assert(TxTable.versions(spark, table).size == 1)
+    assert(StreamingSink.lastTxnVersion(spark, table, "app_vac").contains(1L),
+      "vacuum must not lose the idempotence token")
+    StreamingSink.appendBatch(table, "app_vac")(Seq((1L, "a")).toDF("id", "v"), 1L)
+    assert(TxTable.read(spark, table).count() == 3,
+      "a replay after vacuum must still be detected")
+  }
+
+  test("incremental consumer reads exactly the appended files, no history rescan") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_ss") + "/t"
+    StreamingSink.appendBatch(table, "app_inc")(
+      Seq.tabulate(10)(i => (i.toLong, "old")).toDF("id", "v"), 0L)
+    val consumed = TxTable.versions(spark, table).last
+    StreamingSink.appendBatch(table, "app_inc")(
+      Seq((100L, "new"), (101L, "new")).toDF("id", "v"), 1L)
+    val head = TxTable.versions(spark, table).last
+
+    val delta = TxTable.readAppended(spark, table, fromV = consumed)
+    assert(delta.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L))
+    // the PLAN proves no rescan: its input files are exactly the files
+    // the new commit added, none of the 10-row history
+    val (added, _) = TxTable.changedFiles(spark, table, consumed, head)
+    val scanned = delta.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned.nonEmpty && scanned == added.map(f =>
+      Paths.get(table).toAbsolutePath.toString + "/" + f).toSet,
+      s"scanned $scanned but commit added $added")
+  }
+
+  test("readAppended on an all-empty snapshot: pinned schema → empty frame, else loud error") {
+    val table = tmp("graft_ss") + "/t"
+    // an empty snapshot: a manifest with a head line and no file lines
+    // (documented layout — TxTable.scala "Layout" scaladoc)
+    Files.createDirectories(Paths.get(table, "_txlog"))
+    Files.write(Paths.get(table, "_txlog", "v00000000001.manifest"),
+      "overwrite deadbeef\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val pinned = TxTable.readAppended(spark, table, fromV = 0L,
+      schema = Some(schema))
+    assert(pinned.schema == schema && pinned.count() == 0)
+    val err = intercept[RuntimeException](
+      TxTable.readAppended(spark, table, fromV = 0L))
+    assert(err.getMessage.contains("empty snapshot"))
+  }
+}
