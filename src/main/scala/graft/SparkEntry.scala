@@ -272,6 +272,21 @@ object SparkEntry {
       semi.unionByName(anti).orderBy("c_custkey", "side")
     }),
 
+    // bloom-pruned inner join: results are bit-identical to the plain
+    // join by construction (false positives are removed by the exact
+    // join), so the oracle is the plain INNER JOIN — what the query
+    // additionally pins is that the pruning path doesn't lose rows
+    "q_x_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      Joins.bloomPrunedJoin(t(s, dir, "orders"), dim,
+          factKey = "o_custkey", dimKey = "c_custkey",
+          expectedItems = 10000L, numBits = 65536L)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -824,6 +839,12 @@ object SparkEntry {
         |SELECT c_custkey, 'anti' AS side FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey, side""".stripMargin,
+
+    "q_x_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
