@@ -92,9 +92,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numLists: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              kmeansIters: Int = 2, refineFraction: Double = 1.0): DataFrame = {
-    require(numLists > 0 && nprobe > 0 && nprobe <= numLists,
-      "need 0 < nprobe <= numLists")
+              kmeansIters: Int = 2, refineFraction: Double = 1.0): DataFrame =
+    ivfTopKWithIndex(corpus, queries, k, nprobe,
+      buildIvfIndex(corpus, numLists, idCol, vecCol, kmeansIters,
+        refineFraction),
+      idCol, vecCol)
+
+  /** Build the IVF centroid table `(list_id, centroid, cent_n)` —
+    * separated from [[ivfTopKWithIndex]] so the index is REUSABLE: at
+    * 100 TB the k-means build scans the corpus `kmeansIters + 1` times
+    * and must not be paid per query batch. Persist it with
+    * [[writeIvfIndex]] (one TxTable commit, versioned alongside the
+    * data) and serve every later query batch from [[loadIvfIndex]].
+    */
+  def buildIvfIndex(corpus: DataFrame, numLists: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    kmeansIters: Int = 2,
+                    refineFraction: Double = 1.0): DataFrame = {
+    require(numLists > 0, "need numLists > 0")
     require(refineFraction > 0 && refineFraction <= 1,
       "need 0 < refineFraction <= 1")
     // Centroids come from the zero-norm-FILTERED corpus (a NaN-cosine
@@ -122,9 +137,33 @@ object Similarity {
       else graft.ops.Sampling
         .consistentSample(ptsAll, idCol, refineFraction)
         .localCheckpoint()
-    val cents = (1 to kmeansIters).foldLeft(seeds) { (c, _) =>
+    (1 to kmeansIters).foldLeft(seeds) { (c, _) =>
       lloydStep(pts, c, idCol, vecCol).localCheckpoint()
     }
+  }
+
+  /** Persist a built index as a [[graft.ops.TxTable]] (atomic publish,
+    * versioned — rebuilding the index is an overwrite commit and
+    * readers mid-query keep their snapshot).
+    */
+  def writeIvfIndex(index: DataFrame, path: String): Long =
+    graft.ops.TxTable.overwrite(index.sparkSession, path, index)
+
+  /** Load a persisted index for [[ivfTopKWithIndex]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    graft.ops.TxTable.read(spark, path)
+      .select(col("list_id"), col("centroid"), col("cent_n"))
+
+  /** IVF probe against a prebuilt centroid table (see [[ivfTopK]] for
+    * the algorithm and scale analysis — this is its query half).
+    */
+  def ivfTopKWithIndex(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nprobe: Int, index: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, "need nprobe > 0")
+    val cents = index
 
     // Norms computed once per row/centroid BEFORE the cross join — the
     // per-pair work is a single dot (see bruteForceTopK).

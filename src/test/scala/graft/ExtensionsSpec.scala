@@ -330,6 +330,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPoisoned == brute, "zero-norm vector neither centroid nor neighbor")
   }
 
+  test("persisted IVF index: build once, query twice, bit-identical to rebuild-per-query") {
+    val rnd = new scala.util.Random(13)
+    val many = (0L until 60L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = df(many)
+    val queries = corpus.filter(col("vec_id") < 3)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.toSeq).toSet
+
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(corpus, numLists = 5), idxPath)
+    val loaded = Similarity.loadIvfIndex(spark, idxPath)
+    val first = Similarity.ivfTopKWithIndex(corpus, queries, 4, 2, loaded)
+    val second = Similarity.ivfTopKWithIndex(corpus, queries, 4, 2, loaded)
+    val rebuilt = Similarity.ivfTopK(corpus, queries, 4, numLists = 5, nprobe = 2)
+    assert(rows(first) == rows(second))
+    assert(rows(first) == rows(rebuilt),
+      "the persisted index must answer exactly like a fresh build " +
+        "(the build is fully deterministic)")
+    // the index-served query never runs the k-means build: lloydStep's
+    // posexplode re-aggregation is its unmistakable plan marker
+    assert(!second.queryExecution.optimizedPlan.toString.contains("posexplode"),
+      "index-served query must not contain Lloyd stages")
+  }
+
   test("approximate ANN recall vs brute force on harness embeddings (deterministic)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
