@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CATALOG=true: resolve every table through the session
+    // catalog instead of direct paths (same results, reference's shape)
+    if (sys.env.get("SPARK_GRAFT_CATALOG").contains("true"))
+      spark.conf.set(graft.ops.Sources.CatalogFlagConf, "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

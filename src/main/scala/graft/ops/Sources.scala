@@ -23,8 +23,33 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a named table from a scale-factor directory. */
+  /** Session conf flag: when `true`, [[table]] resolves names through
+    * the session catalog (`spark.read.table` over registered views)
+    * instead of reading paths directly — the reference's shape, where
+    * every input is a catalog lookup (`aws-job-landing-to-bronze/
+    * aws-job-landing-to-bronze.py:22-37`). Views are (re)registered
+    * lazily whenever the requested directory changes, tracked in
+    * [[CatalogDirConf]]. Path reads stay the default: they need no
+    * session-level registration step and behave identically under
+    * Catalyst (a temp view is just a named plan).
+    */
+  val CatalogFlagConf = "spark.graft.catalog.enabled"
+  private val CatalogDirConf = "spark.graft.catalog.dir"
+
+  /** Read a named table from a scale-factor directory — directly by
+    * path, or through the session catalog when [[CatalogFlagConf]] is
+    * set (see there).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (spark.conf.getOption(CatalogFlagConf).contains("true")) {
+      if (!spark.conf.getOption(CatalogDirConf).contains(dir)) {
+        registerAll(spark, dir)
+        spark.conf.set(CatalogDirConf, dir)
+      }
+      spark.read.table(name)
+    } else direct(spark, dir, name)
+
+  private def direct(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
@@ -57,9 +82,11 @@ object Sources {
     }
   }
 
-  /** Register every harness table as a temp view (for spark.sql paths). */
+  /** Register every harness table as a temp view (for spark.sql paths
+    * and catalog-mode [[table]] resolution).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    tableNames.foreach(n => direct(spark, dir, n).createOrReplaceTempView(n))
 
   /** Landing-zone CSV (the reference's crawler ingests CSV with inferred
     * schemas — SURVEY §1.3; we read it directly, schema-on-read).

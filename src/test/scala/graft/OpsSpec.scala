@@ -508,3 +508,30 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/tbl/tbl.parquet").count() == 2)
   }
 }
+
+/** Catalog-mode table resolution (VERDICT r4 "do this" #6): with the
+  * flag on, Sources.table goes through registered temp views — same
+  * frames, reference-shaped resolution — and re-registers when the
+  * requested directory changes.
+  */
+class CatalogModeSpec extends SparkSpec {
+  import graft.ops.Sources
+
+  test("catalog-mode table() equals the direct path read, per directory") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = Sources.table(spark, dir, "nation").collect().map(_.toSeq).toSet
+    spark.conf.set(Sources.CatalogFlagConf, "true")
+    try {
+      val viaCatalog = Sources.table(spark, dir, "nation")
+      assert(spark.catalog.tableExists("nation"), "flag must register views")
+      assert(viaCatalog.collect().map(_.toSeq).toSet == direct)
+      // events goes through the nanos-safe reader even in catalog mode
+      assert(Sources.table(spark, dir, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    } finally {
+      spark.conf.unset(Sources.CatalogFlagConf)
+      spark.conf.unset("spark.graft.catalog.dir")
+      Sources.tableNames.foreach(n => spark.catalog.dropTempView(n))
+    }
+  }
+}
