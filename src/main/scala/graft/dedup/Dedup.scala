@@ -242,28 +242,42 @@ object Dedup {
     * the round's own result — no separate old-vs-new join (round 2 ran
     * one per round, doubling each round's shuffle work); the flag check
     * only scans the freshly checkpointed local blocks.
+    *
+    * `checkpointDir`: by default rounds are pinned with `localCheckpoint`
+    * (executor-local blocks — fastest, fine on local mode and for short
+    * jobs). On a real cluster an executor loss under localCheckpoint
+    * KILLS the job (the truncated lineage cannot recompute lost blocks);
+    * pass a reliable `checkpointDir` (HDFS/object store) and rounds
+    * checkpoint there instead, surviving executor churn.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    val pin: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // Materialize the edge list ONCE: without the checkpoint the full
     // upstream pairs pipeline (e.g. the MinHash/jaccard joins) would
     // re-execute every iteration.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val edges = pin(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = pin(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg"))
-        .localCheckpoint()
+      val updated = pin(
+        labels.join(neighborMin, labels("id") === col("id2"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg")))
       converged = updated.filter(col("__chg")).isEmpty
       labels = updated.drop("__chg")
       i += 1

@@ -151,6 +151,20 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (7L, 8L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // the rounds really checkpointed to the reliable dir
+    assert(new java.io.File(ckDir).listFiles != null &&
+      new java.io.File(ckDir).listFiles.nonEmpty)
+  }
+
   test("maxShingleDf caps hot-key fan-out: bounded per-shingle rows, near-dups kept") {
     // skewed fixture: every doc shares one ubiquitous phrase (a hot
     // shingle touching all 40 docs), but only 1 & 2 are real near-dups
