@@ -30,12 +30,19 @@ class StreamingSinkSpec extends SparkSpec {
       table, "app_e2e", tmp("graft_ss_cp"))
     mem.addData((1L, "a"), (2L, "b"))
     q.processAllAvailable()
+    // an incremental consumer records the version it has processed...
+    val consumed = TxTable.versions(spark, table).last
     mem.addData((3L, "c"))
     q.processAllAvailable()
     q.stop()
     assert(TxTable.read(spark, table).collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(StreamingSink.lastTxnVersion(spark, table, "app_e2e").contains(1L))
+    // ...and readAppended hands it exactly the rows streamed in since —
+    // the composed stream → table → incremental-consumer pipeline never
+    // rescans history (file-level assertion in the test below)
+    assert(TxTable.readAppended(spark, table, fromV = consumed)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("a directly re-invoked micro-batch (sink-level replay) is skipped") {
