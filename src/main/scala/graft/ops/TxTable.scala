@@ -118,6 +118,226 @@ object TxTable {
     */
   private val CarriedMetaPrefix = "txn."
 
+  // ------------------------------------------------------------ file stats
+  //
+  // Each manifest FILE line is `relPath[\t<stats>]` where <stats> is
+  // `;`-joined `name,tag,min,max` tuples (URL-encoded tokens — no
+  // collisions with the separators), one per column whose parquet
+  // footer carries usable min/max. tag `n` = compare numerically
+  // (ints/longs/floats/doubles, dates as epoch days, timestamps as
+  // micros — parquet's own physical encodings), tag `s` = compare as
+  // UTF-8 strings. Stats come from the FOOTERS of the freshly written
+  // files — O(new files) driver metadata reads, never a data scan —
+  // and ride in the same atomic manifest claim as the file list, so
+  // [[readWhere]] can prune files the predicate provably cannot match
+  // (Delta's data-skipping stats, reduced to its essentials). At
+  // 100 TB this is the difference between a needle query scanning the
+  // lake and scanning the handful of files whose [min,max] straddles
+  // the needle.
+
+  /** Manifest file line → relative path (stats suffix stripped). */
+  private def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Manifest file line → per-column (tag, min, max), empty if none. */
+  private def statsOf(line: String): Map[String, (String, String, String)] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Map.empty
+    else line.substring(i + 1).split(';').toSeq.flatMap { t =>
+      t.split(',') match {
+        case Array(n, tag, mn, mx) =>
+          Some(dec(n) -> (tag, dec(mn), dec(mx)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Read min/max per column from the parquet footers of `relFiles`
+    * (merged across row groups). Columns typed beyond the supported
+    * comparable set — or whose chunks lack stats — are simply absent:
+    * pruning treats absence as "may match", so stats are only ever an
+    * optimization, never a correctness input.
+    */
+  private def footerStats(fs: FileSystem, p: Path,
+                          relFiles: Seq[String]): Map[String, String] = {
+    val conf = fs.getConf
+    relFiles.flatMap { rel =>
+      val statsStr =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p, rel), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            // (tag, mn, mx) per column, merged across this file's blocks;
+            // a column drops out the moment one chunk lacks usable stats
+            var acc = Map.empty[String, (String, BigDecimal, BigDecimal, String, String)]
+            var dropped = Set.empty[String]
+            r.getFooter.getBlocks.forEach { block =>
+              block.getColumns.forEach { cc =>
+                val name = cc.getPath.toDotString
+                val st = cc.getStatistics
+                if (!dropped.contains(name)) {
+                  val parsed: Option[(String, String, String)] =
+                    if (st == null || !st.hasNonNullValue) None
+                    else (st.genericGetMin, st.genericGetMax) match {
+                      case (mn: java.lang.Number, mx: java.lang.Number)
+                          if !mn.toString.exists(c => c == 'N' || c == 'I') =>
+                        Some(("n", mn.toString, mx.toString))
+                      case (mn: org.apache.parquet.io.api.Binary,
+                            mx: org.apache.parquet.io.api.Binary)
+                          if cc.getPrimitiveType.getLogicalTypeAnnotation ==
+                            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                        Some(("s", mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                      case _ => None
+                    }
+                  parsed match {
+                    case None => dropped += name; acc -= name
+                    case Some((tag, mn, mx)) =>
+                      val merged = acc.get(name) match {
+                        case Some((t, amn, amx, smn, smx)) if t == tag && tag == "n" =>
+                          val bmn = BigDecimal(mn); val bmx = BigDecimal(mx)
+                          (t, amn.min(bmn), amx.max(bmx),
+                            if (bmn < amn) mn else smn, if (bmx > amx) mx else smx)
+                        case Some((t, _, _, smn, smx)) if t == tag && tag == "s" =>
+                          (t, BigDecimal(0), BigDecimal(0),
+                            if (mn < smn) mn else smn, if (mx > smx) mx else smx)
+                        case Some(_) => dropped += name; acc -= name; null
+                        case None =>
+                          if (tag == "n")
+                            (tag, BigDecimal(mn), BigDecimal(mx), mn, mx)
+                          else (tag, BigDecimal(0), BigDecimal(0), mn, mx)
+                      }
+                      if (merged != null) acc += name -> merged
+                  }
+                }
+              }
+            }
+            acc.toSeq.sortBy(_._1).map { case (n, (tag, _, _, smn, smx)) =>
+              Seq(enc(n), tag, enc(smn), enc(smx)).mkString(",")
+            }.mkString(";")
+          } finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+      if (statsStr.isEmpty) None else Some(rel -> statsStr)
+    }.toMap
+  }
+
+  /** Could a file with these stats contain a row matching `conjunct`?
+    * Conservative: unknown shapes, missing columns, or un-comparable
+    * literals keep the file. Handles =, <, <=, >, >=, IN over one
+    * column and one literal side (either order).
+    */
+  private def mayMatch(stats: Map[String, (String, String, String)],
+                       conjunct: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal → comparable under the column's stats tag
+    def litVal(e: Expression, tag: String): Option[Either[BigDecimal, String]] = e match {
+      case Literal(v, dt) =>
+        import org.apache.spark.sql.types._
+        (dt, tag) match {
+          case (_: NumericType, "n") =>
+            scala.util.Try(scala.util.Left(BigDecimal(v.toString))).toOption
+          case (DateType | TimestampType | TimestampNTZType, "n") =>
+            // internal representations: days / micros — plain integers
+            scala.util.Try(scala.util.Left(BigDecimal(v.toString))).toOption
+          case (StringType, "s") => Some(scala.util.Right(v.toString))
+          case _ => None
+        }
+      case _ => None
+    }
+    def bounds(col: String): Option[(String, String, String)] = stats.get(col)
+    def cmp(tag: String, a: String, v: Either[BigDecimal, String]): Int = v match {
+      case scala.util.Left(n) => BigDecimal(a).compare(n)
+      case scala.util.Right(s) => a.compareTo(s)
+    }
+    def test(attr: Expression, lit: Expression,
+             keep: (Int, Int) => Boolean): Boolean =
+      (for {
+        n <- nameOf(attr)
+        (tag, mn, mx) <- bounds(n)
+        v <- litVal(lit, tag)
+        r <- scala.util.Try(keep(cmp(tag, mn, v), cmp(tag, mx, v))).toOption
+      } yield r).getOrElse(true)
+
+    conjunct match {
+      case EqualTo(a, l) if nameOf(a).isDefined => test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
+      case EqualTo(l, a) if nameOf(a).isDefined => test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
+      case GreaterThan(a, l) if nameOf(a).isDefined => test(a, l, (_, mx) => mx > 0)
+      case GreaterThan(l, a) if nameOf(a).isDefined => test(a, l, (mn, _) => mn < 0)
+      case GreaterThanOrEqual(a, l) if nameOf(a).isDefined => test(a, l, (_, mx) => mx >= 0)
+      case GreaterThanOrEqual(l, a) if nameOf(a).isDefined => test(a, l, (mn, _) => mn <= 0)
+      case LessThan(a, l) if nameOf(a).isDefined => test(a, l, (mn, _) => mn < 0)
+      case LessThan(l, a) if nameOf(a).isDefined => test(a, l, (_, mx) => mx > 0)
+      case LessThanOrEqual(a, l) if nameOf(a).isDefined => test(a, l, (mn, _) => mn <= 0)
+      case LessThanOrEqual(l, a) if nameOf(a).isDefined => test(a, l, (_, mx) => mx >= 0)
+      case In(a, vs) if nameOf(a).isDefined =>
+        vs.exists(v => test(a, v, (mn, mx) => mn <= 0 && mx >= 0))
+      case _ => true
+    }
+  }
+
+  /** Predicate-pruned snapshot read: drops every file whose manifest
+    * stats prove the predicate cannot match, scans the rest, and
+    * re-applies the full predicate (stats pruning is file-granular;
+    * row filtering still happens — results are EXACTLY
+    * `read(...).where(predicate)`). Top-level AND conjuncts prune
+    * independently; anything stats can't reason about is ignored for
+    * pruning and enforced by the row filter.
+    */
+  def readWhere(spark: SparkSession, path: String,
+                predicate: org.apache.spark.sql.Column,
+                mergeSchema: Boolean = false,
+                schema: Option[StructType] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // A Spark 4 Column is a ColumnNode tree, not a Catalyst expression:
+    // resolve it by ANALYZING the filter against the snapshot relation
+    // and lifting the resolved condition out of the Filter node — this
+    // also types the literals (dates → days, timestamps → micros) so
+    // stats comparison sees internal representations.
+    val cs =
+      if (lines.isEmpty) Seq.empty[Expression]
+      else scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+        .where(predicate).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            conjuncts(f.condition)
+        }.getOrElse(Seq.empty)
+    val kept = lines.filter(l => cs.forall(c => mayMatch(statsOf(l), c)))
+    if (lines.isEmpty) schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => sys.error(
+        s"head of $path is an empty snapshot with no files — " +
+        "pass an explicit schema to read it as an empty frame")
+    }
+    else if (kept.isEmpty)
+      // no file can match: Catalyst folds Filter(false) to an empty
+      // relation, so this reads nothing while keeping the snapshot schema
+      scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+        .where(lit(false))
+    else scanFiles(spark, p, kept.map(pathOf), mergeSchema, schema)
+      .where(predicate)
+  }
+
   /** Snapshot read of the newest committed version. `mergeSchema` unions
     * the schemas of all referenced files — required once appends have
     * widened the table (see [[readVersion]]).
@@ -156,7 +376,7 @@ object TxTable {
       // commit that wrote the (empty) version — its parquet footer is
       // there even with zero rows... there is none, so fail loudly
       sys.error(s"version $v of $path is an empty snapshot with no files")
-    else scanFiles(spark, p, files, mergeSchema, schema)
+    else scanFiles(spark, p, files.map(pathOf), mergeSchema, schema)
   }
 
   /** Scan an explicit manifest-relative file list as one DataFrame.
@@ -199,8 +419,8 @@ object TxTable {
   def changedFiles(spark: SparkSession, path: String,
                    fromV: Long, toV: Long): (Seq[String], Seq[String]) = {
     val (fs, p) = fsFor(spark, path)
-    val from = readManifest(fs, p, fromV)._2.toSet
-    val to = readManifest(fs, p, toV)._2.toSet
+    val from = readManifest(fs, p, fromV)._2.map(pathOf).toSet
+    val to = readManifest(fs, p, toV)._2.map(pathOf).toSet
     ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
   }
 
@@ -228,8 +448,8 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val base =
       if (fromV <= 0) Set.empty[String]
-      else readManifest(fs, p, fromV)._2.toSet
-    val snapshot = readManifest(fs, p, hi)._2
+      else readManifest(fs, p, fromV)._2.map(pathOf).toSet
+    val snapshot = readManifest(fs, p, hi)._2.map(pathOf)
     val added = snapshot.filterNot(base)
     if (added.nonEmpty) scanFiles(spark, p, added, mergeSchema, schema)
     else if (snapshot.nonEmpty) // no new files: empty frame, snapshot schema
@@ -294,7 +514,8 @@ object TxTable {
   def replace(spark: SparkSession, path: String, df: DataFrame,
               partitionCols: Seq[String],
               keepExisting: String => Boolean): Long =
-    commit(spark, path, df, "replace", (base, _) => base.filter(keepExisting),
+    commit(spark, path, df, "replace",
+      (base, _) => base.filter(l => keepExisting(pathOf(l))),
       partitionCols)
 
   /** Dynamic-partition-overwrite commit (Spark's
@@ -309,8 +530,8 @@ object TxTable {
   def replacePartitions(spark: SparkSession, path: String, df: DataFrame,
                         partitionCols: Seq[String]): Long =
     commit(spark, path, df, "replace", (base, newFiles) => {
-      val replaced = newFiles.map(partitionDirOf).toSet
-      base.filterNot(f => replaced.contains(partitionDirOf(f)))
+      val replaced = newFiles.map(f => partitionDirOf(pathOf(f))).toSet
+      base.filterNot(f => replaced.contains(partitionDirOf(pathOf(f))))
     }, partitionCols)
 
   /** `data/<uuid>/day=10/part-x.parquet` → `day=10` (nested partitions
@@ -354,6 +575,11 @@ object TxTable {
       }
       buf.toSeq.sorted
     }
+    // footer min/max per new file ride in the manifest line (see
+    // "file stats" above); failures degrade to stats-less lines
+    val stats = footerStats(fs, p, newFiles)
+    val newLines = newFiles.map(f =>
+      stats.get(f).map(s => s"$f\t$s").getOrElse(f))
     fs.mkdirs(new Path(p, LogDir))
 
     var committed = -1L
@@ -370,7 +596,7 @@ object TxTable {
         .filter(_._1.startsWith(CarriedMetaPrefix)) ++ meta
       val allTokens = carried.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       val headLine = (action +: allTokens :+ nonce).mkString(" ")
-      val body = (headLine +: (baseKeep(base, newFiles) ++ newFiles))
+      val body = (headLine +: (baseKeep(base, newLines) ++ newLines))
         .mkString("", "\n", "\n")
       val slot = new Path(new Path(p, LogDir), manifestName(next))
       if (claimSlot(fs, slot, body, nonce)) committed = next
@@ -424,7 +650,7 @@ object TxTable {
     val vs = versions(spark, path)
     if (vs.size <= keepVersions) return
     val (drop, keep) = vs.splitAt(vs.size - keepVersions)
-    val live = keep.flatMap(v => readManifest(fs, p, v)._2).toSet
+    val live = keep.flatMap(v => readManifest(fs, p, v)._2.map(pathOf)).toSet
     val dataRoot = new Path(p, "data")
     // delete whole commit dirs whose files are all dead (files of one
     // commit are only ever referenced together)

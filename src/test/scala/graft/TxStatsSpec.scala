@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+
+/** File-level data skipping (Delta-style stats pruning reduced to its
+  * essentials): commits record per-file column min/max from the parquet
+  * footers in the manifest line, and readWhere scans only files whose
+  * [min,max] can satisfy the predicate. Results must ALWAYS equal
+  * read().where(predicate) — stats are an optimization, never a
+  * correctness input.
+  */
+class TxStatsSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_stats").toString + "/t"
+
+  /** Three single-file commits with disjoint id ranges and name bands. */
+  private def threeCommits(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, 9L, "a"), (10L, 19L, "m"), (20L, 29L, "x")).foreach {
+      case (lo, hi, band) =>
+        TxTable.append(spark, dir,
+          (lo to hi).map(i => (i, s"$band$i")).toDF("id", "name").coalesce(1))
+    }
+  }
+
+  test("needle equality scans exactly one file; results equal the full filter") {
+    val dir = tmp()
+    threeCommits(dir)
+    val full = TxTable.read(spark, dir).where(col("id") === 15L)
+    val pruned = TxTable.readWhere(spark, dir, col("id") === 15L)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    assert(pruned.inputFiles.length == 1,
+      s"stats must prune to the one file holding id=15, scanned ${pruned.inputFiles.toSeq}")
+    assert(TxTable.read(spark, dir).inputFiles.length == 3)
+  }
+
+  test("range and string predicates prune; conjunctions intersect") {
+    val dir = tmp()
+    threeCommits(dir)
+    assert(TxTable.readWhere(spark, dir, col("id") > 19L).inputFiles.length == 1)
+    assert(TxTable.readWhere(spark, dir, col("id") >= 10L).inputFiles.length == 2)
+    assert(TxTable.readWhere(spark, dir, col("name") < "b").inputFiles.length == 1)
+    assert(TxTable.readWhere(spark, dir, lit(5L) > col("id")).inputFiles.length == 1)
+    // conjunction: id>=10 keeps files 2,3; name<"n" keeps files 1,2 → file 2
+    val conj = TxTable.readWhere(spark, dir, col("id") >= 10L && col("name") < "n")
+    assert(conj.inputFiles.length == 1)
+    assert(conj.collect().map(_.getLong(0)).sorted.toSeq == (10L to 19L))
+    // IN-list straddling two files
+    assert(TxTable.readWhere(spark, dir,
+      col("id").isin(5L, 25L)).inputFiles.length == 2)
+  }
+
+  test("no file can match → empty result, nothing scanned") {
+    val dir = tmp()
+    threeCommits(dir)
+    val none = TxTable.readWhere(spark, dir, col("id") === 999L)
+    assert(none.count() == 0)
+    assert(none.inputFiles.isEmpty, "Filter(false) must fold to an empty scan")
+  }
+
+  test("un-prunable predicates keep every file but still filter rows") {
+    val dir = tmp()
+    threeCommits(dir)
+    val odd = TxTable.readWhere(spark, dir, col("id") % 2 === 1)
+    assert(odd.inputFiles.length == 3)
+    assert(odd.count() == 15)
+    // disjunctions are not pruned (top-level AND only) — still correct
+    val or = TxTable.readWhere(spark, dir, col("id") === 1L || col("id") === 25L)
+    assert(or.count() == 2)
+  }
+
+  test("date columns prune on internal day values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    Seq(1, 2).foreach { m =>
+      TxTable.append(spark, dir,
+        (1 to 9).map(d => (Date.valueOf(f"2024-0$m-0$d"), m))
+          .toDF("day", "mo").coalesce(1))
+    }
+    val feb = TxTable.readWhere(spark, dir, col("day") >= lit(Date.valueOf("2024-02-01")))
+    assert(feb.inputFiles.length == 1)
+    assert(feb.count() == 9)
+  }
+
+  test("overwrite, vacuum, and incremental reads keep working with stats lines") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    TxTable.replacePartitions(spark, dir + "p",
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "pt"), Seq("pt"))
+    TxTable.replacePartitions(spark, dir + "p",
+      Seq((3L, "c", 2)).toDF("id", "v", "pt"), Seq("pt"))
+    assert(TxTable.read(spark, dir + "p").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L), "partition 2 replaced")
+    TxTable.vacuum(spark, dir, keepVersions = 1)
+    assert(TxTable.read(spark, dir).count() == 30)
+    val (added, _) = TxTable.changedFiles(spark, dir + "p", 1L, 2L)
+    assert(added.forall(!_.contains('\t')), "changedFiles returns bare paths")
+  }
+}
