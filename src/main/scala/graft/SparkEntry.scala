@@ -287,6 +287,27 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // data skipping end-to-end: orders re-landed as one TxTable commit
+    // per year (fresh temp table per invocation), then a readWhere on
+    // the year prunes to ONE file of seven via manifest stats before
+    // aggregating — the needle-query shape where skipping pays at scale
+    "q_x_data_skipping" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_skip").toString + "/orders_tx"
+      val o = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
+      // distinct years: a handful of drive-side values, bounded by the
+      // TPC-H date span — not a row-scale collect
+      val years = o.select("o_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.foreach(y =>
+        graft.ops.TxTable.append(s, tmp, o.filter(col("o_year") === y)))
+      graft.ops.TxTable.readWhere(s, tmp, col("o_year") === 1995)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -845,6 +866,12 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_data_skipping" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

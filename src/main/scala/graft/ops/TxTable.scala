@@ -184,11 +184,21 @@ object TxTable {
                 val name = cc.getPath.toDotString
                 val st = cc.getStatistics
                 if (!dropped.contains(name)) {
+                  // timestamp stats are only comparable when the file's
+                  // unit matches Catalyst's internal micros — a MILLIS/
+                  // NANOS file compared against a micros literal would
+                  // mis-prune (wrong RESULTS, not just a missed skip)
+                  val tsUnitSafe = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                    case _ => true
+                  }
                   val parsed: Option[(String, String, String)] =
                     if (st == null || !st.hasNonNullValue) None
                     else (st.genericGetMin, st.genericGetMax) match {
                       case (mn: java.lang.Number, mx: java.lang.Number)
-                          if !mn.toString.exists(c => c == 'N' || c == 'I') =>
+                          if tsUnitSafe &&
+                            !mn.toString.exists(c => c == 'N' || c == 'I') =>
                         Some(("n", mn.toString, mx.toString))
                       case (mn: org.apache.parquet.io.api.Binary,
                             mx: org.apache.parquet.io.api.Binary)

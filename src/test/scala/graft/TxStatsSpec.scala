@@ -89,6 +89,26 @@ class TxStatsSpec extends SparkSpec {
     assert(feb.count() == 9)
   }
 
+  test("timestamp predicates are safe: results always equal the full filter") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // two commits with disjoint timestamp ranges; whether or not this
+    // Spark's parquet writer produces micros-annotated stats, results
+    // must equal the unpruned filter (mis-unit stats would mis-prune)
+    Seq("2024-01", "2024-06").foreach { m =>
+      TxTable.append(spark, dir,
+        (1 to 9).map(d => (java.sql.Timestamp.valueOf(s"$m-0$d 12:00:00"), m))
+          .toDF("ts", "mo").coalesce(1))
+    }
+    val cut = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val pruned = TxTable.readWhere(spark, dir, col("ts") >= lit(cut))
+    val full = TxTable.read(spark, dir).where(col("ts") >= lit(cut))
+    assert(pruned.collect().map(_.getString(1)).toSeq.distinct == Seq("2024-06"))
+    assert(pruned.count() == full.count())
+    info(s"timestamp pruning scanned ${pruned.inputFiles.length}/2 files")
+  }
+
   test("overwrite, vacuum, and incremental reads keep working with stats lines") {
     val s = spark
     import s.implicits._
