@@ -287,20 +287,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // data skipping end-to-end: orders re-landed as one TxTable commit
-    // per year (fresh temp table per invocation), then a readWhere on
-    // the year prunes to ONE file of seven via manifest stats before
-    // aggregating — the needle-query shape where skipping pays at scale
+    // data skipping end-to-end: orders re-landed ONCE, range-clustered
+    // on year so every file covers a disjoint year band (the cluster-to-
+    // make-stats-skippable technique — Z-order's 1-D case), then a
+    // readWhere needle on the year prunes via manifest stats before
+    // aggregating. One scan + one commit; fresh temp table per call.
     "q_x_data_skipping" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_skip").toString + "/orders_tx"
       val o = t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate")))
-      // distinct years: a handful of drive-side values, bounded by the
-      // TPC-H date span — not a row-scale collect
-      val years = o.select("o_year").distinct()
-        .collect().map(_.getInt(0)).sorted
-      years.foreach(y =>
-        graft.ops.TxTable.append(s, tmp, o.filter(col("o_year") === y)))
+      graft.ops.TxTable.append(s, tmp, o.repartitionByRange(8, col("o_year")))
       graft.ops.TxTable.readWhere(s, tmp, col("o_year") === 1995)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
