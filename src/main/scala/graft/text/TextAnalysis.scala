@@ -59,12 +59,24 @@ object TextAnalysis {
     * SQL engines (DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`), so
     * every hash-parameterized operator (MinHash, SimHash, winnowing)
     * becomes end-to-end hash-verifiable against an external oracle.
-    * Always non-negative (60 < 63 bits). Costs a full md5 digest + hex
-    * decode per call — roughly 3× xxhash64 — so the SCALE default for
-    * those operators stays `xxhash64`; only determinism is required of
-    * the hash, not any particular function.
+    * Always non-negative (60 < 63 bits). Costs a full md5 digest per
+    * call — so the SCALE default for those operators stays `xxhash64`;
+    * only determinism is required of the hash, not any particular
+    * function. Backed by the native [[graft.functions.Md5Hash60Expr]]
+    * (digest bytes → long directly); [[md5Hash60Sql]] keeps the
+    * original Column formulation both expressions must match.
     */
-  def md5Hash60(c: Column): Column =
+  def md5Hash60(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.GraftShim.toColumn(graft.functions.Md5Hash60Expr(
+      org.apache.spark.sql.GraftShim.toExpression(spark, c.cast("string"))))
+  }
+
+  /** Reference formulation of [[md5Hash60]] in plain Column functions —
+    * the bit-equality yardstick for the native expression (pinned by
+    * property test), and the form a no-extensions SQL engine can run.
+    */
+  def md5Hash60Sql(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Per-language stopword lists used by [[langScores]]. Deliberately
