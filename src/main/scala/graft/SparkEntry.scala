@@ -366,6 +366,26 @@ object SparkEntry {
             n = 3, minJ = 0.2))
         .orderBy("id")),
 
+    // decontamination: every 10th doc plays the benchmark set; flag
+    // corpus docs containing >= 40% of an eval doc's shingles
+    "q_x_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minContainment = 0.4)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
+    "q_x_text_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 123-4567 now")))
+            .as("redacted"))
+        .orderBy("doc_id")),
+
     // the oracle-gated dedup queries run with md5Hash60 (bit-for-bit
     // reproducible in DuckDB, so candidates/pairs/simhash hash-verify
     // end-to-end); the xxhash64 scale default stays covered by the
@@ -997,6 +1017,30 @@ object SparkEntry {
          |JOIN sizes sb ON i.id_b = sb.id
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |cidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |         FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 3),
+         |eidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |         FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 3),
+         |esizes AS (SELECT id, COUNT(*) AS n_e FROM eidx GROUP BY id),
+         |inter AS (SELECT c.id AS corpus_id, e.id AS eval_id, COUNT(*) AS inter
+         |          FROM cidx c JOIN eidx e ON c.shingle = e.shingle
+         |          GROUP BY c.id, e.id)
+         |SELECT i.corpus_id, i.eval_id,
+         |  CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) AS containment
+         |FROM inter i JOIN esizes s ON i.eval_id = s.id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) >= 0.4
+         |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "q_x_text_redact" ->
+      raw"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(
+           |    concat(text, ' contact: user', doc_id, '@example.com or +1 555 123-4567 now'),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_x_dedup_clusters" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, $sqlToks AS toks FROM documents),

@@ -99,6 +99,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Decontamination pairs: for every (corpus doc, eval doc) sharing at
+    * least one n-gram shingle, the CONTAINMENT of the eval doc in the
+    * corpus doc — |shingles(eval) ∩ shingles(corpus)| / |shingles(eval)|
+    * — kept when >= `minContainment`. Containment (not Jaccard) is the
+    * right score for train/test contamination: a short benchmark item
+    * embedded verbatim in a long training document has low Jaccard but
+    * containment ~1.
+    *
+    * Scale shape is the cross-table version of [[jaccardPairs]]: two
+    * inverted indexes equi-joined on the shingle — never |corpus|×|eval|
+    * — and the eval side is typically tiny (benchmarks), so the join
+    * fans out only where shingles actually collide. `maxShingleDf` caps
+    * hot shingles on the CORPUS side exactly as in
+    * [[cappedShingleIndex]] (capping the eval side would silently lower
+    * containment denominators).
+    */
+  def containmentPairs(corpus: DataFrame, evalSet: DataFrame,
+                       idCol: String, textCol: String, n: Int,
+                       minContainment: Double,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
+    val cIdx = maxShingleDf.fold(shingleIndex(corpus, idCol, textCol, n))(
+      cappedShingleIndex(corpus, idCol, textCol, n, _))
+    val eIdx = shingleIndex(evalSet, idCol, textCol, n)
+    val eSizes = eIdx.groupBy(col("id").as("eval_id"))
+      .agg(count(lit(1)).as("n_e"))
+    val inter = cIdx.as("c").join(eIdx.as("e").hint("shuffle_hash"),
+        col("c.shingle") === col("e.shingle"))
+      .groupBy(col("c.id").as("corpus_id"), col("e.id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(eSizes, "eval_id")
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_e").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("corpus_id", "eval_id", "containment")
+  }
+
   /** Large prime below 2^31 for the universal-hash family. Exposed (with
     * [[perms]]) so the oracle SQL can interpolate the identical
     * constants.

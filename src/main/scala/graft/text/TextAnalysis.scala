@@ -54,6 +54,25 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII patterns, kept in the Java-regex ∩ RE2 common subset (no
+    * lookaround, no unicode classes) so external SQL engines reproduce
+    * the exact same matches. Deliberately simple — the point is the
+    * redaction SHAPE (streaming-safe pure column transform); production
+    * lists swap in richer patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact emails then phone-like digit runs (order matters: the digit
+    * pattern would otherwise eat the numeric half of an address's local
+    * part). Pure column expression — codegen'd, no UDF, applies
+    * unchanged in Structured Streaming.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** 60-bit deterministic hash from the md5 hex prefix. The hash the
     * ORACLE-GATED queries use: it is reproducible bit-for-bit in ANSI
     * SQL engines (DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`), so

@@ -151,6 +151,38 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("containmentPairs flags an eval doc embedded in a longer corpus doc") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog"
+    val corpus = df(Seq(
+      // eval doc verbatim inside a much longer document: Jaccard is low
+      // but containment must be 1.0 — the decontamination signal
+      Doc(1L, s"prefix words here $evalDoc and a very long suffix " +
+        "with many additional tokens talking about unrelated things", "s"),
+      Doc(2L, "completely different content with no overlap at all", "s")))
+    val evalSet = df(Seq(Doc(100L, evalDoc, "s")))
+    val pairs = Dedup.containmentPairs(corpus, evalSet, "doc_id", "text",
+        n = 3, minContainment = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 100L)))
+    assert(pairs.head._3 == 1.0, "verbatim inclusion must score containment 1.0")
+  }
+
+  test("redactPii replaces emails and phone runs, leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "write to alice.smith+spam@mail.example.org today",
+      "call +1 (555) 123-4567 now",
+      "no pii here at all",
+      "both bob@x.io and 555 867 5309 appear")
+      .toDF("t").select(graft.text.TextAnalysis.redactPii(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "no pii here at all")
+    assert(out(3) == "both <EMAIL> and <PHONE> appear")
+  }
+
   test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
     val s = spark
     import s.implicits._
