@@ -109,6 +109,33 @@ class TxStatsSpec extends SparkSpec {
     info(s"timestamp pruning scanned ${pruned.inputFiles.length}/2 files")
   }
 
+  test("hive-partitioned commits prune directories on partition predicates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      (1 to 20).map(i => (i.toLong, i % 4)).toDF("id", "bucket"),
+      partitionCols = Seq("bucket"))
+    val one = TxTable.read(spark, dir).where(col("bucket") === 2)
+    assert(one.collect().length == 5)
+    // inputFiles reports the whole relation; the scan's runtime numFiles
+    // metric shows what partition pruning actually read
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val scans = flatten(one.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val total = TxTable.read(spark, dir).inputFiles.length
+    val read = scans.map(_.metrics("numFiles").value).sum
+    assert(read < total && read > 0,
+      s"partition pruning must read fewer than all $total files, read $read")
+  }
+
   test("overwrite, vacuum, and incremental reads keep working with stats lines") {
     val s = spark
     import s.implicits._
