@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TxTable
+
+/** Exactly-once incremental table→table pipeline over the tx-log
+  * format: follow an append-only source TxTable and materialize
+  * `transform(delta)` into a destination TxTable, one commit per
+  * consumed source-version range — the incremental-materialized-view
+  * primitive (Delta's stream-from-table, reduced to the log).
+  *
+  * The consumed source version rides in the DESTINATION's manifest as
+  * carried meta (`txn.src.<app>`), in the same atomic claim as the
+  * output files. Crash anywhere and restart: either the commit landed
+  * (meta says so → skip) or it didn't (redo from the same version) —
+  * no state outside the destination log, and vacuum can't lose it
+  * (carried-meta contract, see [[TxTable]]). The Structured Streaming
+  * checkpoint of [[follow]] holds only rate-source ticks; correctness
+  * never depends on it.
+  *
+  * Scale shape: each increment reads ONLY the files appended since the
+  * last consumed version ([[TxTable.readAppended]] — I/O proportional
+  * to the delta) and writes one append commit. A 100 TB source table
+  * with daily appends costs each follower one day's data per day, not
+  * one lake scan. Source tables must be append-only (overwrite /
+  * replace commits surface rewritten rows as new additions — same
+  * contract as Delta's streaming source without ignoreChanges).
+  */
+object TxFollower {
+
+  private def srcKey(app: String) = s"txn.src.$app"
+
+  /** Highest source version `app` has materialized into `dst`, if any. */
+  def processedVersion(spark: SparkSession, dst: String,
+                       app: String): Option[Long] =
+    TxTable.versions(spark, dst).lastOption.flatMap(v =>
+      TxTable.commitMeta(spark, dst, v).get(srcKey(app)).map(_.toLong))
+
+  /** Process everything appended to `src` since the last increment:
+    * one output commit covering (processed, head]. Returns the source
+    * version consumed, or None if already caught up (no empty commits).
+    */
+  def processAvailable(spark: SparkSession, src: String, dst: String,
+                       app: String,
+                       transform: DataFrame => DataFrame = identity,
+                       partitionCols: Seq[String] = Nil): Option[Long] = {
+    require(!app.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "app must be manifest-token-safe (no spaces, '=', or newlines)")
+    val head = TxTable.versions(spark, src).lastOption.getOrElse(return None)
+    val from = processedVersion(spark, dst, app).getOrElse(0L)
+    if (head <= from) None
+    else {
+      val delta = TxTable.readAppended(spark, src, fromV = from, toV = head)
+      TxTable.append(spark, dst, transform(delta), partitionCols,
+        meta = Map(srcKey(app) -> head.toString))
+      Some(head)
+    }
+  }
+
+  /** Continuous form: a Structured Streaming query whose every trigger
+    * runs [[processAvailable]]. The rate source only provides the
+    * heartbeat; offsets, idempotence, and restart safety all live in
+    * the destination's manifest meta.
+    */
+  def follow(spark: SparkSession, src: String, dst: String, app: String,
+             checkpoint: String,
+             transform: DataFrame => DataFrame = identity,
+             partitionCols: Seq[String] = Nil,
+             ticksPerSecond: Int = 1): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        processAvailable(spark, src, dst, app, transform, partitionCols)
+        ()
+      }
+      .start()
+}

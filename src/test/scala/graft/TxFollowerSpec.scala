@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+import graft.streaming.TxFollower
+
+/** Incremental table→table follower: delta-only I/O, exactly-once via
+  * destination-manifest offsets, restart/replay safety, and the
+  * continuous rate-driven form.
+  */
+class TxFollowerSpec extends SparkSpec {
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("increments consume exactly the appended delta; caught-up is a no-op") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    TxTable.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(TxFollower.processAvailable(spark, src, dst, "mv").contains(1L))
+    assert(TxTable.read(spark, dst).count() == 2)
+
+    // second call with nothing new: no commit at all
+    val versionsBefore = TxTable.versions(spark, dst)
+    assert(TxFollower.processAvailable(spark, src, dst, "mv").isEmpty)
+    assert(TxTable.versions(spark, dst) == versionsBefore)
+
+    // two more source commits consumed as ONE increment, delta rows only
+    TxTable.append(spark, src, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.append(spark, src, Seq((4L, "d")).toDF("id", "v"))
+    assert(TxFollower.processAvailable(spark, src, dst, "mv").contains(3L))
+    assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(TxFollower.processedVersion(spark, dst, "mv").contains(3L))
+  }
+
+  test("transform applies per increment; two followers keep independent offsets") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst1 = tmp("graft_f") + "/d1"
+    val dst2 = tmp("graft_f") + "/d2"
+    TxTable.append(spark, src, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    TxFollower.processAvailable(spark, src, dst1, "sum",
+      d => d.agg(sum("x").as("total")))
+    TxFollower.processAvailable(spark, src, dst2, "double",
+      d => d.withColumn("x", col("x") * 2))
+    assert(TxTable.read(spark, dst1).head().getDouble(0) == 30.0)
+    assert(TxTable.read(spark, dst2).collect().map(_.getDouble(1)).sorted.toSeq ==
+      Seq(20.0, 40.0))
+    TxTable.append(spark, src, Seq((3L, 5.0)).toDF("id", "x"))
+    TxFollower.processAvailable(spark, src, dst1, "sum",
+      d => d.agg(sum("x").as("total")))
+    // dst1 advanced, dst2 didn't — offsets are per (dst, app)
+    assert(TxFollower.processedVersion(spark, dst1, "sum").contains(2L))
+    assert(TxFollower.processedVersion(spark, dst2, "double").contains(1L))
+  }
+
+  test("exactly-once across vacuum and foreign commits on the destination") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    TxTable.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    TxFollower.processAvailable(spark, src, dst, "mv")
+    // a foreign writer appends to dst; then vacuum prunes history
+    TxTable.append(spark, dst, Seq((99L, "z")).toDF("id", "v"))
+    TxTable.vacuum(spark, dst, keepVersions = 1)
+    // replaying the same source state must still be a no-op
+    assert(TxFollower.processAvailable(spark, src, dst, "mv").isEmpty)
+    assert(TxTable.read(spark, dst).count() == 2)
+  }
+
+  test("follow() materializes source appends continuously") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    TxTable.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    val q = TxFollower.follow(spark, src, dst, "live",
+      tmp("graft_f_cp"), ticksPerSecond = 10)
+    try {
+      q.processAllAvailable()
+      TxTable.append(spark, src, Seq((2L, "b")).toDF("id", "v"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !TxFollower.processedVersion(spark, dst, "live").contains(2L)) {
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+}
