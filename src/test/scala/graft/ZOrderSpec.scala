@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TxTable, ZOrder}
+
+/** Z-order clustering must make data skipping effective on EVERY
+  * clustered column — the property range-clustering on one column
+  * cannot give — while never changing row contents.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private lazy val grid = {
+    val s = spark
+    import s.implicits._
+    // 64×64 grid: x and y independent, so 1-D clustering on x leaves
+    // y stats full-range in every file
+    (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+  }
+
+  test("zValue interleaves bits monotonically per dimension") {
+    val s = spark
+    import s.implicits._
+    val z = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue(Seq(col("a"), col("b")),
+        Seq((0.0, 4.0), (0.0, 4.0)), bitsPerCol = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a occupies even bits, b odd bits: (0,0)=0, (3,0)=0b0101=5,
+    // (0,3)=0b1010=10, (3,3)=0b1111=15
+    assert(z == Seq(0L, 5L, 10L, 15L))
+  }
+
+  test("z-ordered table prunes needle queries on BOTH dimensions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    TxTable.append(spark, dir, ZOrder.cluster(grid, Seq("x", "y"), numFiles = 16))
+    val total = TxTable.read(spark, dir).inputFiles.length
+    assert(total >= 8, s"expected multiple files, got $total")
+
+    def filesFor(p: org.apache.spark.sql.Column) =
+      TxTable.readWhere(spark, dir, p).inputFiles.length
+    val fx = filesFor(col("x") === 17L)
+    val fy = filesFor(col("y") === 42L)
+    assert(fx <= total / 2 && fy <= total / 2,
+      s"both dimensions must prune: x→$fx, y→$fy of $total files")
+    // correctness: pruned results equal full filters
+    assert(TxTable.readWhere(spark, dir, col("x") === 17L).count() == 64)
+    assert(TxTable.readWhere(spark, dir, col("y") === 42L).count() == 64)
+    assert(TxTable.readWhere(spark, dir,
+      col("x") === 17L && col("y") === 42L).count() == 1)
+  }
+
+  test("1-D range clustering leaves the other dimension unprunable (the contrast)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    TxTable.append(spark, dir, grid.repartitionByRange(16, col("x")))
+    val total = TxTable.read(spark, dir).inputFiles.length
+    val fy = TxTable.readWhere(spark, dir, col("y") === 42L).inputFiles.length
+    assert(fy == total,
+      "y is uniform within every x-range file — stats cannot prune it")
+  }
+
+  test("cluster() preserves rows exactly and tolerates nulls/constants") {
+    val s = spark
+    import s.implicits._
+    val in = Seq((Some(1L), 5L), (None, 5L), (Some(9L), 5L)).toDF("a", "b")
+    val out = ZOrder.cluster(in, Seq("a", "b"), numFiles = 2)
+    assert(out.collect().map(_.toSeq).toSet == in.collect().map(_.toSeq).toSet)
+    assert(out.columns.toSeq == in.columns.toSeq, "no helper column leaks")
+  }
+}
