@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, lit, not}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -498,6 +498,127 @@ object TxTable {
         readVersion(spark, path, toV, mergeSchema, schema)
           .withColumn("_change_type", lit("insert")).where(lit(false))
     }
+  }
+
+  /** Row-level DELETE, copy-on-write: rewrite ONLY the files whose
+    * manifest stats say they may hold matching rows; every other file
+    * carries over untouched — same bytes, same manifest line, stats
+    * included. SQL semantics: rows where the predicate is TRUE are
+    * removed; FALSE and NULL rows survive. Commits one atomic
+    * "replace" version; readers pinned to earlier versions still see
+    * the deleted rows until [[vacuum]] (that is the time-travel
+    * contract, and what makes this GDPR-complete only after a vacuum).
+    *
+    * At 100 TB this is the difference between a delete rewriting the
+    * lake and rewriting the handful of files a needle predicate can
+    * touch — the same pruning as [[readWhere]], applied to the WRITE
+    * side. A predicate stats can't reason about degrades to a full
+    * rewrite, never to a wrong result. Returns the committed version,
+    * or None when no file could match (no commit at all).
+    *
+    * Concurrency: the rewrite is analyzed against the head snapshot at
+    * call time; files appended by writers racing this delete are kept
+    * verbatim (their rows are NOT filtered) — same last-writer
+    * semantics as [[overwrite]].
+    */
+  def delete(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column,
+             partitionCols: Seq[String] = Nil,
+             mergeSchema: Boolean = false,
+             schema: Option[StructType] = None): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    if (lines.isEmpty) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+      .where(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          conjuncts(f.condition)
+      }.getOrElse(Seq.empty)
+    val (candidates, untouched) =
+      lines.partition(l => cs.forall(c => mayMatch(statsOf(l), c)))
+    if (candidates.isEmpty) return None
+    val untouchedPaths = untouched.map(pathOf).toSet
+    val survivors = scanFiles(spark, p, candidates.map(pathOf),
+        mergeSchema, schema)
+      // keep rows where the predicate is FALSE or NULL (SQL DELETE)
+      .where(not(coalesce(predicate, lit(false))))
+    Some(commit(spark, path, survivors, "replace",
+      (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
+      partitionCols))
+  }
+
+  /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace
+    * existing rows with equal key tuples and insert otherwise —
+    * `whenMatched update-all / whenNotMatched insert-all`, the Delta
+    * MERGE fast path. Null keys never match (SQL equality): null-key
+    * update rows insert, null-key existing rows survive.
+    *
+    * The rewrite set is bounded the same way as [[delete]]: a file can
+    * hold a matching row only if EVERY key column's [min,max] window
+    * intersects the updates' observed bounds (one small agg over the
+    * update side), so a merge touching one day's keys rewrites one
+    * day's files, not the table. Untouched files carry over verbatim,
+    * matched candidates are anti-joined against the update keys and
+    * re-written together with the updates in one atomic "replace"
+    * commit. Update schema must match the table's (modulo
+    * `mergeSchema` widening).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String],
+            partitionCols: Seq[String] = Nil,
+            mergeSchema: Boolean = false,
+            schema: Option[StructType] = None): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    if (lines.isEmpty)
+      return commit(spark, path, updates, "replace", (_, _) => Seq.empty,
+        partitionCols)
+
+    // observed key bounds on the update side; a null bound (empty or
+    // all-null keys) disables pruning for that column — conservative
+    val aggs = keyCols.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(k)),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(k))))
+    val row = updates.agg(aggs.head, aggs.tail: _*).head()
+    val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(org.apache.spark.sql.functions.col(k)
+        .between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
+    }
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs =
+      if (boundPreds.isEmpty) Seq.empty[Expression]
+      else scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+        .where(boundPreds.reduce(_ && _)).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            conjuncts(f.condition)
+        }.getOrElse(Seq.empty)
+    val (candidates, untouched) =
+      lines.partition(l => cs.isEmpty || cs.forall(c => mayMatch(statsOf(l), c)))
+    val untouchedPaths = untouched.map(pathOf).toSet
+    val newData =
+      if (candidates.isEmpty) updates
+      else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema)
+        .join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct(), keyCols, "left_anti")
+        .unionByName(updates, allowMissingColumns = mergeSchema)
+    commit(spark, path, newData, "replace",
+      (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
+      partitionCols)
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot

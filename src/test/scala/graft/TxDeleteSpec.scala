@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+
+/** Copy-on-write DELETE: SQL null semantics, rewrite set bounded by
+  * stats pruning, untouched files carried verbatim, and time travel
+  * retained until vacuum.
+  */
+class TxDeleteSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_del").toString + "/t"
+
+  private def threeCommits(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq(0L, 10L, 20L).foreach { lo =>
+      TxTable.append(spark, dir,
+        (lo until lo + 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+  }
+
+  test("delete removes TRUE rows, keeps FALSE and NULL rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.overwrite(spark, dir,
+      Seq((1L, Some(1)), (2L, Some(2)), (3L, None)).toDF("id", "flag"))
+    assert(TxTable.delete(spark, dir, col("flag") === 1).isDefined)
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L), "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("stats bound the rewrite: only the file holding the needle is rewritten") {
+    val dir = tmp()
+    threeCommits(dir)
+    val before = TxTable.read(spark, dir).inputFiles.toSet
+    val v = TxTable.delete(spark, dir, col("id") === 15L)
+    assert(v.contains(4L))
+    val after = TxTable.read(spark, dir).inputFiles.toSet
+    // the two untouched files carry over as the SAME physical files
+    assert((before intersect after).size == 2,
+      s"expected 2 carried files, before=$before after=$after")
+    assert(TxTable.read(spark, dir).count() == 29)
+    assert(TxTable.read(spark, dir).where(col("id") === 15L).count() == 0)
+  }
+
+  test("a predicate that can match nothing commits nothing") {
+    val dir = tmp()
+    threeCommits(dir)
+    val head = TxTable.versions(spark, dir).last
+    assert(TxTable.delete(spark, dir, col("id") === 999L).isEmpty)
+    assert(TxTable.versions(spark, dir).last == head)
+  }
+
+  test("time travel still sees deleted rows until vacuum") {
+    val dir = tmp()
+    threeCommits(dir)
+    val headBefore = TxTable.versions(spark, dir).last
+    TxTable.delete(spark, dir, col("id") < 10L)
+    assert(TxTable.read(spark, dir).count() == 20)
+    assert(TxTable.readVersion(spark, dir, headBefore).count() == 30,
+      "pre-delete snapshot must be intact")
+    TxTable.vacuum(spark, dir, keepVersions = 1)
+    assert(TxTable.read(spark, dir).count() == 20)
+    intercept[Exception](TxTable.readVersion(spark, dir, headBefore).count())
+  }
+
+  test("delete on a partitioned table can preserve the partition layout") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "pt"),
+      partitionCols = Seq("pt"))
+    TxTable.delete(spark, dir, col("id") <= 4L, partitionCols = Seq("pt"))
+    val remaining = TxTable.read(spark, dir)
+    assert(remaining.count() == 16)
+    assert(remaining.inputFiles.forall(_.contains("pt=")),
+      "rewritten survivors must keep hive partition dirs")
+  }
+}
+
+/** Keyed MERGE: matched keys replaced, unmatched inserted, rewrite set
+  * bounded by the updates' key bounds, null keys insert-only.
+  */
+class TxMergeSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_mrg").toString + "/t"
+
+  private def threeCommits(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq(0L, 10L, 20L).foreach { lo =>
+      TxTable.append(spark, dir,
+        (lo until lo + 10).map(i => (i, s"old$i")).toDF("id", "v").coalesce(1))
+    }
+  }
+
+  test("merge updates matched keys and inserts new ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    TxTable.merge(spark, dir,
+      Seq((15L, "NEW15"), (99L, "NEW99")).toDF("id", "v"), Seq("id"))
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 31)
+    assert(out(15L) == "NEW15" && out(99L) == "NEW99")
+    assert(out(14L) == "old14", "unmatched rows untouched")
+  }
+
+  test("key bounds bound the rewrite to intersecting files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    val before = TxTable.read(spark, dir).inputFiles.toSet
+    TxTable.merge(spark, dir, Seq((15L, "NEW")).toDF("id", "v"), Seq("id"))
+    val after = TxTable.read(spark, dir).inputFiles.toSet
+    assert((before intersect after).size == 2,
+      s"only the [10,19] file may be rewritten, before=$before after=$after")
+  }
+
+  test("null-key update rows insert; null-key existing rows survive") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.overwrite(spark, dir,
+      Seq((Some(1L), "a"), (None, "nullrow")).toDF("id", "v"))
+    TxTable.merge(spark, dir,
+      Seq((Some(1L), "A2"), (Option.empty[Long], "inserted")).toDF("id", "v"),
+      Seq("id"))
+    val vals = TxTable.read(spark, dir).collect().map(_.getString(1)).sorted.toSeq
+    assert(vals == Seq("A2", "inserted", "nullrow"),
+      "matched key updated; both null-key rows present")
+  }
+
+  test("merge into an effectively-empty table inserts everything") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.delete(spark, dir, lit(true))
+    TxTable.merge(spark, dir, Seq((7L, "x")).toDF("id", "v"), Seq("id"))
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+}
