@@ -304,6 +304,25 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // tx-table DML end-to-end: land orders, MERGE an update+insert set,
+    // DELETE a key slice, read the head snapshot — the oracle recomputes
+    // the same upsert/delete algebraically over the source table, so the
+    // copy-on-write machinery is officially correctness-gated
+    "q_x_tx_dml" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dml").toString + "/orders_tx"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, tmp, o.repartitionByRange(4, col("o_orderkey")))
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"), lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, tmp, updates, Seq("o_orderkey"))
+      graft.ops.TxTable.delete(s, tmp, col("o_orderkey") % 7 === 3)
+      graft.ops.TxTable.read(s, tmp)
+        .orderBy("o_orderkey")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -888,6 +907,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_tx_dml" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus))
+        |SELECT o_orderkey, o_orderstatus FROM merged
+        |WHERE NOT (o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

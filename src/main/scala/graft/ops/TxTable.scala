@@ -525,7 +525,48 @@ object TxTable {
              predicate: org.apache.spark.sql.Column,
              partitionCols: Seq[String] = Nil,
              mergeSchema: Boolean = false,
+             schema: Option[StructType] = None): Option[Long] =
+    rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
+      schema) { (candidateRows, pred) =>
+      // keep rows where the predicate is FALSE or NULL (SQL DELETE)
+      candidateRows.where(not(coalesce(pred, lit(false))))
+    }
+
+  /** Row-level UPDATE, copy-on-write: in files that may hold matching
+    * rows (stats-pruned like [[delete]]), each `set` column becomes
+    * `CASE WHEN predicate THEN expr ELSE old END`; untouched files
+    * carry over verbatim. NULL-predicate rows are not updated (SQL
+    * semantics). Returns the committed version, or None when no file
+    * could match.
+    */
+  def update(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             partitionCols: Seq[String] = Nil,
+             mergeSchema: Boolean = false,
              schema: Option[StructType] = None): Option[Long] = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
+      schema) { (candidateRows, pred) =>
+      set.foldLeft(candidateRows) { case (df, (name, expr)) =>
+        df.withColumn(name,
+          org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), expr)
+            .otherwise(org.apache.spark.sql.functions.col(name)))
+      }
+    }
+  }
+
+  /** Shared copy-on-write core of [[delete]]/[[update]]: stats-prune
+    * the head snapshot's files against `predicate`, hand the candidate
+    * rows (and the predicate) to `rewrite`, and commit its result plus
+    * the untouched files as one atomic replace version.
+    */
+  private def rewriteMatching(spark: SparkSession, path: String,
+                              predicate: org.apache.spark.sql.Column,
+                              partitionCols: Seq[String],
+                              mergeSchema: Boolean,
+                              schema: Option[StructType])
+                             (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -545,11 +586,10 @@ object TxTable {
       lines.partition(l => cs.forall(c => mayMatch(statsOf(l), c)))
     if (candidates.isEmpty) return None
     val untouchedPaths = untouched.map(pathOf).toSet
-    val survivors = scanFiles(spark, p, candidates.map(pathOf),
-        mergeSchema, schema)
-      // keep rows where the predicate is FALSE or NULL (SQL DELETE)
-      .where(not(coalesce(predicate, lit(false))))
-    Some(commit(spark, path, survivors, "replace",
+    val rewritten = rewrite(
+      scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema),
+      predicate)
+    Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
       partitionCols))
   }

@@ -150,3 +150,34 @@ class TxMergeSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 }
+
+/** Expression UPDATE: CASE-WHEN rewrite of matching files only. */
+class TxUpdateSpec extends SparkSpec {
+
+  test("update rewrites matching rows, leaves NULL-predicate rows and other files") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd").toString + "/t"
+    Seq(0L, 10L).foreach { lo =>
+      TxTable.append(spark, dir,
+        (lo until lo + 10).map(i => (i, s"v$i", if (i == 3) None else Some(i)))
+          .toDF("id", "v", "flag").coalesce(1))
+    }
+    val before = TxTable.read(spark, dir).inputFiles.toSet
+    val v = TxTable.update(spark, dir, col("id") >= 10L && col("flag") > 10L,
+      Map("v" -> concat(lit("UPD"), col("id").cast("string"))))
+    assert(v.isDefined)
+    val after = TxTable.read(spark, dir).inputFiles.toSet
+    assert((before intersect after).size == 1, "file [0,9] must carry over")
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(15L) == "UPD15" && out(5L) == "v5" && out(10L) == "v10",
+      s"id 15 updated, id 5 other file, id 10 flag=10 not > 10: $out")
+    assert(out(3L) == "v3", "NULL-predicate row must not update")
+    // nothing can match → no commit
+    val head = TxTable.versions(spark, dir).last
+    assert(TxTable.update(spark, dir, col("id") === 999L,
+      Map("v" -> lit("x"))).isEmpty)
+    assert(TxTable.versions(spark, dir).last == head)
+  }
+}
