@@ -614,7 +614,8 @@ object TxTable {
             keyCols: Seq[String],
             partitionCols: Seq[String] = Nil,
             mergeSchema: Boolean = false,
-            schema: Option[StructType] = None): Long = {
+            schema: Option[StructType] = None,
+            meta: Map[String, String] = Map.empty): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -622,7 +623,7 @@ object TxTable {
     val lines = readManifest(fs, p, vs.last)._2
     if (lines.isEmpty)
       return commit(spark, path, updates, "replace", (_, _) => Seq.empty,
-        partitionCols)
+        partitionCols, meta)
 
     // observed key bounds on the update side; a null bound (empty or
     // all-null keys) disables pruning for that column — conservative
@@ -658,7 +659,7 @@ object TxTable {
         .unionByName(updates, allowMissingColumns = mergeSchema)
     commit(spark, path, newData, "replace",
       (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
-      partitionCols)
+      partitionCols, meta)
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot

@@ -94,4 +94,36 @@ class TxFollowerSpec extends SparkSpec {
     assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L))
   }
+
+  test("aggregate view folds deltas into stored partials, equals batch aggregation") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/agg"
+    def partial(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(sum("x").as("sum_x"), count(lit(1)).as("n"))
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy("k").agg(sum("sum_x").as("sum_x"), sum("n").as("n"))
+
+    TxTable.append(spark, src, Seq(("a", 1.0), ("b", 2.0)).toDF("k", "x"))
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).contains(1L))
+    TxTable.append(spark, src, Seq(("a", 10.0), ("c", 5.0)).toDF("k", "x"))
+    TxTable.append(spark, src, Seq(("a", 100.0)).toDF("k", "x"))
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).contains(3L))
+    // caught up: no-op, no commit
+    val versions = TxTable.versions(spark, dst)
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).isEmpty)
+    assert(TxTable.versions(spark, dst) == versions)
+
+    val view = TxTable.read(spark, dst).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val batch = TxTable.read(spark, src).groupBy("k")
+      .agg(sum("x").as("sum_x"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(view == batch,
+      s"incremental view must equal batch aggregation: $view vs $batch")
+  }
 }
