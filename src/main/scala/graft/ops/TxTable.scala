@@ -582,15 +582,19 @@ object TxTable {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           conjuncts(f.condition)
       }.getOrElse(Seq.empty)
-    val (candidates, untouched) =
+    val (candidates, _) =
       lines.partition(l => cs.forall(c => mayMatch(statsOf(l), c)))
     if (candidates.isEmpty) return None
-    val untouchedPaths = untouched.map(pathOf).toSet
+    // drop exactly the files being rewritten; everything else survives —
+    // including files a RACING writer appends between this analysis and
+    // the slot claim (the commit retry re-reads the new head, and a
+    // keep-only-the-analyzed-set filter would silently drop them)
+    val candidatePaths = candidates.map(pathOf).toSet
     val rewritten = rewrite(
       scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema),
       predicate)
     Some(commit(spark, path, rewritten, "replace",
-      (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
+      (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       partitionCols))
   }
 
@@ -648,9 +652,11 @@ object TxTable {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
             conjuncts(f.condition)
         }.getOrElse(Seq.empty)
-    val (candidates, untouched) =
+    val (candidates, _) =
       lines.partition(l => cs.isEmpty || cs.forall(c => mayMatch(statsOf(l), c)))
-    val untouchedPaths = untouched.map(pathOf).toSet
+    // see rewriteMatching: drop exactly the rewritten files, so a racing
+    // append between analysis and claim is never lost
+    val candidatePaths = candidates.map(pathOf).toSet
     val newData =
       if (candidates.isEmpty) updates
       else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema)
@@ -658,7 +664,7 @@ object TxTable {
           .distinct(), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = mergeSchema)
     commit(spark, path, newData, "replace",
-      (base, _) => base.filter(l => untouchedPaths.contains(pathOf(l))),
+      (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       partitionCols, meta)
   }
 

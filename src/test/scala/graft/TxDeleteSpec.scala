@@ -68,6 +68,38 @@ class TxDeleteSpec extends SparkSpec {
     intercept[Exception](TxTable.readVersion(spark, dir, headBefore).count())
   }
 
+  test("a racing append between delete's analysis and its claim is never lost") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    RaceState.reset()
+    val racer = new Thread(() => {
+      RaceState.started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      TxTable.append(spark, dir,
+        Seq((100L, "raced")).toDF("id", "v").coalesce(1))
+      RaceState.appended.countDown()
+    })
+    racer.start()
+    // the UDF pauses the survivor write after delete's head analysis,
+    // letting the racer commit a new version before delete's slot claim
+    val gate = udf { (id: Long) =>
+      if (RaceState.fired.compareAndSet(false, true)) {
+        RaceState.started.countDown()
+        RaceState.appended.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      id % 2 == 0
+    }
+    try {
+      assert(TxTable.delete(spark, dir, gate(col("id"))).isDefined)
+    } finally racer.join(30000)
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 5L, 7L, 9L, 100L),
+      s"evens deleted AND the raced append must survive, got $out")
+  }
+
   test("delete on a partitioned table can preserve the partition layout") {
     val s = spark
     import s.implicits._
@@ -179,5 +211,20 @@ class TxUpdateSpec extends SparkSpec {
     assert(TxTable.update(spark, dir, col("id") === 999L,
       Map("v" -> lit("x"))).isEmpty)
     assert(TxTable.versions(spark, dir).last == head)
+  }
+}
+
+/** Latches for the delete-vs-append race test; top-level so the UDF
+  * closure serializes (the latches are reached via this static object,
+  * not captured).
+  */
+object RaceState {
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var appended = new java.util.concurrent.CountDownLatch(1)
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    appended = new java.util.concurrent.CountDownLatch(1)
+    fired.set(false)
   }
 }
