@@ -159,6 +159,15 @@ object TxTable {
   private def dec(s: String) =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Compare strings the way parquet compares binary statistics:
+    * unsigned UTF-8 byte order. Java's `compareTo` (UTF-16 code units)
+    * disagrees for code points above the BMP (surrogates sort below
+    * U+E000..U+FFFF), which would mis-prune.
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** Read min/max per column from the parquet footers of `relFiles`
     * (merged across row groups). Columns typed beyond the supported
     * comparable set — or whose chunks lack stats — are simply absent:
@@ -193,11 +202,16 @@ object TxTable {
                       t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
                     case _ => true
                   }
+                  // decimal stats are UNSCALED ints (12.34 stored as 1234)
+                  // — comparing them against a scaled literal mis-prunes,
+                  // so decimal columns get no stats at all
+                  val notDecimal = !cc.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
                   val parsed: Option[(String, String, String)] =
                     if (st == null || !st.hasNonNullValue) None
                     else (st.genericGetMin, st.genericGetMax) match {
                       case (mn: java.lang.Number, mx: java.lang.Number)
-                          if tsUnitSafe &&
+                          if tsUnitSafe && notDecimal &&
                             !mn.toString.exists(c => c == 'N' || c == 'I') =>
                         Some(("n", mn.toString, mx.toString))
                       case (mn: org.apache.parquet.io.api.Binary,
@@ -216,8 +230,12 @@ object TxTable {
                           (t, amn.min(bmn), amx.max(bmx),
                             if (bmn < amn) mn else smn, if (bmx > amx) mx else smx)
                         case Some((t, _, _, smn, smx)) if t == tag && tag == "s" =>
+                          // parquet orders binary stats by UNSIGNED UTF-8
+                          // bytes; Java String compareTo (UTF-16) disagrees
+                          // above the BMP — merge in parquet's order
                           (t, BigDecimal(0), BigDecimal(0),
-                            if (mn < smn) mn else smn, if (mx > smx) mx else smx)
+                            if (utf8Cmp(mn, smn) < 0) mn else smn,
+                            if (utf8Cmp(mx, smx) > 0) mx else smx)
                         case Some(_) => dropped += name; acc -= name; null
                         case None =>
                           if (tag == "n")
@@ -270,7 +288,9 @@ object TxTable {
     def bounds(col: String): Option[(String, String, String)] = stats.get(col)
     def cmp(tag: String, a: String, v: Either[BigDecimal, String]): Int = v match {
       case scala.util.Left(n) => BigDecimal(a).compare(n)
-      case scala.util.Right(s) => a.compareTo(s)
+      // parquet's binary stats order: unsigned UTF-8 bytes (see merge
+      // note in footerStats) — NOT Java String compareTo
+      case scala.util.Right(s) => utf8Cmp(a, s)
     }
     def test(attr: Expression, lit: Expression,
              keep: (Int, Int) => Boolean): Boolean =
@@ -298,6 +318,31 @@ object TxTable {
     }
   }
 
+  /** Resolve `predicate` by analyzing a filter over the snapshot
+    * relation and split the typed condition into top-level AND
+    * conjuncts. A Spark 4 Column is a ColumnNode tree, not a Catalyst
+    * expression; analysis both resolves it and types the literals into
+    * their internal representations (dates → days, timestamps →
+    * micros), which is what [[mayMatch]] compares stats against. Empty
+    * when no Filter node survives analysis (e.g. `lit(true)`).
+    */
+  private def resolveConjuncts(spark: SparkSession, p: Path,
+                               lines: Seq[String],
+                               predicate: org.apache.spark.sql.Column,
+                               mergeSchema: Boolean,
+                               schema: Option[StructType]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+      .where(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          split(f.condition)
+      }.getOrElse(Seq.empty)
+  }
+
   /** Predicate-pruned snapshot read: drops every file whose manifest
     * stats prove the predicate cannot match, scans the rest, and
     * re-applies the full predicate (stats pruning is file-granular;
@@ -310,27 +355,14 @@ object TxTable {
                 predicate: org.apache.spark.sql.Column,
                 mergeSchema: Boolean = false,
                 schema: Option[StructType] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    // A Spark 4 Column is a ColumnNode tree, not a Catalyst expression:
-    // resolve it by ANALYZING the filter against the snapshot relation
-    // and lifting the resolved condition out of the Filter node — this
-    // also types the literals (dates → days, timestamps → micros) so
-    // stats comparison sees internal representations.
     val cs =
-      if (lines.isEmpty) Seq.empty[Expression]
-      else scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
-        .where(predicate).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            conjuncts(f.condition)
-        }.getOrElse(Seq.empty)
+      if (lines.isEmpty)
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+      else resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
     val kept = lines.filter(l => cs.forall(c => mayMatch(statsOf(l), c)))
     if (lines.isEmpty) schema match {
       case Some(s) => spark.createDataFrame(
@@ -548,11 +580,20 @@ object TxTable {
     require(set.nonEmpty, "update needs at least one SET column")
     rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
       schema) { (candidateRows, pred) =>
-      set.foldLeft(candidateRows) { case (df, (name, expr)) =>
-        df.withColumn(name,
-          org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), expr)
-            .otherwise(org.apache.spark.sql.functions.col(name)))
-      }
+      val unknown = set.keySet -- candidateRows.columns
+      require(unknown.isEmpty,
+        s"SET columns not in the table: ${unknown.mkString(", ")}")
+      // ONE simultaneous projection: every SET expression reads the
+      // PRE-update row (SQL UPDATE semantics) — a sequential fold would
+      // let SET a = b, b = a read the already-updated a
+      candidateRows.select(candidateRows.columns.map { name =>
+        set.get(name) match {
+          case Some(expr) =>
+            org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), expr)
+              .otherwise(org.apache.spark.sql.functions.col(name)).as(name)
+          case None => org.apache.spark.sql.functions.col(name)
+        }
+      }.toIndexedSeq: _*)
     }
   }
 
@@ -567,21 +608,12 @@ object TxTable {
                               mergeSchema: Boolean,
                               schema: Option[StructType])
                              (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
     if (lines.isEmpty) return None
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val cs = scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
-      .where(predicate).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          conjuncts(f.condition)
-      }.getOrElse(Seq.empty)
+    val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
     val (candidates, _) =
       lines.partition(l => cs.forall(c => mayMatch(statsOf(l), c)))
     if (candidates.isEmpty) return None
@@ -595,7 +627,7 @@ object TxTable {
       predicate)
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      partitionCols))
+      partitionCols, requirePresent = candidatePaths))
   }
 
   /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace
@@ -613,59 +645,79 @@ object TxTable {
     * re-written together with the updates in one atomic "replace"
     * commit. Update schema must match the table's (modulo
     * `mergeSchema` widening).
+    *
+    * `updates` is MATERIALIZED once (localCheckpoint) before use: its
+    * plan is consumed three times (bounds agg, anti-join, union), and a
+    * nondeterministic source re-evaluated per pass could yield keys
+    * outside the observed bounds — leaving matched old rows alive in
+    * pruned files. An empty update set is a no-op (no commit): without
+    * observable bounds every file would be a rewrite candidate, and
+    * "merge nothing" must not rewrite the table.
+    *
+    * `nullSafeKeys = true` switches key matching to null-safe equality
+    * (`<=>`): existing null-key rows ARE replaced by null-key update
+    * rows — what an aggregate-view maintainer needs (a null group is a
+    * group). Since stats say nothing about null presence, any null key
+    * in `updates` then disables file pruning for safety.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String],
             partitionCols: Seq[String] = Nil,
             mergeSchema: Boolean = false,
             schema: Option[StructType] = None,
-            meta: Map[String, String] = Map.empty): Long = {
+            meta: Map[String, String] = Map.empty,
+            nullSafeKeys: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
+    val u = updates.localCheckpoint()
     if (lines.isEmpty)
-      return commit(spark, path, updates, "replace", (_, _) => Seq.empty,
+      return commit(spark, path, u, "replace", (_, _) => Seq.empty,
         partitionCols, meta)
+    if (u.isEmpty) return vs.last
 
-    // observed key bounds on the update side; a null bound (empty or
-    // all-null keys) disables pruning for that column — conservative
-    val aggs = keyCols.flatMap(k => Seq(
-      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(k)),
-      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(k))))
-    val row = updates.agg(aggs.head, aggs.tail: _*).head()
+    // observed key bounds on the update side; a null bound (all-null
+    // keys) disables pruning for that column — conservative. Under
+    // null-safe matching a null key may match rows in ANY file, so
+    // pruning is disabled entirely when one is present.
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k)))) ++
+      keyCols.map(k => max(col(k).isNull.cast("int")))
+    val row = u.agg(aggs.head, aggs.tail: _*).head()
+    val anyNullKey =
+      keyCols.indices.exists(i => row.getInt(2 * keyCols.size + i) == 1)
     val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-      else Some(org.apache.spark.sql.functions.col(k)
-        .between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
-    }
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
+      else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
     }
     val cs =
-      if (boundPreds.isEmpty) Seq.empty[Expression]
-      else scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
-        .where(boundPreds.reduce(_ && _)).queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            conjuncts(f.condition)
-        }.getOrElse(Seq.empty)
+      if (boundPreds.isEmpty || (nullSafeKeys && anyNullKey))
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+      else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
+        mergeSchema, schema)
     val (candidates, _) =
       lines.partition(l => cs.isEmpty || cs.forall(c => mayMatch(statsOf(l), c)))
     // see rewriteMatching: drop exactly the rewritten files, so a racing
     // append between analysis and claim is never lost
     val candidatePaths = candidates.map(pathOf).toSet
     val newData =
-      if (candidates.isEmpty) updates
-      else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema)
-        .join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .distinct(), keyCols, "left_anti")
-        .unionByName(updates, allowMissingColumns = mergeSchema)
+      if (candidates.isEmpty) u
+      else {
+        val existing = scanFiles(spark, p, candidates.map(pathOf),
+          mergeSchema, schema)
+        val keys = u.select(keyCols.map(col): _*).distinct()
+        val joined =
+          if (!nullSafeKeys) existing.join(keys, keyCols, "left_anti")
+          else existing.join(keys.toDF(keyCols.map(k => s"__u_$k"): _*),
+            keyCols.map(k => existing(k) <=> col(s"__u_$k")).reduce(_ && _),
+            "left_anti")
+        joined.unionByName(u, allowMissingColumns = mergeSchema)
+      }
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      partitionCols, meta)
+      partitionCols, meta, requirePresent = candidatePaths)
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot
@@ -731,7 +783,8 @@ object TxTable {
                      action: String,
                      baseKeep: (Seq[String], Seq[String]) => Seq[String],
                      partitionCols: Seq[String] = Nil,
-                     meta: Map[String, String] = Map.empty): Long = {
+                     meta: Map[String, String] = Map.empty,
+                     requirePresent: Set[String] = Set.empty): Long = {
     require(meta.forall { case (k, v) =>
       k.nonEmpty && !k.contains('=') &&
         !(k + v).exists(c => c == ' ' || c == '\n')
@@ -766,6 +819,20 @@ object TxTable {
       val (prevHead, base) = head
         .map(v => readManifest(fs, p, v))
         .getOrElse(("", Seq.empty[String]))
+      // copy-on-write conflict check: if a concurrent commit removed a
+      // file THIS operation rewrote (another delete/update/merge or an
+      // overwrite won the race), committing our rewrite of its stale
+      // rows would duplicate or resurrect them — fail loudly instead
+      // (Delta's ConcurrentDeleteReadException). Racing APPENDS leave
+      // the required files in place and proceed safely.
+      if (requirePresent.nonEmpty) {
+        val basePaths = base.map(pathOf).toSet
+        val gone = requirePresent -- basePaths
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"conflicting commit on $path: files this rewrite read were " +
+          s"removed by a concurrent commit (retry the operation): " +
+          gone.take(3).mkString(", "))
+      }
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
       // carried keys survive manifest pruning: re-emit the previous

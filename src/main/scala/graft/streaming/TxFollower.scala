@@ -48,16 +48,35 @@ object TxFollower {
                        partitionCols: Seq[String] = Nil): Option[Long] = {
     require(!app.exists(c => c == ' ' || c == '=' || c == '\n'),
       "app must be manifest-token-safe (no spaces, '=', or newlines)")
-    val head = TxTable.versions(spark, src).lastOption.getOrElse(return None)
+    val srcVersions = TxTable.versions(spark, src)
+    val head = srcVersions.lastOption.getOrElse(return None)
     val from = processedVersion(spark, dst, app).getOrElse(0L)
     if (head <= from) None
     else {
+      checkRetention(srcVersions, from, src)
       val delta = TxTable.readAppended(spark, src, fromV = from, toV = head)
       TxTable.append(spark, dst, transform(delta), partitionCols,
         meta = Map(srcKey(app) -> head.toString))
       Some(head)
     }
   }
+
+  /** The destination offset survives anything (carried meta), but the
+    * delta read needs the SOURCE manifest at the last-consumed version
+    * — a source vacuum that pruned it makes incremental consumption
+    * impossible. Fail with an actionable message instead of a
+    * FileNotFoundException on every trigger; reprocessing from scratch
+    * silently would double-count into aggregate views. (Same contract
+    * as Delta: keep source retention longer than follower downtime.)
+    */
+  private def checkRetention(srcVersions: Seq[Long], from: Long,
+                             src: String): Unit =
+    if (from > 0 && !srcVersions.contains(from))
+      throw new IllegalStateException(
+        s"source $src vacuumed past the last consumed version $from " +
+        s"(oldest retained: ${srcVersions.headOption.getOrElse(-1L)}); " +
+        "incremental consumption cannot resume — restore retention or " +
+        "rebuild the view from scratch")
 
   /** Incremental AGGREGATE materialized view: maintain
     * `src.groupBy(groupCols).agg(...)` in `dst` by folding each delta's
@@ -81,9 +100,11 @@ object TxFollower {
                        partial: DataFrame => DataFrame,
                        combine: DataFrame => DataFrame): Option[Long] = {
     require(groupCols.nonEmpty, "aggregate view needs group columns")
-    val head = TxTable.versions(spark, src).lastOption.getOrElse(return None)
+    val srcVersions = TxTable.versions(spark, src)
+    val head = srcVersions.lastOption.getOrElse(return None)
     val from = processedVersion(spark, dst, app).getOrElse(0L)
     if (head <= from) return None
+    checkRetention(srcVersions, from, src)
     val delta = TxTable.readAppended(spark, src, fromV = from, toV = head)
     val p = partial(delta)
     val meta = Map(srcKey(app) -> head.toString)
@@ -91,11 +112,18 @@ object TxFollower {
       TxTable.append(spark, dst, p, meta = meta)
     else {
       import org.apache.spark.sql.functions.col
-      val touched = TxTable.read(spark, dst)
-        .join(p.select(groupCols.map(col): _*).distinct(), groupCols,
-          "left_semi")
+      // ALL joins here are null-safe: a null group key is a real group
+      // (groupBy semantics), and plain equality would re-insert a fresh
+      // null-group row every increment instead of folding into it
+      val dstDf = TxTable.read(spark, dst)
+      val pKeys = p.select(groupCols.map(col): _*).distinct()
+        .toDF(groupCols.map(k => s"__p_$k"): _*)
+      val touched = dstDf.join(pKeys,
+        groupCols.map(k => dstDf(k) <=> col(s"__p_$k")).reduce(_ && _),
+        "left_semi")
       val combined = combine(touched.unionByName(p))
-      TxTable.merge(spark, dst, combined, groupCols, meta = meta)
+      TxTable.merge(spark, dst, combined, groupCols, meta = meta,
+        nullSafeKeys = true)
     }
     Some(head)
   }

@@ -214,6 +214,68 @@ class TxUpdateSpec extends SparkSpec {
   }
 }
 
+/** Review-pass regression tests: UPDATE SET simultaneity, empty-merge
+  * no-op, concurrent-rewrite conflict detection.
+  */
+class TxDmlEdgeSpec extends SparkSpec {
+
+  test("interdependent SET expressions read the pre-update row") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e").toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    TxTable.update(spark, dir, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r = TxTable.read(spark, dir).head()
+    assert((r.getLong(1), r.getLong(2)) == ((20L, 10L)),
+      "SET a=b, b=a must swap, not copy")
+  }
+
+  test("merge with an empty update set commits nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e").toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val head = TxTable.versions(spark, dir).last
+    val v = TxTable.merge(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(v == head && TxTable.versions(spark, dir).last == head,
+      "empty merge must not rewrite the table")
+  }
+
+  test("a rewrite racing another rewrite of the same file fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e").toString + "/t"
+    TxTable.overwrite(spark, dir,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    RaceState.reset()
+    val racer = new Thread(() => {
+      RaceState.started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // the racer REWRITES the same file (delete) rather than appending
+      TxTable.delete(spark, dir, col("id") === 9L)
+      RaceState.appended.countDown()
+    })
+    racer.start()
+    val gate = udf { (id: Long) =>
+      if (RaceState.fired.compareAndSet(false, true)) {
+        RaceState.started.countDown()
+        RaceState.appended.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      id % 2 == 0
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxTable.delete(spark, dir, gate(col("id")))
+      }
+      assert(e.getMessage.contains("concurrent"))
+    } finally racer.join(30000)
+    // the winner's delete landed; the loser changed nothing
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 9L))
+  }
+}
+
 /** Latches for the delete-vs-append race test; top-level so the UDF
   * closure serializes (the latches are reached via this static object,
   * not captured).

@@ -126,4 +126,41 @@ class TxFollowerSpec extends SparkSpec {
     assert(view == batch,
       s"incremental view must equal batch aggregation: $view vs $batch")
   }
+
+  test("aggregate view folds the NULL group instead of duplicating it") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/agg"
+    def partial(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(sum("x").as("sum_x"))
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy("k").agg(sum("sum_x").as("sum_x"))
+    TxTable.append(spark, src,
+      Seq((Option.empty[String], 1.0), (Some("a"), 2.0)).toDF("k", "x"))
+    TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"), partial, combine)
+    TxTable.append(spark, src,
+      Seq((Option.empty[String], 10.0)).toDF("k", "x"))
+    TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"), partial, combine)
+    val rows = TxTable.read(spark, dst).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(TxTable.read(spark, dst).count() == 2,
+      "exactly one row per group, including the null group")
+    assert(rows(None) == 11.0 && rows(Some("a")) == 2.0)
+  }
+
+  test("a source vacuum past the consumed version fails with an actionable error") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    TxTable.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    TxFollower.processAvailable(spark, src, dst, "mv")
+    TxTable.append(spark, src, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, src, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.vacuum(spark, src, keepVersions = 1)
+    val e = intercept[IllegalStateException](
+      TxFollower.processAvailable(spark, src, dst, "mv"))
+    assert(e.getMessage.contains("vacuumed past"))
+  }
 }

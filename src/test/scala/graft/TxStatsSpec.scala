@@ -136,6 +136,39 @@ class TxStatsSpec extends SparkSpec {
       s"partition pruning must read fewer than all $total files, read $read")
   }
 
+  test("decimal columns never mis-prune (stats are unscaled; recorded as none)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    Seq(("10.00", "20.00"), ("30.00", "40.00")).foreach { case (lo, hi) =>
+      TxTable.append(spark, dir,
+        Seq((BigDecimal(lo), 1), (BigDecimal(hi), 2))
+          .toDF("price", "n").coalesce(1))
+    }
+    // 12.34's unscaled int (1234) is far outside [10,20]; a naive stats
+    // reader would prune both files and lose the row below
+    TxTable.append(spark, dir,
+      Seq((BigDecimal("12.34"), 3)).toDF("price", "n").coalesce(1))
+    val hit = TxTable.readWhere(spark, dir, col("price") === BigDecimal("12.34"))
+    assert(hit.count() == 1, "decimal needle must be found")
+    assert(TxTable.delete(spark, dir, col("price") === BigDecimal("12.34")).isDefined)
+    assert(TxTable.read(spark, dir).count() == 4)
+  }
+
+  test("non-BMP strings never mis-prune (UTF-8 byte order, not UTF-16)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // U+E000 vs U+1F600: UTF-16 sorts the surrogate pair FIRST,
+    // UTF-8 bytes sort it LAST — a compareTo-based reader prunes the
+    // file for the U+E000 needle
+    TxTable.append(spark, dir,
+      Seq(("\ue000", 1), (new String(Character.toChars(0x1F600)), 2))
+        .toDF("t", "n").coalesce(1))
+    val hit = TxTable.readWhere(spark, dir, col("t") === "\ue000")
+    assert(hit.count() == 1, "U+E000 needle must be found")
+  }
+
   test("overwrite, vacuum, and incremental reads keep working with stats lines") {
     val s = spark
     import s.implicits._
