@@ -609,7 +609,8 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   /** DuckDB tokenizer mirroring [[TextAnalysis.tokens]]. */
-  private val sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val sqlToks =
+    raw"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
   /** DuckDB fingerprint mirroring [[TextAnalysis.fingerprintMd5]]. */
   private val sqlFp = raw"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
   /** DuckDB 3-shingle list mirroring [[TextAnalysis.wordShingles]](_, 3). */
@@ -699,7 +700,7 @@ object SparkEntry {
        |  CAST(len(list_filter($sqlToks, t -> t IN ('le','la','de','et','les','des','est'))) AS BIGINT) AS fr,
        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
        |  CAST(length(text) AS BIGINT) AS chars,
-       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonsp,
        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
        |  $sqlFp AS fingerprint
        |  FROM documents),
@@ -1156,7 +1157,7 @@ object SparkEntry {
          |  CAST(len($sqlToks) AS INTEGER) AS n_tokens,
          |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
          |  CASE WHEN len($sqlToks) = 0 THEN 0.0
-         |       ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |       ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
          |            / CAST(len($sqlToks) AS DOUBLE) END AS mean_tok_len,
          |  $sqlFp AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1212,7 +1213,7 @@ object SparkEntry {
          |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw,
          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
          |  CAST(length(text) AS BIGINT) AS chars,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonsp
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonsp
          |  FROM documents),
          |r AS (SELECT doc_id,
          |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/CAST(n AS DOUBLE) END AS stopword_ratio,

@@ -22,12 +22,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `orderCol` per distinct
-    * fingerprint of `textCol` (deterministic keep-first).
+    * fingerprint of `textCol` (deterministic keep-first). `row_number`
+    * over a non-total order picks an ARBITRARY row among ties, so when
+    * `orderCol` can repeat within a fingerprint (e.g. second-granularity
+    * crawl timestamps) pass `tieCols` that complete a total order
+    * (typically the document id) — otherwise which duplicate survives
+    * varies run to run and the pipeline output is not reproducible.
     */
-  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String,
+                 tieCols: Seq[String] = Nil): DataFrame = {
     val fp = TextAnalysis.fingerprintMd5(col(textCol))
-    val rn = Iterator.from(0).map(i => s"__dd$i").find(!df.columns.contains(_)).get
-    val w = Window.partitionBy(fp).orderBy(col(orderCol))
+    val rn = graft.util.Cols.fresh(df, "__dd")
+    val w = Window.partitionBy(fp)
+      .orderBy((orderCol +: tieCols).map(col): _*)
     df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
@@ -62,7 +69,13 @@ object Dedup {
     */
   def cappedShingleIndex(df: DataFrame, idCol: String, textCol: String,
                          n: Int, cap: Int): DataFrame = {
-    val idx0 = shingleIndex(df, idCol, textCol, n)
+    // Materialize the raw index once: it feeds BOTH the hot-key
+    // aggregation and the anti-join probe side here, and callers
+    // (jaccardPairs) consume the capped result several more times —
+    // without the pin the tokenize+shingle+explode subplan re-executes
+    // per consumer (only identically-partitioned self-join sides are
+    // rescued by ReuseExchange).
+    val idx0 = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     val hot = idx0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("shingle")
     idx0.join(hot, Seq("shingle"), "left_anti")
@@ -289,19 +302,23 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    val pin: DataFrame => DataFrame = checkpointDir match {
+    import org.apache.spark.sql.GraftShim
+    val pin: DataFrame => (DataFrame, () => Unit) = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+        GraftShim.pinReliable
+      case None => GraftShim.pinLocal
     }
     // Materialize the edge list ONCE: without the checkpoint the full
     // upstream pairs pipeline (e.g. the MinHash/jaccard joins) would
-    // re-execute every iteration.
-    val edges = pin(
+    // re-execute every iteration. Each round's pin is RELEASED as soon
+    // as the next round supersedes it — otherwise a 20-round run keeps
+    // 20 generations of labels blocks (or checkpoint files) alive and
+    // evicts genuine working memory at scale.
+    val (edges, releaseEdges) = pin(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = pin(
+    var (labels, releaseLabels) = pin(
       edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
     var converged = false
@@ -309,15 +326,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("comp")).as("ncomp"))
-      val updated = pin(
+      val (updated, releaseUpdated) = pin(
         labels.join(neighborMin, labels("id") === col("id2"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
             (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg")))
       converged = updated.filter(col("__chg")).isEmpty
+      releaseLabels()
       labels = updated.drop("__chg")
+      releaseLabels = releaseUpdated
       i += 1
     }
+    releaseEdges()
     if (!converged)
       log.warn(s"connectedComponents: not converged after $maxIter rounds; " +
         "labels may split one true component — raise maxIter")
@@ -365,6 +385,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHam: Int = 3,
                    hash: Column => Column = xxhash64(_)): DataFrame = {
+    // chunks must fit in 64 bits: maxHam >= 64 makes width 0, every
+    // non-last chunk keys to 0, and the equi-join degenerates into the
+    // full O(n^2) cartesian this banding exists to avoid — and the
+    // pigeonhole guarantee itself needs chunks <= 64.
+    require(maxHam >= 0 && maxHam < 64,
+      s"maxHam must be in [0, 63], got $maxHam")
     val chunks = maxHam + 1
     val width = 64 / chunks
     val sh = simhash(df, idCol, textCol, hash)

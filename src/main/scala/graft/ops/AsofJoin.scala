@@ -33,8 +33,8 @@ object AsofJoin {
     require(valueCols.forall(!left.columns.contains(_)),
       s"valueCols ${valueCols.filter(left.columns.contains)} already exist " +
         "in the left side — the output would carry ambiguous duplicate names")
-    def fresh(prefix: String) = Iterator.from(0).map(i => s"$prefix$i")
-      .find(c => !left.columns.contains(c) && !right.columns.contains(c)).get
+    def fresh(prefix: String) =
+      graft.util.Cols.fresh(left.columns ++ right.columns, prefix)
     val side = fresh("__side")
     val vals = fresh("__vals")
 

@@ -47,7 +47,7 @@ object Sampling {
     require(k > 0, "k must be positive")
     // Collision-proof rank name: the default "rank" would silently
     // replace (and then drop) a user column of that name.
-    val rk = Iterator.from(0).map(i => s"__rk$i").find(!df.columns.contains(_)).get
+    val rk = graft.util.Cols.fresh(df, "__rk")
     Windows.topKPerGroup(df, groupCols.map(col),
         Seq(xxhash64(lit(salt), col(idCol)).asc), k, rankCol = rk)
       .drop(rk)

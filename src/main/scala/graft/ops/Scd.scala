@@ -30,8 +30,7 @@ object Scd {
     val reserved = Seq("valid_from", "valid_to", "is_current")
     require((keyCols ++ attrCols).forall(!reserved.contains(_)),
       s"input columns may not use the reserved output names $reserved")
-    val run = Iterator.from(0).map(i => s"__run$i")
-      .find(!snapshots.columns.contains(_)).get
+    val run = graft.util.Cols.fresh(snapshots, "__run")
     val order = (tsCol +: tieBreakCols).map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val attrStruct = struct(attrCols.map(col): _*)

@@ -35,7 +35,11 @@ object Sketches {
     */
   def hllUnion(sketches: DataFrame, groupCols: Seq[Column]): DataFrame =
     sketches.groupBy(groupCols: _*)
-      .agg(hll_union_agg(col("hll")).as("hll"))
+      // allowDifferentLgConfigK: sketch tables accumulate over time and
+      // lgK tuning changes (hllSketch takes it per call) — HLL union
+      // down to the smaller K is well-defined, so don't throw on mixed
+      // precision, degrade to the coarsest
+      .agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
 
   /** Estimated distinct count of a sketch column. */
   def estimate(sketch: Column): Column =

@@ -26,8 +26,8 @@ object Skew {
   def saltedEnrichUsing(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                         salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCol = Iterator.from(0).map(i => s"__salt$i")
-      .find(c => !fact.columns.contains(c) && !dim.columns.contains(c)).get
+    val saltCol =
+      graft.util.Cols.fresh(fact.columns ++ dim.columns, "__salt")
     val factS = fact.withColumn(saltCol,
       pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val dimS = dim.withColumn(saltCol,
@@ -44,8 +44,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCol = Iterator.from(0).map(i => s"__salt$i")
-      .find(!df.columns.contains(_)).get
+    val saltCol = graft.util.Cols.fresh(df, "__salt")
     val partial = df
       .withColumn(saltCol, pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
       .groupBy((keys :+ saltCol).map(col): _*)

@@ -666,7 +666,8 @@ object TxTable {
             mergeSchema: Boolean = false,
             schema: Option[StructType] = None,
             meta: Map[String, String] = Map.empty,
-            nullSafeKeys: Boolean = false): Long = {
+            nullSafeKeys: Boolean = false,
+            guard: Map[String, Long] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, path)
@@ -676,8 +677,14 @@ object TxTable {
     val u = updates.localCheckpoint()
     if (lines.isEmpty)
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
-        partitionCols, meta)
-    if (u.isEmpty) return vs.last
+        partitionCols, meta, guard = guard)
+    if (u.isEmpty)
+      // nothing to rewrite, but meta (e.g. a consumer offset) must
+      // still land durably: a metadata-only commit — silently dropping
+      // it would stall incremental consumers on empty increments
+      return if (meta.isEmpty) vs.last
+      else commitLines(spark, path, "append", Seq.empty,
+        (base, _) => base, meta, guard = guard)
 
     // observed key bounds on the update side; a null bound (all-null
     // keys) disables pruning for that column — conservative. Under
@@ -717,7 +724,7 @@ object TxTable {
       }
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      partitionCols, meta, requirePresent = candidatePaths)
+      partitionCols, meta, requirePresent = candidatePaths, guard = guard)
   }
 
   /** Overwrite-commit `df` as the next version (the whole snapshot
@@ -729,11 +736,17 @@ object TxTable {
     commit(spark, path, df, "overwrite", (_, _) => Seq.empty, partitionCols,
       meta)
 
-  /** Append-commit `df`: next version = head's files + this write's. */
+  /** Append-commit `df`: next version = head's files + this write's.
+    * `guard` — see [[commitLines]]: per-key carried-meta preconditions
+    * that abort the commit if a concurrent writer already advanced the
+    * key, the primitive exactly-once incremental consumers build on.
+    */
   def append(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String] = Nil,
-             meta: Map[String, String] = Map.empty): Long =
-    commit(spark, path, df, "append", (base, _) => base, partitionCols, meta)
+             meta: Map[String, String] = Map.empty,
+             guard: Map[String, Long] = Map.empty): Long =
+    commit(spark, path, df, "append", (base, _) => base, partitionCols, meta,
+      guard = guard)
 
   /** Replace-commit: next version = the head's files that survive
     * `keepExisting` + this write's files. The partition-bounded publish
@@ -784,12 +797,8 @@ object TxTable {
                      baseKeep: (Seq[String], Seq[String]) => Seq[String],
                      partitionCols: Seq[String] = Nil,
                      meta: Map[String, String] = Map.empty,
-                     requirePresent: Set[String] = Set.empty): Long = {
-    require(meta.forall { case (k, v) =>
-      k.nonEmpty && !k.contains('=') &&
-        !(k + v).exists(c => c == ' ' || c == '\n')
-    }, "metadata keys must be nonempty and '='-free; keys and values " +
-       "must not contain spaces or newlines (they live in the head line)")
+                     requirePresent: Set[String] = Set.empty,
+                     guard: Map[String, Long] = Map.empty): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -811,6 +820,38 @@ object TxTable {
     val stats = footerStats(fs, p, newFiles)
     val newLines = newFiles.map(f =>
       stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+    commitLines(spark, path, action, newLines, baseKeep, meta,
+      requirePresent, guard)
+  }
+
+  /** The claim loop of [[commit]], usable on its own for METADATA-ONLY
+    * commits (`newLines` empty, baseKeep identity): the snapshot's file
+    * set is unchanged but the head manifest records new meta — how an
+    * incremental consumer durably advances its offset over an empty
+    * increment without writing a zero-row data file.
+    *
+    * `guard`: carried-meta preconditions revalidated on EVERY retry
+    * against the current head — if the head already carries `key` at a
+    * value >= the guard's, a concurrent committer for the same logical
+    * transaction won the race and this commit aborts
+    * (ConcurrentModificationException) instead of applying its work a
+    * second time. This is what makes "check processedVersion, then
+    * commit" safe under concurrent same-app writers: the check alone is
+    * check-then-act; the guard closes the window because claims are
+    * serialized by the slot.
+    */
+  private def commitLines(spark: SparkSession, path: String, action: String,
+                          newLines: Seq[String],
+                          baseKeep: (Seq[String], Seq[String]) => Seq[String],
+                          meta: Map[String, String] = Map.empty,
+                          requirePresent: Set[String] = Set.empty,
+                          guard: Map[String, Long] = Map.empty): Long = {
+    require(meta.forall { case (k, v) =>
+      k.nonEmpty && !k.contains('=') &&
+        !(k + v).exists(c => c == ' ' || c == '\n')
+    }, "metadata keys must be nonempty and '='-free; keys and values " +
+       "must not contain spaces or newlines (they live in the head line)")
+    val (fs, p) = fsFor(spark, path)
     fs.mkdirs(new Path(p, LogDir))
 
     var committed = -1L
@@ -832,6 +873,20 @@ object TxTable {
           s"conflicting commit on $path: files this rewrite read were " +
           s"removed by a concurrent commit (retry the operation): " +
           gone.take(3).mkString(", "))
+      }
+      // transaction guard: abort if a concurrent committer already
+      // advanced this key to (at least) the value we are claiming —
+      // Delta's ConcurrentTransactionException, for same-app races
+      if (guard.nonEmpty) {
+        val prevMeta = parseMeta(prevHead)
+        guard.foreach { case (k, v) =>
+          prevMeta.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
+            .filter(_ >= v).foreach { cur =>
+              throw new java.util.ConcurrentModificationException(
+                s"transaction guard on $path: $k already at $cur >= $v " +
+                "— a concurrent committer applied this increment first")
+            }
+        }
       }
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString

@@ -25,7 +25,7 @@ object Windows {
                      order: Seq[Column]): DataFrame = {
     // Non-colliding helper name: withColumn would silently REPLACE an
     // existing input column of the same name.
-    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    val rn = graft.util.Cols.fresh(df, "__rn")
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)

@@ -75,8 +75,7 @@ object ZOrder {
         if (mn == mx) (mn, mx + 1.0) else (mn, mx)
       }
     }
-    val zc = Iterator.from(0).map(i => s"__z$i")
-      .find(!df.columns.contains(_)).get
+    val zc = graft.util.Cols.fresh(df, "__z")
     df.withColumn(zc, zValue(cols.map(col), bounds, bitsPerCol))
       .repartitionByRange(numFiles, col(zc))
       .drop(zc)

@@ -59,8 +59,13 @@ object StreamingSink {
     val already = TxTable.exists(spark, path) &&
       lastTxnVersion(spark, path, txnApp).exists(_ >= batchId)
     if (!already)
+      // the guard re-checks `txn.<app> < batchId` inside the claim loop:
+      // a zombie driver racing its restarted replacement (both running
+      // the same batchId after a checkpoint replay) would otherwise
+      // both pass the head check above and double-append
       TxTable.append(spark, path, df, partitionCols,
-        meta = Map(txnKey(txnApp) -> batchId.toString))
+        meta = Map(txnKey(txnApp) -> batchId.toString),
+        guard = Map(txnKey(txnApp) -> batchId))
   }
 
   /** Start a streaming append of `stream` into the TxTable at `path`.

@@ -18,7 +18,12 @@ import graft.ops.TxTable
   * no state outside the destination log, and vacuum can't lose it
   * (carried-meta contract, see [[TxTable]]). The Structured Streaming
   * checkpoint of [[follow]] holds only rate-source ticks; correctness
-  * never depends on it.
+  * never depends on it. CONCURRENT runs of the same app (overlapping
+  * schedules, a zombie driver beside its restarted replacement) are
+  * safe too: each commit carries a transaction guard revalidated
+  * inside the claim loop, so the losing run aborts with
+  * ConcurrentModificationException instead of applying the increment
+  * twice (Delta's ConcurrentTransactionException semantics).
   *
   * Scale shape: each increment reads ONLY the files appended since the
   * last consumed version ([[TxTable.readAppended]] — I/O proportional
@@ -31,6 +36,10 @@ import graft.ops.TxTable
 object TxFollower {
 
   private def srcKey(app: String) = s"txn.src.$app"
+
+  private def requireTokenSafe(app: String): Unit =
+    require(!app.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "app must be manifest-token-safe (no spaces, '=', or newlines)")
 
   /** Highest source version `app` has materialized into `dst`, if any. */
   def processedVersion(spark: SparkSession, dst: String,
@@ -46,8 +55,7 @@ object TxFollower {
                        app: String,
                        transform: DataFrame => DataFrame = identity,
                        partitionCols: Seq[String] = Nil): Option[Long] = {
-    require(!app.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "app must be manifest-token-safe (no spaces, '=', or newlines)")
+    requireTokenSafe(app)
     val srcVersions = TxTable.versions(spark, src)
     val head = srcVersions.lastOption.getOrElse(return None)
     val from = processedVersion(spark, dst, app).getOrElse(0L)
@@ -55,8 +63,14 @@ object TxFollower {
     else {
       checkRetention(srcVersions, from, src)
       val delta = TxTable.readAppended(spark, src, fromV = from, toV = head)
+      // the guard re-checks the offset inside the commit's claim loop:
+      // if a concurrent run of the SAME app (overlapping schedules, a
+      // zombie driver beside its restarted replacement) committed this
+      // increment first, abort instead of appending the delta twice —
+      // the head check above alone is check-then-act
       TxTable.append(spark, dst, transform(delta), partitionCols,
-        meta = Map(srcKey(app) -> head.toString))
+        meta = Map(srcKey(app) -> head.toString),
+        guard = Map(srcKey(app) -> head))
       Some(head)
     }
   }
@@ -100,6 +114,7 @@ object TxFollower {
                        partial: DataFrame => DataFrame,
                        combine: DataFrame => DataFrame): Option[Long] = {
     require(groupCols.nonEmpty, "aggregate view needs group columns")
+    requireTokenSafe(app)
     val srcVersions = TxTable.versions(spark, src)
     val head = srcVersions.lastOption.getOrElse(return None)
     val from = processedVersion(spark, dst, app).getOrElse(0L)
@@ -108,8 +123,9 @@ object TxFollower {
     val delta = TxTable.readAppended(spark, src, fromV = from, toV = head)
     val p = partial(delta)
     val meta = Map(srcKey(app) -> head.toString)
+    val guard = Map(srcKey(app) -> head)
     if (!TxTable.exists(spark, dst))
-      TxTable.append(spark, dst, p, meta = meta)
+      TxTable.append(spark, dst, p, meta = meta, guard = guard)
     else {
       import org.apache.spark.sql.functions.col
       // ALL joins here are null-safe: a null group key is a real group
@@ -122,8 +138,14 @@ object TxFollower {
         groupCols.map(k => dstDf(k) <=> col(s"__p_$k")).reduce(_ && _),
         "left_semi")
       val combined = combine(touched.unionByName(p))
+      // merge commits meta even when `combined` is empty (an empty
+      // source increment): without the durable offset advance every
+      // later trigger would re-read an ever-growing delta window. The
+      // guard aborts if a concurrent same-app run folded this
+      // increment first — folding partial state twice would corrupt
+      // the view permanently, not just duplicate rows.
       TxTable.merge(spark, dst, combined, groupCols, meta = meta,
-        nullSafeKeys = true)
+        nullSafeKeys = true, guard = guard)
     }
     Some(head)
   }

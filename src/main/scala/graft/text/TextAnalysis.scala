@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions.col
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace-separated tokens. */
+  /** Non-empty whitespace-separated tokens. Splits on whitespace RUNS
+    * (`\s+`), so tabs and newlines separate tokens too — multi-line
+    * documents tokenize the same as their single-line normal forms,
+    * which is what every downstream consumer (shingles, simhash,
+    * langId, stopword ratios) assumes.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -36,7 +41,7 @@ object TextAnalysis {
     val n = tokenCount(text)
     when(n === 0, lit(0.0))
       .otherwise(
-        length(regexp_replace(text, " ", "")).cast("double") / n.cast("double"))
+        length(regexp_replace(text, "\\s", "")).cast("double") / n.cast("double"))
   }
 
   /** Canonical-form document fingerprint: md5 of
@@ -228,7 +233,7 @@ object TextAnalysis {
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
                          outCol: String, k: Int, w: Int,
                          hash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
-    val hsCol = Iterator.from(0).map(i => s"__wh$i").find(!df.columns.contains(_)).get
+    val hsCol = graft.util.Cols.fresh(df, "__wh")
     df.withColumn(hsCol, rollingHashes(col(textCol), k, hash))
       .withColumn(outCol, winnowFromHashes(col(hsCol), w))
       .drop(hsCol)
@@ -264,7 +269,7 @@ object TextAnalysis {
     */
   def withShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
                    outCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val tokCol = Iterator.from(0).map(i => s"__tk$i").find(!df.columns.contains(_)).get
+    val tokCol = graft.util.Cols.fresh(df, "__tk")
     df.withColumn(tokCol, tokens(col(textCol)))
       .withColumn(outCol, shinglesFromTokens(col(tokCol), n))
       .drop(tokCol)

@@ -15,4 +15,45 @@ object GraftShim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(spark: SparkSession, c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Materialize `df` eagerly with TRUNCATED lineage and return it with
+    * an explicit release handle — the building block iterative
+    * algorithms need to keep executor storage bounded (Dataset's own
+    * `localCheckpoint` offers no way to free a superseded iteration's
+    * blocks before GC gets around to it). The returned frame reads the
+    * pinned blocks directly; after `release()` it must not be used.
+    * InternalRows are copied before caching (Spark reuses row buffers
+    * within a partition iterator).
+    */
+  def pinLocal(df: DataFrame): (DataFrame, () => Unit) = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    rdd.count()
+    (cs.internalCreateDataFrame(rdd, df.schema),
+      () => { rdd.unpersist(blocking = false); () })
+  }
+
+  /** Reliable-storage variant of [[pinLocal]]: writes the rows to the
+    * SparkContext's checkpoint directory (set it first), so the pinned
+    * data survives executor loss; `release()` deletes the checkpoint
+    * files (Spark only cleans them on GC, and then only with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` on). The RDD is
+    * cached around the checkpoint write to avoid the classic
+    * recompute-twice cost, then the cache is dropped — reads come from
+    * the checkpoint files.
+    */
+  def pinReliable(df: DataFrame): (DataFrame, () => Unit) = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    rdd.count()
+    rdd.unpersist(blocking = false)
+    val file = rdd.getCheckpointFile
+    (cs.internalCreateDataFrame(rdd, df.schema), () => file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(cs.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    })
+  }
 }

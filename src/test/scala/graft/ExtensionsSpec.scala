@@ -23,6 +23,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(size(TextAnalysis.tokens(col("text"))), "") == 0)
   }
 
+  test("tokens split on tabs and newlines, not just spaces") {
+    assert(one(size(TextAnalysis.tokens(col("text"))), "hello\nworld\tfoo bar") == 4)
+    // a multi-line doc tokenizes like its single-line normal form, so
+    // shingles (and thus near-dup recall) see through line wrapping
+    val wrapped = one(TextAnalysis.wordShingles(col("text"), 2), "a b\nc")
+      .asInstanceOf[scala.collection.Seq[_]].toSet
+    val flat = one(TextAnalysis.wordShingles(col("text"), 2), "a b c")
+      .asInstanceOf[scala.collection.Seq[_]].toSet
+    assert(wrapped == flat && flat == Set("a b", "b c"))
+    // meanTokenLen ignores ALL whitespace characters, not just spaces
+    assert(one(TextAnalysis.meanTokenLen(col("text")), "ab\ncd") == 2.0)
+  }
+
   test("wordShingles: short docs yield empty, n-grams are distinct") {
     assert(one(size(TextAnalysis.wordShingles(col("text"), 3)), "a b") == 0)
     assert(one(TextAnalysis.wordShingles(col("text"), 2), "a b a b")
@@ -97,6 +110,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("source") === "b").count() == 1, "doc_id 3 < 10 wins")
     assert(out.filter(col("source") === "a").count() == 0)
+  }
+
+  test("exactDedup tieCols make keep-first deterministic under orderCol ties") {
+    // same text, same orderCol — without a tiebreaker which row survives
+    // is shuffle-order-dependent; with tieCols the minimum id wins
+    val in = df(Seq(Doc(7, "tie text", "x"), Doc(3, "tie text", "y"),
+      Doc(5, "tie text", "z"))).withColumn("ts", lit(100L))
+    val out = Dedup.exactDedup(in, "text", "ts", tieCols = Seq("doc_id"))
+    assert(out.count() == 1)
+    assert(out.head().getAs[Long]("doc_id") == 3L)
+  }
+
+  test("simhashPairs rejects maxHam outside [0, 63]") {
+    val in = df(Seq(Doc(1, "a b c", "s")))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(in, "doc_id", "text", maxHam = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(in, "doc_id", "text", maxHam = -1)
+    }
   }
 
   test("jaccardPairs finds identical docs with jaccard 1.0, no self/dup pairs") {

@@ -47,6 +47,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("union tolerates sketches built at different lgK (degrades to coarser)") {
+    // a sketch table accumulated over time with a mid-life lgK retune:
+    // union must not throw, and the estimate stays in the envelope of
+    // the COARSER precision
+    val coarse = Sketches.hllSketch(events.filter(col("day") === 0),
+      Seq(col("day")), col("user"), lgK = 10)
+    val fine = Sketches.hllSketch(events.filter(col("day") === 1),
+      Seq(col("day")), col("user"), lgK = 14)
+    val unioned = Sketches.hllUnion(coarse.unionByName(fine),
+      Seq.empty).withColumn("approx_distinct",
+        Sketches.estimate(col("hll")))
+    val est = unioned.head().getAs[Long]("approx_distinct").toDouble
+    val exact = events.filter(col("day") <= 1).select("user").distinct().count()
+    assert(math.abs(est - exact) / exact < 0.10,
+      s"estimate $est too far from exact $exact at lgK=10 precision")
+  }
+
   test("sketches survive a persistence round-trip through a TxTable") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hll").toString + "/sketches"

@@ -149,6 +149,56 @@ class TxFollowerSpec extends SparkSpec {
     assert(rows(None) == 11.0 && rows(Some("a")) == 2.0)
   }
 
+  test("a racing same-app committer aborts instead of double-applying the delta") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    TxTable.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // instance A consumes to head 1 and commits txn.src.mv=1
+    assert(TxFollower.processAvailable(spark, src, dst, "mv").contains(1L))
+    // instance B (zombie that read from=0 before A committed) now tries
+    // to append the same delta with the same guard — the claim loop sees
+    // txn.src.mv already at 1 and must abort, not double-append
+    val delta = TxTable.readAppended(spark, src, fromV = 0L, toV = 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      TxTable.append(spark, dst, delta,
+        meta = Map("txn.src.mv" -> "1"), guard = Map("txn.src.mv" -> 1L))
+    }
+    assert(TxTable.read(spark, dst).count() == 2, "no duplicate rows landed")
+  }
+
+  test("empty source increment advances the aggregate-view offset durably") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    def partial(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(sum("x").as("sum_x"))
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy("k").agg(sum("sum_x").as("sum_x"))
+    TxTable.append(spark, src, Seq(("a", 1.0), ("b", 2.0)).toDF("k", "x"))
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).contains(1L))
+    // a zero-row source commit: the view content can't change, but the
+    // offset must still land, else every later trigger re-reads an
+    // ever-growing delta window
+    TxTable.append(spark, src, Seq.empty[(String, Double)].toDF("k", "x"))
+    val dstVersions = TxTable.versions(spark, dst)
+    val dstFiles = TxTable.read(spark, dst).inputFiles.toSet
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).contains(2L))
+    assert(TxFollower.processedVersion(spark, dst, "mv").contains(2L),
+      "offset advanced durably by a metadata-only commit")
+    assert(TxTable.versions(spark, dst).size == dstVersions.size + 1)
+    assert(TxTable.read(spark, dst).inputFiles.toSet == dstFiles,
+      "metadata-only commit left the file set untouched")
+    assert(TxTable.read(spark, dst).count() == 2)
+    // caught up: nothing further
+    assert(TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"),
+      partial, combine).isEmpty)
+  }
+
   test("a source vacuum past the consumed version fails with an actionable error") {
     val s = spark
     import s.implicits._
