@@ -727,6 +727,27 @@ object TxTable {
       partitionCols, meta, requirePresent = candidatePaths, guard = guard)
   }
 
+  /** Roll the table back (or forward) to EXACTLY the snapshot of
+    * committed version `v`, as a NEW commit — Delta's RESTORE. History
+    * is preserved: readers pinned to intermediate versions are
+    * unaffected, the restore itself shows up in the log and is undoable
+    * by another restore. No data is copied or rewritten — the new
+    * manifest re-lists `v`'s files (stats included), O(manifest) driver
+    * I/O; data files are immutable and vacuum retains everything a kept
+    * manifest references, so if `v`'s manifest survives its files do
+    * too. Carried `txn.*` offsets re-emit through the restore commit
+    * unchanged (a restore is not a consumed increment).
+    */
+  def restore(spark: SparkSession, path: String, v: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.contains(v),
+      s"version $v of $path does not exist or was vacuumed " +
+      s"(retained: ${vs.headOption.getOrElse(-1L)}..${vs.lastOption.getOrElse(-1L)})")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, v)._2
+    commitLines(spark, path, "restore", lines, (_, _) => Seq.empty)
+  }
+
   /** Overwrite-commit `df` as the next version (the whole snapshot
     * becomes exactly this write's files).
     */

@@ -64,6 +64,55 @@ class SketchesSpec extends SparkSpec {
       s"estimate $est too far from exact $exact at lgK=10 precision")
   }
 
+  test("KLL quantiles: shard → union → query within rank-error of exact") {
+    val s = spark
+    import s.implicits._
+    // 30k values, known distribution: value = i, uniform over [0, 30000)
+    val vals = (0 until 30000).map(i => (i % 3, i.toDouble)).toDF("day", "x")
+    val perDay = Sketches.kllSketch(vals, Seq(col("day")), col("x"))
+    assert(perDay.count() == 3)
+    val merged = Sketches.kllUnion(perDay, Seq.empty)
+      .withColumn("q", Sketches.kllQuantiles(col("kll"), Seq(0.1, 0.5, 0.9)))
+    val qs = merged.head().getAs[scala.collection.Seq[Double]]("q")
+    // normalized rank error at k=200 is ~1.65%; allow 3x margin on the
+    // VALUE scale (uniform data: rank error == value error)
+    val expected = Seq(3000.0, 15000.0, 27000.0)
+    qs.zip(expected).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 30000 * 0.05, s"quantile $got vs $exp")
+    }
+    // one-shot form agrees with its own decomposition's error envelope
+    val oneShot = Sketches.approxQuantiles(vals, Seq.empty, col("x"),
+      Seq(0.5)).head().getAs[scala.collection.Seq[Double]]("quantiles")
+    assert(math.abs(oneShot.head - 15000.0) < 30000 * 0.05)
+  }
+
+  test("frequent items: planted heavy hitters surface, no false positives") {
+    val s = spark
+    import s.implicits._
+    // 2 planted heavy hitters among a long uniform tail
+    val tokens = ((0 until 5000).map(_ => "the") ++
+      (0 until 3000).map(_ => "of") ++
+      (0 until 20000).map(i => s"rare${i % 10000}"))
+    val df = scala.util.Random.shuffle(tokens).zipWithIndex
+      .map { case (t, i) => (i % 4, t) }.toDF("shard", "tok")
+    val perShard = Sketches.freqSketch(df, Seq(col("shard")), col("tok"))
+    val top = Sketches.freqUnion(perShard, Seq.empty)
+      .withColumn("top", Sketches.freqTopItems(col("freq"), 5))
+      .select(explode(col("top")).as("r"))
+      .select(col("r.item"), col("r.estimate"), col("r.lower"), col("r.upper"))
+      .collect()
+    val items = top.map(_.getString(0)).toSeq
+    assert(items.take(2).toSet == Set("the", "of"),
+      s"planted heavy hitters must rank first, got $items")
+    top.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3),
+        "estimate within its own bounds")
+    }
+    val theRow = top.find(_.getString(0) == "the").get
+    assert(theRow.getLong(2) <= 5000 && 5000 <= theRow.getLong(3),
+      "true count inside [lower, upper]")
+  }
+
   test("sketches survive a persistence round-trip through a TxTable") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hll").toString + "/sketches"

@@ -68,6 +68,43 @@ class TxDeleteSpec extends SparkSpec {
     intercept[Exception](TxTable.readVersion(spark, dir, headBefore).count())
   }
 
+  test("restore rolls back to an exact prior snapshot as a new commit") {
+    val dir = tmp()
+    threeCommits(dir)                                   // v1..v3, 30 rows
+    val v2 = TxTable.versions(spark, dir)(1)
+    TxTable.delete(spark, dir, col("id") < 10L)         // v4, 20 rows
+    val restored = TxTable.restore(spark, dir, v2)
+    assert(restored == 5L)
+    assert(TxTable.read(spark, dir).count() == 20,
+      "head is exactly v2's snapshot (first two commits)")
+    assert(TxTable.read(spark, dir).agg(max(col("id"))).head().getLong(0) == 19L)
+    // history preserved: the delete's snapshot is still readable, and
+    // the restore is itself undoable by restoring the delete version
+    assert(TxTable.readVersion(spark, dir, 4L).count() == 20)
+    assert(TxTable.readVersion(spark, dir, 4L)
+      .agg(min(col("id"))).head().getLong(0) == 10L)
+    TxTable.restore(spark, dir, 4L)
+    assert(TxTable.read(spark, dir)
+      .agg(min(col("id"))).head().getLong(0) == 10L)
+    // vacuum keeps the restored head's files; a missing version throws
+    TxTable.vacuum(spark, dir, keepVersions = 1)
+    assert(TxTable.read(spark, dir).count() == 20)
+    intercept[IllegalArgumentException](TxTable.restore(spark, dir, 2L))
+  }
+
+  test("restore re-emits carried txn offsets unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq((1L, "a")).toDF("id", "v"),
+      meta = Map("txn.src.mv" -> "7"))
+    TxTable.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.restore(spark, dir, 1L)
+    val head = TxTable.versions(spark, dir).last
+    assert(TxTable.commitMeta(spark, dir, head).get("txn.src.mv")
+      .contains("7"), "consumer offsets survive a restore")
+  }
+
   test("a racing append between delete's analysis and its claim is never lost") {
     val s = spark
     import s.implicits._
