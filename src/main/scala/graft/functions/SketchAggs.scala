@@ -50,7 +50,8 @@ case class KllDoublesAgg(child: Expression, k: Int = 200,
   override def update(buf: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Double])
+    // any numeric input (SQL callers pass ints without casting)
+    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
     buf
   }
 

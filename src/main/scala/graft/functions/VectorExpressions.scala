@@ -97,12 +97,57 @@ object VectorExpressions {
 /** SparkSessionExtensions installer for pure-SQL users:
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) exposes
-  * `graft_vec_dot(a, b)` in SQL.
+  * `graft_vec_dot(a, b)` plus the sketch family —
+  * `graft_kll_sketch_agg(x[, k])`, `graft_kll_union_agg(kll[, k])`,
+  * `graft_kll_quantiles(kll, p...)`, `graft_freq_items_agg(s[, m])`,
+  * `graft_freq_union_agg(freq[, m])`, `graft_freq_top_items(freq, k)`
+  * — in SQL. Aggregate builders return the bare AggregateFunction;
+  * the analyzer wraps it (standard FunctionRegistry contract).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  /** Foldable integer argument (e.g. a sketch size), else `default`. */
+  private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length <= i) default
+    else args(i) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a literal integer, got $other")
+    }
+
+  private def doubleArgs(args: Seq[Expression]): Seq[Double] =
+    args.map {
+      case e if e.foldable => e.eval() match {
+        // SQL fractional literals parse as Decimal, not Double
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"quantile probabilities must be numbers, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"quantile probabilities must be literal numbers, got $other")
+    }
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),
         (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    ext.injectFunction(fn("graft_kll_sketch_agg",
+      args => KllDoublesAgg(args(0), intArg(args, 1, 200))))
+    ext.injectFunction(fn("graft_kll_union_agg",
+      args => KllMergeAgg(args(0), intArg(args, 1, 200))))
+    ext.injectFunction(fn("graft_kll_quantiles",
+      args => KllQuantilesExpr(args(0), doubleArgs(args.tail))))
+    ext.injectFunction(fn("graft_freq_items_agg",
+      args => FreqItemsAgg(args(0), intArg(args, 1, 1024))))
+    ext.injectFunction(fn("graft_freq_union_agg",
+      args => FreqMergeAgg(args(0), intArg(args, 1, 1024))))
+    ext.injectFunction(fn("graft_freq_top_items",
+      args => FreqTopItemsExpr(args(0), intArg(args, 1, 10))))
+  }
 }

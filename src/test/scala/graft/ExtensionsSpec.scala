@@ -318,6 +318,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.head.getDouble(0) == 14.0)
   }
 
+  test("sketch family is callable from SQL via session extensions") {
+    val s = spark
+    import s.implicits._
+    (0 until 1000).map(i => (i % 2, i)).toDF("g", "x")
+      .createOrReplaceTempView("sx")
+    // shard → union → quantile, entirely in SQL
+    val q = spark.sql(
+      """SELECT graft_kll_quantiles(graft_kll_union_agg(kll), 0.5) AS med
+        |FROM (SELECT g, graft_kll_sketch_agg(CAST(x AS DOUBLE)) AS kll
+        |      FROM sx GROUP BY g)""".stripMargin).collect()
+    val med = q.head.getAs[scala.collection.Seq[Double]](0).head
+    assert(math.abs(med - 500.0) < 100, s"median $med")
+    Seq("the", "the", "the", "rare1", "rare2").toDF("t")
+      .createOrReplaceTempView("tx")
+    val top = spark.sql(
+      """SELECT graft_freq_top_items(graft_freq_items_agg(t), 1) AS top
+        |FROM tx""".stripMargin).collect()
+    val row = top.head.getSeq[org.apache.spark.sql.Row](0).head
+    assert(row.getString(0) == "the" && row.getLong(1) == 3L)
+  }
+
   test("dimension mismatch fails loudly") {
     val s = spark
     import s.implicits._
