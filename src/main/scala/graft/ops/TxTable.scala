@@ -727,6 +727,40 @@ object TxTable {
       partitionCols, meta, requirePresent = candidatePaths, guard = guard)
   }
 
+  /** Rewrite the head snapshot Z-order-clustered on `zorderCols`
+    * (Delta's `OPTIMIZE ... ZORDER BY`, as a log commit): rows with
+    * nearby values across ALL the given columns land in the same files,
+    * so the manifest's per-file min/max stats prune multi-column
+    * predicates that a single-column sort cannot serve (see
+    * [[ZOrder]]). Data-identical — only layout changes; time travel to
+    * pre-optimize versions still works, and a concurrent APPEND during
+    * the rewrite is kept (only the files this rewrite read are
+    * replaced; a concurrent DML that removed one of them aborts the
+    * optimize with the standard conflict error instead of resurrecting
+    * its rows). File count targets `targetBytes` per file.
+    */
+  def optimize(spark: SparkSession, path: String, zorderCols: Seq[String],
+               targetBytes: Long = 128L * 1024 * 1024,
+               bitsPerCol: Int = 8,
+               mergeSchema: Boolean = false): Long = {
+    require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    require(lines.nonEmpty, s"nothing to optimize: head of $path is empty")
+    val rewritten = lines.map(pathOf).toSet
+    val liveBytes = lines.map(l =>
+      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
+    val numFiles =
+      math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
+    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema, None)
+    val clustered = ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol)
+    commit(spark, path, clustered, "replace",
+      (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
+      Nil, Map.empty, requirePresent = rewritten)
+  }
+
   /** Roll the table back (or forward) to EXACTLY the snapshot of
     * committed version `v`, as a NEW commit — Delta's RESTORE. History
     * is preserved: readers pinned to intermediate versions are

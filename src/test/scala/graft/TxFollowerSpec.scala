@@ -199,6 +199,36 @@ class TxFollowerSpec extends SparkSpec {
       partial, combine).isEmpty)
   }
 
+  test("sketch-typed aggregate view: incremental HLL state equals batch estimates") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/dst"
+    // the mergeable-sketch partial-state shape: the view stores one HLL
+    // binary per key, each increment unions the delta's sketch in —
+    // lossless, so estimates equal a from-scratch batch sketch exactly
+    def partial(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(hll_sketch_agg(col("u")).as("hll"))
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy("k").agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), hll_sketch_estimate(col("hll")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    TxTable.append(spark, src,
+      (0 until 2000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+        .toDF("k", "u"))
+    TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"), partial, combine)
+    TxTable.append(spark, src,
+      (1000 until 3000).map(i => ("a", i.toLong)).toDF("k", "u"))
+    TxFollower.processAggregate(spark, src, dst, "mv", Seq("k"), partial, combine)
+
+    val batch = estimates(
+      TxTable.read(spark, src).groupBy("k").agg(hll_sketch_agg(col("u")).as("hll")))
+    assert(estimates(TxTable.read(spark, dst)) == batch,
+      "incrementally maintained sketches must equal the batch sketch")
+  }
+
   test("a source vacuum past the consumed version fails with an actionable error") {
     val s = spark
     import s.implicits._

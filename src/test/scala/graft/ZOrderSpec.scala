@@ -62,6 +62,41 @@ class ZOrderSpec extends SparkSpec {
       "y is uniform within every x-range file — stats cannot prune it")
   }
 
+  test("TxTable.optimize z-orders an existing table in place, preserving history") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    // land the grid UNclustered across several commits (x-ranged, so y
+    // is unprunable — the layout optimize must fix)
+    (0 until 4).foreach { i =>
+      TxTable.append(spark, dir,
+        grid.filter(col("x") % 4 === i).repartitionByRange(4, col("x")))
+    }
+    val before = TxTable.read(spark, dir)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val totalBefore = before.inputFiles.length
+    val fyBefore = TxTable.readWhere(spark, dir, col("y") === 42L)
+      .inputFiles.length
+    assert(fyBefore == totalBefore, "pre-optimize: y cannot prune")
+
+    val preVersion = TxTable.versions(spark, dir).last
+    // small target so the rewrite yields enough files (~16) for file
+    // pruning to be measurable on a 64x64 grid
+    TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2L * 1024)
+    val after = TxTable.read(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows,
+      "optimize is layout-only — data identical")
+    val totalAfter = after.inputFiles.length
+    assert(totalAfter >= 4, s"expected a multi-file rewrite, got $totalAfter")
+    def filesFor(p: org.apache.spark.sql.Column) =
+      TxTable.readWhere(spark, dir, p).inputFiles.length
+    assert(filesFor(col("x") === 17L) <= totalAfter / 2)
+    assert(filesFor(col("y") === 42L) <= totalAfter / 2,
+      "post-optimize: BOTH dimensions prune")
+    // history preserved: the pre-optimize snapshot still reads
+    assert(TxTable.readVersion(spark, dir, preVersion)
+      .collect().map(_.toSeq).toSet == beforeRows)
+  }
+
   test("cluster() preserves rows exactly and tolerates nulls/constants") {
     val s = spark
     import s.implicits._
