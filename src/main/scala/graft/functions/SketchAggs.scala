@@ -5,6 +5,7 @@ import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -44,14 +45,24 @@ case class KllDoublesAgg(child: Expression, k: Int = 200,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_sketch_agg"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric input, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
   override def update(buf: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {
-    val v = child.eval(input)
-    // any numeric input (SQL callers pass ints without casting)
-    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
+    // any numeric input (SQL callers pass ints/decimals without casting;
+    // Decimal is not a java.lang.Number)
+    child.eval(input) match {
+      case null =>
+      case d: org.apache.spark.sql.types.Decimal => buf.update(d.toDouble)
+      case n: Number => buf.update(n.doubleValue())
+    }
     buf
   }
 
@@ -89,6 +100,12 @@ case class KllMergeAgg(child: Expression, k: Int = 200,
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_union_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized KLL sketch (binary), got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -138,6 +155,12 @@ case class KllQuantilesExpr(child: Expression, probs: Seq[Double])
   override def nullable: Boolean = true
   override def prettyName: String = "graft_kll_quantiles"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized KLL sketch (binary), got ${other.catalogString}")
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val sk = KllDoublesSketch.heapify(
       Memory.wrap(input.asInstanceOf[Array[Byte]]))
@@ -168,6 +191,12 @@ case class FreqItemsAgg(child: Expression, maxMapSize: Int = 1024,
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_freq_items_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
@@ -214,6 +243,12 @@ case class FreqMergeAgg(child: Expression, maxMapSize: Int = 1024,
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_freq_union_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized frequent-items sketch (binary), got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
@@ -265,6 +300,12 @@ case class FreqTopItemsExpr(child: Expression, k: Int)
     StructField("lower", LongType, nullable = false),
     StructField("upper", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_freq_top_items"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized frequent-items sketch (binary), got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val sk = ItemsSketch.getInstance(

@@ -43,6 +43,20 @@ case class FloatVecDot(left: Expression, right: Expression)
   @transient private lazy val leftIsFloat = elemType(left) == FloatType
   @transient private lazy val rightIsFloat = elemType(right) == FloatType
 
+  /** A null ELEMENT nulls the whole dot product — matching the
+    * `aggregate(zip_with(...))` reference formulation (null product
+    * poisons the sum) and the SQL oracles. The per-element null check
+    * is only paid when a side's array type admits null elements; dense
+    * parquet embeddings (containsNull=false) keep the tight loop.
+    */
+  @transient private lazy val checkElementNulls =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || checkElementNulls
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -52,6 +66,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkElementNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -67,6 +82,10 @@ case class FloatVecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getX = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      val nullCheck =
+        if (checkElementNulls)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -75,6 +94,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ($getX) * ($getY);
          |}
          |${ev.value} = $acc;

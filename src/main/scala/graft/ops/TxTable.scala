@@ -212,7 +212,8 @@ object TxTable {
                     else (st.genericGetMin, st.genericGetMax) match {
                       case (mn: java.lang.Number, mx: java.lang.Number)
                           if tsUnitSafe && notDecimal &&
-                            !mn.toString.exists(c => c == 'N' || c == 'I') =>
+                            !(mn.toString + mx.toString)
+                              .exists(c => c == 'N' || c == 'I') =>
                         Some(("n", mn.toString, mx.toString))
                       case (mn: org.apache.parquet.io.api.Binary,
                             mx: org.apache.parquet.io.api.Binary)
@@ -280,7 +281,10 @@ object TxTable {
           case (DateType | TimestampType | TimestampNTZType, "n") =>
             // internal representations: days / micros — plain integers
             scala.util.Try(scala.util.Left(BigDecimal(v.toString))).toOption
-          case (StringType, "s") => Some(scala.util.Right(v.toString))
+          case (StringType, "s") =>
+            // a null literal can never equal/compare true, but stats
+            // can't prove that — decline to prune (row filter handles it)
+            Option(v).map(x => scala.util.Right(x.toString))
           case _ => None
         }
       case _ => None
@@ -363,7 +367,9 @@ object TxTable {
       if (lines.isEmpty)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
-    val kept = lines.filter(l => cs.forall(c => mayMatch(statsOf(l), c)))
+    val kept = lines.filter { l =>
+      val st = statsOf(l); cs.forall(mayMatch(st, _))
+    }
     if (lines.isEmpty) schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -413,11 +419,16 @@ object TxTable {
                   schema: Option[StructType] = None): DataFrame = {
     val (fs, p) = fsFor(spark, path)
     val (_, files) = readManifest(fs, p, v)
-    if (files.isEmpty)
-      // an empty snapshot still needs a schema: scan the data dir of the
-      // commit that wrote the (empty) version — its parquet footer is
-      // there even with zero rows... there is none, so fail loudly
-      sys.error(s"version $v of $path is an empty snapshot with no files")
+    if (files.isEmpty) schema match {
+      // an empty snapshot has no parquet footer to infer from — a
+      // pinned schema reads it as an empty frame (same contract as
+      // readWhere/readAppended), otherwise fail loudly
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => sys.error(
+        s"version $v of $path is an empty snapshot with no files — " +
+        "pass an explicit schema to read it as an empty frame")
+    }
     else scanFiles(spark, p, files.map(pathOf), mergeSchema, schema)
   }
 
@@ -614,8 +625,9 @@ object TxTable {
     val lines = readManifest(fs, p, vs.last)._2
     if (lines.isEmpty) return None
     val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
-    val (candidates, _) =
-      lines.partition(l => cs.forall(c => mayMatch(statsOf(l), c)))
+    val (candidates, _) = lines.partition { l =>
+      val st = statsOf(l); cs.forall(mayMatch(st, _))
+    }
     if (candidates.isEmpty) return None
     // drop exactly the files being rewritten; everything else survives —
     // including files a RACING writer appends between this analysis and
@@ -681,8 +693,11 @@ object TxTable {
     if (u.isEmpty)
       // nothing to rewrite, but meta (e.g. a consumer offset) must
       // still land durably: a metadata-only commit — silently dropping
-      // it would stall incremental consumers on empty increments
-      return if (meta.isEmpty) vs.last
+      // it would stall incremental consumers on empty increments. A
+      // guard must be evaluated through the claim loop too, never
+      // skipped: a guard-only caller is asking "did a concurrent
+      // committer beat me", and a silent return would answer wrongly
+      return if (meta.isEmpty && guard.isEmpty) vs.last
       else commitLines(spark, path, "append", Seq.empty,
         (base, _) => base, meta, guard = guard)
 
@@ -704,8 +719,10 @@ object TxTable {
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, schema)
-    val (candidates, _) =
-      lines.partition(l => cs.isEmpty || cs.forall(c => mayMatch(statsOf(l), c)))
+    val (candidates, _) = lines.partition { l =>
+      lazy val st = statsOf(l)
+      cs.isEmpty || cs.forall(mayMatch(st, _))
+    }
     // see rewriteMatching: drop exactly the rewritten files, so a racing
     // append between analysis and claim is never lost
     val candidatePaths = candidates.map(pathOf).toSet
@@ -742,6 +759,7 @@ object TxTable {
   def optimize(spark: SparkSession, path: String, zorderCols: Seq[String],
                targetBytes: Long = 128L * 1024 * 1024,
                bitsPerCol: Int = 8,
+               partitionCols: Seq[String] = Nil,
                mergeSchema: Boolean = false): Long = {
     require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
     val vs = versions(spark, path)
@@ -749,16 +767,24 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
     require(lines.nonEmpty, s"nothing to optimize: head of $path is empty")
+    // a hive-partitioned table MUST be rewritten with its layout, or
+    // the flat rewrite breaks directory pruning and a later
+    // replacePartitions would keep (and so duplicate) the old rows
+    require(partitionCols.nonEmpty ||
+      !lines.exists(l => partitionDirOf(pathOf(l)).nonEmpty),
+      s"$path is hive-partitioned — pass partitionCols so the rewrite " +
+      "preserves the partition layout")
     val rewritten = lines.map(pathOf).toSet
     val liveBytes = lines.map(l =>
       fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
     val numFiles =
       math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
     val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema, None)
-    val clustered = ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol)
+    val clustered = ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
+      leadCols = partitionCols)
     commit(spark, path, clustered, "replace",
       (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
-      Nil, Map.empty, requirePresent = rewritten)
+      partitionCols, Map.empty, requirePresent = rewritten)
   }
 
   /** Roll the table back (or forward) to EXACTLY the snapshot of
@@ -973,6 +999,16 @@ object TxTable {
     *    existing destination, the slot is read back and must carry this
     *    commit's nonce; a foreign nonce means the claim was lost and the
     *    caller retries against the new head.
+    *
+    * STORAGE CONTRACT: multi-writer safety on the rename path requires
+    * a filesystem whose rename is atomic AND fails on an existing
+    * destination (HDFS, ABFS, GCS-with-precondition). On a store whose
+    * rename clobbers, the nonce read-back only narrows the window — a
+    * winner that validated its nonce can still be overwritten by a
+    * later racer before anyone notices — it cannot close it. That is
+    * the same boundary Delta draws (S3 proper needs a coordinating
+    * LogStore / conditional PUT); deploy single-writer there, or swap
+    * this claim for a conditional PUT.
     */
   private def claimSlot(fs: FileSystem, slot: Path, body: String,
                         nonce: String): Boolean = {
@@ -999,20 +1035,37 @@ object TxTable {
     * ensure no reader is pinned to a dropped version (same contract as
     * Delta's VACUUM retention).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+  /** `orphanGraceMs`: a data dir referenced by NO manifest at all is
+    * either debris from a failed commit or an IN-FLIGHT commit that has
+    * written its files but not yet claimed a slot (commit writes data
+    * first) — deleting it would let the writer claim a manifest whose
+    * files are gone. Such dirs are only removed once older than the
+    * grace period (Delta's uncommitted-file retention, same reasoning);
+    * dirs referenced by the DROPPED manifests were durably committed
+    * and are reclaimed immediately.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the head version")
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
-    if (vs.size <= keepVersions) return
-    val (drop, keep) = vs.splitAt(vs.size - keepVersions)
+    if (vs.isEmpty) return
+    // drop may be empty — orphan-dir cleanup below still runs (vacuum's
+    // job includes reclaiming failed-commit debris past the grace)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live = keep.flatMap(v => readManifest(fs, p, v)._2.map(pathOf)).toSet
+    val dropped = drop.flatMap(v => readManifest(fs, p, v)._2.map(pathOf)).toSet
     val dataRoot = new Path(p, "data")
+    val now = System.currentTimeMillis()
     // delete whole commit dirs whose files are all dead (files of one
     // commit are only ever referenced together)
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
       val rel = s"data/${d.getPath.getName}"
       val anyLive = live.exists(_.startsWith(rel + "/"))
-      if (!anyLive) fs.delete(d.getPath, true)
+      val wasCommitted = dropped.exists(_.startsWith(rel + "/"))
+      if (!anyLive && (wasCommitted ||
+          now - d.getModificationTime > orphanGraceMs))
+        fs.delete(d.getPath, true)
     }
     drop.foreach(v =>
       fs.delete(new Path(new Path(p, LogDir), manifestName(v)), false))

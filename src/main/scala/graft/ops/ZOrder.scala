@@ -59,9 +59,14 @@ object ZOrder {
     * partitions — write the result (e.g. [[TxTable.append]]) and
     * [[TxTable.readWhere]] needles on any of `cols` prune. Column
     * bounds come from one 1-row min/max aggregate over `df`.
+    *
+    * `leadCols` lead the range partitioning BEFORE the z-value: pass
+    * the table's hive-partition columns here so each range task holds
+    * (mostly) one partition value and a partitionBy write does not
+    * shatter into tasks × values sliver files.
     */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
-              bitsPerCol: Int = 8): DataFrame = {
+              bitsPerCol: Int = 8, leadCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "need at least one cluster column")
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
@@ -77,7 +82,7 @@ object ZOrder {
     }
     val zc = graft.util.Cols.fresh(df, "__z")
     df.withColumn(zc, zValue(cols.map(col), bounds, bitsPerCol))
-      .repartitionByRange(numFiles, col(zc))
+      .repartitionByRange(numFiles, (leadCols.map(col) :+ col(zc)): _*)
       .drop(zc)
   }
 }

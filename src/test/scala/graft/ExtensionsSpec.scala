@@ -339,6 +339,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.getString(0) == "the" && row.getLong(1) == 3L)
   }
 
+  test("a null array element nulls the dot product, like the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    val df2 = Seq((Array[java.lang.Float](1f, null), Array[java.lang.Float](2f, 3f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](2f, 3f)))
+      .toDF("a", "b")
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val rows = df2.select(
+      graft.functions.VectorExpressions.vecDot(col("a"), col("b")).as("native"),
+      hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        "null-propagation must match the reference formulation")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.head.isNullAt(0), "the null-element row must be null")
+  }
+
   test("dimension mismatch fails loudly") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,87 @@ class TxDeleteSpec extends SparkSpec {
     intercept[Exception](TxTable.readVersion(spark, dir, headBefore).count())
   }
 
+  test("vacuum spares young orphan data dirs (in-flight commits), reclaims committed ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    // v4: overwrite — the first three data dirs become dead but were
+    // durably committed (their manifests exist until vacuum)
+    TxTable.overwrite(spark, dir, Seq((99L, "z")).toDF("id", "v"))
+    // simulate an IN-FLIGHT commit: data written, slot not yet claimed
+    val orphan = new java.io.File(s"$dir/data/inflight-uuid")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-0.parquet").toPath, "pending")
+    TxTable.vacuum(spark, dir, keepVersions = 1)
+    assert(orphan.exists(),
+      "a young unreferenced dir may be an in-flight commit — must survive")
+    assert(TxTable.versions(spark, dir).size == 1,
+      "old manifests still pruned")
+    // the dead dirs of the DROPPED manifests were durably committed:
+    // reclaimed immediately even though young (only the head's remains)
+    assert(new java.io.File(s"$dir/data").listFiles().count(f =>
+      f.getName != "inflight-uuid") == 1)
+    // past the grace period the orphan is failed-commit debris: reclaimed
+    TxTable.vacuum(spark, dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(!orphan.exists())
+  }
+
+  test("merge with empty updates still enforces the transaction guard") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq((1L, "a")).toDF("id", "v"),
+      meta = Map("txn.src.mv" -> "5"))
+    intercept[java.util.ConcurrentModificationException] {
+      TxTable.merge(spark, dir, Seq.empty[(Long, String)].toDF("id", "v"),
+        Seq("id"), guard = Map("txn.src.mv" -> 5L))
+    }
+  }
+
+  test("readVersion reads an empty snapshot as an empty frame when schema is pinned") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val schema = df.schema
+    // a zero-row WRITE still produces one empty part file; a truly
+    // file-less manifest comes from metadata-only commits — craft one
+    new java.io.File(s"$dir/_txlog").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/_txlog/v00000000001.manifest"),
+      "append deadbeef\n")
+    val empty = TxTable.readVersion(spark, dir, 1L, schema = Some(schema))
+    assert(empty.isEmpty)
+    // names/types pin; nullability may be relaxed by createDataFrame
+    assert(empty.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    intercept[RuntimeException](TxTable.readVersion(spark, dir, 1L))
+  }
+
+  test("a string-null literal predicate neither prunes wrongly nor crashes") {
+    val dir = tmp()
+    threeCommits(dir)
+    val out = TxTable.readWhere(spark, dir,
+      col("v") === lit(null).cast("string"))
+    assert(out.count() == 0, "=== null matches nothing, but must not NPE")
+  }
+
+  test("an Infinity bound disables that column's stats without losing the others") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, 1.0), (2L, Double.PositiveInfinity)).toDF("id", "x").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq((10L, 3.0), (11L, 4.0)).toDF("id", "x").coalesce(1))
+    val pruned = TxTable.readWhere(spark, dir, col("id") === 10L)
+    assert(pruned.inputFiles.length == 1,
+      "id stats must survive the Infinity in the x column")
+    assert(pruned.count() == 1)
+  }
+
   test("restore rolls back to an exact prior snapshot as a new commit") {
     val dir = tmp()
     threeCommits(dir)                                   // v1..v3, 30 rows

@@ -97,6 +97,34 @@ class ZOrderSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == beforeRows)
   }
 
+  test("optimize preserves a hive-partitioned layout; flat rewrite is rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    val data = (for (d <- Seq("mon", "tue"); i <- 0 until 100)
+      yield (d, i.toLong, (i * 7 % 100).toLong)).toDF("day", "x", "y")
+    TxTable.append(spark, dir, data, partitionCols = Seq("day"))
+    // refusing a flat rewrite of a partitioned table (it would break
+    // directory pruning and later replacePartitions semantics)
+    val e = intercept[IllegalArgumentException](
+      TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2048))
+    assert(e.getMessage.contains("partitionCols"))
+    TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2048,
+      partitionCols = Seq("day"))
+    val after = TxTable.read(spark, dir)
+    assert(after.count() == 200)
+    assert(after.inputFiles.forall(f => f.contains("day=")),
+      "rewritten files keep the hive layout")
+    // replacePartitions after optimize must REPLACE, not duplicate
+    val repl = (0 until 50).map(i => ("mon", 1000L + i, i.toLong))
+      .toDF("day", "x", "y")
+    TxTable.replacePartitions(spark, dir, repl, Seq("day"))
+    val mon = TxTable.read(spark, dir, schema = Some(after.schema))
+      .filter(col("day") === "mon")
+    assert(mon.count() == 50, "old mon rows replaced, not duplicated")
+  }
+
   test("cluster() preserves rows exactly and tolerates nulls/constants") {
     val s = spark
     import s.implicits._
