@@ -323,6 +323,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // optimize + restore maintenance cycle: land unclustered, z-order
+    // the table, clobber it with a bad overwrite, roll back — the final
+    // pruned read must equal a plain filter over the source (layout
+    // operations are data-identical by construction, and the oracle
+    // proves it end-to-end)
+    "q_x_tx_maintenance" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_opt").toString + "/docs_tx"
+      val d = t(s, dir, "documents").select("doc_id", "n_chars", "source")
+      graft.ops.TxTable.append(s, tmp, d.filter(col("doc_id") % 2 === 0))
+      graft.ops.TxTable.append(s, tmp, d.filter(col("doc_id") % 2 === 1))
+      graft.ops.TxTable.optimize(s, tmp, Seq("n_chars", "doc_id"),
+        targetBytes = 64L * 1024)
+      val optimized = graft.ops.TxTable.versions(s, tmp).last
+      graft.ops.TxTable.overwrite(s, tmp, d.limit(10))
+      graft.ops.TxTable.restore(s, tmp, optimized)
+      graft.ops.TxTable.readWhere(s, tmp, col("n_chars") >= 500)
+        .orderBy("doc_id")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -921,6 +941,10 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM merged
         |WHERE NOT (o_orderkey % 7 = 3)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_tx_maintenance" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE n_chars >= 500 ORDER BY doc_id""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
