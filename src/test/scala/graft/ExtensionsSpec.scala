@@ -42,6 +42,13 @@ class TextAnalysisSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[_]].toSet == Set("a b", "b a"))
   }
 
+  test("sha256 fingerprint normalizes like the md5 one") {
+    assert(one(TextAnalysis.fingerprintSha256(col("text")), "A  b\nC") ==
+      one(TextAnalysis.fingerprintSha256(col("text")), "a b c"))
+    assert(one(TextAnalysis.fingerprintSha256(col("text")), "a b c") !=
+      one(TextAnalysis.fingerprintSha256(col("text")), "a b d"))
+  }
+
   test("fingerprint is case/whitespace-insensitive") {
     val a = one(TextAnalysis.fingerprintMd5(col("text")), "Hello  World")
     val b = one(TextAnalysis.fingerprintMd5(col("text")), "hello world ")

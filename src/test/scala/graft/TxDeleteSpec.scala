@@ -149,6 +149,32 @@ class TxDeleteSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("readChanges tags file-level CDC between versions") {
+    val dir = tmp()
+    threeCommits(dir)                          // v1..v3: one file per commit
+    TxTable.delete(spark, dir, col("id") === 5L) // v4: rewrites the 0-9 file
+    // append-only window: inserts only, exactly the appended rows
+    val c13 = TxTable.readChanges(spark, dir, 1L, 3L)
+    assert(c13.filter(col("_change_type") === "delete").isEmpty)
+    assert(c13.filter(col("_change_type") === "insert")
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 30L))
+    // the delete commit: the rewritten file's old rows come out as
+    // deletes, its surviving rows as inserts; row-level diffing is the
+    // consumer's set difference (Delta CDF file-granularity contract)
+    val c34 = TxTable.readChanges(spark, dir, 3L, 4L)
+    val dels = c34.filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSet
+    val ins = c34.filter(col("_change_type") === "insert")
+      .collect().map(_.getLong(0)).toSet
+    assert(dels == (0L until 10L).toSet)
+    assert(ins == (0L until 10L).toSet - 5L)
+    assert(dels -- ins == Set(5L), "row-level diff isolates the deleted row")
+    // untouched-window CDC is all-insert of the window's appends only —
+    // files carried unchanged across versions never re-read
+    assert(TxTable.readChanges(spark, dir, 2L, 3L)
+      .filter(col("_change_type") === "insert").count() == 10)
+  }
+
   test("restore rolls back to an exact prior snapshot as a new commit") {
     val dir = tmp()
     threeCommits(dir)                                   // v1..v3, 30 rows
