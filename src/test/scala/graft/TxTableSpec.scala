@@ -90,6 +90,38 @@ class TxTableSpec extends SparkSpec {
     assert(ids == expected, s"head snapshot must hold every appended row, got $ids")
   }
 
+  test("six-way writer contention: every claim serializes, no version or row lost") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx").toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(6)
+    // heavier contention than the 2-writer case: with 6 writers racing,
+    // most claim attempts LOSE and must retry against a new head — the
+    // lock-free loop's liveness and no-lost-append property both get
+    // exercised dozens of times per run
+    val writers = (1 to 6).map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (1 to 3).foreach { i =>
+            TxTable.append(spark, dir,
+              Seq((w * 100L + i, s"w$w")).toDF("id", "v"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${errs.toArray.mkString(", ")}")
+    assert(TxTable.versions(spark, dir) == (1L to 19L),
+      "19 commits (1 seed + 18 appends) must occupy versions 1..19")
+    val ids = TxTable.read(spark, dir).select("id").as[Long].collect().toSet
+    val expected =
+      Set(0L) ++ (for (w <- 1 to 6; i <- 1 to 3) yield w * 100L + i).toSet
+    assert(ids == expected, "head snapshot must hold every appended row")
+  }
+
   test("mergeSchema read: widened appends resolve the union schema; old versions still read") {
     val s = spark
     import s.implicits._
