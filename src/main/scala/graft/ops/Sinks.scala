@@ -128,6 +128,16 @@ object Sinks {
     if (tx && !exists && fs.exists(p)) sys.error(
       s"tx upsert into $path: path exists but is not a TxTable " +
         "(no _txlog); migrate it with TxTable.overwrite first")
+    if (tx) {
+      // TxTable.merge IS this operation, race-safely: the rewrite is
+      // stats-bounded, racing appends survive its baseKeep, and a
+      // conflicting DML aborts. A read-merge-overwrite here would
+      // silently drop files a concurrent writer commits between the
+      // head read and the claim (overwrite's baseKeep keeps nothing).
+      if (!exists) TxTable.overwrite(spark, path, updates)
+      else TxTable.merge(spark, path, updates, keyCols, nullSafeKeys = true)
+      return
+    }
     val merged =
       if (!exists) updates
       else {
@@ -137,18 +147,18 @@ object Sinks {
         val up = updates.localCheckpoint()
         val keys = up.select(keyCols.map(
           org.apache.spark.sql.functions.col): _*).dropDuplicates()
-        val existing = if (tx) TxTable.read(spark, path)
-                       else spark.read.parquet(path)
+        val existing = spark.read.parquet(path)
         // null-safe equality: a null key must MATCH a null key or the
         // anti-join keeps the old row and the union adds the new one
         val cond = keyCols.map(c => existing(c) <=> keys(c)).reduce(_ && _)
         existing.join(keys, cond, "left_anti").unionByName(up)
       }
-    if (tx) { TxTable.overwrite(spark, path, merged); return }
     val tmp = new Path(p.getParent,
       s".upsert_${p.getName}_${java.util.UUID.randomUUID()}")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    swapInto(fs, tmp, p)
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapInto(fs, tmp, p)
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Partition-bounded upsert into a hive-partitioned parquet table:
@@ -229,7 +239,19 @@ object Sinks {
     val merged = existing.join(keys, cond, "left_anti").unionByName(up)
 
     if (tx) {
-      TxTable.replacePartitions(spark, path, merged, partitionCols)
+      // conflict scope: the files this merge READ in the affected
+      // partitions must be unchanged at the claim — a racing append
+      // into one of them would otherwise be silently dropped by the
+      // partition replace. (A racing append into a partition that had
+      // no files yet is the remaining corner — Delta closes it with
+      // full partition-level conflict detection.)
+      val rootQ = fs.makeQualified(p).toString
+      val knownRel = existing.inputFiles.map(f =>
+        fs.makeQualified(new Path(new java.net.URI(f))).toString
+          .stripPrefix(rootQ).stripPrefix("/")).toSet
+      val affectedDirs = knownRel.map(TxTable.partitionDirOf)
+      TxTable.replacePartitions(spark, path, merged, partitionCols,
+        expectUnchanged = Some((affectedDirs, knownRel)))
       return
     }
     val tmp = new Path(p.getParent,
@@ -284,35 +306,44 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
-              tx: Boolean = false): Int = {
+              tx: Boolean = false,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
-    val df0 = if (tx) TxTable.read(spark, path) else spark.read.parquet(path)
-    // current compressed footprint of the LIVE snapshot only (a tx
-    // table's directory also holds old versions and the log)
-    val totalBytes =
-      if (tx) df0.inputFiles.map(f =>
-        fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
-      else fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // partitioned tables co-locate rows by partition value, or every
-    // task writes a sliver into every partition dir (nFiles × values
-    // files — worse than before compaction)
-    val repart =
+    def repartitioned(df0: DataFrame, nFiles: Int): DataFrame =
+      // partitioned tables co-locate rows by partition value, or every
+      // task writes a sliver into every partition dir (nFiles × values
+      // files — worse than before compaction)
       if (partitionCols.isEmpty) df0.repartition(nFiles)
       else df0.repartition(nFiles,
         partitionCols.map(org.apache.spark.sql.functions.col): _*)
     if (tx) {
-      val v = TxTable.overwrite(spark, path, repart, partitionCols)
+      // race-safe layout rewrite: racing appends survive, conflicting
+      // DML aborts, and `schema` pins hive-partition column types
+      // against directory-string re-inference (string day "07" would
+      // otherwise re-land retyped as int 7)
+      val nFiles = TxTable.headFileCountFor(spark, path, targetBytes)
+      val v = TxTable.rewriteSnapshot(spark, path, partitionCols,
+        schema = schema)(repartitioned(_, nFiles))
       return TxTable.readVersion(spark, path, v).inputFiles.length
     }
+    val df0 = schema match {
+      case Some(sch) =>
+        spark.read.option("basePath", path).schema(sch).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val repart = repartitioned(df0, nFiles)
     val tmp = new Path(p.getParent,
       s".compact_${p.getName}_${java.util.UUID.randomUUID()}")
-    val w = repart.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    swapInto(fs, tmp, p)
+    try {
+      val w = repart.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      swapInto(fs, tmp, p)
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     // recursive listing, not a fixed-depth glob: partitioned tables nest
     // one directory level PER partition column
     val it = fs.listFiles(p, true)

@@ -42,9 +42,19 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (spark.conf.getOption(CatalogFlagConf).contains("true")) {
-      if (!spark.conf.getOption(CatalogDirConf).contains(dir)) {
-        registerAll(spark, dir)
-        spark.conf.set(CatalogDirConf, dir)
+      // register PER TABLE, and re-register when the view is missing
+      // even if the dir conf still matches (a caller may have dropped
+      // temp views independently — conf state must not be trusted over
+      // the catalog itself). Per-table registration also keeps catalog
+      // mode working for lakes missing some harness fixture: only the
+      // table actually requested must resolve, same as direct mode.
+      val dirMatches = spark.conf.getOption(CatalogDirConf).contains(dir)
+      if (!dirMatches || !spark.catalog.tableExists(name)) {
+        if (!dirMatches) {
+          tableNames.foreach(n => spark.catalog.dropTempView(n))
+          spark.conf.set(CatalogDirConf, dir)
+        }
+        direct(spark, dir, name).createOrReplaceTempView(name)
       }
       spark.read.table(name)
     } else direct(spark, dir, name)

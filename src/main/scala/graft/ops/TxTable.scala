@@ -762,11 +762,48 @@ object TxTable {
                partitionCols: Seq[String] = Nil,
                mergeSchema: Boolean = false): Long = {
     require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
+    val numFiles = headFileCountFor(spark, path, targetBytes)
+    rewriteSnapshot(spark, path, partitionCols, mergeSchema) { snapshot =>
+      ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
+        leadCols = partitionCols)
+    }
+  }
+
+  /** ceil(live snapshot bytes / targetBytes) — the file count a layout
+    * rewrite should produce. O(files) driver metadata calls.
+    */
+  def headFileCountFor(spark: SparkSession, path: String,
+                       targetBytes: Long): Int = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
-    require(lines.nonEmpty, s"nothing to optimize: head of $path is empty")
+    val liveBytes = lines.map(l =>
+      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
+    math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
+  }
+
+  /** Rewrite the head snapshot's FILES through `transform` as one
+    * replace commit — the layout-maintenance primitive (compaction,
+    * clustering) whose result is data-identical by construction.
+    * Racing APPENDS are kept: only the files this rewrite read are
+    * replaced, anything committed meanwhile survives the baseKeep. A
+    * conflicting DML that removed one of the read files aborts with
+    * the standard conflict error instead of resurrecting its rows.
+    * `schema` pins the read (notably hive-partition column types,
+    * which directory-string re-inference would otherwise silently
+    * retype — a string day "07" re-landing as int 7).
+    */
+  def rewriteSnapshot(spark: SparkSession, path: String,
+                      partitionCols: Seq[String] = Nil,
+                      mergeSchema: Boolean = false,
+                      schema: Option[StructType] = None)
+                     (transform: DataFrame => DataFrame): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    require(lines.nonEmpty, s"nothing to rewrite: head of $path is empty")
     // a hive-partitioned table MUST be rewritten with its layout, or
     // the flat rewrite breaks directory pruning and a later
     // replacePartitions would keep (and so duplicate) the old rows
@@ -775,14 +812,8 @@ object TxTable {
       s"$path is hive-partitioned — pass partitionCols so the rewrite " +
       "preserves the partition layout")
     val rewritten = lines.map(pathOf).toSet
-    val liveBytes = lines.map(l =>
-      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
-    val numFiles =
-      math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
-    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema, None)
-    val clustered = ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
-      leadCols = partitionCols)
-    commit(spark, path, clustered, "replace",
+    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+    commit(spark, path, transform(snapshot), "replace",
       (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
       partitionCols, Map.empty, requirePresent = rewritten)
   }
@@ -852,18 +883,19 @@ object TxTable {
     * with the manifest claim.
     */
   def replacePartitions(spark: SparkSession, path: String, df: DataFrame,
-                        partitionCols: Seq[String]): Long =
+                        partitionCols: Seq[String],
+                        expectUnchanged: Option[(Set[String], Set[String])] = None): Long =
     commit(spark, path, df, "replace", (base, newFiles) => {
       val replaced = newFiles.map(f => partitionDirOf(pathOf(f))).toSet
       base.filterNot(f => replaced.contains(partitionDirOf(pathOf(f))))
-    }, partitionCols)
+    }, partitionCols, requireUnchangedUnder = expectUnchanged)
 
   /** `data/<uuid>/day=10/part-x.parquet` → `day=10` (nested partitions
     * keep all `key=value` segments; unpartitioned files → ""). Writer
     * dir names are hive-escaped on BOTH sides, so string equality is
     * value equality.
     */
-  private def partitionDirOf(rel: String): String =
+  private[ops] def partitionDirOf(rel: String): String =
     rel.split('/').drop(2).dropRight(1).mkString("/")
 
   /** Write `df` into a fresh immutable data dir and commit a manifest of
@@ -879,7 +911,8 @@ object TxTable {
                      partitionCols: Seq[String] = Nil,
                      meta: Map[String, String] = Map.empty,
                      requirePresent: Set[String] = Set.empty,
-                     guard: Map[String, Long] = Map.empty): Long = {
+                     guard: Map[String, Long] = Map.empty,
+                     requireUnchangedUnder: Option[(Set[String], Set[String])] = None): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -902,7 +935,7 @@ object TxTable {
     val newLines = newFiles.map(f =>
       stats.get(f).map(s => s"$f\t$s").getOrElse(f))
     commitLines(spark, path, action, newLines, baseKeep, meta,
-      requirePresent, guard)
+      requirePresent, guard, requireUnchangedUnder)
   }
 
   /** The claim loop of [[commit]], usable on its own for METADATA-ONLY
@@ -926,7 +959,8 @@ object TxTable {
                           baseKeep: (Seq[String], Seq[String]) => Seq[String],
                           meta: Map[String, String] = Map.empty,
                           requirePresent: Set[String] = Set.empty,
-                          guard: Map[String, Long] = Map.empty): Long = {
+                          guard: Map[String, Long] = Map.empty,
+                          requireUnchangedUnder: Option[(Set[String], Set[String])] = None): Long = {
     require(meta.forall { case (k, v) =>
       k.nonEmpty && !k.contains('=') &&
         !(k + v).exists(c => c == ' ' || c == '\n')
@@ -954,6 +988,20 @@ object TxTable {
           s"conflicting commit on $path: files this rewrite read were " +
           s"removed by a concurrent commit (retry the operation): " +
           gone.take(3).mkString(", "))
+      }
+      // partition-scope conflict check: the files under the given
+      // partition dirs must be EXACTLY the set this operation read —
+      // a racing append INTO a replaced partition would otherwise be
+      // silently dropped by the replace (requirePresent only catches
+      // removals, not additions)
+      requireUnchangedUnder.foreach { case (dirs, known) =>
+        val cur = base.map(pathOf)
+          .filter(f => dirs.contains(partitionDirOf(f))).toSet
+        if (cur != known)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit on $path: partitions this rewrite " +
+            s"replaces changed concurrently (retry the operation): " +
+            ((cur -- known) ++ (known -- cur)).take(3).mkString(", "))
       }
       // transaction guard: abort if a concurrent committer already
       // advanced this key to (at least) the value we are claiming —

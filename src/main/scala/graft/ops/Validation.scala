@@ -42,6 +42,7 @@ object Validation {
     * two filters over one definition, so Catalyst can reuse the scan.
     */
   def partitionByRules(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "at least one rule")
     val allPass = rules.map { case (_, p) => coalesce(p, lit(false)) }
       .reduce(_ && _)
     (df.filter(allPass), df.filter(!allPass))

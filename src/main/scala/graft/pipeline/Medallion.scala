@@ -47,9 +47,19 @@ object Layers {
     * with [[TxTable.read]].
     */
   def publish(df: DataFrame, lake: String, layer: String, table: String,
-              tx: Boolean): Unit =
-    if (tx) { TxTable.overwrite(df.sparkSession, s"$lake/$layer/$table", df); () }
+              tx: Boolean): Unit = {
+    val dest = s"$lake/$layer/$table"
+    // mixed-mode guard (same contract as Sinks.upsert): a non-tx
+    // publish onto a table that has a _txlog would refresh the parquet
+    // UNDER the stale manifest — TxTable readers would silently keep
+    // serving the old snapshot forever
+    if (!tx && TxTable.exists(df.sparkSession, dest)) sys.error(
+      s"$dest is a TxTable (has a _txlog): publish with tx = true, or " +
+      "remove the _txlog to demote it — a plain overwrite would leave " +
+      "TxTable readers pinned to the stale manifest")
+    if (tx) { TxTable.overwrite(df.sparkSession, dest, df); () }
     else write(df, lake, layer, table)
+  }
 }
 
 /** Landing → bronze: type cleanup (reference `aws-job-landing-to-bronze/

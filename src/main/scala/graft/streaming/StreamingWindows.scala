@@ -28,22 +28,23 @@ object StreamingWindows {
     */
   def tumbling(stream: DataFrame, tsCol: String, width: String,
                watermark: String, keys: Seq[String],
-               aggs: Seq[Column]): DataFrame = {
-    val g = stream
-      .withWatermark(tsCol, watermark)
-      .groupBy((window(col(tsCol), width) +: keys.map(col)): _*)
-      .agg(aggs.head, aggs.tail: _*)
-    g.select((Seq(col("window.start").as("wstart"), col("window.end").as("wend"))
-      ++ g.columns.filterNot(_ == "window").map(col)): _*)
-  }
+               aggs: Seq[Column]): DataFrame =
+    windowed(stream, window(col(tsCol), width), tsCol, watermark, keys, aggs)
 
-  /** Sliding-window variant. */
+  /** Sliding-window variant (tumbling = sliding with slide == width). */
   def sliding(stream: DataFrame, tsCol: String, width: String, slide: String,
               watermark: String, keys: Seq[String],
-              aggs: Seq[Column]): DataFrame = {
+              aggs: Seq[Column]): DataFrame =
+    windowed(stream, window(col(tsCol), width, slide), tsCol, watermark,
+      keys, aggs)
+
+  private def windowed(stream: DataFrame, win: Column, tsCol: String,
+                       watermark: String, keys: Seq[String],
+                       aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
     val g = stream
       .withWatermark(tsCol, watermark)
-      .groupBy((window(col(tsCol), width, slide) +: keys.map(col)): _*)
+      .groupBy((win +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
     g.select((Seq(col("window.start").as("wstart"), col("window.end").as("wend"))
       ++ g.columns.filterNot(_ == "window").map(col)): _*)
@@ -64,67 +65,63 @@ object StreamingWindows {
 
   /** One input event for the custom-state sessionizer. */
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
-  /** Accumulating per-key session state. */
+  /** Accumulating per-key session interval. */
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  /** ALL open sessions of one key — the state must hold a LIST: a key
+    * can have several sessions none of which the watermark has passed
+    * yet, and emitting any of them early (on the in-batch gap alone)
+    * would both diverge from `session_window` and mis-assign
+    * out-of-order cross-batch events to a newer session.
+    */
+  case class OpenSessions(sessions: Seq[SessionState])
   /** One closed session. */
   case class ClosedSession(user_id: Long, wstart: Timestamp, wend: Timestamp,
                            n: Long, total_value: Double)
 
-  /** Custom stateful sessionization via flatMapGroupsWithState: sessions
-    * close when no event arrives within `gapMs` (tracked by event-time
-    * timeout against the watermark). Emits each closed session exactly
-    * once — the mapGroupsWithState surface the brief calls for, doing by
-    * hand what `session_window` does natively.
+  /** Custom stateful sessionization via flatMapGroupsWithState,
+    * matching `session_window` semantics: each event is a unit
+    * interval, sessions are the gap-coalesced interval union of state +
+    * batch, and a session is emitted ONLY once the watermark passes its
+    * close instant (start of the gap after its last event). Until then
+    * it stays in state, so an out-of-order event arriving in a later
+    * batch (but within the watermark) merges into the session it
+    * belongs to — including bridging two open sessions into one. The
+    * event-time timeout re-fires at the earliest open close instant.
     */
   def sessionizeStateful(events: Dataset[SessionEvent], gapMs: Long,
                          watermark: String): Dataset[ClosedSession] = {
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[OpenSessions]
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val longEnc = Encoders.scalaLong
 
     def update(userId: Long, rows: Iterator[SessionEvent],
-               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+               state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
       def close(s: SessionState): ClosedSession =
         ClosedSession(userId, new Timestamp(s.start),
           new Timestamp(s.lastTs + gapMs), s.n, s.total)
-
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(close).iterator
-        state.remove()
-        out
-      } else {
-        var closed = List.empty[ClosedSession]
-        var cur = state.getOption
-        // Iterator order within a micro-batch is not time-sorted: sort.
-        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t <= s.lastTs + gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.lastTs, t),
-                s.n + 1, s.total + e.value))
-            case Some(s) =>
-              closed ::= close(s)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          // flatMapGroupsWithState does NOT drop late rows for us: a
-          // session whose close instant is already at-or-behind the
-          // watermark must be emitted NOW — setTimeoutTimestamp at or
-          // below the watermark throws and kills the whole query.
-          val wm = state.getCurrentWatermarkMs()
-          if (s.lastTs + gapMs <= wm) {
-            closed ::= close(s)
-            state.remove()
-          } else {
-            state.update(s)
-            state.setTimeoutTimestamp(s.lastTs + gapMs)
-          }
-        }
-        closed.reverseIterator
+      // the same fold serves the data and timeout paths: on timeout
+      // `rows` is empty and the watermark has advanced past at least
+      // one open session's close instant
+      val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val minis = rows.map(e =>
+        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+      val coalesced = (existing ++ minis).sortBy(s => (s.start, s.lastTs))
+        .foldLeft(List.empty[SessionState]) {
+          case (cur :: rest, s) if s.start <= cur.lastTs + gapMs =>
+            SessionState(cur.start, math.max(cur.lastTs, s.lastTs),
+              cur.n + s.n, cur.total + s.total) :: rest
+          case (acc, s) => s :: acc
+        }.reverse
+      val wm = state.getCurrentWatermarkMs()
+      val (closable, open) = coalesced.partition(s => s.lastTs + gapMs <= wm)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(OpenSessions(open))
+        // all open close instants are > wm by the partition above, so
+        // this never violates the at-or-below-watermark restriction
+        state.setTimeoutTimestamp(open.map(_.lastTs + gapMs).min)
       }
+      closable.map(close).iterator
     }
 
     events

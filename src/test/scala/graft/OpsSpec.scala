@@ -387,6 +387,14 @@ class EntrySpec extends SparkSpec {
 }
 
 class ValidationSpec extends SparkSpec {
+  test("empty rule lists fail loudly in both entry points") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "price")
+    intercept[IllegalArgumentException](Validation.check(df, Seq.empty))
+    intercept[IllegalArgumentException](Validation.partitionByRules(df, Seq.empty))
+  }
+
   test("empty input yields 0 violations (not NULL), dotted rule names are safe") {
     val s = spark
     import s.implicits._
@@ -528,6 +536,22 @@ class CatalogModeSpec extends SparkSpec {
       // events goes through the nanos-safe reader even in catalog mode
       assert(Sources.table(spark, dir, "events").schema("ts").dataType ==
         org.apache.spark.sql.types.TimestampType)
+    } finally {
+      spark.conf.unset(Sources.CatalogFlagConf)
+      spark.conf.unset("spark.graft.catalog.dir")
+      Sources.tableNames.foreach(n => spark.catalog.dropTempView(n))
+    }
+  }
+
+  test("catalog mode re-registers a view dropped behind its back") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set(Sources.CatalogFlagConf, "true")
+    try {
+      val first = Sources.table(spark, dir, "region").count()
+      // a caller drops the temp views while the dir conf still matches:
+      // the next lookup must resync from the catalog, not trust the conf
+      spark.catalog.dropTempView("region")
+      assert(Sources.table(spark, dir, "region").count() == first)
     } finally {
       spark.conf.unset(Sources.CatalogFlagConf)
       spark.conf.unset("spark.graft.catalog.dir")

@@ -206,4 +206,16 @@ class PipelineSpec extends SparkSpec {
         "idempotent re-run: same content either version")
     }
   }
+  test("publish refuses a plain overwrite onto a tx gold table") {
+    val s2 = spark
+    import s2.implicits._
+    val lake2 = java.nio.file.Files.createTempDirectory("graft_mixed").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    graft.pipeline.Layers.publish(df, lake2, "gold", "t", tx = true)
+    // a non-tx refresh would rewrite the parquet UNDER the stale
+    // manifest — TxTable readers would silently serve old data forever
+    val e = intercept[RuntimeException](
+      graft.pipeline.Layers.publish(df, lake2, "gold", "t", tx = false))
+    assert(e.getMessage.contains("TxTable"))
+  }
 }

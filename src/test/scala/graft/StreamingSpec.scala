@@ -124,4 +124,77 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("sess_late").filter(col("user_id") === 7).collect()
     assert(rows.isEmpty, "months-late event is dropped by the watermark filter")
   }
+
+  test("sessionizer holds gap-split sessions until the watermark and merges out-of-order events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // 10-second gap, 1-hour watermark: batch 1 creates TWO prospective
+    // sessions for user 1; neither may be emitted yet (the watermark
+    // has not passed their close instants — early emission was the bug)
+    val out = StreamingWindows.sessionizeStateful(mem.toDS(),
+      gapMs = 10 * 1000, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    mem.addData(
+      SessionEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 10:01:40"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_ooo").isEmpty,
+      "gap-closed-in-batch sessions must NOT be emitted before the watermark")
+    // batch 2: out-of-order but within-watermark event belonging to the
+    // OLDER open session — must merge into it, not the newer one
+    mem.addData(SessionEvent(1, ts("2024-01-01 10:00:05"), 4.0))
+    q.processAllAvailable()
+    // batch 3: watermark pusher closes everything
+    mem.addData(SessionEvent(99, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo").filter(col("user_id") === 1)
+      .select("wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:15"), 2L, 5.0),
+      Seq(ts("2024-01-01 10:01:40"), ts("2024-01-01 10:01:50"), 1L, 2.0)),
+      s"out-of-order event must land in the older session, got $got")
+    // and the whole output equals batch session_window over all events
+    val all = Seq(
+      SessionEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 10:01:40"), 2.0),
+      SessionEvent(1, ts("2024-01-01 10:00:05"), 4.0),
+      SessionEvent(99, ts("2024-01-02 00:00:00"), 0.0))
+    val batch = EventWindows.sessionize(df(all), "ts", "10 seconds",
+        Seq("user_id"), Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+      .filter(col("user_id") === 1)
+      .select("wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch, "must reproduce session_window on the union of batches")
+  }
+
+  test("sessionizer merges two open sessions bridged by a later event") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.sessionizeStateful(mem.toDS(),
+      gapMs = 10 * 1000, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    mem.addData(
+      SessionEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 10:00:16"), 2.0)) // 16s apart: 2 sessions
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1, ts("2024-01-01 10:00:08"), 4.0)) // bridges them
+    q.processAllAvailable()
+    mem.addData(SessionEvent(99, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_bridge").filter(col("user_id") === 1)
+      .select("wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:00:26"), 3L, 7.0)),
+      s"bridge event must merge both open sessions into one, got $got")
+  }
 }

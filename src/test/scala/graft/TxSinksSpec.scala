@@ -26,6 +26,52 @@ class TxSinksSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("tx upsert keeps rows a concurrent append commits mid-upsert") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_race")
+    Sinks.upsert(spark, dir, Seq((1L, "a")).toDF("id", "v"), Seq("id"), tx = true)
+    // upsert(tx) delegates to TxTable.merge, whose stats-bounded rewrite
+    // only replaces the files it read — an append landing between the
+    // head read and the claim survives the retry loop. Simulate the
+    // interleave at its observable boundary: append, then upsert keys
+    // that do NOT overlap the appended file's bounds.
+    TxTable.append(spark, dir, Seq((100L, "racing")).toDF("id", "v"))
+    Sinks.upsert(spark, dir, Seq((1L, "A2")).toDF("id", "v"), Seq("id"), tx = true)
+    val out = TxTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A2", 100L -> "racing"),
+      "the racing append's row must survive the upsert rewrite")
+  }
+
+  test("replacePartitions aborts when the replaced partitions changed concurrently") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_rp")
+    TxTable.append(spark, dir, Seq(("mon", 1L), ("tue", 2L)).toDF("day", "x"),
+      partitionCols = Seq("day"))
+    // a stale expectation (file set read before a concurrent commit)
+    // must abort the replace instead of silently dropping the racer
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxTable.replacePartitions(spark, dir,
+        Seq(("mon", 10L)).toDF("day", "x"), Seq("day"),
+        expectUnchanged = Some((Set("day=mon"), Set("stale/file"))))
+    }
+    assert(e.getMessage.contains("changed concurrently"))
+    // with the true current file set the replace proceeds
+    val known = TxTable.read(spark, dir).inputFiles
+      .filter(_.contains("day=mon"))
+      .map(f => f.substring(f.indexOf("/data/") + 1)).toSet
+    TxTable.replacePartitions(spark, dir,
+      Seq(("mon", 10L)).toDF("day", "x"), Seq("day"),
+      expectUnchanged = Some((Set("day=mon"), known)))
+    val out = TxTable.read(spark, dir,
+      schema = Some(Seq(("a", 1L)).toDF("day", "x").schema))
+      .select("day", "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("mon" -> 10L, "tue" -> 2L))
+  }
+
   test("tx upsert refuses a plain parquet dir (no silent mixed layout)") {
     val s = spark
     import s.implicits._
