@@ -19,6 +19,7 @@ object EventWindows {
   /** Tumbling window aggregation: fixed `width` buckets, epoch-aligned. */
   def tumbling(df: DataFrame, tsCol: String, width: String,
                keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
     val g = df.groupBy((window(col(tsCol), width) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
     flattenWindow(g)
@@ -30,6 +31,7 @@ object EventWindows {
     */
   def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
               keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
     val g = df.groupBy((window(col(tsCol), width, slide) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
     flattenWindow(g)
@@ -40,15 +42,21 @@ object EventWindows {
     */
   def sessionize(df: DataFrame, tsCol: String, gap: String,
                  keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
     val g = df.groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
     flattenWindow(g, "session_window")
   }
 
   /** Replace the window struct with flat wstart/wend columns (stable,
-    * oracle-friendly output schema).
+    * oracle-friendly output schema). Shared with the streaming lifts —
+    * one implementation of the flattening, not two drifting copies.
     */
-  private def flattenWindow(df: DataFrame, structName: String = "window"): DataFrame = {
+  private[graft] def flattenWindow(df: DataFrame,
+                                   structName: String = "window"): DataFrame = {
+    require(!df.columns.contains("wstart") && !df.columns.contains("wend"),
+      "aggregates may not alias 'wstart'/'wend' — the flattened window " +
+      "output reserves those names")
     val others = df.columns.filterNot(_ == structName).map(col)
     df.select((Seq(col(s"$structName.start").as("wstart"),
       col(s"$structName.end").as("wend")) ++ others.toIndexedSeq): _*)

@@ -71,8 +71,13 @@ object Multimodal {
     df.select(
         col(idCol).cast("long").as("media_id"),
         lit(mediaType).as("media_type"),
-        encode(col(textCol), "UTF-8").as("content"),
+        // a null payload is an EMPTY payload, not an NPE in the decoder
+        encode(coalesce(col(textCol), lit("")), "UTF-8").as("content"),
         col(sourceCol).as("source"))
+      // a row whose id doesn't cast has no media identity — dropping it
+      // beats the opaque non-nullable-encoder crash mid-job (parallel to
+      // readBinaryDir's glob skipping non-matching files)
+      .where(col(idCol).cast("long").isNotNull)
       .as[MediaRecord]
   }
 

@@ -52,7 +52,14 @@ object AsofJoin {
         :+ lit(null).cast(org.apache.spark.sql.types.StructType(
              valueCols.map(c => org.apache.spark.sql.types.StructField(
                c, right.schema(c).dataType, nullable = true)))).as(vals): _*)
-    val rNorm = right
+    // SQL equi-join semantics: a null key never matches, so right rows
+    // with any null key must not enrich anything (the window's
+    // partitionBy would otherwise group null keys together and attach
+    // unrelated null-key right rows to null-key left rows)
+    val rightKeyed =
+      if (keyCols.isEmpty) right
+      else right.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val rNorm = rightKeyed
       .withColumn(side, lit(0))
       .select((keyCols ++ Seq(tsCol, side)).map(col)
         ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
@@ -65,8 +72,23 @@ object AsofJoin {
     // would otherwise sort in partitioning-dependent order and last()
     // would pick an arbitrary one — with the struct key the greatest
     // (valueCols) tuple deterministically wins.
+    // map-typed value columns are not orderable — tie-break on a hash
+    // of the struct's JSON render instead (determinism is all the
+    // tie-break provides; which of two identical-(key,ts) right rows
+    // wins is unspecified either way)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val tieKey =
+      if (valueCols.exists(c => hasMap(right.schema(c).dataType)))
+        xxhash64(to_json(col(vals)))
+      else col(vals)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc, col(vals).asc)
+      .orderBy(col(tsCol).asc, col(side).asc, tieKey.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
       .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))

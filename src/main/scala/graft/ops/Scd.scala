@@ -46,8 +46,12 @@ object Scd {
       attrCols.map(c => first(col(c)).as(c))
     val grouped = withRun.groupBy((keyCols :+ run).map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
-    // valid_to = next run's valid_from (exclusive); null while current
-    val wNext = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    // valid_to = next run's valid_from (exclusive); null while current.
+    // Order by run as well: consecutive runs can SHARE a valid_from
+    // (same-ts snapshots under tieBreakCols), and valid_from alone
+    // would then mark an arbitrary one of them current
+    val wNext = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from"), col(run))
     grouped
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
       .withColumn("is_current", col("valid_to").isNull)

@@ -19,9 +19,14 @@ object Skew {
 
   /** Left-outer equi-join on `keys`, salted `salts` ways.
     *
-    * Fact side: salt = uniform pseudo-random in [0, salts) derived from
-    * a whole-row hash (deterministic — no rand(), stable under retries
-    * and resumable runs). Dim side: exploded to all salt values.
+    * Fact side: salt = row-position hash in [0, salts) — NOT a content
+    * hash, which would (a) fail outright on map-typed columns (hash()
+    * rejects MapType) and (b) assign every byte-identical row of a hot
+    * key the same salt, defeating the spread entirely. The salt value
+    * itself is correctness-irrelevant: every salt meets its dim copy
+    * exactly once, and the partial/final agg merges all salts, so a
+    * recompute assigning different salts changes nothing observable.
+    * Dim side: exploded to all salt values.
     */
   def saltedEnrichUsing(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                         salts: Int): DataFrame = {
@@ -29,7 +34,7 @@ object Skew {
     val saltCol =
       graft.util.Cols.fresh(fact.columns ++ dim.columns, "__salt")
     val factS = fact.withColumn(saltCol,
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val dimS = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     factS.join(dimS, keys :+ saltCol, "left").drop(saltCol)
@@ -44,9 +49,12 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(partialAggs.nonEmpty && finalAggs.nonEmpty,
+      "need at least one partial and one final aggregate")
     val saltCol = graft.util.Cols.fresh(df, "__salt")
     val partial = df
-      .withColumn(saltCol, pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      .withColumn(saltCol,
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
       .groupBy((keys :+ saltCol).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)

@@ -35,6 +35,9 @@ object Windows {
   /** General per-group top-k with rank column retained. */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
                    order: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — withColumn would " +
+      "silently replace it; pass a different rankCol")
     val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)

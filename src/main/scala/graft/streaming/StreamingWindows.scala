@@ -46,8 +46,7 @@ object StreamingWindows {
       .withWatermark(tsCol, watermark)
       .groupBy((win +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
-    g.select((Seq(col("window.start").as("wstart"), col("window.end").as("wend"))
-      ++ g.columns.filterNot(_ == "window").map(col)): _*)
+    graft.events.EventWindows.flattenWindow(g)
   }
 
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen,

@@ -113,6 +113,14 @@ class WindowsSpec extends SparkSpec {
     assert(out.select("__rn0").collect().forall(_.getInt(0) == 99))
   }
 
+  test("topKPerGroup refuses to clobber an existing rank column") {
+    val s = spark
+    import s.implicits._
+    val in = Seq((1L, "g", 7)).toDF("id", "grp", "rank")
+    intercept[IllegalArgumentException](
+      Windows.topKPerGroup(in, Seq(col("grp")), Seq(col("id")), 1))
+  }
+
   test("topKPerGroup returns k rows with rank column") {
     val out = Windows.topKPerGroup(df(games), Seq(col("player")),
       Seq(col("pts").desc), 2)
@@ -180,6 +188,23 @@ class ScdSpec extends SparkSpec {
     assert(a.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
     val b = out.filter(_.getString(0) == "B")
     assert(b.length == 1 && b.head.getAs[Boolean]("is_current"))
+  }
+
+  test("same-ts runs under tieBreakCols: the LAST run by tiebreak is current") {
+    val s = spark
+    import s.implicits._
+    // two distinct states snapshotted at the same ts: run order comes
+    // from the tiebreak, and valid_to/is_current must follow it —
+    // valid_from alone ties and previously picked an arbitrary winner
+    val snaps = Seq(("A", 5L, 1L, "NYC"), ("A", 5L, 2L, "LA"))
+      .toDF("key", "ts", "tb", "city")
+    val out = Scd.type2(snaps, Seq("key"), "ts", Seq("city"),
+      tieBreakCols = Seq("tb")).collect()
+    val current = out.filter(_.getAs[Boolean]("is_current"))
+    assert(current.length == 1 && current.head.getAs[String]("city") == "LA",
+      "the tiebreak-latest state must be the current row")
+    val closed = out.filter(!_.getAs[Boolean]("is_current"))
+    assert(closed.length == 1 && closed.head.getAs[String]("city") == "NYC")
   }
 }
 
@@ -355,6 +380,34 @@ class AsofJoinSpec extends SparkSpec {
       "greatest value tuple wins ties, regardless of partitioning")
   }
 
+  test("asof null keys never match (SQL equi-join semantics)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Option.empty[String], 5L, 1L), (Some("A"), 5L, 2L))
+      .toDF("sym", "t", "qty")
+    val right = Seq((Option.empty[String], 3L, 10.0), (Some("A"), 3L, 20.0))
+      .toDF("sym", "t", "px")
+    val out = AsofJoin.asof(left, right, Seq("sym"), "t", Seq("px"))
+      .collect().map(r => Option(r.getAs[String]("sym")) ->
+        (if (r.isNullAt(r.fieldIndex("px"))) None
+         else Some(r.getDouble(r.fieldIndex("px"))))).toMap
+    assert(out(None) == None,
+      "a null-key left row must not be enriched from null-key right rows")
+    assert(out(Some("A")) == Some(20.0))
+  }
+
+  test("asof carries map-typed value columns (hash tie-break path)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("A", 10L, 1L)).toDF("sym", "t", "qty")
+    val right = Seq(("A", 5L, Map("k" -> 1.0)))
+      .toDF("sym", "t", "attrs")
+    val out = AsofJoin.asof(left, right, Seq("sym"), "t", Seq("attrs"))
+      .collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Map[String, Double]]("attrs") == Map("k" -> 1.0))
+  }
+
   test("asof with multiple value columns never mixes values across right rows") {
     val s = spark
     import s.implicits._
@@ -453,6 +506,23 @@ class SkewSpec extends SparkSpec {
     val out = Skew.saltedEnrichUsing(fact, df(Seq(Dim("other", "X"))), Seq("key"), 4)
     assert(out.count() == 1)
     assert(out.collect().head.isNullAt(2))
+  }
+
+  test("salting works on tables with map-typed columns, spreading identical rows") {
+    val s = spark
+    import s.implicits._
+    // content hashing would reject MapType at analysis and give all
+    // identical rows one salt; the position salt does neither
+    val fact = (1 to 400).map(_ => ("hot", 1L, Map("m" -> 1)))
+      .toDF("key", "x", "props")
+    val dim = Seq(("hot", "H")).toDF("key", "tag")
+    val joined = Skew.saltedEnrichUsing(fact, dim, Seq("key"), salts = 4)
+    assert(joined.count() == 400)
+    val agg = Skew.saltedAgg(fact, Seq("key"), salts = 4,
+      partialAggs = Seq(sum(col("x")).as("s")),
+      finalAggs = Seq(sum(col("s")).as("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("hot" -> 400L))
   }
 
   test("saltedAgg sum/count matches direct aggregation") {
