@@ -60,9 +60,10 @@ object Joins {
   /** Predicate `might_contain(bloom, xxhash64(col))` as a codegen'd
     * Column — false-positive-prone, false-negative-free.
     */
-  def mightContain(bloom: Array[Byte], keyCol: Column): Column = {
-    val value = new XxHash64(Seq(GraftShim.toExpression(
-      org.apache.spark.sql.SparkSession.active, keyCol)))
+  def mightContain(bloom: Array[Byte], keyCol: Column,
+                   spark: org.apache.spark.sql.SparkSession =
+                     org.apache.spark.sql.SparkSession.active): Column = {
+    val value = new XxHash64(Seq(GraftShim.toExpression(spark, keyCol)))
     GraftShim.toColumn(BloomFilterMightContain(Literal(bloom), value))
   }
 
@@ -93,7 +94,11 @@ object Joins {
       s"bloom pruning drops unmatched fact rows — only inner/semi " +
       s"joins keep their semantics, not '$joinType'")
     val bloom = bloomFilterFor(dim, dimKey, expectedItems, numBits)
-    val pruned = fact.where(mightContain(bloom, fact(factKey)))
+    // resolve the key in the FACT's session, not whichever session is
+    // currently active — a process with two sessions would otherwise
+    // bind the predicate against the wrong conf
+    val pruned = fact.where(
+      mightContain(bloom, fact(factKey), fact.sparkSession))
     pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
   }
 }
