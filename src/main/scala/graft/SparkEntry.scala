@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggregations, Casting, Joins, Projections, Sources, Windows}
+import graft.ops.{Aggregations, Casting, Joins, Packing, Projections, Sampling, Sources, Windows}
 import graft.ann.Similarity
 import graft.dedup.Dedup
 import graft.events.EventWindows
@@ -541,6 +541,26 @@ object SparkEntry {
             graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = false)))
         .orderBy("lang_pred")),
 
+    // ---- LLM-pipeline: sequence packing + corpus mixing
+    "q_x_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
+          budget = 4096L, streams = 32, hash = TextAnalysis.md5Hash60)
+        .select(col("doc_id"), col("pack_stream"), col("pack_offset"),
+          col("pack_chunk"))
+        .orderBy("doc_id")),
+
+    "q_x_mix_corpora" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
+        "es" -> 0.1, "zh" -> 0.05)
+      Sampling.mixCorpora(
+          weights.map { case (l, w) => (l, docs.filter(col("lang") === l), w) },
+          "doc_id",
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .select(col("doc_id"), col("lang"), col("mix_source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1073,6 +1093,44 @@ object SparkEntry {
          |  CAST(SUM(CAST(round(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
          |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality
          |FROM corpus GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // mirror of Packing.packSequences: same md5Hash60 stream routing,
+    // same exclusive prefix sum, same floor-division chunking
+    "q_x_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  ${sqlH60("CAST(doc_id AS VARCHAR)")} % 32 AS pack_stream
+         |  FROM documents),
+         |o AS (SELECT doc_id, pack_stream,
+         |  COALESCE(SUM(n_chars) OVER (PARTITION BY pack_stream ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+         |  FROM t)
+         |SELECT doc_id, pack_stream, CAST(pack_offset AS BIGINT) AS pack_offset,
+         |  CAST(FLOOR(pack_offset / 4096) AS BIGINT) AS pack_chunk
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
+    // double expression (weight * perUnit / count, clamped, rounded)
+    // evaluated left-to-right, then the same salted-hash threshold
+    "q_x_mix_corpora" ->
+      s"""WITH w AS (
+         |  SELECT 'en' AS lang, CAST(0.5 AS DOUBLE) AS wt UNION ALL
+         |  SELECT 'de', CAST(0.2 AS DOUBLE) UNION ALL
+         |  SELECT 'fr', CAST(0.15 AS DOUBLE) UNION ALL
+         |  SELECT 'es', CAST(0.1 AS DOUBLE) UNION ALL
+         |  SELECT 'zh', CAST(0.05 AS DOUBLE)),
+         |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM documents GROUP BY lang),
+         |j AS (SELECT w.lang, w.wt, c.n FROM w JOIN c USING (lang)),
+         |nv AS (SELECT MIN(n / wt) AS perunit FROM j),
+         |cuts AS (SELECT lang,
+         |  CAST(FLOOR(LEAST(wt * (SELECT perunit FROM nv) / n,
+         |    CAST(1.0 AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE))
+         |    AS BIGINT) AS cut FROM j)
+         |SELECT d.doc_id, d.lang, d.lang AS mix_source
+         |FROM documents d JOIN cuts ON cuts.lang = d.lang
+         |WHERE ${sqlH60("'graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
+         |  % 1000000 < cut
+         |ORDER BY doc_id""".stripMargin,
 
     "q_x_dedup_exact" ->
       s"""SELECT doc_id, source, n_chars FROM documents

@@ -53,6 +53,50 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Deterministic weighted corpus mixing: sample each named source so
+    * the union realizes the given RELATIVE weights, keeping as much data
+    * as the weights allow. The bottleneck source (smallest count/weight
+    * ratio) is kept whole; every other source is down-sampled to match —
+    * the standard "mix to target proportions without upsampling" step of
+    * a pretraining data recipe.
+    *
+    * Cost: one `count()` per source (cheap metadata-ish jobs), then a
+    * narrow [[consistentSample]] filter per source and a union — no
+    * shuffle at all. Selection is id-hash-keyed, so the realized mixture
+    * is reproducible across runs, retries, partitionings, and engines
+    * (the oracled harness query reproduces it in DuckDB bit-for-bit),
+    * and re-mixing with different weights reuses maximal overlap of the
+    * same ids.
+    *
+    * Realized proportions are exact up to hash-sampling noise
+    * (±O(1/√n) per source) — acceptable by construction for corpus
+    * recipes, and the price of a collect-free plan.
+    *
+    * Note on float determinism: per-source fractions are computed as
+    * `weight * perUnit / count` in IEEE double left-to-right — mirror
+    * the same expression order in any external reproduction.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], idCol: String,
+                 salt: String = "graft",
+                 hash: (Column, Column) => Column = xxhash64(_, _),
+                 tagCol: String = "mix_source"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique (they salt the sampling hash)")
+    sources.foreach { case (name, _, w) =>
+      require(w > 0, s"weight for '$name' must be positive (drop the " +
+        "source instead of zero-weighting it)")
+    }
+    val counted = sources.map { case (name, df, w) => (name, df, w, df.count()) }
+    // docs-per-unit-weight the bottleneck source can supply
+    val perUnit = counted.map { case (_, _, w, c) => c / w }.min
+    counted.map { case (name, df, w, c) =>
+      val fraction = if (c == 0L) 0.0 else math.min(w * perUnit / c, 1.0)
+      consistentSample(df, idCol, fraction, s"$salt:$name", hash)
+        .withColumn(tagCol, lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Stratified fractions per group: `fractions` maps group value (of a
     * single stratum column) to its keep-fraction; groups not in the map
     * keep `defaultFraction`. Decision is per-id hash as in

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, Sampling}
+
+case class PackDoc(id: Long, toks: Long)
+case class MixDoc(id: Long, payload: String)
+
+class PackingSpec extends SparkSpec {
+
+  private def docs(n: Int) =
+    df((1 to n).map(i => PackDoc(i.toLong, (i % 7 + 1) * 10L)))
+
+  test("packSequences is a partition of the input (every doc, exactly once)") {
+    val in = docs(200)
+    val packed = Packing.packSequences(in, "id", "toks", budget = 100L, streams = 4)
+    assert(packed.count() === 200)
+    assert(packed.select("id").distinct().count() === 200)
+    assert(packed.filter(col("pack_stream").isNull || col("pack_chunk").isNull)
+      .count() === 0)
+  }
+
+  test("offsets are the exclusive prefix sums of each stream and chunks are offset/budget") {
+    val in = docs(120)
+    val packed = Packing
+      .packSequences(in, "id", "toks", budget = 128L, streams = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("pack_stream"),
+        r.getAs[Long]("id"), r.getAs[Long]("toks"),
+        r.getAs[Long]("pack_offset"), r.getAs[Long]("pack_chunk")))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var running = 0L
+      rows.sortBy(_._2).foreach { case (_, _, toks, offset, chunk) =>
+        assert(offset === running)
+        assert(chunk === offset / 128L)
+        running += toks
+      }
+    }
+  }
+
+  test("assignment is invariant under repartitioning (deterministic at scale)") {
+    val in = docs(150)
+    val a = Packing.packSequences(in, "id", "toks", 100L, 5)
+      .select("id", "pack_stream", "pack_offset", "pack_chunk")
+    val b = Packing.packSequences(in.repartition(7), "id", "toks", 100L, 5)
+      .select("id", "pack_stream", "pack_offset", "pack_chunk")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("every chunk except a stream's last starts within budget of the previous") {
+    // contiguity: chunk ids within a stream are 0..maxChunk with no gaps
+    // larger than one straddling doc can explain — i.e. a doc larger than
+    // the budget may skip chunks, otherwise chunk ids are dense
+    val in = df((1 to 50).map(i => PackDoc(i.toLong, 30L))) // all docs < budget
+    val packed = Packing.packSequences(in, "id", "toks", 100L, 2)
+    val perStream = packed.groupBy("pack_stream")
+      .agg(max("pack_chunk").as("mx"), countDistinct("pack_chunk").as("nd"))
+      .collect()
+    perStream.foreach(r =>
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("mx") + 1)) // dense 0..mx
+  }
+
+  test("chunkSummary accounts for all tokens and keeps chunks non-empty") {
+    val in = docs(80)
+    val packed = Packing.packSequences(in, "id", "toks", 200L, 4)
+    val summary = Packing.chunkSummary(packed, "toks").collect()
+    assert(summary.map(_.getAs[Long]("tokens_started")).sum ===
+      (1 to 80).map(i => (i % 7 + 1) * 10L).sum)
+    summary.foreach(r => assert(r.getAs[Long]("docs") >= 1L))
+  }
+}
+
+class MixCorporaSpec extends SparkSpec {
+
+  private def corpus(n: Int, tag: String) =
+    df((1 to n).map(i => MixDoc(i.toLong, tag)))
+
+  test("bottleneck source is kept whole; others downsample to the weights") {
+    // b is the bottleneck: 100 docs at weight 0.5 → perUnit = 200;
+    // a supplies 0.5*200/1000 = 10% of its 1000 docs
+    val a = corpus(1000, "a")
+    val b = corpus(100, "b")
+    val mixed = Sampling.mixCorpora(
+      Seq(("a", a, 0.5), ("b", b, 0.5)), "id")
+    val byTag = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag("b") === 100L) // fraction clamps to 1.0 → whole source
+    // hash sampling: ~100 of a's 1000, loose band
+    assert(byTag("a") > 60L && byTag("a") < 140L)
+  }
+
+  test("selection is deterministic and repartition-invariant") {
+    val a = corpus(500, "a")
+    val b = corpus(300, "b")
+    val m1 = Sampling.mixCorpora(Seq(("a", a, 0.7), ("b", b, 0.3)), "id")
+      .select("id", "mix_source")
+    val m2 = Sampling.mixCorpora(
+        Seq(("a", a.repartition(11), 0.7), ("b", b.repartition(3), 0.3)), "id")
+      .select("id", "mix_source")
+    assert(m1.except(m2).count() === 0 && m2.except(m1).count() === 0)
+  }
+
+  test("weights are relative: scaling all weights changes nothing") {
+    val a = corpus(400, "a")
+    val b = corpus(200, "b")
+    val m1 = Sampling.mixCorpora(Seq(("a", a, 0.6), ("b", b, 0.4)), "id")
+      .select("id", "mix_source")
+    val m2 = Sampling.mixCorpora(Seq(("a", a, 6.0), ("b", b, 4.0)), "id")
+      .select("id", "mix_source")
+    assert(m1.except(m2).count() === 0 && m2.except(m1).count() === 0)
+  }
+
+  test("empty source empties the mix (no upsampling invented)") {
+    val a = corpus(100, "a")
+    val b = corpus(0, "b")
+    val mixed = Sampling.mixCorpora(Seq(("a", a, 0.5), ("b", b, 0.5)), "id")
+    assert(mixed.count() === 0L)
+  }
+
+  test("duplicate source names are rejected") {
+    val a = corpus(10, "a")
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", a, 0.5), ("a", a, 0.5)), "id")
+    }
+  }
+}
