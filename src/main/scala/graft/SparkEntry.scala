@@ -561,6 +561,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental dedup: bootstrap an index from 2/3 of the corpus,
+    // ingest the other 1/3 against it — survivors are the batch docs
+    // that are novel vs the index AND canonical within the batch
+    "q_x_inc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = tmpQueryDir("graft_incdedup") + "/idx"
+      val cfg = graft.dedup.IncDedupConfig(n = 3, numPerms = 64, bands = 16,
+        minAgree = 0.5, hash = TextAnalysis.md5Hash60)
+      graft.dedup.IncrementalDedup.init(s, idx,
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", cfg)
+      graft.dedup.IncrementalDedup.ingest(s, idx,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", cfg)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -716,6 +732,40 @@ object SparkEntry {
        |sig AS (SELECT id, $aggs FROM hs GROUP BY id)""".stripMargin
   }
   private lazy val sqlMinhashSig: String = sqlMinhashSigFrom("documents", 64)
+  /** [[sqlMinhashSigFrom]] with suffixed CTE names, for oracles that
+    * need TWO signature chains (e.g. corpus vs batch) in one query.
+    */
+  private def sqlMinhashSigSuffixed(src: String, numPerms: Int,
+                                    sfx: String): String = {
+    val aggs = Dedup.perms(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.P}) AS s$i"
+    }.mkString(", ")
+    s"""d$sfx AS (SELECT doc_id, $sqlToks AS toks FROM $src),
+       |idx$sfx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+       |        FROM d$sfx WHERE len(toks) >= 3),
+       |hs$sfx AS (SELECT id, ${sqlH60("shingle")} % ${Dedup.P} AS h FROM idx$sfx),
+       |sig$sfx AS (SELECT id, $aggs FROM hs$sfx GROUP BY id)""".stripMargin
+  }
+  /** Band rows over a named signature CTE (mirrors
+    * [[graft.dedup.IncrementalDedup]]'s banding, which hashes the same
+    * comma-joined signature slices).
+    */
+  private def sqlBandRowsOver(bands: Int, r: Int, sig: String,
+                              out: String): String = {
+    val branches = (0 until bands).map { b =>
+      val cols = (b * r until b * r + r).map(i => s"s$i").mkString(", ")
+      s"SELECT id, $b AS band, ${sqlH60(s"concat_ws(',', $cols)")} AS bucket FROM $sig"
+    }.mkString(" UNION ALL ")
+    s"$out AS ($branches)"
+  }
+  /** Signature-agreement estimate between aliases sa/sb (mirrors
+    * IncrementalDedup's zip_with count / numPerms).
+    */
+  private def sqlSigAgree(numPerms: Int): String =
+    "CAST(" + (0 until numPerms)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ") +
+      s" AS DOUBLE) / CAST($numPerms AS DOUBLE)"
   /** Band rows mirroring [[Dedup.minhashCandidates]] banding: bucket =
     * md5Hash60 of the comma-joined signature slice (bigint→string
     * rendering is plain decimal in both engines).
@@ -1083,6 +1133,51 @@ object SparkEntry {
          |FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM losers)
          |  AND ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 800000
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirror of IncrementalDedup.init + ingest: two signature chains
+    // (corpus = doc_id % 3 <> 0, batch = % 3 = 0), LSH band join batch
+    // vs corpus → dupold, band self-join among the remainder →
+    // agreement pairs → connected components → min-id canonical.
+    // Short docs (< 3 tokens, no signature) appear in no drop set and
+    // pass through — same as the operator.
+    "q_x_inc_dedup" ->
+      s"""WITH RECURSIVE
+         |${sqlMinhashSigSuffixed("(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 64, "_old")},
+         |${sqlMinhashSigSuffixed("(SELECT * FROM documents WHERE doc_id % 3 = 0)", 64, "_new")},
+         |${sqlBandRowsOver(16, 4, "sig_old", "band_old")},
+         |${sqlBandRowsOver(16, 4, "sig_new", "band_new")},
+         |dupold AS (SELECT DISTINCT p.id FROM
+         |  (SELECT DISTINCT a.id AS id, b.id AS oid FROM band_new a
+         |   JOIN band_old b ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.id <> b.id) p
+         |  JOIN sig_new sa ON sa.id = p.id
+         |  JOIN sig_old sb ON sb.id = p.oid
+         |  WHERE ${sqlSigAgree(64)} >= 0.5),
+         |fresh AS (SELECT id FROM sig_new
+         |  WHERE id NOT IN (SELECT id FROM dupold)),
+         |pairs AS (SELECT p.id_a, p.id_b FROM
+         |  (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band_new a
+         |   JOIN band_new b ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.id < b.id) p
+         |  JOIN sig_new sa ON sa.id = p.id_a
+         |  JOIN sig_new sb ON sb.id = p.id_b
+         |  WHERE p.id_a IN (SELECT id FROM fresh)
+         |    AND p.id_b IN (SELECT id FROM fresh)
+         |    AND ${sqlSigAgree(64)} >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |losers AS (SELECT id FROM
+         |  (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) WHERE id <> comp)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % 3 = 0
+         |  AND doc_id NOT IN (SELECT id FROM dupold)
+         |  AND doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
 
     "q_x_training_report" ->
