@@ -659,6 +659,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // banded range join: per-user count of event pairs within ±2 h —
+    // the banding rewrite (equi-join on (user, 4h-bucket) + refine)
+    // must return exactly the inequality join's pairs
+    "q_x_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"))
+      val r = ev.select(col("event_id").as("r_event_id"), col("user_id"),
+        col("ts").as("r_ts"))
+      graft.ops.RangeJoin.timeBandJoin(l, r, Seq("user_id"),
+          "l_ts", "r_ts", -7200L, 7200L)
+        .where(col("l_event_id") =!= col("r_event_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // ---- LLM-pipeline: multimodal column plumbing
     "q_x_mm_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -1571,6 +1587,13 @@ object SparkEntry {
         |   ORDER BY e.ts DESC, e.value DESC LIMIT 1) AS err_value
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_x_range_join" ->
+      """SELECT l.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND l.event_id <> r.event_id
+        | AND r.ts BETWEEN l.ts - INTERVAL '2 hours' AND l.ts + INTERVAL '2 hours'
+        |GROUP BY 1 ORDER BY l.user_id""".stripMargin,
 
     "q_x_mm_meta" ->
       """SELECT doc_id AS media_id, 'text' AS media_type,
