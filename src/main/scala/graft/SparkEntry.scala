@@ -505,6 +505,37 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filters: duplicate-token share, top-token
+    // dominance, duplicate-3-gram share — all per-row array HOFs
+    "q_x_text_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(
+          t(s, dir, "documents").select("doc_id", "text"), "text", ngram = 3)
+        .drop("text")
+        .orderBy("doc_id")),
+
+    // vocabulary coverage: top-50 tokens by corpus frequency with the
+    // cumulative share of ALL token occurrences they cover — top-k
+    // FIRST (TakeOrderedAndProject), then the 50-row cumulative window;
+    // the full-vocab total arrives by broadcast, so no global window
+    // ever sees the whole vocabulary
+    "q_x_vocab" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("__total"))
+      val top = graft.ops.Windows.globalTopK(counts,
+        Seq(col("n").desc, col("token").asc), 50)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("cum_share",
+          sum(col("n")).over(w).cast("double") / col("__total").cast("double"))
+        .drop("__total")
+        .orderBy(col("n").desc, col("token").asc)
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -1436,6 +1467,39 @@ object SparkEntry {
          |SELECT doc_id, stopword_ratio, alpha_ratio,
          |  0.4*stopword_ratio + 0.4*alpha_ratio + 0.2*least(mtl/8.0, 1.0) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // same IEEE shape on both sides: 1.0 - (double)distinct / (double)total
+    "q_x_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |                  / CAST(len(toks) AS DOUBLE) END AS dup_token_fraction,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_max(list_transform(list_distinct(toks),
+         |              t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         |            / CAST(len(toks) AS DOUBLE) END AS top_token_fraction,
+         |  CASE WHEN len(grams) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |                  / CAST(len(grams) AS DOUBLE) END AS dup_3gram_fraction
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_x_vocab" ->
+      s"""WITH c AS (
+         |  SELECT token, COUNT(*) AS n
+         |  FROM (SELECT unnest($sqlToks) AS token FROM documents)
+         |  GROUP BY 1),
+         |r AS (SELECT token, n,
+         |  SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c)
+         |SELECT token, n,
+         |  CAST(cum AS DOUBLE) / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS cum_share
+         |FROM r ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q_x_events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -184,6 +184,66 @@ object TextAnalysis {
     lit(0.4) * stopwordRatio(text) + lit(0.4) * alphaRatio(text) +
       lit(0.2) * least(meanTokenLen(text) / lit(8.0), lit(1.0))
 
+  /** Raw (non-deduplicated) word n-grams — [[shinglesFromTokens]] minus
+    * the `array_distinct`, for repetition measurement where duplicate
+    * grams ARE the signal. Empty below n tokens.
+    */
+  def rawNgramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetition
+    * filters", re-expressed over whitespace tokens): documents that loop
+    * the same words/phrases are low-quality for LM training no matter
+    * how clean each sentence looks. All three are per-row array HOFs —
+    * narrow, codegen'd, no shuffle, no UDFs.
+    *
+    * Fraction of tokens that are repeats of an earlier token; 0.0 for
+    * empty docs.
+    */
+  def dupTokenFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** Share of tokens taken by the single most frequent token (Gopher's
+    * "fraction of characters in the most common word", token form);
+    * 0.0 for empty docs. Per-row cost is O(distinct · n) field reads —
+    * bounded by document length, still narrow.
+    */
+  def topTokenFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast("double") /
+        size(toks).cast("double"))
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram;
+    * 0.0 for docs shorter than n tokens.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val grams = rawNgramsFromTokens(toks, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
+  /** Scale form: all three repetition signals in one pass, tokenizing
+    * each row exactly once in its own projection.
+    */
+  def withRepetitionSignals(df: org.apache.spark.sql.DataFrame,
+                            textCol: String, ngram: Int = 3):
+      org.apache.spark.sql.DataFrame = {
+    val tokCol = graft.util.Cols.fresh(df, "__tk")
+    df.withColumn(tokCol, tokens(col(textCol)))
+      .withColumn("dup_token_fraction", dupTokenFraction(col(tokCol)))
+      .withColumn("top_token_fraction", topTokenFraction(col(tokCol)))
+      .withColumn(s"dup_${ngram}gram_fraction",
+        dupNgramFraction(col(tokCol), ngram))
+      .drop(tokCol)
+  }
+
   /** Rolling-hash values of every char k-gram (xxhash64; one per
     * position). Empty for texts shorter than k. (Spark's `sequence(1, 0)`
     * is DESCENDING `[1, 0]`, not empty — the short-text case must be
