@@ -83,4 +83,68 @@ object StreamingSink {
       .foreachBatch(appendBatch(path, txnApp, partitionCols) _)
       .start()
   }
+
+  /** Idempotent UPSERT of one micro-batch: [[TxTable.merge]] on
+    * `keyCols` under the same txn guard as [[appendBatch]]. When
+    * `latestBy` names an ordering column, each key's greatest row WITHIN
+    * the batch wins before merging (a CDC batch can carry several
+    * updates to one key; merging them all would be update-order
+    * nondeterminism) — otherwise the batch must already be key-unique,
+    * which `merge` enforces.
+    *
+    * Exactly-once reasoning is identical to append: the merge commit and
+    * its batch id claim one manifest atomically, so a checkpoint replay
+    * either sees the recorded batch (skip) or re-runs the merge against
+    * the SAME base snapshot the crashed attempt saw — upserts of the
+    * same data over the same base are idempotent in effect, and the
+    * guard closes the zombie-vs-restart double-commit race.
+    */
+  def mergeBatch(path: String, txnApp: String, keyCols: Seq[String],
+                 latestBy: Option[String] = None,
+                 partitionCols: Seq[String] = Nil)
+                (df: Dataset[Row], batchId: Long): Unit = {
+    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    val spark = df.sparkSession
+    val exists = TxTable.exists(spark, path)
+    val already = exists &&
+      lastTxnVersion(spark, path, txnApp).exists(_ >= batchId)
+    if (!already) {
+      val batch = latestBy match {
+        case Some(ord) => graft.ops.Windows.topOnePerGroup(
+          df.toDF(), keyCols, Seq(org.apache.spark.sql.functions.col(ord).desc))
+        case None => df.toDF()
+      }
+      // merge requires an existing table: the stream's FIRST batch
+      // bootstraps it with an append (already key-unique post-dedup),
+      // under the same txn meta/guard so a replay of batch 0 still skips
+      if (!exists)
+        TxTable.append(spark, path, batch, partitionCols,
+          meta = Map(txnKey(txnApp) -> batchId.toString),
+          guard = Map(txnKey(txnApp) -> batchId))
+      else
+        TxTable.merge(spark, path, batch, keyCols, partitionCols,
+          meta = Map(txnKey(txnApp) -> batchId.toString),
+          guard = Map(txnKey(txnApp) -> batchId))
+    }
+  }
+
+  /** Start a streaming upsert of `stream` into the TxTable at `path`:
+    * the streaming lift of `Sinks.upsert` — each micro-batch merges by
+    * key instead of appending, so the table converges to
+    * one-row-per-key current state (dimension/feature tables fed by a
+    * change stream) rather than an event log.
+    */
+  def toTxTableMerge(stream: DataFrame, path: String, txnApp: String,
+                     checkpoint: String, keyCols: Seq[String],
+                     latestBy: Option[String] = None,
+                     partitionCols: Seq[String] = Nil): StreamingQuery = {
+    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
+      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(mergeBatch(path, txnApp, keyCols, latestBy,
+        partitionCols) _)
+      .start()
+  }
 }

@@ -62,6 +62,38 @@ object StreamingWindows {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: pairs with equal `keyCols`
+    * and `right.ts ∈ [left.ts + loSeconds, left.ts + hiSeconds]` — the
+    * streaming form of the batch `RangeJoin.timeBandJoin`. Both sides
+    * carry a watermark and the join condition bounds BOTH event-time
+    * columns relative to each other; together those are exactly what
+    * Structured Streaming needs to evict join state — each side buffers
+    * only `watermark + band` worth of rows per key, so state is bounded
+    * no matter how long the streams run. An unconstrained stream-stream
+    * join (no time bound) buffers both streams forever — the
+    * 100 TB/day version of a leak.
+    *
+    * Right-side key columns are dropped from the output (they equal the
+    * left's by the join condition).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String],
+                          leftTs: String, rightTs: String,
+                          loSeconds: Long, hiSeconds: Long,
+                          watermark: String): DataFrame = {
+    require(hiSeconds >= loSeconds, s"empty band: $loSeconds > $hiSeconds")
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct names — both appear in the output")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keyCols.map(k => l(k) === r(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val cond = keyCond &&
+      r(rightTs) >= l(leftTs) + expr(s"INTERVAL '$loSeconds' SECOND") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL '$hiSeconds' SECOND")
+    keyCols.foldLeft(l.join(r, cond, "inner"))((j, k) => j.drop(r(k)))
+  }
+
   /** One input event for the custom-state sessionizer. */
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   /** Accumulating per-key session interval. */

@@ -132,6 +132,74 @@ class StreamingSinkSpec extends SparkSpec {
       s"scanned $scanned but commit added $added")
   }
 
+  test("streaming upsert converges to one row per key, latest in-batch update winning") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("graft_sm") + "/t"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingSink.toTxTableMerge(mem.toDF().toDF("id", "v", "seq"),
+      table, "app_merge", tmp("graft_sm_cp"), Seq("id"), latestBy = Some("seq"))
+    // batch 0 bootstraps the table (merge requires an existing table);
+    // key 1 arrives twice in one batch — seq 11 must win, not explode merge
+    mem.addData((1L, "a0", 10L), (1L, "a1", 11L), (2L, "b0", 10L))
+    q.processAllAvailable()
+    // batch 1: update 1, insert 3
+    mem.addData((1L, "a2", 20L), (3L, "c0", 20L))
+    q.processAllAvailable()
+    q.stop()
+    val got = TxTable.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b0", 3L -> "c0"))
+    assert(StreamingSink.lastTxnVersion(spark, table, "app_merge").contains(1L))
+  }
+
+  test("a directly re-invoked merge micro-batch is skipped") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_sm") + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamingSink.mergeBatch(table, "app_mr", Seq("id"))(b0, 0L)
+    StreamingSink.mergeBatch(table, "app_mr", Seq("id"))(b0, 0L) // replay
+    assert(TxTable.read(spark, table).count() == 2)
+    assert(TxTable.versions(spark, table) == Seq(1L))
+    StreamingSink.mergeBatch(table, "app_mr", Seq("id"))(
+      Seq((1L, "a2")).toDF("id", "v"), 1L)
+    StreamingSink.mergeBatch(table, "app_mr", Seq("id"))(b0, 0L) // stale replay
+    val got = TxTable.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b"),
+      "the stale replay must not roll key 1 back")
+  }
+
+  test("merge-sink restart from a lost checkpoint commit replays without double-applying") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("graft_sm") + "/t"
+    val cp = tmp("graft_sm_cp")
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", "seq")
+    val q1 = StreamingSink.toTxTableMerge(stream, table, "app_mcr", cp,
+      Seq("id"), latestBy = Some("seq"))
+    mem.addData((1L, "a0", 10L), (2L, "b0", 10L))
+    q1.processAllAvailable()
+    q1.stop()
+    Files.delete(Paths.get(cp, "commits", "0"))
+    Files.deleteIfExists(Paths.get(cp, "commits", ".0.crc"))
+    val q2 = StreamingSink.toTxTableMerge(stream, table, "app_mcr", cp,
+      Seq("id"), latestBy = Some("seq"))
+    q2.processAllAvailable() // replays batch 0 — must skip
+    mem.addData((1L, "a1", 20L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = TxTable.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a1", 2L -> "b0"))
+    // exactly: bootstrap append + skip + one merge = 2 commits
+    assert(TxTable.versions(spark, table).size == 2)
+  }
+
   test("readAppended on an all-empty snapshot: pinned schema → empty frame, else loud error") {
     val table = tmp("graft_ss") + "/t"
     // an empty snapshot: a manifest with a head line and no file lines

@@ -50,6 +50,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lRows = Seq(
+      (10L, 1L, ts("2024-01-01 00:01:00")),
+      (11L, 1L, ts("2024-01-01 00:10:00")),
+      (12L, 2L, ts("2024-01-01 00:01:30")))
+    val rRows = Seq(
+      (20L, 1L, ts("2024-01-01 00:01:30")), // +30s of 10 → match
+      (21L, 1L, ts("2024-01-01 00:02:01")), // +61s of 10 → out of band
+      (22L, 1L, ts("2024-01-01 00:09:30")), // -30s of 11 → match
+      (23L, 2L, ts("2024-01-01 00:01:00")), // -30s of 12, other key → match
+      (24L, 3L, ts("2024-01-01 00:01:30"))) // key with no left side
+    val memL = MemoryStream[(Long, Long, Timestamp)]
+    val memR = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingWindows.intervalJoinStreams(
+      memL.toDF().toDF("lid", "k", "lts"), memR.toDF().toDF("rid", "k", "rts"),
+      // generous watermark: batch 2's rows sit BEHIND batch 1's max event
+      // time, and rows older than the advanced watermark are (correctly)
+      // dropped as late — a 30 min delay keeps them in-order enough
+      Seq("k"), "lts", "rts", -60L, 60L, "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    // split across two batches so matches span micro-batch boundaries
+    memL.addData(lRows.take(2): _*); memR.addData(rRows.take(2): _*)
+    q.processAllAvailable()
+    memL.addData(lRows.drop(2): _*); memR.addData(rRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssij").select("lid", "rid")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.RangeJoin.timeBandJoin(
+        df(lRows).toDF("lid", "k", "lts"), df(rRows).toDF("rid", "k", "rts"),
+        Seq("k"), "lts", "rts", -60L, 60L)
+      .select("lid", "rid").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(Seq(10L, 20L), Seq(11L, 22L), Seq(12L, 23L)))
+  }
+
   test("stateful sessionizer closes sessions at the gap and matches session_window") {
     val s = spark
     import s.implicits._
