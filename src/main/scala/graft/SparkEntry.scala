@@ -8,7 +8,7 @@ import graft.ann.Similarity
 import graft.dedup.Dedup
 import graft.events.EventWindows
 import graft.multimodal.Multimodal
-import graft.text.TextAnalysis
+import graft.text.{LmScore, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7): every operator from SURVEY.md §2 —
   * plus the LLM-training-data extensions — exposed as a named query over
@@ -543,6 +543,16 @@ object SparkEntry {
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy("doc_id")),
 
+    // CCNet-style bigram-LM quality score: fit on the corpus, score the
+    // corpus — mean per-position ln p under an interpolated bigram model
+    // with add-one unigram backoff. Docs with < 2 tokens score NULL.
+    "q_x_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = LmScore.fit(docs, "text")
+      LmScore.scoreDocs(docs, "doc_id", "text", model)
+        .select("doc_id", "lm_score").orderBy("doc_id")
+    }),
+
     "q_x_events_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
@@ -578,6 +588,42 @@ object SparkEntry {
           budget = 4096L, streams = 32, hash = TextAnalysis.md5Hash60)
         .select(col("doc_id"), col("pack_stream"), col("pack_offset"),
           col("pack_chunk"))
+        .orderBy("doc_id")),
+
+    // DSIR importance weights: target = the English subcorpus, raw =
+    // everything; hashed unigram+bigram features, add-one-smoothed
+    // bucket log-ratios — positive weight = more target-like
+    "q_x_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val model = graft.text.Dsir.fit(
+        docs.filter(col("lang") === "en"), docs, "text", buckets = 1024)
+      graft.text.Dsir.score(docs, "doc_id", "text", model)
+        .select("doc_id", "lang", "dsir_weight").orderBy("doc_id")
+    }),
+
+    // token-budget corpus selection: best-first by quality score with a
+    // running token total — the distributed two-pass prefix sum (range
+    // partition + local window + broadcast offsets), never a
+    // single-task global window
+    "q_x_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // keep the best 60% of the corpus's tokens, whatever the sf
+      val budget = docs.agg(sum("n_tokens")).head().getLong(0) * 6 / 10
+      graft.ops.Prefix.budgetSelect(docs, col("quality"), col("doc_id"),
+          col("n_tokens"), budget)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test split: id-hash buckets against
+    // cumulative cuts — disjoint and total by construction, and the
+    // md5-based hash makes the assignment reproducible in any engine
+    "q_x_split" -> ((s, dir) =>
+      Sampling.splitByHash(t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
         .orderBy("doc_id")),
 
     "q_x_mix_corpora" -> ((s, dir) => {
@@ -1253,6 +1299,70 @@ object SparkEntry {
     // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
     // double expression (weight * perUnit / count, clamped, rounded)
     // evaluated left-to-right, then the same salted-hash threshold
+    // Mirrors Dsir exactly: same feature stream (unigrams + adjacent
+    // bigrams, md5-hashed mod 1024), same smoothed log-ratio shape,
+    // ORDER-BY-bucket list fold, round(…,6) for the ln ulp gap
+    "q_x_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  ${sqlH60("g")} % 1024 AS bucket FROM (
+         |    SELECT doc_id, lang, unnest(toks) AS g FROM d
+         |    UNION ALL
+         |    SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS g
+         |    FROM d, unnest(generate_series(1, len(toks)-1)) AS gs(i)
+         |    WHERE len(toks) >= 2)),
+         |ct AS (SELECT bucket, COUNT(*) AS c FROM f WHERE lang = 'en' GROUP BY 1),
+         |cr AS (SELECT bucket, COUNT(*) AS c FROM f GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n FROM f WHERE lang = 'en'),
+         |nr AS (SELECT COUNT(*) AS n FROM f),
+         |lr AS (SELECT bk.bucket,
+         |  ln(CAST(COALESCE(ct.c, 0)+1 AS DOUBLE)/CAST(nt.n + 1024 AS DOUBLE))
+         |  - ln(CAST(COALESCE(cr.c, 0)+1 AS DOUBLE)/CAST(nr.n + 1024 AS DOUBLE)) AS lr
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) bk
+         |  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), nt, nr),
+         |s AS (SELECT doc_id, bucket, COUNT(*) AS n FROM f GROUP BY 1, 2),
+         |w AS (SELECT s.doc_id,
+         |  round(list_reduce(list(CAST(s.n AS DOUBLE) * lr.lr ORDER BY s.bucket),
+         |    (a, x) -> a + x), 6) AS dsir_weight
+         |  FROM s JOIN lr USING (bucket) GROUP BY s.doc_id)
+         |SELECT d.doc_id, d.lang, COALESCE(w.dsir_weight, 0.0) AS dsir_weight
+         |FROM d LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the running total is an integer cumsum over the (quality desc,
+    // doc_id) total order — the two-pass prefix sum must equal the
+    // single-window spelling exactly
+    "q_x_budget_select" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |  CAST(len($sqlToks) AS BIGINT) AS n,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonsp
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/CAST(n AS DOUBLE) END)
+         |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
+         |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality,
+         |  n AS n_tokens FROM s),
+         |r AS (SELECT doc_id, quality, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM q)
+         |SELECT doc_id, quality, n_tokens, running_tokens
+         |FROM r
+         |WHERE running_tokens <= (SELECT (CAST(SUM(n_tokens) AS BIGINT)*6)//10 FROM q)
+         |ORDER BY doc_id""".stripMargin,
+
+    // cuts are round(cum_fraction * 1e6): 0.8 → 800000, 0.9 → 900000
+    "q_x_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN h < 800000 THEN 'train'
+         |       WHEN h < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |  ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_x_mix_corpora" ->
       s"""WITH w AS (
          |  SELECT 'en' AS lang, CAST(0.5 AS DOUBLE) AS wt UNION ALL
@@ -1500,6 +1610,35 @@ object SparkEntry {
          |SELECT token, n,
          |  CAST(cum AS DOUBLE) / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS cum_share
          |FROM r ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // Mirrors LmScore exactly: same IEEE shape for p, ln on the same
+    // double, ORDER-BY-position list fold (matches the sort_array
+    // aggregate; a bare SUM would be order-dependent), round(…,6) to
+    // absorb the two engines' last-ulp ln differences.
+    "q_x_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |u AS (SELECT t AS token, COUNT(*) AS c
+         |      FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+         |nv AS (SELECT SUM(c) + COUNT(*) AS nv FROM u),
+         |p AS (SELECT doc_id, i, toks[i] AS prev, toks[i+1] AS cur
+         |      FROM d, unnest(generate_series(1, len(toks)-1)) AS g(i)
+         |      WHERE len(toks) >= 2),
+         |b AS (SELECT prev, cur, COUNT(*) AS c_bi FROM p GROUP BY 1, 2),
+         |s AS (SELECT p.doc_id, p.i,
+         |  ln(CASE WHEN u1.c > 0
+         |       THEN 0.75*(CAST(COALESCE(b.c_bi, 0) AS DOUBLE)/CAST(u1.c AS DOUBLE))
+         |       ELSE 0.0 END
+         |     + 0.25*(CAST(COALESCE(u2.c, 0)+1 AS DOUBLE)/CAST(nv.nv AS DOUBLE))) AS logp
+         |  FROM p
+         |  LEFT JOIN b ON b.prev = p.prev AND b.cur = p.cur
+         |  LEFT JOIN u u1 ON u1.token = p.prev
+         |  LEFT JOIN u u2 ON u2.token = p.cur, nv),
+         |sc AS (SELECT doc_id,
+         |  round(list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS lm_score
+         |  FROM s GROUP BY doc_id)
+         |SELECT d.doc_id, sc.lm_score FROM d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_x_events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

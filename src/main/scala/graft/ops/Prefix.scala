@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe running totals over a GLOBAL ordering.
+  *
+  * The naive Spark spelling — `sum(x).over(Window.orderBy(...))` with no
+  * partitionBy — is correct and useless at scale: Catalyst plans an
+  * all-to-one exchange and a single task walks the whole table (Spark
+  * even warns "No Partition Defined for Window operation"). This is the
+  * textbook 100 TB bottleneck, so the primitive here is the classic
+  * two-pass distributed prefix sum instead:
+  *
+  *  1. range-repartition by the order columns (so partition i holds a
+  *     contiguous slice of the global order), cache the slice;
+  *  2. per-partition running sum — a window PARTITIONED by
+  *     `spark_partition_id()`, so every partition scans in parallel;
+  *  3. per-partition totals (tiny: one row per partition) come back to
+  *     the driver, get prefix-summed there (numPartitions values), and
+  *     rejoin as broadcast offsets.
+  *
+  * Cost: one range shuffle of the data + one window pass + a
+  * numPartitions-row driver exchange — wall-clock scales with
+  * data/partitions instead of data/1.
+  *
+  * The result value depends only on the TOTAL order, not on where the
+  * range boundaries land, so outputs are stable across partitionings,
+  * retries, and cluster sizes. The order columns must therefore be a
+  * total order (include a unique tiebreaker like the row id) — with
+  * duplicate sort keys the "running" value of equal rows would be
+  * boundary-dependent, and this operator refuses to guess.
+  */
+object Prefix {
+
+  /** `df` plus `outCol` = running sum of `valueCol` in the global
+    * ascending order of `orderCols`. Longs stay exact (no float
+    * accumulation questions); use a decimal/long value column where
+    * bit-reproducibility matters.
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                 outCol: String = "running_sum",
+                 partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "runningSum needs at least one order column")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val pid = graft.util.Cols.fresh(df, "__pid")
+    val local = graft.util.Cols.fresh(df, "__local")
+
+    // partition i = contiguous slice of the global order; the local
+    // window below keys on the REAL partition id, so its result is
+    // exact whatever boundaries the range sampler picked
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn(pid, spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pid)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val localSummed = ranged.withColumn(local, sum(valueCol).over(w))
+    // integral only: a float prefix sum's value would depend on where
+    // the range boundaries landed (FP addition is not associative) —
+    // the exactness guarantee above is the point of this operator
+    require(localSummed.schema(local).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"runningSum requires an int/long value column, got " +
+        s"${localSummed.schema(local).dataType.simpleString}")
+
+    // exclusive prefix of the per-partition totals: numPartitions rows,
+    // driver-side by design (the one place a collect is the RIGHT plan),
+    // rejoined as a broadcast — a chained CASE WHEN would blow up
+    // codegen once partition counts reach cluster scale
+    val totals = localSummed.groupBy(col(pid))
+      .agg(sum(valueCol).as(local)) // sum, not max(running): safe for negatives
+      .collect().map(r => r.getAs[Number](0).intValue() ->
+        (if (r.isNullAt(1)) 0L else r.getAs[Number](1).longValue()))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val off = graft.util.Cols.fresh(df.columns :+ pid :+ local, "__off")
+    val offDf = {
+      import spark.implicits._
+      offsets.toSeq.toDF(pid, off)
+    }
+    localSummed
+      .join(broadcast(offDf), Seq(pid), "left")
+      .withColumn(outCol, col(local) + coalesce(col(off), lit(0L)))
+      .drop(pid, local, off)
+  }
+
+  /** Greedy token-budget corpus selection: walk documents from best to
+    * worst `scoreCol` (ties broken by `idCol` — the required total
+    * order) and keep every document while the running token total stays
+    * within `budget`. The standard "take the best B tokens" step of a
+    * training-data recipe, expressed as runningSum + one filter — no
+    * driver loop, no single-task sort.
+    */
+  def budgetSelect(docs: DataFrame, scoreCol: Column, idCol: Column,
+                   tokenCol: Column, budget: Long,
+                   outCol: String = "running_tokens"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    runningSum(docs, Seq(scoreCol.desc, idCol.asc), tokenCol, outCol)
+      .where(col(outCol) <= budget)
+  }
+}

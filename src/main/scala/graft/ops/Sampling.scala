@@ -97,6 +97,42 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic train/val/test split: label every row with the name
+    * of the slice its id-hash bucket falls in. Fractions must sum to 1
+    * (within 1e-9); the last slice absorbs the rounding tail so every
+    * row gets exactly one label — splits are disjoint and total BY
+    * CONSTRUCTION, not by sampling luck.
+    *
+    * Same id ⇒ same split everywhere: across tables (doc features and
+    * doc labels land on the same side), across runs/retries, and across
+    * engines when given an externally-reproducible hash — which is what
+    * makes the split auditable for leakage instead of trusted. A narrow
+    * `withColumn`, no shuffle; filter on the label to materialize a side.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft",
+                  outCol: String = "split",
+                  hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
+    require(splits.size >= 2, "need at least two named slices")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "slice names must be unique")
+    splits.foreach { case (n, f) =>
+      require(f > 0, s"fraction for '$n' must be positive") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * Buckets))
+    val bucket = pmod(hash(lit(salt), col(idCol)), lit(Buckets))
+    // first matching cumulative cut wins; the last slice is the default,
+    // so bucket Buckets-1 is covered even if the cuts round low
+    val label = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, cut), rest) => when(bucket < cut, lit(name)).otherwise(rest)
+      }
+    df.withColumn(outCol, label)
+  }
+
   /** Stratified fractions per group: `fractions` maps group value (of a
     * single stratum column) to its keep-fraction; groups not in the map
     * keep `defaultFraction`. Decision is per-id hash as in

@@ -124,4 +124,34 @@ class MixCorporaSpec extends SparkSpec {
       Sampling.mixCorpora(Seq(("a", a, 0.5), ("a", a, 0.5)), "id")
     }
   }
+
+  test("splitByHash is disjoint, total, and roughly proportional") {
+    val rows = corpus(5000, "s")
+    val split = Sampling.splitByHash(rows, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() === 5000L) // total: every row labeled exactly once
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 3800 && byLabel("train") < 4200)
+    assert(byLabel("val") > 350 && byLabel("val") < 650)
+    assert(byLabel("test") > 350 && byLabel("test") < 650)
+  }
+
+  test("splitByHash: same id gets the same split across tables and partitionings") {
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    val left = Sampling.splitByHash(corpus(800, "x"), "id", splits)
+      .select("id", "split")
+    val right = Sampling.splitByHash(corpus(800, "y").repartition(13), "id", splits)
+      .select("id", "split")
+    assert(left.join(right, Seq("id"))
+      .filter(left("split") =!= right("split")).count() === 0L)
+  }
+
+  test("splitByHash rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(corpus(10, "s"), "id",
+        Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.functions._
+
+import graft.ops.Prefix
+
+case class PrefixRow(id: Long, score: Double, toks: Long)
+
+/** Distributed prefix sum: must equal the naive single-window spelling
+  * bit-for-bit, stay stable under any input partitioning and any
+  * partition-count choice, and never plan an all-to-one exchange (the
+  * single-task global window it exists to replace).
+  */
+class PrefixSpec extends SparkSpec {
+
+  private def rows(n: Int) = df((1 to n).map { i =>
+    PrefixRow(i.toLong, (i * 37 % 19).toDouble / 7.0, (i % 13 + 1).toLong)
+  })
+
+  private def naive(n: Int): Map[Long, Long] = {
+    // driver-side reference: sort by (score desc, id), running sum
+    (1 to n).map(i => (i.toLong, (i * 37 % 19).toDouble / 7.0, (i % 13 + 1).toLong))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, _, t)) => (id, acc + t) }
+      .drop(1).toMap
+  }
+
+  test("runningSum equals the naive global window result") {
+    val got = Prefix.runningSum(rows(500), Seq(col("score").desc, col("id").asc),
+        col("toks"), "rt")
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive(500))
+  }
+
+  test("result is invariant to input partitioning and partition-count choice") {
+    val base = Prefix.runningSum(rows(300), Seq(col("score").desc, col("id").asc),
+        col("toks"), "rt", partitions = 7)
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val other = Prefix.runningSum(rows(300).repartition(11),
+        Seq(col("score").desc, col("id").asc), col("toks"), "rt", partitions = 3)
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base === other)
+    assert(base === naive(300))
+  }
+
+  test("budgetSelect keeps exactly the maximal prefix within budget") {
+    val ref = naive(400)
+    val budget = ref.values.toSeq.sorted.apply(123) // some mid-stream cut
+    val got = Prefix.budgetSelect(rows(400), col("score"), col("id"),
+        col("toks"), budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ref.filter(_._2 <= budget).keySet)
+    assert(got.size === 124)
+  }
+
+  test("no all-to-one exchange in the plan — the whole point") {
+    val planned = Prefix.runningSum(rows(200), Seq(col("id").asc), col("toks"), "rt")
+    planned.write.format("noop").mode("overwrite").save()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val exchanges = flatten(planned.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.outputPartitioning == SinglePartition),
+      "runningSum must never collapse to a single partition")
+  }
+
+  test("float value columns are rejected (boundary-dependent FP sums)") {
+    intercept[IllegalArgumentException] {
+      Prefix.runningSum(rows(10), Seq(col("id").asc), col("score"), "rt")
+    }
+  }
+}
