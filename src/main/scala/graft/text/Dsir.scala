@@ -79,6 +79,24 @@ object Dsir {
     DsirModel(lr, buckets)
   }
 
+  /** Persist a fitted model as one TxTable — fit once against the
+    * target, score every future raw batch from the stored log-ratios.
+    * Write-once by contract (see [[LmScore.writeModel]]).
+    */
+  def writeModel(model: DsirModel, path: String): Unit = {
+    graft.ops.TxTable.append(model.logRatios.sparkSession, path,
+      model.logRatios, meta = Map("dsir.buckets" -> model.buckets.toString))
+    ()
+  }
+
+  /** Load a model persisted by [[writeModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): DsirModel = {
+    val meta = graft.ops.TxTable.commitMeta(spark, path,
+      graft.ops.TxTable.versions(spark, path).max)
+    DsirModel(graft.ops.TxTable.read(spark, path), meta("dsir.buckets").toInt)
+  }
+
   /** Score `docs`: importance weight = sum of per-bucket multiplicity x
     * log-ratio, rounded to 6 decimals (ln differs in the last ulp
     * across engines). Documents with no features weigh 0.0 (no

@@ -67,6 +67,33 @@ object LmScore {
     BigramModel(tok, pairs, nv.getLong(0), nv.getLong(1))
   }
 
+  /** Persist a fitted model as two TxTables under `path` — fit once on
+    * the 100 TB corpus, score any number of batches later without
+    * re-counting. The scalar normalizers ride in the unigram table's
+    * commit metadata, so the model round-trips whole. Write-once by
+    * contract (a later append would bury the metadata with its version).
+    */
+  def writeModel(model: BigramModel, path: String): Unit = {
+    val spark = model.unigrams.sparkSession
+    graft.ops.TxTable.append(spark, s"$path/unigrams", model.unigrams,
+      meta = Map("lm.totalTokens" -> model.totalTokens.toString,
+        "lm.vocabSize" -> model.vocabSize.toString))
+    graft.ops.TxTable.append(spark, s"$path/bigrams", model.bigrams)
+    ()
+  }
+
+  /** Load a model persisted by [[writeModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): BigramModel = {
+    val uni = s"$path/unigrams"
+    val meta = graft.ops.TxTable.commitMeta(spark, uni,
+      graft.ops.TxTable.versions(spark, uni).max)
+    BigramModel(
+      graft.ops.TxTable.read(spark, uni),
+      graft.ops.TxTable.read(spark, s"$path/bigrams"),
+      meta("lm.totalTokens").toLong, meta("lm.vocabSize").toLong)
+  }
+
   /** Adjacent-token pairs of a token array as array<struct<prev,cur>>.
     * Callers filter to >= 2 tokens first (slice length must be >= 0).
     */

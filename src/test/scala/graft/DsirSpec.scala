@@ -68,6 +68,18 @@ class DsirSpec extends SparkSpec {
     assert(got === 0.0)
   }
 
+  test("write/load round-trips the model; loaded scores match fit scores exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString + "/m"
+    Dsir.writeModel(model, dir)
+    val loaded = Dsir.loadModel(spark, dir)
+    assert(loaded.buckets === B)
+    val a = Dsir.score(raw, "id", "text", model)
+      .select("id", "dsir_weight").collect().sortBy(_.getLong(0)).map(_.toString)
+    val b = Dsir.score(raw, "id", "text", loaded)
+      .select("id", "dsir_weight").collect().sortBy(_.getLong(0)).map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("weights are stable under repartitioning") {
     val a = Dsir.score(raw, "id", "text", model)
       .select("id", "dsir_weight").collect().sortBy(_.getLong(0)).toSeq

@@ -57,6 +57,19 @@ class LmScoreSpec extends SparkSpec {
     assert(pruned.totalTokens === 7L && pruned.vocabSize === 4L)
   }
 
+  test("write/load round-trips the model; loaded scores match fit scores exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/m"
+    LmScore.writeModel(model, dir)
+    val loaded = LmScore.loadModel(spark, dir)
+    assert(loaded.totalTokens === model.totalTokens)
+    assert(loaded.vocabSize === model.vocabSize)
+    val a = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .select("doc_id", "lm_score").collect().sortBy(_.getLong(0)).map(_.toString)
+    val b = LmScore.scoreDocs(docs, "doc_id", "text", loaded)
+      .select("doc_id", "lm_score").collect().sortBy(_.getLong(0)).map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("repartitioning changes nothing — the fold is position-ordered") {
     val base = LmScore.scoreDocs(docs, "doc_id", "text", model)
       .select("doc_id", "lm_score").collect().sortBy(_.getLong(0))

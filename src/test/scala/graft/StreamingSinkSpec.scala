@@ -200,6 +200,53 @@ class StreamingSinkSpec extends SparkSpec {
     assert(TxTable.versions(spark, table).size == 2)
   }
 
+  test("streaming quality gate: static LM model scores each micro-batch; replay-safe") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // fit + persist the model ONCE (batch, e.g. over yesterday's corpus)
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "qq zz xx vv")).toDF("doc_id", "text")
+    val modelDir = tmp("graft_lmq") + "/model"
+    graft.text.LmScore.writeModel(
+      graft.text.LmScore.fit(corpus, "text"), modelDir)
+    val model = graft.text.LmScore.loadModel(spark, modelDir)
+
+    // stream new docs through the gate: score against the STATIC model
+    // inside foreachBatch (per-batch batch semantics — the groupBy in
+    // scoreDocs needs no streaming state), keep in-distribution docs
+    val table = tmp("graft_lmq") + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val threshold = -3.5
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        StreamingSink.appendBatch(table, "app_lmgate")(
+          graft.text.LmScore.scoreDocs(batch, "doc_id", "text", model)
+            .filter(col("lm_score") >= threshold), id)
+      }
+      .option("checkpointLocation", tmp("graft_lmq_cp")).start()
+    mem.addData((10L, "the cat sat on the rug"), (11L, "zz vv zz vv zz"))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch reference: same model, same gate, one pass
+    val expect = graft.text.LmScore.scoreDocs(
+        Seq((10L, "the cat sat on the rug"), (11L, "zz vv zz vv zz"))
+          .toDF("doc_id", "text"), "doc_id", "text", model)
+      .filter(col("lm_score") >= threshold)
+      .collect().map(_.getLong(0)).toSet
+    val got = TxTable.read(spark, table).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.contains(10L) && !got.contains(11L)) // the gate actually gates
+    // sink-level replay of the same batch id cannot double-append
+    StreamingSink.appendBatch(table, "app_lmgate")(
+      Seq((10L, "the cat sat on the rug")).toDF("doc_id", "text")
+        .withColumn("lm_score", org.apache.spark.sql.functions.lit(-1.0)), 0L)
+    assert(TxTable.read(spark, table).count() === got.size.toLong)
+  }
+
   test("readAppended on an all-empty snapshot: pinned schema → empty frame, else loud error") {
     val table = tmp("graft_ss") + "/t"
     // an empty snapshot: a manifest with a head line and no file lines
