@@ -590,6 +590,38 @@ object SparkEntry {
           col("pack_chunk"))
         .orderBy("doc_id")),
 
+    // global quality rank + decile labels — row_number over a total
+    // order via the distributed prefix sum (scalable curriculum
+    // bucketing), integer decile arithmetic mirrored by the oracle
+    "q_x_global_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val total = docs.count()
+      graft.ops.Prefix.globalRowNumber(docs,
+          Seq(col("quality").desc, col("doc_id").asc), "rank")
+        .withColumn("decile", ((col("rank") - 1) * 10 / lit(total) + 1).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // per-customer trailing-30-day rolling order stats: RANGE frame on
+    // event time, partitioned by key — every partition windows in
+    // parallel (count/max only: frame-order-insensitive, so the
+    // result is engine-reproducible; a rolling double SUM would not be)
+    "q_x_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rolling_cnt", count(lit(1)).over(w))
+        .withColumn("rolling_max_price", max(col("o_totalprice")).over(w))
+        .drop("o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // DSIR importance weights: target = the English subcorpus, raw =
     // everything; hashed unigram+bigram features, add-one-smoothed
     // bucket log-ratios — positive weight = more target-like
@@ -1299,6 +1331,36 @@ object SparkEntry {
     // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
     // double expression (weight * perUnit / count, clamped, rounded)
     // evaluated left-to-right, then the same salted-hash threshold
+    "q_x_global_rank" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |  CAST(len($sqlToks) AS BIGINT) AS n,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonsp
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/CAST(n AS DOUBLE) END)
+         |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
+         |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality
+         |  FROM s),
+         |r AS (SELECT doc_id, quality,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+         |  FROM q)
+         |SELECT doc_id, quality, rank,
+         |  CAST((rank - 1) * 10 // (SELECT COUNT(*) FROM q) + 1 AS INTEGER) AS decile
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_x_rolling" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_cnt,
+        |  MAX(o_totalprice) OVER w AS rolling_max_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Mirrors Dsir exactly: same feature stream (unigrams + adjacent
     // bigrams, md5-hashed mod 1024), same smoothed log-ratio shape,
     // ORDER-BY-bucket list fold, round(…,6) for the ln ulp gap

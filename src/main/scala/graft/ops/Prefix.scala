@@ -88,6 +88,16 @@ object Prefix {
       .drop(pid, local, off)
   }
 
+  /** Global 1-based row number over a total order — `row_number()
+    * OVER (ORDER BY ...)` without the all-to-one exchange, as the
+    * running count of the prefix sum. Same contract as [[runningSum]]:
+    * the order must be total (unique tiebreaker included).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      outCol: String = "row_number",
+                      partitions: Int = 0): DataFrame =
+    runningSum(df, orderCols, lit(1L), outCol, partitions)
+
   /** Greedy token-budget corpus selection: walk documents from best to
     * worst `scoreCol` (ties broken by `idCol` — the required total
     * order) and keep every document while the running token total stays

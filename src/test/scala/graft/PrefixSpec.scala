@@ -71,6 +71,17 @@ class PrefixSpec extends SparkSpec {
       "runningSum must never collapse to a single partition")
   }
 
+  test("globalRowNumber equals the naive global row_number") {
+    val got = Prefix.globalRowNumber(rows(300),
+        Seq(col("score").desc, col("id").asc), "rn", partitions = 5)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (1 to 300)
+      .map(i => (i.toLong, (i * 37 % 19).toDouble / 7.0))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got === ref)
+  }
+
   test("float value columns are rejected (boundary-dependent FP sums)") {
     intercept[IllegalArgumentException] {
       Prefix.runningSum(rows(10), Seq(col("id").asc), col("score"), "rt")
