@@ -590,6 +590,20 @@ object SparkEntry {
           col("pack_chunk"))
         .orderBy("doc_id")),
 
+    // SemDeDup: cluster-then-dedup over embeddings. Centroids here are
+    // the 8 lowest-id embeddings (deterministic seed rule the oracle
+    // reproduces); production passes buildIvfIndex's k-means lists
+    "q_x_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+        .withColumn("cent_n", graft.ann.Similarity.norm(col("centroid")))
+        .filter(col("cent_n") > 0)
+      graft.dedup.SemDedup.semDedup(emb, cents, threshold = 0.42)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // global quality rank + decile labels — row_number over a total
     // order via the distributed prefix sum (scalable curriculum
     // bucketing), integer decile arithmetic mirrored by the oracle
@@ -1331,6 +1345,32 @@ object SparkEntry {
     // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
     // double expression (weight * perUnit / count, clamped, rounded)
     // evaluated left-to-right, then the same salted-hash threshold
+    // same shapes as the operator: norms once per row, cos =
+    // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule
+    // "exists a smaller-id near-dup in my cluster"
+    "q_x_semdedup" ->
+      s"""WITH c AS (SELECT vec_id AS list_id, embedding AS centroid,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id < 8
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |p AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS n
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |asg AS (SELECT vec_id, embedding, n, list_id FROM (
+         |  SELECT p.vec_id, p.embedding, p.n, c.list_id,
+         |    ${sqlDot("p.embedding", "c.centroid")} / (p.n * c.cn) AS cs
+         |  FROM p, c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, list_id) = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.42)
+         |SELECT e.vec_id FROM embeddings e
+         |LEFT JOIN dropped d ON e.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL ORDER BY e.vec_id""".stripMargin,
+
     "q_x_global_rank" ->
       s"""WITH s AS (SELECT doc_id, text,
          |  CAST(len($sqlToks) AS BIGINT) AS n,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.SemDedup
+
+/** SemDeDup: within-cluster pairwise dedup over embeddings — planted
+  * duplicates die, cluster-canonical and zero-norm rows survive, and
+  * near-duplicates split across clusters are (by design) not compared.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Array[Float])*) =
+    df(rows.toSeq).toDF("vec_id", "embedding")
+
+  private lazy val corpus = vecs(
+    1L -> Array(1f, 0f, 0f, 0f),        // cluster A canonical
+    2L -> Array(0.99f, 0.1f, 0f, 0f),   // near-dup of 1 (same cluster)
+    3L -> Array(0f, 1f, 0f, 0f),        // cluster B canonical
+    4L -> Array(0f, 0.9f, 0.1f, 0f),    // near-dup of 3 (same cluster)
+    5L -> Array(0.6f, 0f, 0.8f, 0f),    // cluster A, dissimilar
+    6L -> Array(0f, 0f, 0f, 0f))        // zero norm
+
+  private lazy val cents = vecs(
+    0L -> Array(1f, 0f, 0f, 0f),
+    1L -> Array(0f, 1f, 0f, 0f))
+    .select(col("vec_id").as("list_id"),
+      col("embedding").cast("array<double>").as("centroid"))
+    .withColumn("cent_n", Similarity.norm(col("centroid")))
+
+  test("planted within-cluster dups die; canonicals, dissimilar, zero-norm survive") {
+    val got = SemDedup.semDedup(corpus, cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 5L, 6L))
+  }
+
+  test("pairs report the cluster, ordered ids, and the cosine") {
+    val pairs = SemDedup.semDedupPairs(corpus, cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((0L, 1L, 2L), (1L, 3L, 4L)))
+  }
+
+  test("near-dups split across clusters are not compared (the SemDeDup trade)") {
+    // two near-identical vectors pulled to different centroids by tiny
+    // components: each is its cluster's only member, so both survive
+    val split = vecs(
+      7L -> Array(0.71f, 0.7f, 0f, 0f),
+      8L -> Array(0.7f, 0.71f, 0f, 0f))
+    val got = SemDedup.semDedup(split, cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(7L, 8L))
+  }
+
+  test("one centroid = plain pairwise dedup over the whole corpus") {
+    val one = cents.filter(col("list_id") === 0L)
+    val got = SemDedup.semDedup(corpus, one, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute reference: drop x iff exists y<x with cos >= 0.9 (any cluster)
+    val rows = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val (na, nb) = (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum),
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      if (na == 0 || nb == 0) -2.0 else d / (na * nb)
+    }
+    val expect = rows.keySet.filter(x =>
+      !rows.keySet.exists(y => y < x && cos(rows(y), rows(x)) >= 0.9))
+    assert(got === expect)
+  }
+}
