@@ -432,6 +432,15 @@ object TxTable {
     else scanFiles(spark, p, files.map(pathOf), mergeSchema, schema)
   }
 
+  /** Absolute data-file paths of version `v`'s snapshot — the
+    * file-list surface external readers (the `graft` DataSource V2
+    * provider, [[graft.sources.GraftTableProvider]]) build on.
+    */
+  def snapshotFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val (fs, p) = fsFor(spark, path)
+    readManifest(fs, p, v)._2.map(l => new Path(p, pathOf(l)).toString)
+  }
+
   /** Scan an explicit manifest-relative file list as one DataFrame.
     *
     * Partition discovery walks each file's parents collecting

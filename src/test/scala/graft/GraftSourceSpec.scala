@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+
+/** `spark.read.format("graft")`: the TxTable behind Spark's stock
+  * DataSource V2 parquet machinery — snapshot reads, time travel via
+  * option, pushdown/pruning from the delegated scan, and loud
+  * rejection of the cases the surface does not cover.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_dsv2").toString + "/t"
+
+  test("reads the head snapshot and time-travels via versionAsOf") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    val head = spark.read.format("graft").load(table)
+    assert(head.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(table)
+    assert(v1.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("the loaded frame is a stable snapshot — later commits do not leak in") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    val snap = spark.read.format("graft").load(table)
+    TxTable.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    assert(snap.count() === 1L)
+    assert(spark.read.format("graft").load(table).count() === 2L)
+  }
+
+  test("filters push down and columns prune through the delegated parquet scan") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table,
+      Seq.tabulate(100)(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "grp"))
+    val q = spark.read.format("graft").load(table)
+      .filter(col("id") === 42L).select("id", "grp")
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((42L, 0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,42)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,grp:int>"), plan)
+  }
+
+  test("agrees with TxTable.read row-for-row") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x"))
+    TxTable.overwrite(spark, table, Seq((9L, 9.5)).toDF("id", "x"))
+    val a = spark.read.format("graft").load(table).collect().map(_.toString).sorted
+    val b = TxTable.read(spark, table).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("missing versions, non-tables, and partitioned snapshots fail loudly") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    val bad = intercept[Exception](
+      spark.read.format("graft").option("versionAsOf", 99).load(table))
+    assert(bad.getMessage.contains("does not exist"))
+    val notATable = intercept[Exception](
+      spark.read.format("graft").load(tmp()))
+    assert(notATable.getMessage.contains("not a TxTable"))
+    val parts = tmp()
+    TxTable.append(spark, parts,
+      Seq((1L, "x", 10), (2L, "y", 20)).toDF("id", "v", "day"), Seq("day"))
+    val rejected = intercept[Exception](
+      spark.read.format("graft").load(parts))
+    assert(rejected.getMessage.contains("partitioned snapshot"))
+  }
+}
