@@ -590,6 +590,15 @@ object SparkEntry {
           col("pack_chunk"))
         .orderBy("doc_id")),
 
+    // one-pass per-column profile (exact-distinct mode so DuckDB can
+    // mirror it; integral/string columns only — float/timestamp
+    // renderings are engine-specific by design)
+    "q_x_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          approxDistinct = false)
+        .orderBy("column")),
+
     // SemDeDup: cluster-then-dedup over embeddings. Centroids here are
     // the 8 lowest-id embeddings (deterministic seed rule the oracle
     // reproduces); production passes buildIvfIndex's k-means lists
@@ -1345,6 +1354,18 @@ object SparkEntry {
     // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
     // double expression (weight * perUnit / count, clamped, rounded)
     // evaluated left-to-right, then the same salted-hash threshold
+    "q_x_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
     // same shapes as the operator: norms once per row, cos =
     // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule
     // "exists a smaller-id near-dup in my cluster"

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass per-column table profiling — the "what is actually in this
+  * table" step of data-quality work (row counts, null rates, distinct
+  * cardinalities, value ranges), computed in a SINGLE aggregate over
+  * the table and returned as one tidy row per column.
+  *
+  * Two cardinality modes:
+  *  - `approxDistinct = true` (the 100 TB default): HyperLogLog++
+  *    (`approx_count_distinct`) — every stat is a simple partial-agg,
+  *    ONE scan, one reduce, no row blowup.
+  *  - `approxDistinct = false` (exact, the oracle mode): multiple
+  *    exact `countDistinct`s make Catalyst plan an Expand (one
+  *    duplicated row stream per distinct agg — a deliberate
+  *    cols-times row multiplication before the shuffle). Fine at
+  *    verification scale, documented cost at lake scale.
+  *
+  * The aggregated stats row (ONE row, 4 values per column) is
+  * collected and reshaped on the driver — the one collect that is the
+  * right plan. min/max are rendered `CAST(... AS STRING)` so the
+  * profile has a uniform schema across column types; for
+  * cross-engine comparison use integral/string/date columns (float
+  * and timestamp string renderings are engine-specific).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val distinctOf = (c: String) =>
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)), distinctOf(c),
+      min(col(c)).cast("string"), max(col(c)).cast("string"))) :+ count(lit(1))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getLong(cols.size * 4)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val base = i * 4
+      Row(c, total, total - r.getLong(base), r.getLong(base),
+        r.getLong(base + 1),
+        if (r.isNullAt(base + 2)) null else r.getString(base + 2),
+        if (r.isNullAt(base + 3)) null else r.getString(base + 3))
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_null", LongType, nullable = false),
+        StructField("n_nonnull", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_str", StringType), StructField("max_str", StringType))))
+  }
+}
