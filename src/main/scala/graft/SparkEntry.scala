@@ -590,6 +590,26 @@ object SparkEntry {
           col("pack_chunk"))
         .orderBy("doc_id")),
 
+    // composed data-selection recipe over the NEW round-5 operators:
+    // LM-score gate → exact dedup (canonical = lowest doc_id per
+    // fingerprint) → deterministic hash split → per-split token report.
+    // Every stage is individually oracled; this pins the composition.
+    "q_x_recipe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = LmScore.fit(docs, "text")
+      val gated = LmScore.scoreDocs(docs, "doc_id", "text", model)
+        .filter(col("lm_score") >= -3.4)
+      val deduped = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+      Sampling.splitByHash(deduped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("split")
+    }),
+
     // one-pass per-column profile (exact-distinct mode so DuckDB can
     // mirror it; integral/string columns only — float/timestamp
     // renderings are engine-specific by design)
@@ -1354,6 +1374,47 @@ object SparkEntry {
     // mirror of Sampling.mixCorpora: per-source cut = the same IEEE
     // double expression (weight * perUnit / count, clamped, rounded)
     // evaluated left-to-right, then the same salted-hash threshold
+    // the lm CTEs mirror q_x_lm_score; the gate compares the ROUNDED
+    // score (both engines round to 6 first, so the threshold cut is
+    // identical); dedup + split + report reuse their proven shapes
+    "q_x_recipe" ->
+      s"""WITH d AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+         |u AS (SELECT t AS token, COUNT(*) AS c
+         |      FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+         |nv AS (SELECT SUM(c) + COUNT(*) AS nv FROM u),
+         |p AS (SELECT doc_id, i, toks[i] AS prev, toks[i+1] AS cur
+         |      FROM d, unnest(generate_series(1, len(toks)-1)) AS g(i)
+         |      WHERE len(toks) >= 2),
+         |b AS (SELECT prev, cur, COUNT(*) AS c_bi FROM p GROUP BY 1, 2),
+         |s AS (SELECT p.doc_id, p.i,
+         |  ln(CASE WHEN u1.c > 0
+         |       THEN 0.75*(CAST(COALESCE(b.c_bi, 0) AS DOUBLE)/CAST(u1.c AS DOUBLE))
+         |       ELSE 0.0 END
+         |     + 0.25*(CAST(COALESCE(u2.c, 0)+1 AS DOUBLE)/CAST(nv.nv AS DOUBLE))) AS logp
+         |  FROM p
+         |  LEFT JOIN b ON b.prev = p.prev AND b.cur = p.cur
+         |  LEFT JOIN u u1 ON u1.token = p.prev
+         |  LEFT JOIN u u2 ON u2.token = p.cur, nv),
+         |sc AS (SELECT doc_id,
+         |  round(list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS lm_score
+         |  FROM s GROUP BY doc_id),
+         |gated AS (SELECT d.doc_id, d.text, d.toks
+         |  FROM d JOIN sc USING (doc_id) WHERE sc.lm_score >= -3.4),
+         |deduped AS (SELECT doc_id, text, toks FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY $sqlFp ORDER BY doc_id) = 1),
+         |labeled AS (SELECT doc_id, toks,
+         |  CASE WHEN h < 800000 THEN 'train'
+         |       WHEN h < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, toks,
+         |    ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |    FROM deduped))
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
     "q_x_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
