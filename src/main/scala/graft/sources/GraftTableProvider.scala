@@ -70,6 +70,8 @@ class GraftTableProvider extends DataSourceRegister
     tableFor(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    tableFor(new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftTable(options.get("path"), SparkSession.active, tableFor(options))
+  }
 }
