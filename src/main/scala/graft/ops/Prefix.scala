@@ -50,9 +50,15 @@ object Prefix {
 
     // partition i = contiguous slice of the global order; the local
     // window below keys on the REAL partition id, so its result is
-    // exact whatever boundaries the range sampler picked
+    // exact whatever boundaries the range sampler picked.
+    // localCheckpoint PINS the slice: the range sampler is seeded per
+    // execution, and this plan is executed twice (totals collect +
+    // final join) — without pinning, the two runs could draw different
+    // boundaries and the broadcast offsets would key on pids from a
+    // partitioning the final pass no longer has
     val ranged = df.repartitionByRange(n, orderCols: _*)
       .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pid)).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -60,8 +60,11 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = new ParquetScanBuilder(spark, delegate.fileIndex,
       delegate.schema, delegate.dataSchema, options)
+    // the streamed schema is the built scan's readSchema (post-pruning),
+    // not the table schema — if streaming scans ever negotiate column
+    // pruning, readers emit exactly the width the scan advertises
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
-      s => new GraftStreamableScan(s, path, spark, schema, options))
+      s => new GraftStreamableScan(s, path, spark, s.readSchema(), options))
   }
 }
 
@@ -137,10 +140,10 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // factory captures schema/conf, not a file list — one built from
-    // the head snapshot reads any delta's FilePartitions
-    val head = TxTable.snapshotFiles(spark, path,
-      TxTable.versions(spark, path).last)
-    deltaScan(head).toBatch.createReaderFactory()
+    // factory captures schema/conf, not a file list — built from an
+    // EMPTY file list to make that assumption explicit (and skip a
+    // pointless head-snapshot resolution); it reads whatever
+    // FilePartitions planInputPartitions handed out
+    deltaScan(Seq.empty).toBatch.createReaderFactory()
   }
 }

@@ -45,7 +45,27 @@ class GraftTableProvider extends DataSourceRegister
 
   override def supportsExternalMetadata(): Boolean = false
 
+  // One manifest resolution per load: Spark instantiates a fresh
+  // provider per `.load()` and calls inferSchema then getTable on it,
+  // so caching the resolved snapshot here (keyed by path@version) both
+  // halves the manifest I/O and guarantees the schema Spark validated
+  // and the snapshot actually read are the SAME version — a commit
+  // racing the load can no longer split them.
+  @volatile private var cached: (String, ParquetTable) = null
+
   private def tableFor(options: CaseInsensitiveStringMap): ParquetTable = {
+    val key = options.get("path") + "@" +
+      Option(options.get("versionAsOf")).getOrElse("head")
+    val c = cached
+    if (c != null && c._1 == key) c._2
+    else {
+      val t = resolve(options)
+      cached = (key, t)
+      t
+    }
+  }
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
     val path = Option(options.get("path")).getOrElse(
       sys.error("the graft source needs .load(<TxTable path>)"))
     val spark = SparkSession.active
@@ -72,6 +92,10 @@ class GraftTableProvider extends DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(options.get("path"), SparkSession.active, tableFor(options))
+    val t = tableFor(options)
+    require(schema == t.schema,
+      s"resolved schema changed between inferSchema and getTable " +
+        s"(expected ${schema.simpleString}, got ${t.schema.simpleString})")
+    new GraftTable(options.get("path"), SparkSession.active, t)
   }
 }

@@ -81,10 +81,11 @@ object Dsir {
 
   /** Persist a fitted model as one TxTable — fit once against the
     * target, score every future raw batch from the stored log-ratios.
-    * Write-once by contract (see [[LmScore.writeModel]]).
+    * Committed via OVERWRITE so a re-fit atomically replaces the model
+    * (see [[LmScore.writeModel]]).
     */
   def writeModel(model: DsirModel, path: String): Unit = {
-    graft.ops.TxTable.append(model.logRatios.sparkSession, path,
+    graft.ops.TxTable.overwrite(model.logRatios.sparkSession, path,
       model.logRatios, meta = Map("dsir.buckets" -> model.buckets.toString))
     ()
   }

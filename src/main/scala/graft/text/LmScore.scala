@@ -70,15 +70,17 @@ object LmScore {
   /** Persist a fitted model as two TxTables under `path` — fit once on
     * the 100 TB corpus, score any number of batches later without
     * re-counting. The scalar normalizers ride in the unigram table's
-    * commit metadata, so the model round-trips whole. Write-once by
-    * contract (a later append would bury the metadata with its version).
+    * commit metadata, so the model round-trips whole. Committed via
+    * OVERWRITE: re-fitting to the same path atomically replaces the
+    * model (an append would union old+new count rows and silently
+    * corrupt every score).
     */
   def writeModel(model: BigramModel, path: String): Unit = {
     val spark = model.unigrams.sparkSession
-    graft.ops.TxTable.append(spark, s"$path/unigrams", model.unigrams,
+    graft.ops.TxTable.overwrite(spark, s"$path/unigrams", model.unigrams,
       meta = Map("lm.totalTokens" -> model.totalTokens.toString,
         "lm.vocabSize" -> model.vocabSize.toString))
-    graft.ops.TxTable.append(spark, s"$path/bigrams", model.bigrams)
+    graft.ops.TxTable.overwrite(spark, s"$path/bigrams", model.bigrams)
     ()
   }
 

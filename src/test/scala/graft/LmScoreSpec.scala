@@ -70,6 +70,21 @@ class LmScoreSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("re-writing a model to the same path replaces it — no unioned counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm2").toString + "/m"
+    LmScore.writeModel(model, dir)
+    LmScore.writeModel(model, dir) // a re-fit to the same path
+    val loaded = LmScore.loadModel(spark, dir)
+    // an append-based write would double every unigram/bigram count row
+    assert(loaded.unigrams.count() === model.unigrams.count())
+    assert(loaded.bigrams.count() === model.bigrams.count())
+    val a = LmScore.scoreDocs(docs, "doc_id", "text", model)
+      .select("doc_id", "lm_score").collect().sortBy(_.getLong(0)).map(_.toString)
+    val b = LmScore.scoreDocs(docs, "doc_id", "text", loaded)
+      .select("doc_id", "lm_score").collect().sortBy(_.getLong(0)).map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("repartitioning changes nothing — the fold is position-ordered") {
     val base = LmScore.scoreDocs(docs, "doc_id", "text", model)
       .select("doc_id", "lm_score").collect().sortBy(_.getLong(0))
