@@ -10,10 +10,27 @@ import org.apache.spark.sql.SparkSession
   * Spark answer from parquet footers). Failures are NOT timed as
   * successes: a failed query is reported in `failed` and excluded from
   * the total.
+  *
+  * Noise guard: every query runs `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 3) and reports the per-query MEDIAN; `value` is the sum of
+  * medians. Single-shot timing made per-query drift analysis ambiguous
+  * (in-suite JIT/position noise lands multi-second swings on arbitrary
+  * queries — see BASELINE.md) — a median of 3 absorbs the one-off cold
+  * run and makes a >2× drift a real signal instead of a coin flip.
+  * `runs` and the per-query min are reported alongside so the artifact
+  * is self-describing.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = graft.util.Sessions.local(graft.util.Sessions.cpus(
       Runtime.getRuntime.availableProcessors().toString))
 
@@ -27,29 +44,38 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = Vector.newBuilder[Double]
+      var ok = true
+      var r = 0
+      while (r < runs && ok) {
+        val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          true
+          times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            ok = false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+        r += 1
+      }
+      val ts = times.result()
+      (name, if (ok) median(ts) else 0.0, if (ok) ts.min else 0.0, ok)
     }
     // Locale.ROOT: a comma-decimal default locale would emit 1,234 and
     // corrupt the JSON line the driver parses.
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val mins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + f(mn) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, med, _, true) => med }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"min":$mins,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

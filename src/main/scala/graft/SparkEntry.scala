@@ -360,6 +360,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the DataFrame writer surface of the TxTable: produce the table
+    // with df.write.format("graft") (create + append + overwrite — all
+    // three commit through the manifest protocol), read it back with
+    // spark.read.format("graft"), and prove the round-trip against a
+    // plain SQL equivalent
+    "q_x_v2_write" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_v2w") + "/cust_tx"
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      c.filter(col("c_custkey") % 2 === 0)
+        .write.format("graft").mode("append").save(tmp)
+      c.filter(col("c_custkey") % 2 === 1)
+        .write.format("graft").mode("append").save(tmp)
+      // overwrite drops the negative-balance rows for good
+      s.read.format("graft").load(tmp).filter(col("c_acctbal") >= 0)
+        .write.format("graft").mode("overwrite").save(tmp)
+      s.read.format("graft").load(tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -1203,6 +1226,12 @@ object SparkEntry {
     "q_x_tx_maintenance" ->
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE n_chars >= 500 ORDER BY doc_id""".stripMargin,
+
+    "q_x_v2_write" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

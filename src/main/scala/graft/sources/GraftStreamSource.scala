@@ -42,15 +42,29 @@ import graft.ops.TxTable
   *    silently skipping data.
   */
 private[sources] class GraftTable(path: String, spark: SparkSession,
-                                  delegate: ParquetTable) extends Table
-    with SupportsRead {
+                                  delegate: Option[ParquetTable],
+                                  declaredSchema: StructType = new StructType(),
+                                  partitionCols: Seq[String] = Nil) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  override def name: String = delegate.name
+  override def name: String =
+    delegate.map(_.name).getOrElse(s"graft:$path (uncommitted)")
 
-  override def schema: StructType = delegate.schema
+  override def schema: StructType =
+    delegate.map(_.schema).getOrElse(declaredSchema)
+
+  // what the writer's partitionBy is validated against — identity
+  // transforms over the declared partition columns
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(org.apache.spark.sql.connector.expressions.Expressions
+      .identity).toArray
 
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** The REAL ParquetScanBuilder negotiates pruning/pushdown (via the
     * forwarding shim — `build()` is covariantly typed so it cannot be
@@ -58,14 +72,76 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
     * micro-batch stream entry point.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = new ParquetScanBuilder(spark, delegate.fileIndex,
-      delegate.schema, delegate.dataSchema, options)
+    val d = delegate.getOrElse(sys.error(
+      s"$path has no committed version yet — write one first"))
+    val inner = new ParquetScanBuilder(spark, d.fileIndex,
+      d.schema, d.dataSchema, options)
     // the streamed schema is the built scan's readSchema (post-pruning),
     // not the table schema — if streaming scans ever negotiate column
     // pruning, readers emit exactly the width the scan advertises
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
       s => new GraftStreamableScan(s, path, spark, s.readSchema(), options))
   }
+
+  /** `df.write.format("graft").mode("append"|"overwrite").save(path)`
+    * through the TxTable commit protocol, via Spark's V1 write
+    * fallback ([[org.apache.spark.sql.connector.write.V1Write]], the
+    * same bridge JDBC uses): executors write the parquet files exactly
+    * as [[TxTable.append]]/[[TxTable.overwrite]] plan it — distributed,
+    * never through the driver — and the driver's only job is the
+    * manifest claim. `mode("overwrite")` arrives as `truncate()`.
+    * Writes to an existing table must match its schema by name and
+    * type (checked at load in [[GraftTableProvider.getTable]] and
+    * re-checked here) — schema CHANGES go through the TxTable API,
+    * which owns evolution semantics.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  ignored: Boolean): Unit = {
+                // the truncate() signal, not insert's legacy flag, is
+                // what Spark's V1-fallback exec drives overwrite with
+                if (overwrite)
+                  TxTable.overwrite(spark, path, data, partitionCols)
+                else {
+                  delegate.foreach { d =>
+                    val norm = org.apache.spark.sql.GraftShim.nullable _
+                    val have = data.schema.fields
+                      .map(f => f.name -> norm(f.dataType)).toMap
+                    val want = d.schema.fields
+                      .map(f => f.name -> norm(f.dataType)).toMap
+                    require(have == want,
+                      s"append schema mismatch for $path: table has " +
+                        s"${d.schema.simpleString}, write has " +
+                        s"${data.schema.simpleString} — overwrite to change " +
+                        "the schema, or use the TxTable API for evolution")
+                  }
+                  // table column order, so every footer agrees
+                  val aligned = delegate.map(d =>
+                    data.select(d.schema.fieldNames.map(
+                      org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+                    .getOrElse(data)
+                  TxTable.append(spark, path, aligned, partitionCols)
+                }
+                ()
+              }
+            }
+        }
+    }
 }
 
 /** Forwards the batch path to the inner parquet scan untouched; adds

@@ -34,16 +34,30 @@ import graft.ops.TxTable
   * dir names spread across several immutable commit dirs, which
   * file-level partition discovery cannot stitch — [[TxTable.read]]
   * handles them with per-commit-dir scans); this surface targets the
-  * common unpartitioned read. Writing goes through [[TxTable]]'s
-  * commit API only — a `save()` path here would bypass the manifest
-  * claim, so none is offered.
+  * common unpartitioned read.
+  *
+  * Writing is first-class too:
+  *
+  * {{{
+  *   df.write.format("graft").mode("append").save(tablePath)
+  *   df.write.format("graft").mode("overwrite")
+  *     .partitionBy("p").save(tablePath)   // identity partitioning
+  * }}}
+  *
+  * Both modes commit through the TxTable protocol (manifest claim,
+  * atomic rename), so third-party tools can now produce tables, not
+  * just read them; a table written here and one written via
+  * [[TxTable.append]] are indistinguishable. `supportsExternalMetadata`
+  * is what makes writes to a NOT-YET-EXISTING path possible: Spark
+  * hands the incoming frame's schema straight to [[getTable]] instead
+  *  of forcing an inferSchema that has no manifest to read.
   */
 class GraftTableProvider extends DataSourceRegister
     with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 
   // One manifest resolution per load: Spark instantiates a fresh
   // provider per `.load()` and calls inferSchema then getTable on it,
@@ -89,13 +103,33 @@ class GraftTableProvider extends DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     tableFor(options).schema
 
+  /** Reads arrive here with the schema [[inferSchema]] resolved (or a
+    * user-pinned one); writes arrive with the INCOMING FRAME's schema
+    * (`supportsExternalMetadata`). Both must agree with the resolved
+    * snapshot by field name and type — nullability and column order
+    * excepted, because an appending frame legitimately differs in both —
+    * and the single cached resolution guarantees the snapshot compared
+    * against is the one actually read. A path with no committed version
+    * yet returns a write-only table carrying the incoming schema.
+    */
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val t = tableFor(options)
-    require(schema == t.schema,
-      s"resolved schema changed between inferSchema and getTable " +
-        s"(expected ${schema.simpleString}, got ${t.schema.simpleString})")
-    new GraftTable(options.get("path"), SparkSession.active, t)
+    val path = options.get("path")
+    val spark = SparkSession.active
+    val partCols =
+      org.apache.spark.sql.GraftShim.identityPartitionCols(partitioning)
+    if (TxTable.versions(spark, path).isEmpty)
+      new GraftTable(path, spark, None, schema, partCols)
+    else {
+      val t = tableFor(options)
+      val norm = (s: StructType) => s.fields
+        .map(f => f.name -> org.apache.spark.sql.GraftShim.nullable(f.dataType))
+        .toMap
+      require(norm(schema) == norm(t.schema),
+        s"schema for $path does not match the resolved snapshot " +
+          s"(given ${schema.simpleString}, table has ${t.schema.simpleString})")
+      new GraftTable(path, spark, Some(t), partitionCols = partCols)
+    }
   }
 }

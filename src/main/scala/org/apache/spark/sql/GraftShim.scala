@@ -16,6 +16,27 @@ object GraftShim {
   def toExpression(spark: SparkSession, c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** `DataType.asNullable` is `private[sql]`; schema-compatibility
+    * checks need it (an appending frame's nullability legitimately
+    * differs from the table's).
+    */
+  def nullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt.asNullable
+
+  /** Identity-partition column names out of V2 `Transform`s
+    * (`IdentityTransform`'s extractor is `private[sql]`); any
+    * non-identity transform errors — the graft writer partitions by
+    * plain columns only.
+    */
+  def identityPartitionCols(
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] = transforms.toSeq.map {
+    case t: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+      t.ref.fieldNames.mkString(".")
+    case t => sys.error(
+      s"the graft writer supports identity partitioning only, got $t")
+  }
+
   /** Materialize `df` eagerly with TRUNCATED lineage and return it with
     * an explicit release handle — the building block iterative
     * algorithms need to keep executor storage bounded (Dataset's own

@@ -63,6 +63,78 @@ class GraftSourceSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("V2 write creates a new table; V2-write → V2-read ≡ API write") {
+    val s = spark
+    import s.implicits._
+    val viaWriter = tmp()
+    val viaApi = tmp()
+    val df = Seq.tabulate(50)(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "grp")
+    df.write.format("graft").mode("append").save(viaWriter)
+    TxTable.append(spark, viaApi, df)
+    val a = spark.read.format("graft").load(viaWriter)
+      .collect().map(_.toString).sorted
+    val b = spark.read.format("graft").load(viaApi)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    // same manifest protocol: versioned, time-travelable
+    assert(TxTable.versions(spark, viaWriter) === Seq(1L))
+  }
+
+  test("V2 append accumulates versions; overwrite replaces the snapshot") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .mode("append").save(table)
+    Seq((2L, "b")).toDF("id", "v").write.format("graft")
+      .mode("append").save(table)
+    assert(spark.read.format("graft").load(table)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    Seq((9L, "z")).toDF("id", "v").write.format("graft")
+      .mode("overwrite").save(table)
+    assert(spark.read.format("graft").load(table)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // all three commits are in the log; version 2 is still readable
+    assert(TxTable.versions(spark, table) === Seq(1L, 2L, 3L))
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(table)
+      .count() === 2L)
+  }
+
+  test("V2 append aligns reordered columns and rejects mismatched schemas") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .mode("append").save(table)
+    // same columns, different order: aligned, not corrupted
+    Seq(("b", 2L)).toDF("v", "id").write.format("graft")
+      .mode("append").save(table)
+    val rows = spark.read.format("graft").load(table)
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // wrong shape fails loudly, and the failed attempt committed nothing
+    val before = TxTable.versions(spark, table)
+    val bad = intercept[Exception](
+      Seq((3L, 1.5)).toDF("id", "x").write.format("graft")
+        .mode("append").save(table))
+    assert(bad.getMessage.contains("does not match") ||
+      bad.getMessage.contains("mismatch"), bad.getMessage)
+    assert(TxTable.versions(spark, table) === before)
+  }
+
+  test("V2 write with identity partitionBy round-trips through TxTable.read") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 10)).toDF("id", "v", "day")
+      .write.format("graft").mode("append").partitionBy("day").save(table)
+    val rows = TxTable.read(spark, table).orderBy("id").collect()
+    assert(rows.map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("day"))).toSeq ===
+      Seq((1L, 10), (2L, 20), (3L, 10)))
+  }
+
   test("missing versions, non-tables, and partitioned snapshots fail loudly") {
     val s = spark
     import s.implicits._
