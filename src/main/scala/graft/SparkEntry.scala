@@ -360,6 +360,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SQL surface of the TxTable: the q_x_tx_dml cycle driven
+    // entirely through spark.sql — CREATE TABLE AS, key-merge, delete —
+    // via the parser GraftExtensions injects; same oracle as the
+    // Scala-API version, proving SQL and API share one semantics
+    "q_x_sql_dml" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqldml") + "/orders_tx"
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .createOrReplaceTempView("sql_dml_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_dml_orders")
+      s.sql(
+        s"""MERGE INTO graft.`$tmp` USING (
+           |  SELECT o_orderkey, 'U' AS o_orderstatus
+           |  FROM sql_dml_orders WHERE o_orderkey % 100 = 0
+           |  UNION ALL
+           |  SELECT * FROM VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N')
+           |) ON (o_orderkey)""".stripMargin)
+      s.sql(s"DELETE FROM graft.`$tmp` WHERE o_orderkey % 7 = 3")
+      graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
+    }),
+
     // the DataFrame writer surface of the TxTable: produce the table
     // with df.write.format("graft") (create + append + overwrite — all
     // three commit through the manifest protocol), read it back with
@@ -1226,6 +1246,19 @@ object SparkEntry {
     "q_x_tx_maintenance" ->
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE n_chars >= 500 ORDER BY doc_id""".stripMargin,
+
+    "q_x_sql_dml" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus))
+        |SELECT o_orderkey, o_orderstatus FROM merged
+        |WHERE NOT (o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_x_v2_write" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -123,6 +123,12 @@ object VectorExpressions {
   * `graft_freq_union_agg(freq[, m])`, `graft_freq_top_items(freq, k)`
   * — in SQL. Aggregate builders return the bare AggregateFunction;
   * the analyzer wraps it (standard FunctionRegistry contract).
+  *
+  * Also injects [[graft.sql.GraftSqlParser]]: the TxTable DDL/DML
+  * statements (`CREATE TABLE graft.`p` ... AS`, `MERGE INTO`,
+  * `UPDATE`, `DELETE FROM`, `OPTIMIZE ... ZORDER BY`, `VACUUM`,
+  * `RESTORE`, `DESCRIBE HISTORY`) become plain `spark.sql(...)`
+  * calls routing to the [[graft.ops.TxTable]] commit protocol.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -153,6 +159,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction(
       (FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),

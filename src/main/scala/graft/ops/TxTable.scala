@@ -107,6 +107,19 @@ object TxTable {
         val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
       }.toMap
 
+  /** (version, action, meta) per retained commit, oldest first — the
+    * `DESCRIBE HISTORY` backing. O(manifests) driver metadata I/O,
+    * no data files touched.
+    */
+  def history(spark: SparkSession, path: String)
+      : Seq[(Long, String, Map[String, String])] = {
+    val (fs, p) = fsFor(spark, path)
+    versions(spark, path).map { v =>
+      val head = readManifest(fs, p, v)._1
+      (v, head.split(' ').head, parseMeta(head))
+    }
+  }
+
   /** Meta keys with this prefix are CARRIED FORWARD: every commit copies
     * them from the previous head into its own head line (its own `meta`
     * values winning on conflict). So the head manifest always holds the

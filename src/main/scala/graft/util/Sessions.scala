@@ -15,6 +15,7 @@ object Sessions {
   def local(nCpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$nCpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", nCpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -16,6 +16,15 @@ object GraftShim {
   def toExpression(spark: SparkSession, c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` is `private[sql]`; the SQL command layer needs it
+    * to turn a parsed sub-plan (a CTAS query, a MERGE source) back into
+    * a DataFrame at execution time.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** `DataType.asNullable` is `private[sql]`; schema-compatibility
     * checks need it (an appending frame's nullability legitimately
     * differs from the table's).

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+
+/** The SQL DDL/DML surface (`graft.sql.GraftSqlParser`, injected by
+  * `GraftExtensions`): every TxTable management operation driven from
+  * `spark.sql(...)`, and proven equivalent to the Scala API calls it
+  * routes to.
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_sql").toString + "/t"
+
+  test("CREATE TABLE ... AS SELECT creates; CREATE OR REPLACE replaces; plain re-CREATE fails") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("src_ct")
+    val table = tmp()
+    val v = spark.sql(
+      s"CREATE TABLE graft.`$table` USING graft AS SELECT * FROM src_ct")
+      .collect()
+    assert(v.head.getLong(0) === 1L)
+    assert(TxTable.read(spark, table).count() === 2L)
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$table` AS SELECT * FROM src_ct"))
+    assert(dup.getMessage.contains("already exists"))
+    spark.sql(
+      s"CREATE OR REPLACE TABLE graft.`$table` AS SELECT id FROM src_ct WHERE id = 1")
+    val rows = TxTable.read(spark, table).collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 1L)
+  }
+
+  test("the full DML cycle from SQL reproduces q_x_tx_dml's semantics") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val base = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "O" else "F")).toDF("k", "status")
+    base.createOrReplaceTempView("dml_base")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM dml_base")
+
+    // MERGE: update every k % 10 = 0 to 'U', insert three new negative keys
+    spark.sql(
+      s"""MERGE INTO graft.`$table` USING (
+         |  SELECT k, 'U' AS status FROM dml_base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT * FROM VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N')
+         |) ON (k)""".stripMargin)
+    // DELETE a residue class
+    spark.sql(s"DELETE FROM graft.`$table` WHERE k % 7 = 3")
+    // UPDATE with an expression referencing the row
+    spark.sql(
+      s"UPDATE graft.`$table` SET status = concat(status, '!') WHERE k < 0")
+
+    // the equivalent dataframe-side computation
+    val expected = (1L to 100L).map(i =>
+        (i, if (i % 10 == 0) "U" else if (i % 2 == 0) "O" else "F"))
+      .filterNot(_._1 % 7 == 3)
+      .++(Seq((-1L, "N!"), (-2L, "N!"), (-3L, "N!")))
+      .sortBy(_._1)
+    val got = TxTable.read(spark, table).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("SQL MERGE ≡ TxTable.merge on the same input") {
+    val s = spark
+    import s.implicits._
+    val viaSql = tmp()
+    val viaApi = tmp()
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val upd = Seq((2L, 99.0), (4L, 40.0)).toDF("k", "x")
+    TxTable.append(spark, viaSql, base)
+    TxTable.append(spark, viaApi, base)
+    upd.createOrReplaceTempView("merge_upd")
+    spark.sql(
+      s"MERGE INTO graft.`$viaSql` USING (SELECT * FROM merge_upd) ON (k)")
+    TxTable.merge(spark, viaApi, upd, Seq("k"))
+    val a = TxTable.read(spark, viaSql).collect().map(_.toString).sorted
+    val b = TxTable.read(spark, viaApi).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("OPTIMIZE ZORDER BY is data-identical; DESCRIBE HISTORY shows the actions") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val d = (1L to 500L).map(i => (i, (i * 37) % 101, s"r$i"))
+      .toDF("a", "b", "v")
+    d.createOrReplaceTempView("opt_src")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM opt_src")
+    val before = TxTable.read(spark, table).collect().map(_.toString).sorted
+    spark.sql(s"OPTIMIZE graft.`$table` ZORDER BY (a, b)")
+    val after = TxTable.read(spark, table).collect().map(_.toString).sorted
+    assert(before.toSeq === after.toSeq)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$table`").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "append"), (2L, "replace")))
+  }
+
+  test("RESTORE rolls back a bad overwrite; VACUUM prunes history") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "keep"), (2L, "keep")).toDF("id", "v")
+      .createOrReplaceTempView("rv_src")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM rv_src")
+    spark.sql(
+      s"CREATE OR REPLACE TABLE graft.`$table` AS SELECT 9 AS id, 'bad' AS v")
+    spark.sql(s"RESTORE graft.`$table` TO VERSION AS OF 1")
+    assert(TxTable.read(spark, table).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+    spark.sql(s"VACUUM graft.`$table` RETAIN 1 VERSIONS")
+    // old versions are gone from the log; head still reads
+    assert(TxTable.versions(spark, table).length === 1)
+    assert(TxTable.read(spark, table).count() === 2L)
+  }
+
+  test("DELETE with no matches commits nothing and returns NULL version") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, 5)).toDF("id", "n").createOrReplaceTempView("nm_src")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM nm_src")
+    val before = TxTable.versions(spark, table)
+    val r = spark.sql(s"DELETE FROM graft.`$table` WHERE n > 1000").collect()
+    assert(r.head.isNullAt(0), "no file can match -> no commit, NULL version")
+    assert(TxTable.versions(spark, table) === before)
+  }
+
+  test("non-graft SQL is untouched by the injected parser") {
+    assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
+    // a query that merely MENTIONS the marker in a string literal
+    assert(spark.sql("SELECT 'graft.`fake`' AS s").collect()
+      .head.getString(0) === "graft.`fake`")
+  }
+}
