@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder evidence: the same plans, 10× the data.
+  *
+  * `runMain graft.ScaleBench [baseDir] [scaledDir] [copies]` —
+  * synthesizes an sf1-equivalent lake from sf0.1 (once; reused if
+  * present), runs the ladder of the most expensive bench queries at
+  * both scales, and prints one JSON line with per-query times, the
+  * scaled/base wall-time ratio, and a plan-shape fingerprint
+  * comparison. `sub_quadratic` asserts every ratio stays below
+  * `copies²`; the interesting signal is how close to `copies`×
+  * (linear) each family lands, and whether any plan changed shape
+  * (e.g. a broadcast flipping to sort-merge) between scales.
+  *
+  * Synthesis = `copies` FK-CONSISTENT shifted copies of each scaled
+  * table (key columns offset by copy × key-span, so joins produce
+  * exactly `copies`× the rows), with `region`/`nation` held fixed the
+  * way TPC-H fixes its dimension tables. Document text is made
+  * UNIQUE PER COPY (a copy-tag suffix): without that, every doc would
+  * gain `copies − 1` verbatim duplicates and the near-dup pair count
+  * would grow quadratically BY SEMANTICS, which would wrongly read as
+  * an engine scaling failure. The deliberately-quadratic correctness
+  * baselines (`q_x_cosine_dups`'s all-pairs check) are excluded for
+  * the same reason — SCALE.md documents them as non-scale paths.
+  */
+object ScaleBench {
+
+  /** The 10 most expensive linear-semantics queries of BASELINE.md's
+    * median table.
+    */
+  val Ladder: Seq[String] = Seq(
+    "q_x_training_pipeline_full", "q_x_dedup_clusters", "q_x_inc_dedup",
+    "q_x_text_winnow", "q_x_jaccard_pairs", "q_x_training_pipeline",
+    "q_x_dsir", "q_x_text_repetition", "q_x_profile", "q_x_minhash_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.util.Sessions.local(graft.util.Sessions.cpus(
+      Runtime.getRuntime.availableProcessors().toString))
+
+    if (!new java.io.File(s"$out/_SCALE_OK").exists()) {
+      synthesize(spark, base, out, copies)
+      new java.io.FileOutputStream(s"$out/_SCALE_OK").close()
+    }
+
+    // warm the JVM on the small scale so sf-base numbers aren't all JIT
+    spark.range(1000).selectExpr("sum(id)").write.format("noop")
+      .mode("overwrite").save()
+
+    def time(name: String, dir: String): (Double, String) = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, fingerprint(df))
+    }
+
+    val rows = Ladder.map { name =>
+      // base twice (min absorbs one-off JIT), scaled once (its cost
+      // dominates and relative noise is small at 10×)
+      val (b1, fp1) = time(name, base)
+      val (b2, _) = time(name, base)
+      val tb = math.min(b1, b2)
+      val (ts, fp2) = time(name, out)
+      val stable = fp1 == fp2
+      System.err.println(f"[scale] $name%-28s base=$tb%6.2fs " +
+        f"scaled=$ts%7.2fs ratio=${ts / tb}%5.2f planStable=$stable")
+      (name, tb, ts, ts / tb, stable)
+    }
+
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = rows.map { case (n, tb, ts, r, st) =>
+      s""""$n":{"base_sec":${f(tb)},"scaled_sec":${f(ts)},"ratio":${f(r)},"plan_stable":$st}"""
+    }.mkString("{", ",", "}")
+    val subQuadratic = rows.forall(_._4 < copies.toDouble * copies)
+    println(s"""{"metric":"scale_ladder","base":"$base","scaled":"$out",""" +
+      s""""copies":$copies,"queries":$qs,"sub_quadratic":$subQuadratic}""")
+    spark.stop()
+  }
+
+  /** Operator-shape fingerprint of the query's initial physical plan:
+    * the sorted distinct set of Exec node names. Join-strategy or
+    * aggregation-mode changes between scales show up here; partition
+    * counts and AQE runtime re-planning deliberately do not (they are
+    * SUPPOSED to differ with data size).
+    */
+  private def fingerprint(df: DataFrame): String =
+    """\b(\w+Exec)\b""".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet.toSeq.sorted.mkString(",")
+
+  /** `copies` FK-consistent shifted copies of every scaled table into
+    * `out` (dims `region`/`nation` copied fixed).
+    */
+  def synthesize(spark: SparkSession, base: String, out: String,
+                 copies: Int): Unit = {
+    def rd(n: String) = graft.ops.Sources.table(spark, base, n)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getAs[Number](0).longValue() + 1
+
+    val cSpan = maxOf(rd("customer"), "c_custkey")
+    val sSpan = maxOf(rd("supplier"), "s_suppkey")
+    val pSpan = maxOf(rd("part"), "p_partkey")
+    val oSpan = maxOf(rd("orders"), "o_orderkey")
+    val dSpan = maxOf(rd("documents"), "doc_id")
+    val vSpan = maxOf(rd("embeddings"), "vec_id")
+    val eSpan = maxOf(rd("events"), "event_id")
+    val uSpan = maxOf(rd("events"), "user_id")
+
+    def scaled(name: String, shifts: Map[String, Long],
+               perCopy: (DataFrame, Int) => DataFrame = (d, _) => d)
+        : DataFrame =
+      (0 until copies).map { i =>
+        val shifted = shifts.foldLeft(rd(name)) { case (d, (c, span)) =>
+          d.withColumn(c, col(c) + lit(span * i))
+        }
+        perCopy(shifted, i)
+      }.reduce(_.unionByName(_))
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[scale] synthesized $name")
+    }
+
+    write("region", rd("region"))
+    write("nation", rd("nation"))
+    write("customer", scaled("customer", Map("c_custkey" -> cSpan)))
+    write("supplier", scaled("supplier", Map("s_suppkey" -> sSpan)))
+    write("part", scaled("part", Map("p_partkey" -> pSpan)))
+    write("orders", scaled("orders",
+      Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)))
+    write("lineitem", scaled("lineitem",
+      Map("l_orderkey" -> oSpan, "l_partkey" -> pSpan, "l_suppkey" -> sSpan)))
+    write("events", scaled("events",
+      Map("event_id" -> eSpan, "user_id" -> uSpan)))
+    write("embeddings", scaled("embeddings", Map("vec_id" -> vSpan)))
+    // copy-tag suffix keeps cross-copy texts distinct (see scaladoc);
+    // n_chars stays consistent with the text it describes
+    write("documents", scaled("documents", Map("doc_id" -> dSpan),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" zq$i")))
+          .withColumn("n_chars", col("n_chars") + lit(s" zq$i".length))))
+  }
+}

@@ -176,7 +176,11 @@ object Sinks {
     *  - The affected-partition list is collected to the driver to prune
     *    the read and is interpolated into one disjunctive filter —
     *    bounded by the number of DISTINCT PARTITIONS in `updates`
-    *    (thousands at most for a daily batch), never by row count.
+    *    (thousands at most for a daily batch), never by row count, and
+    *    HARD-CAPPED at `maxAffectedPartitions`: the collect is limited
+    *    to cap+1 rows (driver memory stays bounded no matter what) and
+    *    exceeding the cap fails loudly instead of degenerating into a
+    *    full-table rewrite behind a partition-merge API.
     *
     * Swap granularity is per partition directory ([[swapInto]]'s
     * non-atomicity applies per partition, not to the whole table).
@@ -190,7 +194,8 @@ object Sinks {
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         updates: DataFrame, keyCols: Seq[String],
                         partitionCols: Seq[String],
-                        tx: Boolean = false): Unit = {
+                        tx: Boolean = false,
+                        maxAffectedPartitions: Int = 10000): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     require(partitionCols.nonEmpty,
@@ -213,8 +218,19 @@ object Sinks {
     // updates feeds the partition listing, the anti-join probe and the
     // union — materialize once
     val up = updates.localCheckpoint()
-    val affected = up.select(partitionCols.map(col): _*).distinct().collect()
+    // capped collect: the limit bounds what can ever reach the driver,
+    // and exceeding it fails LOUDLY — an upsert touching more than
+    // `maxAffectedPartitions` partitions is a full-table rewrite in
+    // disguise and should go through overwrite/writePartitioned, not
+    // grow an unbounded disjunctive filter and driver array
+    val affected = up.select(partitionCols.map(col): _*).distinct()
+      .limit(maxAffectedPartitions + 1).collect()
     if (affected.isEmpty) return
+    require(affected.length <= maxAffectedPartitions,
+      s"upsert touches more than $maxAffectedPartitions distinct " +
+        s"partitions of $path — that is a table-scale rewrite; use " +
+        "overwrite/writePartitioned, or raise maxAffectedPartitions " +
+        "deliberately")
     // one disjunct per affected partition; <=> matches null partition
     // values (hive's __HIVE_DEFAULT_PARTITION__)
     val prune = affected.map { r =>

@@ -261,6 +261,29 @@ class UpsertPartitionedSpec extends SparkSpec {
       Sinks.upsertPartitioned(spark, "/tmp/never", df, Seq("id"), Seq("day"))
     }
   }
+
+  test("an upsert past maxAffectedPartitions fails loudly, never a quiet rewrite") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_cap")
+      .toString + "/t"
+    val base = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "day", "v")
+    Sinks.upsertPartitioned(spark, dir, base, Seq("id", "day"), Seq("day"))
+    // 40 distinct partitions against a cap of 5: the guard must trip,
+    // and the table must be untouched by the failed attempt
+    val wide = (1L to 40L).map(i => (i + 100, i.toInt, "w"))
+      .toDF("id", "day", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, dir, wide, Seq("id", "day"), Seq("day"),
+        maxAffectedPartitions = 5)
+    }
+    assert(e.getMessage.contains("distinct"))
+    assert(spark.read.parquet(dir).count() === 2L, "failed attempt wrote nothing")
+    // the same update inside the cap proceeds
+    Sinks.upsertPartitioned(spark, dir, wide, Seq("id", "day"), Seq("day"),
+      maxAffectedPartitions = 40)
+    assert(spark.read.parquet(dir).count() === 42L)
+  }
 }
 
 class CompactionSpec extends SparkSpec {
