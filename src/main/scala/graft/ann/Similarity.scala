@@ -142,6 +142,53 @@ object Similarity {
     }
   }
 
+  /** Recall telemetry for an IVF index: sampled queries, ONE
+    * brute-force ground-truth pass, one probe pass per `nprobe`
+    * candidate — a production tuner reads the report and picks the
+    * cheapest nprobe meeting its recall floor FROM DATA instead of
+    * folklore. One row per probed configuration:
+    * `(num_lists, nprobe, k, n_queries, truth_pairs, hits, recall)`.
+    *
+    * Cost: the ground truth is brute force over `sampleQueries`
+    * queries only (never all-pairs over the corpus), the probes reuse
+    * the prebuilt `index` (the k-means cost is NOT re-paid), and the
+    * query sample is hash-ordered so it is deterministic and unbiased
+    * by id locality. `recall` at `nprobe = numLists` is exactly 1.0 by
+    * construction — a built-in self-check that the probe half is
+    * faithful to brute force.
+    */
+  def ivfRecallReport(corpus: DataFrame, index: DataFrame, k: Int,
+                      nprobes: Seq[Int], sampleQueries: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe to probe")
+    require(sampleQueries > 0, "need a positive query sample")
+    val spark = corpus.sparkSession
+    val numLists = index.count()
+    // deterministic pseudo-random sample, pinned for the multi-pass use
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(sampleQueries)
+      .localCheckpoint()
+    val nQueries = queries.count()
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val truthPairs = truth.count()
+    val rows = nprobes.map { np =>
+      val hits = ivfTopKWithIndex(corpus, queries, k, np, index,
+        idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (numLists, np, k, nQueries, truthPairs, hits,
+        if (truthPairs == 0) 1.0 else hits.toDouble / truthPairs)
+    }
+    import spark.implicits._
+    rows.toDF("num_lists", "nprobe", "k", "n_queries", "truth_pairs",
+      "hits", "recall")
+  }
+
   /** Persist a built index as a [[graft.ops.TxTable]] (atomic publish,
     * versioned — rebuilding the index is an overwrite commit and
     * readers mid-query keep their snapshot).

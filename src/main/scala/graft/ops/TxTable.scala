@@ -167,6 +167,58 @@ object TxTable {
     }.toMap
   }
 
+  /** Pseudo-stats for a partitioned file's PARTITION columns, parsed
+    * from the hive `k=v` segments of its manifest path: min = max =
+    * the partition value, tagged numeric when the value parses as a
+    * number and string otherwise. Partition values never appear in
+    * parquet footers, so without this a partition-column predicate
+    * could never skip a file; with it [[readWhere]] prunes whole
+    * partitions from the MANIFEST alone — zero footer or data I/O for
+    * partitions the predicate cannot match. Tag/type mismatches
+    * (string-typed columns with numeric-looking values, casts in the
+    * predicate) fall through [[mayMatch]]'s conservative keep — a
+    * missed skip, never a wrong prune. The hive null marker gets no
+    * stats (conservative keep).
+    */
+  private def partitionStats(rel: String)
+      : Map[String, (String, String, String)] =
+    rel.split('/').drop(2).dropRight(1).filter(_.contains('='))
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        val k = seg.substring(0, i)
+        val v = unescapePartition(seg.substring(i + 1))
+        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        else {
+          val tag =
+            if (scala.util.Try(BigDecimal(v)).isSuccess) "n" else "s"
+          Some(k -> (tag, v, v))
+        }
+      }.toMap
+
+  /** Hive percent-escaping of partition-dir values (`%3A` → `:`), the
+    * inverse of what the parquet writer applies. NOT URLDecoder: hive
+    * leaves `+` literal. Multi-byte escapes decode as UTF-8.
+    */
+  private def unescapePartition(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            s.substring(i + 1, i + 3).forall(h =>
+              h.isDigit || ('a' to 'f').contains(h.toLower))) {
+          bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+          i += 3
+        } else {
+          bytes ++= c.toString.getBytes(StandardCharsets.UTF_8)
+          i += 1
+        }
+      }
+      new String(bytes.toArray, StandardCharsets.UTF_8)
+    }
+
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) =
@@ -381,7 +433,10 @@ object TxTable {
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
     val kept = lines.filter { l =>
-      val st = statsOf(l); cs.forall(mayMatch(st, _))
+      // footer stats + partition-value pseudo-stats: a partition-column
+      // predicate prunes from the manifest path alone (no footer I/O)
+      val st = statsOf(l) ++ partitionStats(pathOf(l))
+      cs.forall(mayMatch(st, _))
     }
     if (lines.isEmpty) schema match {
       case Some(s) => spark.createDataFrame(

@@ -455,6 +455,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPoisoned == brute, "zero-norm vector neither centroid nor neighbor")
   }
 
+  test("ivfRecallReport: one row per nprobe, recall monotone, exact at full probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Similarity.buildIvfIndex(emb, numLists = 8, kmeansIters = 2)
+    val report = Similarity.ivfRecallReport(emb, index, k = 10,
+        nprobes = Seq(1, 4, 8), sampleQueries = 20)
+      .orderBy("nprobe").collect()
+    assert(report.length === 3)
+    val byProbe = report.map(r => r.getAs[Int]("nprobe") ->
+      r.getAs[Double]("recall")).toMap
+    assert(report.forall(_.getAs[Long]("num_lists") === 8L))
+    assert(report.forall(_.getAs[Long]("n_queries") === 20L))
+    assert(report.forall(r => r.getAs[Long]("truth_pairs") === 200L),
+      "20 queries x k=10 ground-truth pairs")
+    // probing more lists can only find more of the truth
+    assert(byProbe(1) <= byProbe(4) && byProbe(4) <= byProbe(8),
+      s"recall must be monotone in nprobe: $byProbe")
+    // probing every list IS brute force — the probe half is faithful
+    assert(byProbe(8) === 1.0, s"full probe must have recall 1.0: $byProbe")
+    assert(byProbe(1) > 0.0)
+  }
+
   test("persisted IVF index: build once, query twice, bit-identical to rebuild-per-query") {
     val rnd = new scala.util.Random(13)
     val many = (0L until 60L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))

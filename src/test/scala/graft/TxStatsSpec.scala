@@ -169,6 +169,59 @@ class TxStatsSpec extends SparkSpec {
     assert(hit.count() == 1, "U+E000 needle must be found")
   }
 
+  test("partition-value pruning: a partition predicate skips files from the manifest alone") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // a replacePartitions table: 3 int partitions + 2 string partitions
+    TxTable.replacePartitions(spark, dir,
+      (1L to 30L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "day"),
+      Seq("day"))
+    TxTable.replacePartitions(spark, dir,
+      Seq((100L, "x", 7), (101L, "y", 8)).toDF("id", "v", "day"), Seq("day"))
+
+    // partition columns have NO footer stats — this prune can only come
+    // from the manifest's path segments
+    val none = TxTable.readWhere(spark, dir, col("day") === 99)
+    assert(none.count() === 0L)
+    assert(none.inputFiles.isEmpty,
+      s"non-matching partition predicate must read ZERO files, got " +
+        s"${none.inputFiles.toSeq}")
+
+    val one = TxTable.readWhere(spark, dir, col("day") === 7)
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(one.inputFiles.forall(_.contains("day=7")),
+      s"only day=7 files may be scanned: ${one.inputFiles.toSeq}")
+
+    val range = TxTable.readWhere(spark, dir, col("day") >= 7)
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+    assert(range.inputFiles.forall(f =>
+      f.contains("day=7") || f.contains("day=8")))
+
+    // results always equal the unpruned filter
+    val full = TxTable.read(spark, dir).where(col("day") === 1)
+    val pruned = TxTable.readWhere(spark, dir, col("day") === 1)
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      full.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("string partition values prune as strings; escaped values round-trip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.replacePartitions(spark, dir,
+      Seq((1L, "eu-west"), (2L, "us-east"), (3L, "ap: south"))
+        .toDF("id", "region"), Seq("region"))
+    val one = TxTable.readWhere(spark, dir, col("region") === "us-east")
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(one.inputFiles.length === 1,
+      s"string partition must prune to one file: ${one.inputFiles.toSeq}")
+    // hive-escaped dir (the ':' in 'ap: south') still matches correctly
+    val esc = TxTable.readWhere(spark, dir, col("region") === "ap: south")
+    assert(esc.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(esc.inputFiles.length === 1)
+  }
+
   test("overwrite, vacuum, and incremental reads keep working with stats lines") {
     val s = spark
     import s.implicits._
