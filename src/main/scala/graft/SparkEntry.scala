@@ -380,6 +380,23 @@ object SparkEntry {
       graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
+    // the catalog surface: CTAS a TxTable via the injected parser, then
+    // query it as a plain SQL table (catalog resolution, predicate +
+    // aggregate over graft.`path`) — decimal-accumulated sum so the
+    // result is bit-stable across engines and partitionings
+    "q_x_sql_select" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlsel") + "/li_tx"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .createOrReplaceTempView("sql_sel_li")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_sel_li")
+      s.sql(
+        s"""SELECT l_returnflag, count(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM graft.`$tmp` WHERE l_orderkey % 3 = 0
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // the DataFrame writer surface of the TxTable: produce the table
     // with df.write.format("graft") (create + append + overwrite — all
     // three commit through the manifest protocol), read it back with
@@ -1259,6 +1276,12 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM merged
         |WHERE NOT (o_orderkey % 7 = 3)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_sql_select" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_x_v2_write" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

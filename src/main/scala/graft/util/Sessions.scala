@@ -16,6 +16,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$nCpus]")
       .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", nCpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

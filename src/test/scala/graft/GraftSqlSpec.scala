@@ -132,6 +132,63 @@ class GraftSqlSpec extends SparkSpec {
     assert(TxTable.versions(spark, table) === before)
   }
 
+  test("catalog: SELECT over a graft path, with VERSION AS OF time travel") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.sql(s"SELECT id FROM graft.`$table` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft.`$table` VERSION AS OF 1")
+      .head().getLong(0) === 2L)
+    // joins and aggregates over catalog tables are plain SQL
+    assert(spark.sql(
+        s"""SELECT a.id FROM graft.`$table` a
+           |JOIN graft.`$table` b ON a.id = b.id
+           |WHERE a.v > 'a' ORDER BY a.id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("catalog: CREATE empty then INSERT INTO / INSERT OVERWRITE commit through the log") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    spark.sql(s"CREATE TABLE graft.`$table` (id BIGINT, v STRING)")
+    assert(spark.sql(s"SELECT * FROM graft.`$table`").count() === 0L,
+      "a freshly created table is empty but queryable")
+    spark.sql(s"INSERT INTO graft.`$table` VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO graft.`$table` SELECT 3, 'c'")
+    assert(spark.sql(s"SELECT id FROM graft.`$table` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    spark.sql(s"INSERT OVERWRITE graft.`$table` VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT id FROM graft.`$table`")
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // every step was a manifest commit: create, 2 appends, overwrite
+    assert(TxTable.versions(spark, table) === Seq(1L, 2L, 3L, 4L))
+    // and the pre-overwrite state is still one time-travel away
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$table` VERSION AS OF 3")
+      .head().getLong(0) === 3L)
+  }
+
+  test("catalog: the SQL and DataFrame surfaces see the same table") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+      .write.format("graft").mode("append").save(table)
+    spark.sql(s"INSERT INTO graft.`$table` VALUES (3, 30.0)")
+    val viaSql = spark.sql(s"SELECT * FROM graft.`$table`")
+      .collect().map(_.toString).sorted
+    val viaReader = spark.read.format("graft").load(table)
+      .collect().map(_.toString).sorted
+    val viaApi = TxTable.read(spark, table)
+      .collect().map(_.toString).sorted
+    assert(viaSql.toSeq === viaReader.toSeq)
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
   test("non-graft SQL is untouched by the injected parser") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
     // a query that merely MENTIONS the marker in a string literal

@@ -12,6 +12,7 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-tests")
       .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
