@@ -199,7 +199,7 @@ object TxTable {
     * inverse of what the parquet writer applies. NOT URLDecoder: hive
     * leaves `+` literal. Multi-byte escapes decode as UTF-8.
     */
-  private def unescapePartition(s: String): String =
+  private[graft] def unescapePartition(s: String): String =
     if (!s.contains('%')) s
     else {
       val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]

@@ -6,8 +6,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -78,22 +76,10 @@ class GraftCatalog extends TableCatalog {
   private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
     val path = pathOf(ident)
     val spark = SparkSession.active
-    val versions = TxTable.versions(spark, path)
-    if (versions.isEmpty) throw new NoSuchTableException(ident)
-    val v = version.getOrElse(versions.last)
-    require(versions.contains(v),
-      s"version $v of $path does not exist (have ${versions.mkString(",")})")
-    val files = TxTable.snapshotFiles(spark, path, v)
-    require(!files.exists(_.split('/').exists(_.contains('='))),
-      s"$path holds a partitioned snapshot — read it via TxTable.read " +
-        "(file-level partition discovery cannot stitch multi-commit layouts)")
-    require(files.nonEmpty,
-      s"version $v of $path is an empty snapshot — read it via " +
-        "TxTable.readVersion with a pinned schema")
-    val pt = ParquetTable(s"graft:$path@$v", spark,
-      CaseInsensitiveStringMap.empty(), files,
-      userSpecifiedSchema = None, classOf[ParquetFileFormat])
-    new GraftTable(path, spark, Some(pt))
+    if (TxTable.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(path, spark,
+      Some(GraftResolve.resolve(spark, path, version)))
   }
 
   /** `CREATE TABLE graft.`/p` (cols)`: a zero-row single-file snapshot

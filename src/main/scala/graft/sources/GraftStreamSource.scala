@@ -42,17 +42,23 @@ import graft.ops.TxTable
   *    silently skipping data.
   */
 private[sources] class GraftTable(path: String, spark: SparkSession,
-                                  delegate: Option[ParquetTable],
+                                  resolved: Option[GraftResolved],
                                   declaredSchema: StructType = new StructType(),
-                                  partitionCols: Seq[String] = Nil) extends Table
+                                  writerPartitionCols: Seq[String] = Nil) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
+  // a resolved partitioned snapshot declares its own layout; the
+  // writer's partitionBy only matters for the table's FIRST commit
+  private val partitionCols: Seq[String] =
+    resolved.map(_.partitionCols).filter(_.nonEmpty)
+      .getOrElse(writerPartitionCols)
+
   override def name: String =
-    delegate.map(_.name).getOrElse(s"graft:$path (uncommitted)")
+    resolved.map(_.name).getOrElse(s"graft:$path (uncommitted)")
 
   override def schema: StructType =
-    delegate.map(_.schema).getOrElse(declaredSchema)
+    resolved.map(_.schema).getOrElse(declaredSchema)
 
   // what the writer's partitionBy is validated against — identity
   // transforms over the declared partition columns
@@ -72,7 +78,7 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
     * micro-batch stream entry point.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val d = delegate.getOrElse(sys.error(
+    val d = resolved.getOrElse(sys.error(
       s"$path has no committed version yet — write one first"))
     val inner = new ParquetScanBuilder(spark, d.fileIndex,
       d.schema, d.dataSchema, options)
@@ -118,7 +124,7 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
                 if (overwrite)
                   TxTable.overwrite(spark, path, data, partitionCols)
                 else {
-                  delegate.foreach { d =>
+                  resolved.foreach { d =>
                     val norm = org.apache.spark.sql.GraftShim.nullable _
                     val have = data.schema.fields
                       .map(f => f.name -> norm(f.dataType)).toMap
@@ -131,7 +137,7 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
                         "the schema, or use the TxTable API for evolution")
                   }
                   // table column order, so every footer agrees
-                  val aligned = delegate.map(d =>
+                  val aligned = resolved.map(d =>
                     data.select(d.schema.fieldNames.map(
                       org.apache.spark.sql.functions.col).toIndexedSeq: _*))
                     .getOrElse(data)

@@ -30,11 +30,14 @@ import graft.ops.TxTable
   * a stable snapshot — later commits do not leak in, the same isolation
   * contract as [[TxTable.read]].
   *
-  * Partitioned snapshots are rejected (their partition values live in
-  * dir names spread across several immutable commit dirs, which
-  * file-level partition discovery cannot stitch — [[TxTable.read]]
-  * handles them with per-commit-dir scans); this surface targets the
-  * common unpartitioned read.
+  * Partitioned snapshots resolve through an EXPLICIT partition spec
+  * built from the manifest's `k=v` path segments
+  * ([[GraftResolve]] / [[org.apache.spark.sql.GraftPartitionShim]]) —
+  * stock directory inference cannot stitch the multi-commit layout,
+  * but the manifest already knows every file's partition, so
+  * partition columns and partition PRUNING work exactly as on a
+  * hive-layout table (batch reads; the streaming source remains
+  * unpartitioned-only).
   *
   * Writing is first-class too:
   *
@@ -65,39 +68,21 @@ class GraftTableProvider extends DataSourceRegister
   // halves the manifest I/O and guarantees the schema Spark validated
   // and the snapshot actually read are the SAME version — a commit
   // racing the load can no longer split them.
-  @volatile private var cached: (String, ParquetTable) = null
+  @volatile private var cached: (String, GraftResolved) = null
 
-  private def tableFor(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def tableFor(options: CaseInsensitiveStringMap): GraftResolved = {
     val key = options.get("path") + "@" +
       Option(options.get("versionAsOf")).getOrElse("head")
     val c = cached
     if (c != null && c._1 == key) c._2
     else {
-      val t = resolve(options)
+      val path = Option(options.get("path")).getOrElse(
+        sys.error("the graft source needs .load(<TxTable path>)"))
+      val t = GraftResolve.resolve(SparkSession.active, path,
+        Option(options.get("versionAsOf")).map(_.toLong))
       cached = (key, t)
       t
     }
-  }
-
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
-    val path = Option(options.get("path")).getOrElse(
-      sys.error("the graft source needs .load(<TxTable path>)"))
-    val spark = SparkSession.active
-    val versions = TxTable.versions(spark, path)
-    require(versions.nonEmpty, s"$path is not a TxTable (no manifests)")
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
-      .getOrElse(versions.last)
-    require(versions.contains(v),
-      s"version $v of $path does not exist (have ${versions.mkString(",")})")
-    val files = TxTable.snapshotFiles(spark, path, v)
-    require(files.nonEmpty,
-      s"version $v of $path is an empty snapshot — read it via " +
-        "TxTable.readVersion with a pinned schema")
-    require(!files.exists(_.split('/').exists(_.contains('='))),
-      s"$path holds a partitioned snapshot — read it via TxTable.read " +
-        "(file-level partition discovery cannot stitch multi-commit layouts)")
-    ParquetTable(s"graft:$path@$v", spark, options, files,
-      userSpecifiedSchema = None, classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -129,7 +114,7 @@ class GraftTableProvider extends DataSourceRegister
       require(norm(schema) == norm(t.schema),
         s"schema for $path does not match the resolved snapshot " +
           s"(given ${schema.simpleString}, table has ${t.schema.simpleString})")
-      new GraftTable(path, spark, Some(t), partitionCols = partCols)
+      new GraftTable(path, spark, Some(t), writerPartitionCols = partCols)
     }
   }
 }

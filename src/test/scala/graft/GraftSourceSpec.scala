@@ -135,7 +135,7 @@ class GraftSourceSpec extends SparkSpec {
       Seq((1L, 10), (2L, 20), (3L, 10)))
   }
 
-  test("missing versions, non-tables, and partitioned snapshots fail loudly") {
+  test("missing versions and non-tables fail loudly") {
     val s = spark
     import s.implicits._
     val table = tmp()
@@ -146,11 +146,84 @@ class GraftSourceSpec extends SparkSpec {
     val notATable = intercept[Exception](
       spark.read.format("graft").load(tmp()))
     assert(notATable.getMessage.contains("not a TxTable"))
-    val parts = tmp()
-    TxTable.append(spark, parts,
+  }
+
+  test("partitioned snapshots: V2 read ≡ TxTable.read across multiple commits") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // two commits into overlapping partitions — the multi-commit layout
+    // stock partition inference cannot stitch
+    TxTable.append(spark, table,
       Seq((1L, "x", 10), (2L, "y", 20)).toDF("id", "v", "day"), Seq("day"))
-    val rejected = intercept[Exception](
-      spark.read.format("graft").load(parts))
-    assert(rejected.getMessage.contains("partitioned snapshot"))
+    TxTable.append(spark, table,
+      Seq((3L, "z", 10), (4L, "w", 30)).toDF("id", "v", "day"), Seq("day"))
+    val v2 = spark.read.format("graft").load(table)
+    assert(v2.schema.fieldNames.toSeq === Seq("id", "v", "day"))
+    assert(v2.schema("day").dataType ===
+      org.apache.spark.sql.types.IntegerType, "typed partition column")
+    val a = v2.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("day")))
+      .sortBy(_._1)
+    val b = TxTable.read(spark, table).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("day")))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // time travel still snapshots
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(table)
+      .count() === 2L)
+  }
+
+  test("partitioned snapshots: partition predicates prune to PartitionFilters") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table,
+      (1L to 30L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "day"),
+      Seq("day"))
+    TxTable.append(spark, table,
+      Seq((100L, "x", 7)).toDF("id", "v", "day"), Seq("day"))
+    val q = spark.read.format("graft").load(table).filter(col("day") === 7)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(q.inputFiles.forall(_.contains("day=7")),
+      s"partition pruning must reach the scan: ${q.inputFiles.toSeq}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+  }
+
+  test("partitioned snapshots: V2 append into an existing layout lands in the right partition") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "day")
+      .write.format("graft").mode("append").partitionBy("day").save(table)
+    // append WITHOUT partitionBy: the resolved layout declares it
+    Seq((3L, "c", 10)).toDF("id", "v", "day")
+      .write.format("graft").mode("append").save(table)
+    val rows = spark.read.format("graft").load(table)
+      .filter(col("day") === 10).collect().map(_.getAs[Long]("id")).sorted
+    assert(rows.toSeq === Seq(1L, 3L))
+    // string partition values survive the round-trip typed as string
+    val st = tmp()
+    Seq((1L, "eu-west"), (2L, "us-east")).toDF("id", "region")
+      .write.format("graft").mode("append").partitionBy("region").save(st)
+    val got = spark.read.format("graft").load(st)
+    assert(got.schema("region").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(got.filter(col("region") === "us-east")
+      .collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+  }
+
+  test("catalog SELECT and INSERT work on partitioned tables") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "day")
+      .write.format("graft").mode("append").partitionBy("day").save(table)
+    spark.sql(s"INSERT INTO graft.`$table` VALUES (3, 'c', 20)")
+    assert(spark.sql(
+        s"SELECT id FROM graft.`$table` WHERE day = 20 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(TxTable.read(spark, table).count() === 3L)
   }
 }
