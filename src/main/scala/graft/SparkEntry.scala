@@ -380,6 +380,23 @@ object SparkEntry {
       graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
+    // partitioned TxTable end-to-end: V2 writer partitionBy → catalog
+    // SQL read with a partition predicate (prunes via the explicit
+    // manifest partition spec — no directory inference involved)
+    "q_x_partitioned" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_part") + "/orders_part"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("bucket", (col("o_orderkey") % 4).cast("int"))
+        .write.format("graft").mode("append").partitionBy("bucket").save(tmp)
+      s.sql(
+        s"""SELECT bucket, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_price
+           |FROM graft.`$tmp` WHERE bucket IN (1, 3)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+
     // the catalog surface: CTAS a TxTable via the injected parser, then
     // query it as a plain SQL table (catalog resolution, predicate +
     // aggregate over graft.`path`) — decimal-accumulated sum so the
@@ -1276,6 +1293,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM merged
         |WHERE NOT (o_orderkey % 7 = 3)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_partitioned" ->
+      """SELECT CAST(o_orderkey % 4 AS INTEGER) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 4 IN (1, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_x_sql_select" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -172,6 +172,22 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) === 3L)
   }
 
+  test("partitioned CTAS via the parser is readable through the catalog with pruning") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    (1L to 20L).map(i => (i, (i % 2).toInt)).toDF("id", "half")
+      .createOrReplaceTempView("pctas_src")
+    spark.sql(s"CREATE TABLE graft.`$table` PARTITIONED BY (half) " +
+      "AS SELECT * FROM pctas_src")
+    val odd = spark.sql(
+      s"SELECT id FROM graft.`$table` WHERE half = 1 ORDER BY id")
+    assert(odd.collect().map(_.getLong(0)).toSeq ===
+      (1L to 20L).filter(_ % 2 == 1))
+    assert(odd.inputFiles.forall(_.contains("half=1")),
+      s"partition pruning through the catalog: ${odd.inputFiles.toSeq}")
+  }
+
   test("catalog: the SQL and DataFrame surfaces see the same table") {
     val s = spark
     import s.implicits._
