@@ -397,6 +397,44 @@ object SparkEntry {
            |GROUP BY bucket ORDER BY bucket""".stripMargin)
     }),
 
+    // manifest-owned schema evolution end-to-end: V2-write a table,
+    // ALTER TABLE ADD COLUMNS through the catalog (a metadata-only
+    // commit — no data rewrite), append rows carrying the new column,
+    // and aggregate over the mixed snapshot: pre-evolution rows
+    // surface the column as null (coalesced to -1 for grouping)
+    "q_x_evolve" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_evolve") + "/orders_ev"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      o.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graft").mode("append").save(tmp)
+      s.sql(s"ALTER TABLE graft.`$tmp` ADD COLUMNS (flag INT)")
+      o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("flag", (col("o_orderkey") % 2).cast("int"))
+        .write.format("graft").mode("append").save(tmp)
+      s.sql(
+        s"""SELECT coalesce(flag, -1) AS flag, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_price
+           |FROM graft.`$tmp` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // commit-timestamp time travel: two commits, read back AS OF the
+    // first commit's manifest `ts` stamp (spinning past it first so the
+    // second stamp is strictly later — deterministic at any speed)
+    "q_x_time_travel" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_ttravel") + "/cust_tt"
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      c.filter(col("c_custkey") % 2 === 0)
+        .write.format("graft").mode("append").save(tmp)
+      val ts1 = graft.ops.TxTable.commitTimestamp(s, tmp, 1L)
+      while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+      c.filter(col("c_custkey") % 2 === 1)
+        .write.format("graft").mode("append").save(tmp)
+      s.read.format("graft").option("timestampAsOf", ts1).load(tmp)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // the catalog surface: CTAS a TxTable via the injected parser, then
     // query it as a plain SQL table (catalog resolution, predicate +
     // aggregate over graft.`path`) — decimal-accumulated sum so the
@@ -1300,6 +1338,22 @@ object SparkEntry {
         |    AS total_price
         |FROM orders WHERE o_orderkey % 4 IN (1, 3)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_x_evolve" ->
+      """SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM (
+        |  SELECT CAST(-1 AS INTEGER) AS flag, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey % 2 AS INTEGER) AS flag, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_x_time_travel" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE c_custkey % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_x_sql_select" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -101,6 +101,123 @@ object TxTable {
     parseMeta(readManifest(fs, p, v)._1)
   }
 
+  /** Epoch-millis commit time of version `v`: the `ts` token its
+    * committer stamped into the head line. Manifests written before
+    * timestamps existed fall back to the manifest FILE's modification
+    * time — the same degraded resolution Delta applies to its log.
+    */
+  def commitTimestamp(spark: SparkSession, path: String, v: Long): Long = {
+    val (fs, p) = fsFor(spark, path)
+    parseMeta(readManifest(fs, p, v)._1).get(TimestampMetaKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs.getFileStatus(
+        new Path(new Path(p, LogDir), manifestName(v))).getModificationTime)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest retained version whose
+    * commit time is <= `tsMillis`. Errors when the timestamp predates
+    * the earliest retained commit (same contract as Delta — silently
+    * resolving to the oldest version would hide vacuumed history).
+    * Scans commit times newest-first, so the common "recent timestamp"
+    * probe reads O(1) manifests, not O(history).
+    */
+  def versionAsOfTimestamp(spark: SparkSession, path: String,
+                           tsMillis: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    vs.reverseIterator
+      .find(v => commitTimestamp(spark, path, v) <= tsMillis)
+      .getOrElse(sys.error(
+        s"timestamp $tsMillis predates the earliest retained commit of " +
+        s"$path (v${vs.head} at ${commitTimestamp(spark, path, vs.head)})"))
+  }
+
+  /** The DECLARED logical schema carried in version `v`'s manifest
+    * (head when `v < 0`) — present once [[create]] or [[evolveSchema]]
+    * has run; None for tables whose schema lives only in footers.
+    */
+  def declaredSchema(spark: SparkSession, path: String,
+                     v: Long = -1L): Option[StructType] = {
+    val (fs, p) = fsFor(spark, path)
+    val at = if (v < 0) versions(spark, path).lastOption else Some(v)
+    at.flatMap(declaredSchemaAt(fs, p, _))
+  }
+
+  /** The partition columns version `v`'s manifest declares (head when
+    * `v < 0`): `Some(Nil)` = declared flat, `None` = no declaration
+    * (pre-declaration table — resolve the layout from file paths).
+    */
+  def declaredPartitionCols(spark: SparkSession, path: String,
+                            v: Long = -1L): Option[Seq[String]] = {
+    val (fs, p) = fsFor(spark, path)
+    val at = if (v < 0) versions(spark, path).lastOption else Some(v)
+    at.flatMap(declaredPartitionColsAt(fs, p, _))
+  }
+
+  private def declaredSchemaAt(fs: FileSystem, p: Path,
+                               v: Long): Option[StructType] =
+    parseMeta(readManifest(fs, p, v)._1).get(SchemaMetaKey).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(dec(j))
+        .asInstanceOf[StructType])
+
+  private def declaredPartitionColsAt(fs: FileSystem, p: Path,
+                                      v: Long): Option[Seq[String]] =
+    parseMeta(readManifest(fs, p, v)._1).get(PartitionsMetaKey)
+      .map(s => dec(s).split(',').toSeq.filter(_.nonEmpty))
+
+  /** Create an EMPTY table as a metadata-only commit carrying the
+    * declared schema (and partition columns): no data file is written —
+    * the manifest owns the metadata, so `CREATE TABLE (cols)` followed
+    * by INSERT needs no zero-row placeholder file, and an empty
+    * PARTITIONED table (hive layouts produce no files for zero rows)
+    * is representable at all.
+    */
+  def create(spark: SparkSession, path: String, schema: StructType,
+             partitionCols: Seq[String] = Nil): Long = {
+    require(!exists(spark, path), s"graft table $path already exists")
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition columns ${missing.mkString(",")} not in schema " +
+        schema.simpleString)
+    commitLines(spark, path, "create", Seq.empty, (base, _) => base,
+      Map(SchemaMetaKey -> enc(schema.json),
+        PartitionsMetaKey -> enc(partitionCols.mkString(","))))
+  }
+
+  /** Widen the table's declared schema as a metadata-only commit —
+    * `ALTER TABLE ADD COLUMNS`, manifest-owned (Delta's `metaData`
+    * action): no data file is touched; readers of the head (and every
+    * later version, via carried meta) see the new schema, with files
+    * written before the evolution surfacing the added columns as null.
+    * Strictly widening by construction: every current column must keep
+    * its type, every added column must be nullable — renames, drops,
+    * and retypes would need data rewrite or column mapping and are
+    * refused loudly.
+    */
+  def evolveSchema(spark: SparkSession, path: String,
+                   newSchema: StructType): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val current = declaredSchema(spark, path).getOrElse(
+      read(spark, path, mergeSchema = true).schema)
+    val byName = newSchema.fields.map(f => f.name -> f).toMap
+    current.fields.foreach { f =>
+      val n = byName.getOrElse(f.name, sys.error(
+        s"schema evolution cannot DROP column ${f.name} of $path — " +
+        "rewrite via overwrite instead"))
+      require(n.dataType == f.dataType,
+        s"schema evolution cannot retype ${f.name} of $path: " +
+        s"${f.dataType.simpleString} -> ${n.dataType.simpleString}")
+    }
+    val currentNames = current.fieldNames.toSet
+    newSchema.fields.filterNot(f => currentNames.contains(f.name)).foreach(
+      f => require(f.nullable,
+        s"added column ${f.name} must be nullable (existing rows have " +
+        "no value for it)"))
+    commitLines(spark, path, "evolve", Seq.empty, (base, _) => base,
+      Map(SchemaMetaKey -> enc(newSchema.json)))
+  }
+
   private def parseMeta(headLine: String): Map[String, String] =
     headLine.split(' ').drop(1).dropRight(1)
       .filter(_.contains('=')).map { t =>
@@ -126,10 +243,36 @@ object TxTable {
     * LATEST value per carried key even after [[vacuum]] prunes the
     * manifest that originally wrote it — the log-compaction equivalent
     * of Delta checkpoints retaining `SetTransaction` actions. Used for
-    * the streaming idempotence tokens (`txn.<app>`), whose loss under
-    * vacuum would silently re-append a replayed micro-batch.
+    * the streaming idempotence tokens (`txn.<app>`) — whose loss under
+    * vacuum would silently re-append a replayed micro-batch — and for
+    * the table's own declared metadata (`graft.schema` /
+    * `graft.partitions`), the manifest-owned counterpart of Delta's
+    * `metaData` action.
     */
-  private val CarriedMetaPrefix = "txn."
+  private val CarriedMetaPrefixes = Seq("txn.", "graft.")
+
+  /** Carried meta key holding the table's DECLARED logical schema as
+    * URL-encoded `StructType.json` — set by [[evolveSchema]] and
+    * [[create]], carried forward by every later commit. When present
+    * it is the read schema (old files surface added columns as null);
+    * when absent the schema lives in the parquet footers, as before.
+    */
+  private[graft] val SchemaMetaKey = "graft.schema"
+
+  /** Carried meta key declaring the snapshot's hive-partition columns
+    * (URL-encoded, comma-joined; empty = unpartitioned). Written by
+    * every partitioned commit and by overwrites (which own the whole
+    * layout), so external resolvers ([[graft.sources.GraftResolve]])
+    * can trust the manifest instead of sniffing `k=v` path segments —
+    * and so an EMPTY partitioned table is representable at all.
+    */
+  private[graft] val PartitionsMetaKey = "graft.partitions"
+
+  /** Per-commit (NOT carried) meta token: epoch-millis commit time,
+    * stamped automatically by every commit — the `TIMESTAMP AS OF`
+    * resolution source.
+    */
+  private[graft] val TimestampMetaKey = "ts"
 
   // ------------------------------------------------------------ file stats
   //
@@ -428,17 +571,18 @@ object TxTable {
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val cs =
       if (lines.isEmpty)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
-      else resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
+      else resolveConjuncts(spark, p, lines, predicate, mergeSchema, pinned)
     val kept = lines.filter { l =>
       // footer stats + partition-value pseudo-stats: a partition-column
       // predicate prunes from the manifest path alone (no footer I/O)
       val st = statsOf(l) ++ partitionStats(pathOf(l))
       cs.forall(mayMatch(st, _))
     }
-    if (lines.isEmpty) schema match {
+    if (lines.isEmpty) pinned match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => sys.error(
@@ -448,9 +592,9 @@ object TxTable {
     else if (kept.isEmpty)
       // no file can match: Catalyst folds Filter(false) to an empty
       // relation, so this reads nothing while keeping the snapshot schema
-      scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+      scanFiles(spark, p, lines.map(pathOf), mergeSchema, pinned)
         .where(lit(false))
-    else scanFiles(spark, p, kept.map(pathOf), mergeSchema, schema)
+    else scanFiles(spark, p, kept.map(pathOf), mergeSchema, pinned)
       .where(predicate)
   }
 
@@ -487,17 +631,21 @@ object TxTable {
                   schema: Option[StructType] = None): DataFrame = {
     val (fs, p) = fsFor(spark, path)
     val (_, files) = readManifest(fs, p, v)
-    if (files.isEmpty) schema match {
+    // an explicit caller pin wins; otherwise the schema the manifest
+    // itself declares (create/evolveSchema) pins the read — files
+    // written before an evolution surface the added columns as null
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, v))
+    if (files.isEmpty) pinned match {
       // an empty snapshot has no parquet footer to infer from — a
-      // pinned schema reads it as an empty frame (same contract as
-      // readWhere/readAppended), otherwise fail loudly
+      // pinned or declared schema reads it as an empty frame (same
+      // contract as readWhere/readAppended), otherwise fail loudly
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => sys.error(
         s"version $v of $path is an empty snapshot with no files — " +
         "pass an explicit schema to read it as an empty frame")
     }
-    else scanFiles(spark, p, files.map(pathOf), mergeSchema, schema)
+    else scanFiles(spark, p, files.map(pathOf), mergeSchema, pinned)
   }
 
   /** Absolute data-file paths of version `v`'s snapshot — the
@@ -531,11 +679,18 @@ object TxTable {
       schema.fold(r)(r.schema)
         .parquet(group.map(f => new Path(p, f).toString): _*)
     }
-    files.groupBy(_.split('/').take(2).mkString("/")).toSeq
+    val out = files.groupBy(_.split('/').take(2).mkString("/")).toSeq
       .sortBy(_._1).map(g => scan(g._2))
       // mergeSchema also widens ACROSS commit dirs (append may have
       // added columns); without it a heterogeneous union fails loudly
       .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    // the file source surfaces hive-partition columns LAST regardless
+    // of the pinned schema's order — project back to the declared order
+    // so pinned reads are column-order-stable (and empty-snapshot reads,
+    // built straight from the schema, agree with non-empty ones)
+    schema.fold(out)(s =>
+      out.select(s.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*))
   }
 
   /** Manifest-relative data files added and removed between two
@@ -580,11 +735,12 @@ object TxTable {
       if (fromV <= 0) Set.empty[String]
       else readManifest(fs, p, fromV)._2.map(pathOf).toSet
     val snapshot = readManifest(fs, p, hi)._2.map(pathOf)
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, hi))
     val added = snapshot.filterNot(base)
-    if (added.nonEmpty) scanFiles(spark, p, added, mergeSchema, schema)
+    if (added.nonEmpty) scanFiles(spark, p, added, mergeSchema, pinned)
     else if (snapshot.nonEmpty) // no new files: empty frame, snapshot schema
-      scanFiles(spark, p, snapshot, mergeSchema, schema).where(lit(false))
-    else schema match { // empty snapshot: no footer anywhere to infer from
+      scanFiles(spark, p, snapshot, mergeSchema, pinned).where(lit(false))
+    else pinned match { // empty snapshot: no footer anywhere to infer from
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => sys.error(
@@ -606,9 +762,10 @@ object TxTable {
                   schema: Option[StructType] = None): DataFrame = {
     val (fs, p) = fsFor(spark, path)
     val (added, removed) = changedFiles(spark, path, fromV, toV)
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, toV))
     def tagged(files: Seq[String], tag: String): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(scanFiles(spark, p, files, mergeSchema, schema)
+      else Some(scanFiles(spark, p, files, mergeSchema, pinned)
         .withColumn("_change_type", lit(tag)))
     (tagged(added, "insert"), tagged(removed, "delete")) match {
       case (Some(a), Some(r)) => a.unionByName(r, allowMissingColumns = mergeSchema)
@@ -701,7 +858,8 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
     if (lines.isEmpty) return None
-    val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, schema)
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
+    val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, pinned)
     val (candidates, _) = lines.partition { l =>
       val st = statsOf(l); cs.forall(mayMatch(st, _))
     }
@@ -712,7 +870,7 @@ object TxTable {
     // keep-only-the-analyzed-set filter would silently drop them)
     val candidatePaths = candidates.map(pathOf).toSet
     val rewritten = rewrite(
-      scanFiles(spark, p, candidates.map(pathOf), mergeSchema, schema),
+      scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned),
       predicate)
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
@@ -763,6 +921,7 @@ object TxTable {
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val u = updates.localCheckpoint()
     if (lines.isEmpty)
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
@@ -795,7 +954,7 @@ object TxTable {
       if (boundPreds.isEmpty || (nullSafeKeys && anyNullKey))
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
-        mergeSchema, schema)
+        mergeSchema, pinned)
     val (candidates, _) = lines.partition { l =>
       lazy val st = statsOf(l)
       cs.isEmpty || cs.forall(mayMatch(st, _))
@@ -807,7 +966,7 @@ object TxTable {
       if (candidates.isEmpty) u
       else {
         val existing = scanFiles(spark, p, candidates.map(pathOf),
-          mergeSchema, schema)
+          mergeSchema, pinned)
         val keys = u.select(keyCols.map(col): _*).distinct()
         val joined =
           if (!nullSafeKeys) existing.join(keys, keyCols, "left_anti")
@@ -889,7 +1048,8 @@ object TxTable {
       s"$path is hive-partitioned — pass partitionCols so the rewrite " +
       "preserves the partition layout")
     val rewritten = lines.map(pathOf).toSet
-    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema, schema)
+    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema,
+      schema.orElse(declaredSchemaAt(fs, p, vs.last)))
     commit(spark, path, transform(snapshot), "replace",
       (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
       partitionCols, Map.empty, requirePresent = rewritten)
@@ -1011,7 +1171,17 @@ object TxTable {
     val stats = footerStats(fs, p, newFiles)
     val newLines = newFiles.map(f =>
       stats.get(f).map(s => s"$f\t$s").getOrElse(f))
-    commitLines(spark, path, action, newLines, baseKeep, meta,
+    // declare the layout in the manifest: partitioned commits state
+    // their columns; overwrites own the WHOLE layout, so they also
+    // clear a stale declaration when the new snapshot is flat. A flat
+    // append into a partitioned table deliberately leaves the carried
+    // declaration alone — the resolver's mixed-layout check owns that
+    // failure mode.
+    val layoutMeta =
+      if (partitionCols.nonEmpty || action == "overwrite")
+        Map(PartitionsMetaKey -> enc(partitionCols.mkString(",")))
+      else Map.empty[String, String]
+    commitLines(spark, path, action, newLines, baseKeep, layoutMeta ++ meta,
       requirePresent, guard, requireUnchangedUnder)
   }
 
@@ -1097,10 +1267,13 @@ object TxTable {
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString
       // carried keys survive manifest pruning: re-emit the previous
-      // head's txn.* tokens, this commit's own meta winning on conflict
+      // head's txn.*/graft.* tokens, this commit's own meta winning on
+      // conflict; the ts stamp is per-commit and never carried
       val carried = parseMeta(prevHead)
-        .filter(_._1.startsWith(CarriedMetaPrefix)) ++ meta
-      val allTokens = carried.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .filter(kv => CarriedMetaPrefixes.exists(kv._1.startsWith)) ++ meta
+      val stamped = carried +
+        (TimestampMetaKey -> System.currentTimeMillis().toString)
+      val allTokens = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       val headLine = (action +: allTokens :+ nonce).mkString(" ")
       val body = (headLine +: (baseKeep(base, newLines) ++ newLines))
         .mkString("", "\n", "\n")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.TxTable
@@ -73,6 +73,19 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     loadVersion(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` time travel: Spark hands the timestamp in
+    * MICROseconds; it resolves to the newest commit at-or-before it
+    * via the per-commit `ts` manifest stamps.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    if (TxTable.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    loadVersion(ident,
+      Some(TxTable.versionAsOfTimestamp(spark, path, timestamp / 1000L)))
+  }
+
   private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
     val path = pathOf(ident)
     val spark = SparkSession.active
@@ -82,30 +95,55 @@ class GraftCatalog extends TableCatalog {
       Some(GraftResolve.resolve(spark, path, version)))
   }
 
-  /** `CREATE TABLE graft.`/p` (cols)`: a zero-row single-file snapshot
-    * carrying the schema — created empty, filled by INSERT.
+  /** `CREATE TABLE graft.`/p` (cols) [PARTITIONED BY (c)]`: a
+    * metadata-only commit carrying the declared schema and partition
+    * columns — no placeholder data file; the manifest owns the
+    * metadata, and INSERTs fill the table (a partitioned INSERT lays
+    * out hive dirs against the declared columns).
     */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
     val spark = SparkSession.active
-    require(partitions.isEmpty,
-      "CREATE partitioned graft tables via the DataFrame writer's " +
-        "partitionBy (partitioned layouts are owned by the writer)")
+    val partCols =
+      org.apache.spark.sql.GraftShim.identityPartitionCols(partitions)
     if (TxTable.exists(spark, path))
       throw new TableAlreadyExistsException(ident)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .coalesce(1)
-    TxTable.overwrite(spark, path, empty)
+    TxTable.create(spark, path, schema, partCols)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported for graft tables — schema changes " +
-        "go through the TxTable API (overwrite/mergeSchema)")
+  /** `ALTER TABLE graft.`/p` ADD COLUMNS (...)`: manifest-owned schema
+    * evolution — a metadata-only commit via [[TxTable.evolveSchema]];
+    * files written before it surface the added columns as null. Only
+    * top-level, nullable additions: renames / drops / retypes would
+    * need data rewrite or column mapping and are refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val spark = SparkSession.active
+    if (TxTable.versions(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    val current = TxTable.declaredSchema(spark, path).getOrElse(
+      GraftResolve.resolve(spark, path, None).schema)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft tables have no nested columns to add into: " +
+            a.fieldNames.mkString("."))
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable " +
+            "(existing rows have no value for it)")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a graft table: $other — only ADD COLUMNS " +
+          "(nullable, top-level); renames/drops/retypes need a rewrite")
+    }
+    TxTable.evolveSchema(spark, path,
+      StructType(current.fields ++ added))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)

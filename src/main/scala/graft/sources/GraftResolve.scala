@@ -41,14 +41,31 @@ private[sources] object GraftResolve {
     require(versions.contains(v),
       s"version $v of $path does not exist (have ${versions.mkString(",")})")
     val files = TxTable.snapshotFiles(spark, path, v)
-    require(files.nonEmpty,
-      s"version $v of $path is an empty snapshot — read it via " +
-        "TxTable.readVersion with a pinned schema")
+    // the schema (and partition columns) the manifest itself DECLARES
+    // (create / evolveSchema / every partitioned commit) — when present
+    // it pins resolution instead of footer inference, which is what
+    // makes empty snapshots and post-evolution reads resolvable
+    val declared = TxTable.declaredSchema(spark, path, v)
+    val declaredParts = TxTable.declaredPartitionCols(spark, path, v)
     val name = s"graft:$path@$v"
 
-    if (!files.exists(_.split('/').exists(_.contains('=')))) {
+    if (files.isEmpty) {
+      val schema = declared.getOrElse(sys.error(
+        s"version $v of $path is an empty snapshot with no declared " +
+          "schema — read it via TxTable.readVersion with a pinned schema"))
+      val partCols = declaredParts.getOrElse(Nil)
+      val partSchema = StructType(partCols.map(c => schema(c)))
+      val (idx, _) = org.apache.spark.sql.GraftPartitionShim
+        .snapshotIndex(spark, Nil, Nil, partSchema)
+      val dataSchema =
+        StructType(schema.filterNot(f => partCols.contains(f.name)))
+      GraftResolved(name, idx, schema, dataSchema, partCols)
+    } else if (!files.exists(_.split('/').exists(_.contains('=')))) {
+      require(declaredParts.forall(_.isEmpty),
+        s"$path@$v declares partition columns " +
+          s"${declaredParts.get.mkString(",")} but its files are flat")
       val pt = ParquetTable(name, spark, CaseInsensitiveStringMap.empty(),
-        files, userSpecifiedSchema = None, classOf[ParquetFileFormat])
+        files, userSpecifiedSchema = declared, classOf[ParquetFileFormat])
       GraftResolved(name, pt.fileIndex, pt.schema, pt.dataSchema, Nil)
     } else {
       val root = new Path(path)
@@ -70,18 +87,29 @@ private[sources] object GraftResolve {
       val colNames = perFile.head._2.map(_._1)
       require(perFile.forall(_._2.map(_._1) == colNames),
         s"inconsistent partition columns across $path@$v's files")
+      declaredParts.foreach(d => require(d == colNames,
+        s"$path@$v declares partition columns ${d.mkString(",")} but its " +
+          s"files are laid out by ${colNames.mkString(",")}"))
       val absFiles = files.map(f => fs.makeQualified(new Path(f)))
       val dirs = perFile
         .map { case (f, kvs) =>
           (fs.makeQualified(new Path(f)).getParent, kvs.map(_._2))
         }
         .groupBy(_._1.toString).map(_._2.head).toSeq.sortBy(_._1.toString)
-      val (idx, partSchema) = org.apache.spark.sql.GraftPartitionShim
-        .snapshotIndex(spark, absFiles, dirs, colNames)
-      // data schema from one footer (partition values live in dir names,
-      // never in the files) — same single-footer resolution as the
-      // unpartitioned path
-      val dataSchema = spark.read.parquet(files.head).schema
+      val (idx, partSchema) = declared match {
+        // declared partition types win over directory-string inference
+        case Some(s) => org.apache.spark.sql.GraftPartitionShim
+          .snapshotIndex(spark, absFiles, dirs,
+            StructType(colNames.map(c => s(c))))
+        case None => org.apache.spark.sql.GraftPartitionShim
+          .snapshotIndex(spark, absFiles, dirs, colNames)
+      }
+      // data schema from the declaration when present (footer-written
+      // files may predate an evolution), else from one footer
+      // (partition values live in dir names, never in the files)
+      val dataSchema = declared
+        .map(s => StructType(s.filterNot(f => colNames.contains(f.name))))
+        .getOrElse(spark.read.parquet(files.head).schema)
       GraftResolved(name, idx,
         StructType(dataSchema.fields ++ partSchema.fields), dataSchema,
         colNames)

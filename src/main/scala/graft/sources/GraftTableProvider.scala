@@ -72,18 +72,34 @@ class GraftTableProvider extends DataSourceRegister
 
   private def tableFor(options: CaseInsensitiveStringMap): GraftResolved = {
     val key = options.get("path") + "@" +
-      Option(options.get("versionAsOf")).getOrElse("head")
+      Option(options.get("versionAsOf")).getOrElse("head") + "@" +
+      Option(options.get("timestampAsOf")).getOrElse("-")
     val c = cached
     if (c != null && c._1 == key) c._2
     else {
       val path = Option(options.get("path")).getOrElse(
         sys.error("the graft source needs .load(<TxTable path>)"))
-      val t = GraftResolve.resolve(SparkSession.active, path,
-        Option(options.get("versionAsOf")).map(_.toLong))
+      require(options.get("versionAsOf") == null ||
+        options.get("timestampAsOf") == null,
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      // timestampAsOf: epoch millis, or an ISO-8601 instant/local
+      // datetime (local = session-default zone), resolved to the newest
+      // commit at-or-before it via the manifests' `ts` stamps
+      val version = Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(options.get("timestampAsOf")).map(s =>
+          TxTable.versionAsOfTimestamp(SparkSession.active, path,
+            parseTsMillis(s))))
+      val t = GraftResolve.resolve(SparkSession.active, path, version)
       cached = (key, t)
       t
     }
   }
+
+  private def parseTsMillis(s: String): Long =
+    scala.util.Try(s.toLong).getOrElse(
+      scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     tableFor(options).schema

@@ -37,11 +37,26 @@ object GraftPartitionShim {
                     dirs: Seq[(Path, Seq[String])],
                     colNames: Seq[String])
       : (PartitioningAwareFileIndex, StructType) = {
-    val cs = spark.asInstanceOf[classic.SparkSession]
     val types = colNames.indices.map(i => commonType(dirs.map(_._2(i))))
     val schema = StructType(colNames.zip(types).map { case (n, t) =>
       StructField(n, t, nullable = true)
     })
+    snapshotIndex(spark, files, dirs, schema)
+  }
+
+  /** Same, with the partition schema DECLARED (from the manifest's
+    * carried `graft.schema` metadata) instead of inferred from the
+    * value strings — declared types win over inference (a string
+    * column holding "07" stays "07"), and an EMPTY snapshot (no dirs,
+    * no files — a freshly created partitioned table) is representable
+    * because nothing needs inferring.
+    */
+  def snapshotIndex(spark: SparkSession, files: Seq[Path],
+                    dirs: Seq[(Path, Seq[String])],
+                    schema: StructType)
+      : (PartitioningAwareFileIndex, StructType) = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val types = schema.fields.map(_.dataType).toSeq
     val partitions = dirs.map { case (p, vals) =>
       PartitionPath(row(vals, types), p)
     }
@@ -71,8 +86,16 @@ object GraftPartitionShim {
       case (HiveNull, _) => null
       case (v, IntegerType) => v.toInt
       case (v, LongType) => v.toLong
+      case (v, ShortType) => v.toShort
+      case (v, ByteType) => v.toByte
+      case (v, FloatType) => v.toFloat
       case (v, DoubleType) => v.toDouble
+      case (v, BooleanType) => v.toBoolean
       case (v, DateType) => java.time.LocalDate.parse(v).toEpochDay.toInt
-      case (v, _) => UTF8String.fromString(v)
+      case (v, d: DecimalType) =>
+        Decimal(new java.math.BigDecimal(v), d.precision, d.scale)
+      case (v, StringType) => UTF8String.fromString(v)
+      case (_, t) => throw new IllegalArgumentException(
+        s"unsupported declared partition column type ${t.simpleString}")
     }.toArray[Any])
 }

@@ -27,6 +27,29 @@ class GraftSourceSpec extends SparkSpec {
     assert(v1.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("timestampAsOf resolves via the manifests' commit stamps") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Thread.sleep(20)
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    val ts1 = TxTable.commitTimestamp(spark, table, 1L)
+    // epoch millis
+    assert(spark.read.format("graft").option("timestampAsOf", ts1)
+      .load(table).count() === 2L)
+    // ISO instant
+    val iso = java.time.Instant.ofEpochMilli(ts1).toString
+    assert(spark.read.format("graft").option("timestampAsOf", iso)
+      .load(table).count() === 2L)
+    // pre-history timestamps and option conflicts fail loudly
+    assertThrows[Exception](spark.read.format("graft")
+      .option("timestampAsOf", ts1 - 10000).load(table).collect())
+    assertThrows[Exception](spark.read.format("graft")
+      .option("timestampAsOf", ts1).option("versionAsOf", 1)
+      .load(table).collect())
+  }
+
   test("the loaded frame is a stable snapshot — later commits do not leak in") {
     val s = spark
     import s.implicits._

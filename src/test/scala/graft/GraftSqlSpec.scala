@@ -172,6 +172,66 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) === 3L)
   }
 
+  test("catalog: CREATE TABLE PARTITIONED BY is metadata-only; INSERT lays out and prunes") {
+    val table = tmp()
+    spark.sql(s"CREATE TABLE graft.`$table` (id BIGINT, half INT) " +
+      "PARTITIONED BY (half)")
+    assert(spark.sql(s"SELECT * FROM graft.`$table`").count() === 0L,
+      "an empty partitioned table is queryable — no placeholder file")
+    assert(TxTable.declaredPartitionCols(spark, table).contains(Seq("half")))
+    spark.sql(s"INSERT INTO graft.`$table` " +
+      "SELECT id, CAST(id % 2 AS INT) FROM range(1, 21)")
+    val odd = spark.sql(
+      s"SELECT id FROM graft.`$table` WHERE half = 1 ORDER BY id")
+    assert(odd.collect().map(_.getLong(0)).toSeq ===
+      (1L to 20L).filter(_ % 2 == 1))
+    val plan = odd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(half"),
+      s"partition pruning on the declared layout:\n$plan")
+  }
+
+  test("catalog: ALTER TABLE ADD COLUMNS evolves the schema without rewrite") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMNS (score DOUBLE)")
+    // pre-evolution rows surface the new column as null
+    assert(spark.sql(s"SELECT score FROM graft.`$table`").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql(s"INSERT INTO graft.`$table` VALUES (3, 'c', 0.5)")
+    val got = spark.sql(
+      s"SELECT id, score FROM graft.`$table` ORDER BY id").collect()
+    assert(got.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq ===
+      Seq((1L, -1.0), (2L, -1.0), (3L, 0.5)))
+    // non-widening changes are refused loudly
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$table` DROP COLUMN v"))
+    assert(e.getMessage.contains("ADD COLUMNS") ||
+      e.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("catalog: TIMESTAMP AS OF resolves to the commit at-or-before") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(20)
+    TxTable.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    val ts1 = TxTable.commitTimestamp(spark, table, 1L)
+    val lit = java.time.Instant.ofEpochMilli(ts1)
+      .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // session tz is UTC in tests, so the literal resolves to ts1 exactly
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft.`$table` TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$table`")
+      .head().getLong(0) === 2L)
+  }
+
   test("partitioned CTAS via the parser is readable through the catalog with pruning") {
     val s = spark
     import s.implicits._
@@ -184,8 +244,9 @@ class GraftSqlSpec extends SparkSpec {
       s"SELECT id FROM graft.`$table` WHERE half = 1 ORDER BY id")
     assert(odd.collect().map(_.getLong(0)).toSeq ===
       (1L to 20L).filter(_ % 2 == 1))
-    assert(odd.inputFiles.forall(_.contains("half=1")),
-      s"partition pruning through the catalog: ${odd.inputFiles.toSeq}")
+    val plan = odd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(half"),
+      s"partition pruning through the catalog:\n$plan")
   }
 
   test("catalog: the SQL and DataFrame surfaces see the same table") {

@@ -33,6 +33,24 @@ class GraftStreamSpec extends SparkSpec {
       .toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("readStream.table streams a catalog table — same source, SQL-addressed") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_src") + "/t"
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val q = spark.readStream.table(s"graft.`$table`")
+      .writeStream.format("memory").queryName("graft_stream_cat")
+      .option("checkpointLocation", tmp("graft_src_cp")).start()
+    q.processAllAvailable()
+    assert(spark.table("graft_stream_cat").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L))
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_stream_cat").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("startingVersion skips history; stream transforms apply per batch") {
     val s = spark
     import s.implicits._
