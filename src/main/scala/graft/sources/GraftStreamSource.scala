@@ -170,9 +170,25 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
     extends MicroBatchStream {
 
   // "processed through version v" (inclusive); startingVersion=N means
-  // the first batch begins at version N, i.e. offset N-1 is done
-  private val startOffset: Long =
-    Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(0L)
+  // the first batch begins at version N, i.e. offset N-1 is done.
+  // startingTimestamp=T (epoch millis or ISO instant) begins at the
+  // first commit stamped at-or-after T — commits before T count as
+  // processed; if every retained commit predates T the stream starts
+  // at the head and surfaces only future commits.
+  private val startOffset: Long = {
+    require(options.get("startingVersion") == null ||
+      options.get("startingTimestamp") == null,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    Option(options.get("startingVersion")).map(_.toLong - 1)
+      .orElse(Option(options.get("startingTimestamp")).map { s =>
+        val t = scala.util.Try(s.toLong).getOrElse(
+          java.time.Instant.parse(s).toEpochMilli)
+        TxTable.versions(spark, path)
+          .takeWhile(v => TxTable.commitTimestamp(spark, path, v) < t)
+          .lastOption.getOrElse(0L)
+      })
+      .getOrElse(0L)
+  }
 
   override def initialOffset(): Offset = LongOffset(math.max(startOffset, 0L))
 

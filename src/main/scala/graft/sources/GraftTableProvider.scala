@@ -95,11 +95,15 @@ class GraftTableProvider extends DataSourceRegister
     }
   }
 
-  private def parseTsMillis(s: String): Long =
+  private def parseTsMillis(s: String): Long = {
+    val zone = java.time.ZoneId.of(
+      SparkSession.active.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
     scala.util.Try(s.toLong).getOrElse(
       scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
         java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli))
+          .atZone(zone).toInstant.toEpochMilli))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     tableFor(options).schema

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 
 import graft.ops.TxTable
 
@@ -25,6 +25,7 @@ import graft.ops.TxTable
   *   OPTIMIZE graft.`/t` ZORDER BY (c1, c2)
   *   VACUUM graft.`/t` [RETAIN n VERSIONS]
   *   RESTORE graft.`/t` [TO] VERSION [AS OF] v
+  *   RESTORE graft.`/t` [TO] TIMESTAMP [AS OF] 'ts'
   *   DESCRIBE HISTORY graft.`/t`
   * }}}
   *
@@ -64,6 +65,9 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+""" + Tbl +
       """\s+(?:TO\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*""").r
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+""" + Tbl +
+      """\s+(?:TO\s+)?TIMESTAMP\s+(?:AS\s+OF\s+)?'([^']+)'\s*""").r
   private val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tbl + """\s*""").r
 
@@ -108,6 +112,8 @@ object GraftSql {
           Option(keep).map(_.toInt).getOrElse(1)))
       case RestoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
+      case RestoreTsRe(path, ts) =>
+        Some(GraftRestoreTimestampCommand(path, ts))
       case HistoryRe(path) =>
         Some(GraftHistoryCommand(path))
       case _ => None
@@ -280,15 +286,42 @@ case class GraftRestoreCommand(path: String, version: Long)
     Seq(Row(TxTable.restore(spark, path, version)))
 }
 
-/** `DESCRIBE HISTORY graft.`p`` → one row per retained commit. */
+/** `RESTORE graft.`p` TIMESTAMP AS OF 'ts'` — the timestamp (epoch
+  * millis, ISO instant, or `yyyy-MM-dd HH:mm:ss[.SSS]` in the session
+  * zone) resolves to the newest commit at-or-before it via the
+  * manifests' `ts` stamps, then restores exactly as the VERSION form.
+  */
+case class GraftRestoreTimestampCommand(path: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val millis = scala.util.Try(ts.toLong).getOrElse(
+      scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).getOrElse(
+        java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          .atZone(zone).toInstant.toEpochMilli))
+    Seq(Row(TxTable.restore(spark, path,
+      TxTable.versionAsOfTimestamp(spark, path, millis))))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.`p`` → one row per retained commit, with
+  * the commit time as a real TIMESTAMP column (from the manifest `ts`
+  * stamp; pre-stamp manifests fall back to file mtime).
+  */
 case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_time", TimestampType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("meta", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     TxTable.history(spark, path).map { case (v, action, meta) =>
-      Row(v, action,
+      Row(v,
+        new java.sql.Timestamp(TxTable.commitTimestamp(spark, path, v)),
+        action,
         meta.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(","))
     }
 }

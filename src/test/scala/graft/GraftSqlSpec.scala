@@ -98,8 +98,10 @@ class GraftSqlSpec extends SparkSpec {
     val after = TxTable.read(spark, table).collect().map(_.toString).sorted
     assert(before.toSeq === after.toSeq)
     val hist = spark.sql(s"DESCRIBE HISTORY graft.`$table`").collect()
-    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+    assert(hist.map(r => (r.getLong(0), r.getString(2))).toSeq ===
       Seq((1L, "append"), (2L, "replace")))
+    assert(hist.forall(r => r.getTimestamp(1).getTime > 0),
+      "every commit carries a real commit_time")
   }
 
   test("RESTORE rolls back a bad overwrite; VACUUM prunes history") {
@@ -210,6 +212,21 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$table` DROP COLUMN v"))
     assert(e.getMessage.contains("ADD COLUMNS") ||
       e.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("RESTORE TIMESTAMP AS OF rolls back to the commit at-or-before") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val ts1 = TxTable.commitTimestamp(spark, table, 1L)
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    TxTable.overwrite(spark, table, Seq((9L, "bad")).toDF("id", "v"))
+    val v = spark.sql(
+      s"RESTORE graft.`$table` TO TIMESTAMP AS OF '$ts1'").head().getLong(0)
+    assert(v === 3L)
+    assert(TxTable.read(spark, table).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
   }
 
   test("catalog: TIMESTAMP AS OF resolves to the commit at-or-before") {

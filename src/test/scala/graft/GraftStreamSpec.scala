@@ -68,6 +68,24 @@ class GraftStreamSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("startingTimestamp begins at the first commit stamped at-or-after it") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_src") + "/t"
+    TxTable.append(spark, table, Seq((1L, "old")).toDF("id", "v"))
+    val ts1 = TxTable.commitTimestamp(spark, table, 1L)
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    TxTable.append(spark, table, Seq((2L, "new")).toDF("id", "v"))
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", ts1 + 1).load(table)
+      .writeStream.format("memory").queryName("graft_stream_ts")
+      .option("checkpointLocation", tmp("graft_src_cp")).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_stream_ts").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+  }
+
   test("checkpoint restart resumes at the committed version — no replays, no gaps") {
     val s = spark
     import s.implicits._
