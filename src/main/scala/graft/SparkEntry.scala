@@ -353,9 +353,10 @@ object SparkEntry {
       graft.ops.TxTable.append(s, tmp, d.filter(col("doc_id") % 2 === 1))
       graft.ops.TxTable.optimize(s, tmp, Seq("n_chars", "doc_id"),
         targetBytes = 64L * 1024)
-      val optimized = graft.ops.TxTable.versions(s, tmp).last
+      graft.ops.TxTable.compact(s, tmp) // bin-pack — data-identical too
+      val compacted = graft.ops.TxTable.versions(s, tmp).last
       graft.ops.TxTable.overwrite(s, tmp, d.limit(10))
-      graft.ops.TxTable.restore(s, tmp, optimized)
+      graft.ops.TxTable.restore(s, tmp, compacted)
       graft.ops.TxTable.readWhere(s, tmp, col("n_chars") >= 500)
         .orderBy("doc_id")
     }),

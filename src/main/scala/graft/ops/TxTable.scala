@@ -1005,6 +1005,23 @@ object TxTable {
     }
   }
 
+  /** Bin-pack compaction: rewrite the head snapshot into
+    * ceil(bytes/targetBytes) files with NO re-clustering — the cheap
+    * small-file fix for streaming-ingested tables (every micro-batch
+    * commit adds files; a thousand 100 KB files make every scan pay a
+    * thousand task setups). Data-identical, one atomic "replace"
+    * commit, racing appends kept — same contract as [[optimize]] minus
+    * the z-order shuffle's sort.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil,
+              mergeSchema: Boolean = false): Long = {
+    val numFiles = headFileCountFor(spark, path, targetBytes)
+    rewriteSnapshot(spark, path, partitionCols, mergeSchema)(
+      _.repartition(numFiles))
+  }
+
   /** ceil(live snapshot bytes / targetBytes) — the file count a layout
     * rewrite should produce. O(files) driver metadata calls.
     */

@@ -22,7 +22,7 @@ import graft.ops.TxTable
   *   MERGE INTO graft.`/t` USING (SELECT ...) ON (key1, key2)
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
-  *   OPTIMIZE graft.`/t` ZORDER BY (c1, c2)
+  *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)]
   *   VACUUM graft.`/t` [RETAIN n VERSIONS]
   *   RESTORE graft.`/t` [TO] VERSION [AS OF] v
   *   RESTORE graft.`/t` [TO] TIMESTAMP [AS OF] 'ts'
@@ -59,6 +59,8 @@ object GraftSql {
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+""" + Tbl +
       """\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""").r
+  private val CompactRe =
+    ("""(?is)\s*OPTIMIZE\s+""" + Tbl + """\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+""" + Tbl +
       """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""").r
@@ -107,6 +109,8 @@ object GraftSql {
         Some(GraftDeleteCommand(path, cond))
       case OptimizeRe(path, cols) =>
         Some(GraftOptimizeCommand(path, splitNames(cols)))
+      case CompactRe(path) =>
+        Some(GraftCompactCommand(path))
       case VacuumRe(path, keep) =>
         Some(GraftVacuumCommand(path,
           Option(keep).map(_.toInt).getOrElse(1)))
@@ -267,6 +271,15 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.optimize(spark, path, zorderCols)))
+}
+
+/** `OPTIMIZE graft.`p`` (no ZORDER) → [[TxTable.compact]] — bin-pack
+  * small files, no re-clustering.
+  */
+case class GraftCompactCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.compact(spark, path)))
 }
 
 /** `VACUUM graft.`p` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */

@@ -104,6 +104,29 @@ class GraftSqlSpec extends SparkSpec {
       "every commit carries a real commit_time")
   }
 
+  test("OPTIMIZE without ZORDER bin-packs small commits; DROP TABLE removes through the catalog") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // five tiny commits → five+ files
+    (1 to 5).foreach(i =>
+      TxTable.append(spark, table, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val before = TxTable.read(spark, table).collect().map(_.toString).sorted
+    val filesBefore =
+      TxTable.snapshotFiles(spark, table, TxTable.versions(spark, table).last)
+    spark.sql(s"OPTIMIZE graft.`$table`")
+    val head = TxTable.versions(spark, table).last
+    val filesAfter = TxTable.snapshotFiles(spark, table, head)
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction must shrink the file count: ${filesBefore.size} -> " +
+        s"${filesAfter.size}")
+    assert(TxTable.read(spark, table).collect().map(_.toString).sorted
+      .toSeq === before.toSeq, "compaction is data-identical")
+    // DROP TABLE resolves through the catalog and removes the table
+    spark.sql(s"DROP TABLE graft.`$table`")
+    assert(!TxTable.exists(spark, table))
+  }
+
   test("RESTORE rolls back a bad overwrite; VACUUM prunes history") {
     val s = spark
     import s.implicits._
