@@ -165,6 +165,17 @@ object TxTable {
     parseMeta(readManifest(fs, p, v)._1).get(PartitionsMetaKey)
       .map(s => dec(s).split(',').toSeq.filter(_.nonEmpty))
 
+  /** The layout a REWRITE must preserve: the caller's explicit columns,
+    * else whatever the head manifest declares — so SQL DML and
+    * maintenance statements on a partitioned table keep its layout
+    * without being told the columns (a flat rewrite of a hive layout
+    * would break directory pruning and replacePartitions semantics).
+    */
+  private def layoutOrDeclared(fs: FileSystem, p: Path, v: Long,
+                               partitionCols: Seq[String]): Seq[String] =
+    if (partitionCols.nonEmpty) partitionCols
+    else declaredPartitionColsAt(fs, p, v).getOrElse(Nil)
+
   /** Create an EMPTY table as a metadata-only commit carrying the
     * declared schema (and partition columns): no data file is written —
     * the manifest owns the metadata, so `CREATE TABLE (cols)` followed
@@ -859,6 +870,7 @@ object TxTable {
     val lines = readManifest(fs, p, vs.last)._2
     if (lines.isEmpty) return None
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
+    val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, pinned)
     val (candidates, _) = lines.partition { l =>
       val st = statsOf(l); cs.forall(mayMatch(st, _))
@@ -874,7 +886,7 @@ object TxTable {
       predicate)
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      partitionCols, requirePresent = candidatePaths))
+      layout, requirePresent = candidatePaths))
   }
 
   /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace
@@ -922,10 +934,11 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
+    val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val u = updates.localCheckpoint()
     if (lines.isEmpty)
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
-        partitionCols, meta, guard = guard)
+        layout, meta, guard = guard)
     if (u.isEmpty)
       // nothing to rewrite, but meta (e.g. a consumer offset) must
       // still land durably: a metadata-only commit — silently dropping
@@ -977,7 +990,7 @@ object TxTable {
       }
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      partitionCols, meta, requirePresent = candidatePaths, guard = guard)
+      layout, meta, requirePresent = candidatePaths, guard = guard)
   }
 
   /** Rewrite the head snapshot Z-order-clustered on `zorderCols`
@@ -998,10 +1011,13 @@ object TxTable {
                partitionCols: Seq[String] = Nil,
                mergeSchema: Boolean = false): Long = {
     require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else declaredPartitionCols(spark, path).getOrElse(Nil)
     val numFiles = headFileCountFor(spark, path, targetBytes)
-    rewriteSnapshot(spark, path, partitionCols, mergeSchema) { snapshot =>
+    rewriteSnapshot(spark, path, layout, mergeSchema) { snapshot =>
       ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
-        leadCols = partitionCols)
+        leadCols = layout)
     }
   }
 
@@ -1017,9 +1033,17 @@ object TxTable {
               targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
               mergeSchema: Boolean = false): Long = {
-    val numFiles = headFileCountFor(spark, path, targetBytes)
-    rewriteSnapshot(spark, path, partitionCols, mergeSchema)(
-      _.repartition(numFiles))
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else declaredPartitionCols(spark, path).getOrElse(Nil)
+    val numFiles = math.max(1, headFileCountFor(spark, path, targetBytes))
+    rewriteSnapshot(spark, path, layout, mergeSchema)(df =>
+      if (layout.isEmpty) df.repartition(numFiles)
+      // partitioned: distribute BY the partition columns so each task
+      // holds whole partitions — the per-dir writer then emits ~one
+      // file per partition instead of (tasks × partitions) shards
+      else df.repartition(numFiles,
+        layout.map(org.apache.spark.sql.functions.col): _*))
   }
 
   /** ceil(live snapshot bytes / targetBytes) — the file count a layout
@@ -1057,10 +1081,12 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, vs.last)._2
     require(lines.nonEmpty, s"nothing to rewrite: head of $path is empty")
+    val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     // a hive-partitioned table MUST be rewritten with its layout, or
     // the flat rewrite breaks directory pruning and a later
-    // replacePartitions would keep (and so duplicate) the old rows
-    require(partitionCols.nonEmpty ||
+    // replacePartitions would keep (and so duplicate) the old rows;
+    // tables with a manifest-declared layout resolve it automatically
+    require(layout.nonEmpty ||
       !lines.exists(l => partitionDirOf(pathOf(l)).nonEmpty),
       s"$path is hive-partitioned — pass partitionCols so the rewrite " +
       "preserves the partition layout")
@@ -1069,7 +1095,7 @@ object TxTable {
       schema.orElse(declaredSchemaAt(fs, p, vs.last)))
     commit(spark, path, transform(snapshot), "replace",
       (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
-      partitionCols, Map.empty, requirePresent = rewritten)
+      layout, Map.empty, requirePresent = rewritten)
   }
 
   /** Roll the table back (or forward) to EXACTLY the snapshot of

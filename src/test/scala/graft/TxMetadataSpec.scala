@@ -111,6 +111,27 @@ class TxMetadataSpec extends SparkSpec {
     assert(notNull.getMessage.contains("nullable"))
   }
 
+  test("DML and maintenance preserve a declared partition layout untold") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      (1L to 20L).map(i => (i, (i % 2).toString)).toDF("id", "half"),
+      partitionCols = Seq("half"))
+    // SQL-style DELETE passes no partitionCols — the declared layout
+    // must still shape the rewritten files
+    TxTable.delete(spark, dir, col("id") <= 4L)
+    // compaction likewise resolves the layout from the manifest
+    TxTable.compact(spark, dir)
+    val head = TxTable.versions(spark, dir).last
+    val files = TxTable.snapshotFiles(spark, dir, head)
+    assert(files.nonEmpty && files.forall(_.contains("half=")),
+      s"every live file must stay under a hive dir: $files")
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).sorted
+      .toSeq === (5L to 20L))
+    assert(TxTable.declaredPartitionCols(spark, dir).contains(Seq("half")))
+  }
+
   test("partitioned commits declare their layout; flat overwrite clears it") {
     val s = spark
     import s.implicits._

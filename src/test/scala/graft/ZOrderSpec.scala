@@ -97,7 +97,7 @@ class ZOrderSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == beforeRows)
   }
 
-  test("optimize preserves a hive-partitioned layout; flat rewrite is rejected") {
+  test("optimize preserves a hive-partitioned layout without being told it") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files
@@ -105,13 +105,11 @@ class ZOrderSpec extends SparkSpec {
     val data = (for (d <- Seq("mon", "tue"); i <- 0 until 100)
       yield (d, i.toLong, (i * 7 % 100).toLong)).toDF("day", "x", "y")
     TxTable.append(spark, dir, data, partitionCols = Seq("day"))
-    // refusing a flat rewrite of a partitioned table (it would break
-    // directory pruning and later replacePartitions semantics)
-    val e = intercept[IllegalArgumentException](
-      TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2048))
-    assert(e.getMessage.contains("partitionCols"))
-    TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2048,
-      partitionCols = Seq("day"))
+    // no partitionCols passed: the layout the partitioned append
+    // DECLARED in the manifest shapes the rewrite automatically (a
+    // flat rewrite would break directory pruning and later
+    // replacePartitions semantics)
+    TxTable.optimize(spark, dir, Seq("x", "y"), targetBytes = 2048)
     val after = TxTable.read(spark, dir)
     assert(after.count() == 200)
     assert(after.inputFiles.forall(f => f.contains("day=")),
