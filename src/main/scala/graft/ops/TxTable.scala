@@ -1021,6 +1021,41 @@ object TxTable {
     }
   }
 
+  /** Commit pre-written data files as one streaming micro-batch append
+    * — the driver half of the native `writeStream.format("graft")`
+    * sink ([[graft.streaming.GraftStreamingWrite]]): executors have
+    * already written `relFiles` (paths relative to the table root);
+    * this claims them in one manifest carrying the
+    * `txn.<app> = epochId` idempotence token. Returns None iff a
+    * manifest already records `>= epochId` for this app — the replayed
+    * epoch is already durable and the caller should discard its
+    * re-written files. The check-then-commit race is closed by the
+    * claim-loop `guard` (a concurrent same-app committer aborts), so
+    * at most one attempt of an epoch ever lands.
+    */
+  private[graft] def commitStreamingFiles(spark: SparkSession, path: String,
+                                          relFiles: Seq[String],
+                                          txnApp: String,
+                                          epochId: Long): Option[Long] = {
+    val (fs, p) = fsFor(spark, path)
+    val key = CarriedMetaPrefixes.head + txnApp
+    val already = versions(spark, path).lastOption.exists(v =>
+      parseMeta(readManifest(fs, p, v)._1).get(key)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).exists(_ >= epochId))
+    if (already) None
+    else {
+      val stats = footerStats(fs, p, relFiles)
+      val newLines = relFiles.map(f =>
+        stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+      try Some(commitLines(spark, path, "append", newLines,
+        (base, _) => base, meta = Map(key -> epochId.toString),
+        guard = Map(key -> epochId)))
+      catch {
+        case _: java.util.ConcurrentModificationException => None
+      }
+    }
+  }
+
   /** Bin-pack compaction: rewrite the head snapshot into
     * ceil(bytes/targetBytes) files with NO re-clustering — the cheap
     * small-file fix for streaming-ingested tables (every micro-batch

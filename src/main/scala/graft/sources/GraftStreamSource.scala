@@ -70,7 +70,7 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   /** The REAL ParquetScanBuilder negotiates pruning/pushdown (via the
     * forwarding shim — `build()` is covariantly typed so it cannot be
@@ -114,6 +114,25 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
 
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          /** `df.writeStream.format("graft").start(path)` — the native
+            * micro-batch sink ([[graft.streaming.GraftStreamingWrite]]):
+            * executors write per-epoch parquet, the driver claims the
+            * files + the `txn.<queryId>=epoch` token in one manifest —
+            * exactly-once across restarts. Append-only, like the file
+            * sinks; the stable query id is the idempotence key.
+            */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!overwrite,
+              "the graft streaming sink is append-only — Complete/" +
+                "Update output modes are not supported")
+            require(partitionCols.isEmpty,
+              "the graft streaming sink writes unpartitioned commits — " +
+                "compact into a partitioned layout downstream if needed")
+            new graft.streaming.GraftStreamingWrite(path, info.schema(),
+              info.queryId())
+          }
+
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {

@@ -13,6 +13,55 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftShim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The session's SQL-conf-carrying Hadoop configuration
+    * (`sessionState` is `private[sql]`) — what a write path must ship
+    * to executors so parquet codec/legacy-format settings apply.
+    */
+  def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** Driver half of a do-it-yourself distributed parquet write (the
+    * graft STREAMING sink): Spark's own
+    * [[execution.datasources.parquet.ParquetFileFormat.prepareWrite]]
+    * resolves every session setting (codec, legacy format, timestamp
+    * type, field ids) into the job conf and returns the serializable
+    * writer factory the batch path itself uses — no conf key is
+    * re-derived by hand. Returns (factory, fully-configured conf);
+    * both ship to executors, opaquely typed because the factory's
+    * class is `private[sql]`.
+    */
+  def parquetWriteKit(spark: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType)
+      : (Serializable, org.apache.hadoop.conf.Configuration) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(hadoopConf(spark))
+    val factory = new execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark.asInstanceOf[classic.SparkSession], job,
+        Map.empty, schema)
+    (factory, job.getConfiguration)
+  }
+
+  /** Executor half: open one parquet [[execution.datasources.OutputWriter]]
+    * at `path` and return its (write, close) as plain closures (the
+    * writer's type is `private[sql]`).
+    */
+  def openParquetWriter(factory: Serializable, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        conf: org.apache.hadoop.conf.Configuration,
+                        partitionId: Int, taskId: Long)
+      : (org.apache.spark.sql.catalyst.InternalRow => Unit, () => Unit) = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft-stream", 0),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      taskId.toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, attempt)
+    val w = factory
+      .asInstanceOf[execution.datasources.OutputWriterFactory]
+      .newInstance(path, schema, ctx)
+    (w.write, () => w.close())
+  }
   def toExpression(spark: SparkSession, c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.TxTable
+
+/** `df.writeStream.format("graft")` — the native V2 streaming sink:
+  * per-epoch executor-written parquet claimed by one manifest commit
+  * carrying the `txn.<queryId>` idempotence token.
+  */
+class GraftStreamSinkSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("table-to-table streaming: every source commit lands exactly once") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_src") + "/a"
+    val dst = tmp("gss_dst") + "/b"
+    val cp = tmp("gss_cp")
+    TxTable.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp).start(dst)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+    // two more source commits, restart from the checkpoint: the new
+    // rows arrive exactly once, nothing replays
+    TxTable.append(spark, src, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.append(spark, src, Seq((4L, "d")).toDF("id", "v"))
+    run()
+    assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L))
+    // an idle restart commits nothing new
+    val before = TxTable.versions(spark, dst)
+    run()
+    assert(TxTable.versions(spark, dst) === before,
+      "empty epochs must not commit")
+    // the sink's commits carry the stream's idempotence token
+    val meta = TxTable.commitMeta(spark, dst, before.last)
+    assert(meta.keys.exists(_.startsWith("txn.")), meta.toString)
+  }
+
+  test("the streamed table is a regular TxTable: batch reads, history, downstream streams") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_src") + "/a"
+    val dst = tmp("gss_dst") + "/b"
+    TxTable.append(spark, src,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmp("gss_cp")).start(dst)
+    q.processAllAvailable(); q.stop()
+    // plain batch surfaces all see the streamed table
+    assert(spark.read.format("graft").load(dst).count() === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) === 10L)
+    val hist = TxTable.history(spark, dst)
+    assert(hist.map(_._2) === Seq("append"))
+    // and it feeds the NEXT stream incrementally — end-to-end pipeline
+    val dst2 = tmp("gss_dst2") + "/c"
+    val q2 = spark.readStream.format("graft").load(dst)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmp("gss_cp2")).start(dst2)
+    q2.processAllAvailable(); q2.stop()
+    assert(TxTable.read(spark, dst2).count() === 10L)
+  }
+
+  test("complete output mode is refused — the sink is append-only") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_src") + "/a"
+    TxTable.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(src)
+        .groupBy("v").count()
+        .writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation", tmp("gss_cp"))
+        .start(tmp("gss_dst") + "/b")
+      q.processAllAvailable(); q.stop()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")),
+      s"got: $e")
+  }
+}
