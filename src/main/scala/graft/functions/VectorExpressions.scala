@@ -126,9 +126,14 @@ object VectorExpressions {
   *
   * Also injects [[graft.sql.GraftSqlParser]]: the TxTable DDL/DML
   * statements (`CREATE TABLE graft.`p` ... AS`, `MERGE INTO`,
-  * `UPDATE`, `DELETE FROM`, `OPTIMIZE ... ZORDER BY`, `VACUUM`,
+  * `UPDATE`, `DELETE FROM`, `OPTIMIZE [ZORDER BY]`, `VACUUM`,
   * `RESTORE`, `DESCRIBE HISTORY`) become plain `spark.sql(...)`
-  * calls routing to the [[graft.ops.TxTable]] commit protocol.
+  * calls routing to the [[graft.ops.TxTable]] commit protocol — and
+  * the incremental table-valued functions
+  * `graft_changes('/t', from, to)` (file-granular CDC) and
+  * `graft_appended('/t', from[, to])` (delta-only incremental read),
+  * which compose into any SQL query with I/O proportional to the
+  * changed files.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -158,8 +163,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
 
+  /** Foldable string argument (a table path). */
+  private def strArg(args: Seq[Expression], i: Int, what: String): String =
+    args(i) match {
+      case e if e.foldable && e.eval() != null => e.eval().toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal string, got $other")
+    }
+
+  private def longArg(args: Seq[Expression], i: Int, what: String): Long =
+    args(i) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+
+  private def tvf(name: String,
+                  builder: Seq[Expression] => org.apache.spark.sql.catalyst
+                    .plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // table-valued incremental surfaces: CDC and delta reads compose
+    // into plain SQL — `SELECT * FROM graft_changes('/t', 1, 5)` —
+    // with I/O proportional to the CHANGED files, never a rescan
+    ext.injectTableFunction(tvf("graft_changes", args => {
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.ops.TxTable.readChanges(s, strArg(args, 0, "table path"),
+        longArg(args, 1, "fromVersion"), longArg(args, 2, "toVersion"))
+        .queryExecution.logical
+    }))
+    ext.injectTableFunction(tvf("graft_appended", args => {
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.ops.TxTable.readAppended(s, strArg(args, 0, "table path"),
+        longArg(args, 1, "fromVersion"),
+        if (args.length > 2) longArg(args, 2, "toVersion") else -1L)
+        .queryExecution.logical
+    }))
     ext.injectFunction(
       (FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),

@@ -289,6 +289,27 @@ class GraftSqlSpec extends SparkSpec {
       s"partition pruning through the catalog:\n$plan")
   }
 
+  test("graft_changes / graft_appended table functions compose into SQL") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.delete(spark, table, org.apache.spark.sql.functions.col("id") === 1L)
+    // CDC between v1 and head: stats pruning means the delete touched
+    // ONLY the file holding id=1 (id=2's file carried over verbatim),
+    // so the change set is exactly one delete plus v2's insert
+    val ch = spark.sql(
+      s"SELECT _change_type, id FROM graft_changes('$table', 1, 3) " +
+        "ORDER BY _change_type, id").collect()
+    assert(ch.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("delete", 1L), ("insert", 3L)))
+    // delta-only incremental read joins like any table
+    val app = spark.sql(
+      s"SELECT count(*) AS n FROM graft_appended('$table', 1)")
+    assert(app.head().getLong(0) === 1L) // just v2's append
+  }
+
   test("catalog: the SQL and DataFrame surfaces see the same table") {
     val s = spark
     import s.implicits._
