@@ -71,6 +71,22 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(TxTable.read(spark, dst2).count() === 10L)
   }
 
+  test("writeStream.toTable targets a catalog table by name") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_src") + "/a"
+    val dst = tmp("gss_dst") + "/b"
+    TxTable.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // pre-create through the catalog, then stream into it by name
+    spark.sql(s"CREATE TABLE graft.`$dst` (id BIGINT, v STRING)")
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.option("checkpointLocation", tmp("gss_cp"))
+      .toTable(s"graft.`$dst`")
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql(s"SELECT id FROM graft.`$dst` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("complete output mode is refused — the sink is append-only") {
     val s = spark
     import s.implicits._
