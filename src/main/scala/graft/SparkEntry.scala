@@ -476,6 +476,31 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // the NATIVE streaming sink end-to-end: two source commits stream
+    // through readStream.format("graft") → writeStream.format("graft")
+    // (per-epoch executor parquet + one manifest claim with the
+    // txn.<queryId> token), then the landed table aggregates like any
+    // other — proving stream-written bytes are byte-equivalent to a
+    // batch write of the same rows
+    "q_x_stream_sink" -> ((s, dir) => {
+      val src = tmpQueryDir("graft_ss") + "/src"
+      val dst = tmpQueryDir("graft_ss") + "/dst"
+      val cp = tmpQueryDir("graft_ss_cp")
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      graft.ops.TxTable.append(s, src, c.filter(col("c_custkey") % 2 === 0))
+      graft.ops.TxTable.append(s, src, c.filter(col("c_custkey") % 2 === 1))
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp).start(dst)
+      q.processAllAvailable(); q.stop()
+      s.read.format("graft").load(dst)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_x_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -1366,6 +1391,12 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_x_stream_sink" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_x_rollup" ->
