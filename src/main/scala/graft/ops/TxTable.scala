@@ -1036,7 +1036,9 @@ object TxTable {
   private[graft] def commitStreamingFiles(spark: SparkSession, path: String,
                                           relFiles: Seq[String],
                                           txnApp: String,
-                                          epochId: Long): Option[Long] = {
+                                          epochId: Long,
+                                          partitionCols: Seq[String] = Nil)
+      : Option[Long] = {
     val (fs, p) = fsFor(spark, path)
     val key = CarriedMetaPrefixes.head + txnApp
     val already = versions(spark, path).lastOption.exists(v =>
@@ -1047,8 +1049,12 @@ object TxTable {
       val stats = footerStats(fs, p, relFiles)
       val newLines = relFiles.map(f =>
         stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+      val layoutMeta =
+        if (partitionCols.isEmpty) Map.empty[String, String]
+        else Map(PartitionsMetaKey -> enc(partitionCols.mkString(",")))
       try Some(commitLines(spark, path, "append", newLines,
-        (base, _) => base, meta = Map(key -> epochId.toString),
+        (base, _) => base,
+        meta = layoutMeta + (key -> epochId.toString),
         guard = Map(key -> epochId)))
       catch {
         case _: java.util.ConcurrentModificationException => None

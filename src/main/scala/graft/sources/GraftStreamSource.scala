@@ -116,21 +116,20 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
         new org.apache.spark.sql.connector.write.V1Write {
           /** `df.writeStream.format("graft").start(path)` — the native
             * micro-batch sink ([[graft.streaming.GraftStreamingWrite]]):
-            * executors write per-epoch parquet, the driver claims the
-            * files + the `txn.<queryId>=epoch` token in one manifest —
-            * exactly-once across restarts. Append-only, like the file
-            * sinks; the stable query id is the idempotence key.
+            * executors write per-epoch parquet (routed into the
+            * table's hive layout when it has one), the driver claims
+            * the files + the `txn.<queryId>=epoch` token in one
+            * manifest — exactly-once across restarts. Append-only,
+            * like the file sinks; the stable query id is the
+            * idempotence key.
             */
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!overwrite,
               "the graft streaming sink is append-only — Complete/" +
                 "Update output modes are not supported")
-            require(partitionCols.isEmpty,
-              "the graft streaming sink writes unpartitioned commits — " +
-                "compact into a partitioned layout downstream if needed")
             new graft.streaming.GraftStreamingWrite(path, info.schema(),
-              info.queryId())
+              info.queryId(), partitionCols)
           }
 
           override def toInsertableRelation

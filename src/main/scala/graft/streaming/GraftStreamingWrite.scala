@@ -2,13 +2,17 @@ package graft.streaming
 
 import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.ops.TxTable
 
@@ -35,6 +39,15 @@ import graft.ops.TxTable
   * guarantee survives restart, vacuum (carried meta), and foreign
   * commits interleaving with the stream.
   *
+  * Writing into a HIVE-PARTITIONED layout works too (a table created
+  * or loaded with partition columns): each task routes rows to
+  * per-partition-value writers, directory names encoded exactly as
+  * Spark's own dynamic-partition write (`Cast(col, STRING)` in the
+  * session zone, hive path-escaping, `__HIVE_DEFAULT_PARTITION__` for
+  * null), so streamed and batch-written partitions are
+  * indistinguishable. Distinct-partitions-per-task is capped — route
+  * skewed streams through a `repartition(partitionCols)` upstream.
+  *
   * Append-only, like the file sinks: Complete/Update modes are refused
   * at build time. Downstream consumers read the table incrementally
   * ([[TxTable.readAppended]] / `readStream.format("graft")`), making
@@ -42,26 +55,38 @@ import graft.ops.TxTable
   * history rescans — the shape that holds at 100 TB.
   */
 class GraftStreamingWrite(path: String, schema: StructType,
-                          queryId: String) extends StreamingWrite {
+                          queryId: String,
+                          partitionCols: Seq[String] = Nil)
+    extends StreamingWrite {
 
   require(!queryId.exists(c => c == ' ' || c == '=' || c == '\n'),
     "stream query id must be manifest-token-safe")
+  private val missing = partitionCols.filterNot(schema.fieldNames.contains)
+  require(missing.isEmpty,
+    s"partition columns ${missing.mkString(",")} not in the stream " +
+      s"schema ${schema.simpleString}")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val (factory, conf) =
-      GraftShim.parquetWriteKit(SparkSession.active, schema)
-    new GraftStreamingWriterFactory(path, schema, factory,
-      new GraftConfBox(conf))
+    val spark = SparkSession.active
+    val dataSchema =
+      StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    val (factory, conf) = GraftShim.parquetWriteKit(spark, dataSchema)
+    new GraftStreamingWriterFactory(path, schema, partitionCols,
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID),
+      factory, new GraftConfBox(conf))
   }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case GraftFileMessage(rel) => rel }.toSeq
+    val files =
+      messages.collect { case GraftFilesMessage(rels) => rels }.flatten.toSeq
     if (files.isEmpty) return // an empty epoch commits nothing
     if (TxTable.commitStreamingFiles(spark, path, files,
-        txnApp = queryId, epochId = epochId).isEmpty) {
+        txnApp = queryId, epochId = epochId,
+        partitionCols = partitionCols).isEmpty) {
       // replayed epoch: the first attempt's manifest is durable — this
       // attempt's files are orphans; remove them eagerly rather than
       // waiting for vacuum's grace window
@@ -76,13 +101,15 @@ class GraftStreamingWrite(path: String, schema: StructType,
     val spark = SparkSession.active
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case GraftFileMessage(rel) => rel }
+    messages.collect { case GraftFilesMessage(rels) => rels }.flatten
       .foreach(f => fs.delete(new Path(root, f), false))
   }
 }
 
-/** One committed data file, path relative to the table root. */
-private[graft] case class GraftFileMessage(relPath: String)
+/** The data files one task committed, paths relative to the table
+  * root (several when the task wrote multiple hive partitions).
+  */
+private[graft] case class GraftFilesMessage(relPaths: Seq[String])
     extends WriterCommitMessage
 
 /** Hadoop `Configuration` is not `Serializable`; this box ships the
@@ -105,45 +132,92 @@ private[graft] class GraftConfBox(@transient var conf: Configuration)
   }
 }
 
-/** Serialized to executors; creates one parquet writer per
-  * (partition, epoch). Files land directly in a per-epoch commit dir
-  * (`data/stream_e<epoch>/...`) under their final names — the manifest
-  * claim, not a rename, is what publishes them, so no reader can see
-  * an unclaimed file through the log.
+/** Serialized to executors; creates one writer per (partition, epoch).
+  * Files land directly in a per-epoch commit dir
+  * (`data/stream_e<epoch>[/k=v...]/...`) under their final names — the
+  * manifest claim, not a rename, is what publishes them, so no reader
+  * can see an unclaimed file through the log.
   */
 private[graft] class GraftStreamingWriterFactory(
-    root: String, schema: StructType, writerFactory: Serializable,
-    box: GraftConfBox) extends StreamingDataWriterFactory {
+    root: String, schema: StructType, partitionCols: Seq[String],
+    timeZoneId: String, writerFactory: Serializable, box: GraftConfBox)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] = {
-    val rel = f"data/stream_e$epochId%d/part-$partitionId%05d" +
-      s"-${java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
-    new GraftStreamingDataWriter(root, rel, schema, writerFactory,
-      box.conf, partitionId, taskId)
-  }
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamingDataWriter(root, s"data/stream_e$epochId", schema,
+      partitionCols, timeZoneId, writerFactory, box.conf, partitionId,
+      taskId)
 }
 
 private[graft] class GraftStreamingDataWriter(
-    root: String, rel: String, schema: StructType,
+    root: String, epochDir: String, schema: StructType,
+    partitionCols: Seq[String], timeZoneId: String,
     writerFactory: Serializable, conf: Configuration,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val abs = new Path(root, rel)
-  private val (writeRow, closeWriter) = GraftShim.openParquetWriter(
-    writerFactory, abs.toString, schema, conf, partitionId, taskId)
+  private val maxOpenWriters = 256
 
-  override def write(record: InternalRow): Unit = writeRow(record)
+  private val partIdx = partitionCols.map(schema.fieldIndex)
+  private val dataIdx =
+    schema.fieldNames.indices.filterNot(partIdx.contains)
+  private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+
+  // Spark-identical partition-value rendering: Cast(col, STRING) in
+  // the session zone — dates/timestamps/decimals encode exactly as a
+  // batch dynamic-partition write would name the directories
+  private val partToString = UnsafeProjection.create(partIdx.map(i =>
+    Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
+      StringType, Option(timeZoneId))).toIndexedSeq)
+  private val dataProj = UnsafeProjection.create(dataIdx.map(i =>
+    BoundReference(i, schema(i).dataType, schema(i).nullable)).toIndexedSeq)
+
+  // rel path of the open file per partition dir ("" when unpartitioned)
+  private val open =
+    mutable.LinkedHashMap.empty[String, (InternalRow => Unit, () => Unit, String)]
+
+  private def fileName(): String =
+    f"part-$partitionId%05d-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
+
+  private def writerFor(dir: String) = open.getOrElseUpdate(dir, {
+    require(open.size < maxOpenWriters,
+      s"task opened $maxOpenWriters partition writers in one epoch — " +
+        "repartition the stream by the partition columns upstream")
+    val rel = (if (dir.isEmpty) epochDir else s"$epochDir/$dir") +
+      "/" + fileName()
+    val (w, c) = GraftShim.openParquetWriter(writerFactory,
+      new Path(root, rel).toString, dataSchema, conf, partitionId, taskId)
+    (w, c, rel)
+  })
+
+  private def dirOf(row: InternalRow): String =
+    if (partitionCols.isEmpty) ""
+    else {
+      val strs = partToString(row)
+      partitionCols.indices.map { i =>
+        val v = if (strs.isNullAt(i)) null else strs.getUTF8String(i).toString
+        ExternalCatalogUtils.getPartitionPathString(partitionCols(i),
+          if (v == null) null else v)
+      }.mkString("/")
+    }
+
+  override def write(record: InternalRow): Unit = {
+    val (w, _, _) = writerFor(dirOf(record))
+    w(if (partitionCols.isEmpty) record else dataProj(record))
+  }
 
   override def commit(): WriterCommitMessage = {
-    closeWriter()
-    GraftFileMessage(rel)
+    open.values.foreach(_._2())
+    GraftFilesMessage(open.values.map(_._3).toSeq)
   }
 
   override def abort(): Unit = {
-    try closeWriter() catch { case _: Throwable => () }
-    val fs = abs.getFileSystem(conf)
-    fs.delete(abs, false)
+    open.values.foreach { case (_, close, rel) =>
+      try close() catch { case _: Throwable => () }
+      val p = new Path(root, rel)
+      p.getFileSystem(conf).delete(p, false)
+    }
     ()
   }
 

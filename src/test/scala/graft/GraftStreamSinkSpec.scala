@@ -87,6 +87,46 @@ class GraftStreamSinkSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("streaming into a hive-partitioned table routes rows to the layout") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_src") + "/a"
+    val dst = tmp("gss_dst") + "/b"
+    val cp = tmp("gss_cp")
+    TxTable.append(spark, src,
+      Seq((1L, "07", 1.5), (2L, "08", 2.5), (3L, null, 3.5),
+        (4L, "b d", 4.5)).toDF("id", "day", "v"))
+    // the destination's declared layout drives the streaming writer
+    spark.sql(s"CREATE TABLE graft.`$dst` (id BIGINT, day STRING, " +
+      "v DOUBLE) PARTITIONED BY (day)")
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.option("checkpointLocation", cp)
+      .toTable(s"graft.`$dst`")
+    q.processAllAvailable(); q.stop()
+    // values round-trip, including null (__HIVE_DEFAULT_PARTITION__)
+    // and a path-escaped value; declared STRING type keeps "07"
+    val got = TxTable.read(spark, dst).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq === Seq((1L, "07", 1.5), (2L, "08", 2.5), (3L, null, 3.5),
+        (4L, "b d", 4.5)))
+    // the layout is real: partition predicates prune through the catalog
+    val one = spark.sql(
+      s"SELECT id FROM graft.`$dst` WHERE day = '07'")
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // a second epoch (checkpoint restart) appends into the SAME
+    // partitions without clobbering or replaying
+    TxTable.append(spark, src, Seq((5L, "07", 5.5)).toDF("id", "day", "v"))
+    val q2 = spark.readStream.format("graft").load(src)
+      .writeStream.option("checkpointLocation", cp)
+      .toTable(s"graft.`$dst`")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst` WHERE day='07'")
+      .head().getLong(0) === 2L)
+    assert(TxTable.read(spark, dst).count() === 5L)
+  }
+
   test("complete output mode is refused — the sink is append-only") {
     val s = spark
     import s.implicits._
