@@ -556,6 +556,13 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // chunk-level exact dedup: repeated 8-token spans are removed
+    // corpus-wide (CCNet-style line dedup adapted to whitespace prose)
+    "q_x_chunk_dedup" -> ((s, dir) =>
+      graft.dedup.ChunkDedup.dedupChunks(
+          t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
+        .orderBy("doc_id")),
+
     "q_x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.2)
         .orderBy("id_a", "id_b")),
@@ -676,6 +683,13 @@ object SparkEntry {
         .drop("__total")
         .orderBy(col("n").desc, col("token").asc)
     }),
+
+    // TF-IDF keyword extraction: top-3 salient terms per document under
+    // the scikit-style smooth idf; ranking on the ROUNDED score keeps
+    // two engines' last-ulp ln differences out of the order
+    "q_x_tfidf" -> ((s, dir) =>
+      graft.text.TfIdf.keywords(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
 
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
@@ -1768,6 +1782,30 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY $sqlFp ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors ChunkDedup.dedupChunks(c=8): same md5-fingerprint
+    // election, same (doc_id, position) first-wins order, same
+    // position-ordered reassembly.
+    "q_x_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST((len(toks) + 7) // 8 AS INTEGER) AS n_chunks,
+         |  list_transform(range(1, CAST((len(toks) + 7) // 8 AS INTEGER) + 1),
+         |    i -> array_to_string(toks[(i-1)*8+1 : i*8], ' ')) AS chunks
+         |  FROM d),
+         |e AS (SELECT doc_id, u.i AS idx, u.ch AS chunk FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(chunks) + 1),
+         |     i -> {'i': i, 'ch': chunks[i]})) AS u FROM c)),
+         |k AS (SELECT doc_id, idx, chunk,
+         |  row_number() OVER (PARTITION BY md5(chunk)
+         |    ORDER BY doc_id, idx) AS rn FROM e),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+         |  FROM k WHERE rn = 1 GROUP BY 1)
+         |SELECT c.doc_id, c.n_chunks,
+         |  coalesce(g.n_kept, 0) AS n_kept,
+         |  coalesce(g.text_dedup, '') AS text_dedup
+         |FROM c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
     "q_x_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
@@ -1977,6 +2015,36 @@ object SparkEntry {
          |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
          |                  / CAST(len(grams) AS DOUBLE) END AS dup_3gram_fraction
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same IEEE shape as TfIdf.keywords: tf = cnt/len (one division),
+    // idf = ln((N+1)/(df+1)) + 1, score = round(tf*idf, 6); rank on the
+    // rounded value with token tiebreak.
+    "q_x_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+         |per_doc AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |doc_len AS (
+         |  SELECT doc_id, SUM(tf) AS len FROM per_doc GROUP BY 1),
+         |doc_freq AS (
+         |  SELECT token, COUNT(*) AS df FROM per_doc GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT p.doc_id, p.token,
+         |    round((CAST(p.tf AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+         |      (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 1.0))
+         |       + 1.0), 6) AS tfidf
+         |  FROM per_doc p
+         |  JOIN doc_len l USING (doc_id)
+         |  JOIN doc_freq f USING (token)
+         |  CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, token, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "q_x_vocab" ->
       s"""WITH c AS (

@@ -12,7 +12,13 @@ object Verify {
     if (sys.env.get("SPARK_GRAFT_CATALOG").contains("true"))
       spark.conf.set(graft.ops.Sources.CatalogFlagConf, "true")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b: dump only these queries (builder-side
+    // fast iteration; the driver leaves it unset and runs everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
