@@ -74,8 +74,15 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, true) => med }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"min":$mins,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"min":$mins,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is what the driver parses, but tail-capture has
+    // truncated it before (88 per-query entries ≈ several KB) — also
+    // write the full JSON to a self-contained artifact
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -341,6 +341,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // row-level change data feed: land orders, MERGE (update + insert),
+    // DELETE — then read the CHANGE FEED of the DML window. Each commit
+    // exposes exactly its changed rows tagged insert / update_preimage /
+    // update_postimage / delete (carried rows never resurface) — the
+    // oracle reconstructs the same feed algebraically from the source
+    // table, so row-level CDC is correctness-gated end-to-end
+    "q_x_cdf" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_cdf") + "/orders_tx"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, tmp, o)                             // v1
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"), lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, tmp, updates, Seq("o_orderkey"))     // v2
+      graft.ops.TxTable.delete(s, tmp, col("o_orderkey") % 7 === 3)   // v3
+      graft.ops.TxTable.readChanges(s, tmp, 1L, 3L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    }),
+
     // optimize + restore maintenance cycle: land unclustered, z-order
     // the table, clobber it with a bad overwrite, roll back — the final
     // pruned read must equal a plain filter over the source (layout
@@ -898,6 +920,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL index maintenance end-to-end: build centroids + lists
+    // over 2/3 of the corpus, ivfAppend the other 1/3 (no rebuild — the
+    // streaming ingest path), serve from the persisted lists probing
+    // every list — which must equal exhaustive search over the FULL
+    // corpus, so the brute-force oracle gates the append path exactly
+    "q_x_ann_ivf_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lists = tmpQueryDir("graft_ivfinc") + "/lists"
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val index = Similarity.buildIvfIndex(base, numLists = 8)
+        .localCheckpoint()
+      Similarity.writeIvfLists(base, index, lists)
+      Similarity.ivfAppend(s, lists, index,
+        emb.filter(col("vec_id") % 3 === 0))
+      Similarity.ivfTopKFromLists(s, lists, emb.filter(col("vec_id") < 8),
+          k = 5, nprobe = 8, index)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4)
@@ -1001,6 +1042,25 @@ object SparkEntry {
         round(element_at(col("features"), k + 1) * col("byte_len"))
           .cast("long").as(s"c$k"))
       feats.select(col("media_id") +: col("byte_len") +: buckets: _*)
+        .orderBy("media_id")
+    }),
+
+    // REAL image decode: synthesize one deterministic PNG per nation
+    // row on the EXECUTORS (ImageIO.write), then decode header-level
+    // width/height/channels back out with the javax.imageio reader —
+    // the oracle recomputes the synthesized dimensions algebraically,
+    // so the codec path (not a stub) is correctness-gated
+    "q_x_mm_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders => E}
+      val keys = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"))
+        .as[java.lang.Long](E.LONG)
+      val media = keys.map((k: java.lang.Long) =>
+        graft.multimodal.MediaRecord(k, "image",
+          Multimodal.synthesizePng(16 + k.toInt, 8 + (k.toInt % 5), k),
+          s"synth:$k"))(E.product[graft.multimodal.MediaRecord])
+      Multimodal.extractImageMeta(media).toDF()
+        .select("media_id", "format", "width", "height", "channels")
         .orderBy("media_id")
     }),
   )
@@ -1354,6 +1414,36 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM merged
         |WHERE NOT (o_orderkey % 7 = 3)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_cdf" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus)),
+        |changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    'update_preimage' AS _change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version FROM pre
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 'update_postimage', 2 FROM pre
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(-1 AS BIGINT), 'N', 'insert', CAST(2 AS BIGINT)),
+        |      (-2, 'N', 'insert', 2), (-3, 'N', 'insert', 2))
+        |    t(o_orderkey, o_orderstatus, _change_type, _commit_version)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'delete', 3 FROM merged
+        |  WHERE o_orderkey % 7 = 3)
+        |SELECT o_orderkey, o_orderstatus, _change_type, _commit_version
+        |FROM changes
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
 
     "q_x_tx_maintenance" ->
       """SELECT doc_id, n_chars, source FROM documents
@@ -2190,6 +2280,25 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // same exhaustive-search oracle as q_x_ann_ivf: after the append
+    // the persisted lists hold the FULL corpus, and probing every list
+    // is brute force regardless of where the centroids sit
+    "q_x_ann_ivf_inc" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_x_events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |  strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes',
@@ -2262,5 +2371,13 @@ object SparkEntry {
              s"  len(list_filter(range(n), i -> h[2*i+1:2*i+1] IN ('$d0','$d1'))) AS c$k"
            }.mkString(",\n")}
          |FROM b ORDER BY media_id""".stripMargin,
+
+    "q_x_mm_decode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+        |  'png' AS format,
+        |  CAST(16 + n_nationkey AS INTEGER) AS width,
+        |  CAST(8 + (n_nationkey % 5) AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM nation ORDER BY media_id""".stripMargin,
   )
 }

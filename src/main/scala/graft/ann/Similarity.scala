@@ -202,6 +202,90 @@ object Similarity {
     graft.ops.TxTable.read(spark, path)
       .select(col("list_id"), col("centroid"), col("cent_n"))
 
+  /** Assign each vector to its single nearest centroid by cosine —
+    * the INVERTED-LIST materialization `(id, vector, nrm, list_id)`.
+    * Deterministic (ties break on list_id ascending), zero-norm rows
+    * excluded. One broadcast of the centroid set, one narrow scoring
+    * pass, one per-id window — O(|vectors| × numLists) scored pairs.
+    */
+  def assignToLists(vectors: DataFrame, index: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val withNorm = vectors.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm")).filter(col("nrm") > 0)
+    val scored = withNorm.crossJoin(broadcast(index))
+      .withColumn("__cs",
+        dot(col(vecCol), col("centroid")) / (col("nrm") * col("cent_n")))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col(idCol)),
+        Seq(col("__cs").desc, col("list_id").asc), 1, rankCol = "__ar")
+      .select(col(idCol), col(vecCol), col("nrm"), col("list_id"))
+  }
+
+  /** Materialize the corpus's inverted lists as a [[graft.ops.TxTable]]
+    * at `path` — the serve-many half of the IVF story: the k-means
+    * build AND the full-corpus assignment are paid once; query batches
+    * ([[ivfTopKFromLists]]) and streaming appends ([[ivfAppend]]) both
+    * work off the persisted table from then on.
+    */
+  def writeIvfLists(corpus: DataFrame, index: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Long =
+    graft.ops.TxTable.overwrite(corpus.sparkSession, path,
+      assignToLists(corpus, index, idCol, vecCol))
+
+  /** INCREMENTAL index maintenance: route ONLY the new vectors to their
+    * nearest existing centroid and append them to the persisted lists —
+    * O(batch × numLists) work, no full rebuild, one atomic TxTable
+    * commit. This is what composes with the streaming story: a follower
+    * ingesting embedding batches keeps the ANN index current by calling
+    * this per increment. Centroids are fixed, so the routing function
+    * is IDENTICAL to the one the full build used — an appended index
+    * serves exactly what a full re-assignment under the same centroids
+    * would (pinned by test); recentering (a fresh [[buildIvfIndex]] +
+    * [[writeIvfLists]]) remains a periodic offline job, exactly like
+    * FAISS's add-vs-train split.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                index: DataFrame, newVectors: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Long =
+    graft.ops.TxTable.append(spark, path,
+      assignToLists(newVectors, index, idCol, vecCol))
+
+  /** Serve top-k from PERSISTED inverted lists (see [[ivfAppend]] /
+    * [[writeIvfLists]]): only the query side is assigned at query time
+    * (nprobe lists per query); the corpus-side assignment — the
+    * expensive half at 100 TB — is read back, already materialized.
+    * The probe is an equi-join on list_id against a stats-pruned
+    * TxTable read.
+    */
+  def ivfTopKFromLists(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, k: Int,
+                       nprobe: Int, index: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, "need nprobe > 0")
+    val lists = graft.ops.TxTable.read(spark, path)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+        col("nrm").as("c_n"), col("list_id"))
+    val qNorm = queries.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm")).filter(col("nrm") > 0)
+    val qScored = qNorm.crossJoin(broadcast(index))
+      .withColumn("__cs",
+        dot(col(vecCol), col("centroid")) / (col("nrm") * col("cent_n")))
+    val probes = graft.ops.Windows.topKPerGroup(qScored, Seq(col(idCol)),
+        Seq(col("__cs").desc, col("list_id").asc), nprobe, rankCol = "__qr")
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        col("nrm").as("q_n"), col("list_id"))
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        (dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("cos"))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** IVF probe against a prebuilt centroid table (see [[ivfTopK]] for
     * the algorithm and scale analysis — this is its query half).
     */

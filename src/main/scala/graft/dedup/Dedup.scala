@@ -240,10 +240,26 @@ object Dedup {
     * scale use [[cosineDupPairsLsh]]. The join condition `id < id` is an
     * inequality, so this is a (deliberate, documented) broadcast
     * nested-loop — never run it on a full 100 TB corpus.
+    *
+    * Guarded against exactly that: refuses above `maxRows` input rows
+    * (one cheap count — nothing compared to the O(n²) join it gates)
+    * unless `force = true`. The ceiling defaults to 1M rows ≈ 5·10¹¹
+    * candidate pairs, already days of compute — far past any sane use
+    * of the exact path, so real baselines never notice the guard while
+    * an accidental full-corpus invocation fails in seconds, not days.
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double): DataFrame = {
+                     minCos: Double, maxRows: Long = 1000000L,
+                     force: Boolean = false): DataFrame = {
     import graft.ann.Similarity.{dot, norm}
+    if (!force) {
+      val n = df.count()
+      require(n <= maxRows,
+        s"cosineDupPairs is the EXACT all-pairs baseline (O(n²) " +
+        s"nested-loop): $n rows > $maxRows ceiling. Use " +
+        "cosineDupPairsLsh for the bucketed scale path, or pass " +
+        "force = true if you really mean it")
+    }
     // Zero-norm vectors excluded (cos would be NaN; see bruteForceTopK).
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na")).filter(col("na") > 0)

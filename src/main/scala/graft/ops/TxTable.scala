@@ -190,9 +190,15 @@ object TxTable {
     require(missing.isEmpty,
       s"partition columns ${missing.mkString(",")} not in schema " +
         schema.simpleString)
+    // firstCommitOnly: the require above is check-then-act — of two
+    // concurrent creators, the loser's claim-loop retry would land its
+    // "create" as v2, silently replacing the winner's declared schema.
+    // Restricting the claim to slot v1 makes the loser fail as
+    // "already exists", which is what the catalog/SQL surfaces promise.
     commitLines(spark, path, "create", Seq.empty, (base, _) => base,
       Map(SchemaMetaKey -> enc(schema.json),
-        PartitionsMetaKey -> enc(partitionCols.mkString(","))))
+        PartitionsMetaKey -> enc(partitionCols.mkString(","))),
+      firstCommitOnly = true)
   }
 
   /** Widen the table's declared schema as a metadata-only commit —
@@ -219,6 +225,13 @@ object TxTable {
       require(n.dataType == f.dataType,
         s"schema evolution cannot retype ${f.name} of $path: " +
         s"${f.dataType.simpleString} -> ${n.dataType.simpleString}")
+      // nullability may only WIDEN: declaring a currently-nullable
+      // column non-null would pin a false non-null contract on files
+      // that already hold nulls (Catalyst would fold IsNotNull filters
+      // against it — wrong results, not just a failed write)
+      require(n.nullable || !f.nullable,
+        s"schema evolution cannot narrow ${f.name} of $path to " +
+        "non-nullable (existing files may hold nulls)")
     }
     val currentNames = current.fieldNames.toSet
     newSchema.fields.filterNot(f => currentNames.contains(f.name)).foreach(
@@ -285,22 +298,71 @@ object TxTable {
     */
   private[graft] val TimestampMetaKey = "ts"
 
+  /** Per-commit (NOT carried) meta token locating the commit's
+    * row-level CHANGE DATA (Delta's Change Data Feed, reduced to the
+    * log): `cdf=<uuid>` points at `_changes/<uuid>/` — parquet files
+    * holding exactly the rows this commit changed, tagged
+    * `_change_type` (insert / update_preimage / update_postimage /
+    * delete) — and `cdf=0` declares the commit row-change-free (a
+    * layout rewrite: OPTIMIZE/compact, or a DML whose predicate
+    * matched nothing). Commits carrying NEITHER (plain appends,
+    * overwrites, restores, pre-CDF history) fall back to
+    * file-granular capture in [[readChanges]]. The change files ride
+    * the same atomic manifest claim as the data (written before,
+    * referenced by the winning manifest only), so the feed is
+    * exactly-once under the same argument as the data itself.
+    */
+  private[graft] val ChangeDataMetaKey = "cdf"
+  private val ChangesDir = "_changes"
+  /** Column names of the change feed (Delta CDF's, minus the
+    * per-commit columns Delta derives from its log the same way).
+    */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+
+  /** Write `changes` (data columns + [[ChangeTypeCol]]) as this
+    * commit's change data; returns the `cdf` meta entry to ride in the
+    * manifest head. An empty change frame (possible when file stats
+    * over-approximated the DML's match set) records `cdf=0` — readers
+    * then skip the commit instead of falling back to file-granular
+    * churn. Cost: one extra bounded job over the CHANGED rows only —
+    * never the table (the same order of work as the rewrite itself).
+    */
+  private def writeChangeData(fs: FileSystem, p: Path,
+                              changes: DataFrame): Map[String, String] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new Path(p, s"$ChangesDir/$uuid")
+    changes.write.parquet(dir.toString)
+    val any = fs.listStatus(dir).exists(f =>
+      f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
+    if (any) Map(ChangeDataMetaKey -> uuid)
+    else { fs.delete(dir, true); Map(ChangeDataMetaKey -> "0") }
+  }
+
   // ------------------------------------------------------------ file stats
   //
   // Each manifest FILE line is `relPath[\t<stats>]` where <stats> is
-  // `;`-joined `name,tag,min,max` tuples (URL-encoded tokens — no
-  // collisions with the separators), one per column whose parquet
-  // footer carries usable min/max. tag `n` = compare numerically
+  // `;`-joined `name,tag,min,max[,nulls,rows]` tuples (URL-encoded
+  // tokens — no collisions with the separators), one per column whose
+  // parquet footer carries usable stats. tag `n` = compare numerically
   // (ints/longs/floats/doubles, dates as epoch days, timestamps as
   // micros — parquet's own physical encodings), tag `s` = compare as
-  // UTF-8 strings. Stats come from the FOOTERS of the freshly written
-  // files — O(new files) driver metadata reads, never a data scan —
-  // and ride in the same atomic manifest claim as the file list, so
-  // [[readWhere]] can prune files the predicate provably cannot match
-  // (Delta's data-skipping stats, reduced to its essentials). At
-  // 100 TB this is the difference between a needle query scanning the
-  // lake and scanning the handful of files whose [min,max] straddles
-  // the needle.
+  // UTF-8 strings, tag `x` = no comparable min/max (null counts only —
+  // the min/max tokens are empty). The optional 5th/6th tokens are the
+  // column's NULL COUNT and the file's row count (top-level columns
+  // only), enabling `IS NULL` pruning (nulls = 0 → skip) and
+  // `IS NOT NULL` / comparison pruning of all-null files
+  // (nulls = rows → skip). Stats come from the FOOTERS of the freshly
+  // written files — O(new files) driver metadata reads, never a data
+  // scan — and ride in the same atomic manifest claim as the file
+  // list, so [[readWhere]] can prune files the predicate provably
+  // cannot match (Delta's data-skipping stats, reduced to its
+  // essentials). At 100 TB this is the difference between a needle
+  // query scanning the lake and scanning the handful of files whose
+  // [min,max] straddles the needle. Pre-null-count manifests (4-token
+  // tuples) keep working: absent null info is "may match".
 
   /** Manifest file line → relative path (stats suffix stripped). */
   private def pathOf(line: String): String = {
@@ -308,14 +370,28 @@ object TxTable {
     if (i < 0) line else line.substring(0, i)
   }
 
-  /** Manifest file line → per-column (tag, min, max), empty if none. */
-  private def statsOf(line: String): Map[String, (String, String, String)] = {
+  /** One column's skipping stats as carried in a manifest line. `tag`
+    * "x" = no comparable min/max (ignore `min`/`max`); `nulls`/`rows`
+    * absent on pre-null-count manifests.
+    */
+  private[ops] final case class ColStats(tag: String, min: String,
+      max: String, nulls: Option[Long] = None, rows: Option[Long] = None) {
+    def allNull: Boolean =
+      nulls.isDefined && rows.isDefined && nulls == rows && rows.get > 0
+  }
+
+  /** Manifest file line → per-column stats, empty if none. */
+  private def statsOf(line: String): Map[String, ColStats] = {
     val i = line.indexOf('\t')
     if (i < 0) Map.empty
     else line.substring(i + 1).split(';').toSeq.flatMap { t =>
       t.split(',') match {
         case Array(n, tag, mn, mx) =>
-          Some(dec(n) -> (tag, dec(mn), dec(mx)))
+          Some(dec(n) -> ColStats(tag, dec(mn), dec(mx)))
+        case Array(n, tag, mn, mx, nu, ro) =>
+          val nulls = scala.util.Try(nu.toLong).toOption
+          val rows = scala.util.Try(ro.toLong).toOption
+          Some(dec(n) -> ColStats(tag, dec(mn), dec(mx), nulls, rows))
         case _ => None
       }
     }.toMap
@@ -334,8 +410,7 @@ object TxTable {
     * missed skip, never a wrong prune. The hive null marker gets no
     * stats (conservative keep).
     */
-  private def partitionStats(rel: String)
-      : Map[String, (String, String, String)] =
+  private def partitionStats(rel: String): Map[String, ColStats] =
     rel.split('/').drop(2).dropRight(1).filter(_.contains('='))
       .flatMap { seg =>
         val i = seg.indexOf('=')
@@ -345,7 +420,9 @@ object TxTable {
         else {
           val tag =
             if (scala.util.Try(BigDecimal(v)).isSuccess) "n" else "s"
-          Some(k -> (tag, v, v))
+          // a non-null partition value means ZERO nulls in this file's
+          // partition column — `IS NULL` prunes it from the path alone
+          Some(k -> ColStats(tag, v, v, nulls = Some(0L)))
         }
       }.toMap
 
@@ -407,10 +484,25 @@ object TxTable {
             // a column drops out the moment one chunk lacks usable stats
             var acc = Map.empty[String, (String, BigDecimal, BigDecimal, String, String)]
             var dropped = Set.empty[String]
+            // null counts tracked independently of min/max (an all-null
+            // or type-unsupported column can still carry them) — but
+            // only for TOP-LEVEL columns (dot-free path): a nested or
+            // repeated column's numNulls counts values, not records,
+            // and comparing it to the file's row count would mis-prune
+            var nullAcc = Map.empty[String, Long]
+            var nullDropped = Set.empty[String]
+            var totalRows = 0L
             r.getFooter.getBlocks.forEach { block =>
+              totalRows += block.getRowCount
               block.getColumns.forEach { cc =>
                 val name = cc.getPath.toDotString
                 val st = cc.getStatistics
+                if (!name.contains('.') && !nullDropped.contains(name)) {
+                  if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                    nullAcc += name ->
+                      (nullAcc.getOrElse(name, 0L) + st.getNumNulls)
+                  else { nullDropped += name; nullAcc -= name }
+                }
                 if (!dropped.contains(name)) {
                   // timestamp stats are only comparable when the file's
                   // unit matches Catalyst's internal micros — a MILLIS/
@@ -467,9 +559,23 @@ object TxTable {
                 }
               }
             }
-            acc.toSeq.sortBy(_._1).map { case (n, (tag, _, _, smn, smx)) =>
-              Seq(enc(n), tag, enc(smn), enc(smx)).mkString(",")
-            }.mkString(";")
+            (acc.keySet ++ nullAcc.keySet).toSeq.sorted.map { n =>
+              val mm = acc.get(n)
+              val nu = nullAcc.get(n)
+              (mm, nu) match {
+                case (Some((tag, _, _, smn, smx)), Some(c)) =>
+                  Seq(enc(n), tag, enc(smn), enc(smx),
+                    c.toString, totalRows.toString).mkString(",")
+                case (Some((tag, _, _, smn, smx)), None) =>
+                  Seq(enc(n), tag, enc(smn), enc(smx)).mkString(",")
+                case (None, Some(c)) =>
+                  // null-count-only entry (all-null or uncomparable
+                  // type): tag "x", empty min/max tokens
+                  Seq(enc(n), "x", "", "",
+                    c.toString, totalRows.toString).mkString(",")
+                case _ => ""
+              }
+            }.filter(_.nonEmpty).mkString(";")
           } finally r.close()
         } catch { case scala.util.control.NonFatal(_) => "" }
       if (statsStr.isEmpty) None else Some(rel -> statsStr)
@@ -479,9 +585,11 @@ object TxTable {
   /** Could a file with these stats contain a row matching `conjunct`?
     * Conservative: unknown shapes, missing columns, or un-comparable
     * literals keep the file. Handles =, <, <=, >, >=, IN over one
-    * column and one literal side (either order).
+    * column and one literal side (either order), plus IS NULL (skips
+    * files with zero nulls in the column) and IS NOT NULL / any
+    * comparison (skips all-null files).
     */
-  private def mayMatch(stats: Map[String, (String, String, String)],
+  private def mayMatch(stats: Map[String, ColStats],
                        conjunct: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -508,7 +616,6 @@ object TxTable {
         }
       case _ => None
     }
-    def bounds(col: String): Option[(String, String, String)] = stats.get(col)
     def cmp(tag: String, a: String, v: Either[BigDecimal, String]): Int = v match {
       case scala.util.Left(n) => BigDecimal(a).compare(n)
       // parquet's binary stats order: unsigned UTF-8 bytes (see merge
@@ -519,12 +626,28 @@ object TxTable {
              keep: (Int, Int) => Boolean): Boolean =
       (for {
         n <- nameOf(attr)
-        (tag, mn, mx) <- bounds(n)
-        v <- litVal(lit, tag)
-        r <- scala.util.Try(keep(cmp(tag, mn, v), cmp(tag, mx, v))).toOption
+        cs <- stats.get(n)
+        r <-
+          // every value null → no comparison can be TRUE, skip the
+          // file regardless of the literal (even an un-comparable one)
+          if (cs.allNull) Some(false)
+          else for {
+            v <- litVal(lit, cs.tag)
+            r2 <- scala.util.Try(
+              keep(cmp(cs.tag, cs.min, v), cmp(cs.tag, cs.max, v))).toOption
+          } yield r2
       } yield r).getOrElse(true)
+    // nulls known to be zero → `c IS NULL` cannot match
+    def mayHaveNull(attr: Expression): Boolean =
+      (for { n <- nameOf(attr); cs <- stats.get(n); nu <- cs.nulls }
+        yield nu > 0).getOrElse(true)
+    // all values null → `c IS NOT NULL` cannot match
+    def mayHaveValue(attr: Expression): Boolean =
+      nameOf(attr).flatMap(stats.get).forall(!_.allNull)
 
     conjunct match {
+      case IsNull(a) if nameOf(a).isDefined => mayHaveNull(a)
+      case IsNotNull(a) if nameOf(a).isDefined => mayHaveValue(a)
       case EqualTo(a, l) if nameOf(a).isDefined => test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
       case EqualTo(l, a) if nameOf(a).isDefined => test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
       case GreaterThan(a, l) if nameOf(a).isDefined => test(a, l, (_, mx) => mx > 0)
@@ -760,32 +883,89 @@ object TxTable {
     }
   }
 
-  /** Change-data-capture frame between two versions: rows of added
-    * files tagged `_change_type = "insert"`, rows of removed files
-    * tagged `"delete"`, in one DataFrame. File-granularity CDC — the
-    * same contract as Delta's CDF in its no-deletion-vectors mode: a
-    * rewritten file contributes its old rows as deletes and its new
-    * rows as inserts, and row-level diffing is the consumer's join.
-    * I/O is proportional to the CHANGED files only.
+  /** Change-data-capture frame over the commits in `(fromV, toV]`, one
+    * tagged row set PER COMMIT, stamped [[CommitVersionCol]] /
+    * [[CommitTimestampCol]] — Delta's `table_changes`. Per commit:
+    *
+    *  - DML commits (MERGE / UPDATE / DELETE) carry ROW-LEVEL change
+    *    data (`cdf=<uuid>` meta, see [[ChangeDataMetaKey]]): exactly
+    *    the changed rows, tagged insert / update_preimage /
+    *    update_postimage / delete. Rows the rewrite merely CARRIED
+    *    (copy-on-write copies whole files) do NOT appear — an
+    *    incremental consumer downstream of row-level DML stays
+    *    exactly-once with no spurious re-ingest.
+    *  - Layout commits (OPTIMIZE / compact) are `cdf=0`: data-identical
+    *    by construction, zero change rows.
+    *  - Everything else (append, overwrite, restore, replace,
+    *    pre-CDF history) falls back to file-granular capture: rows of
+    *    files added since the previous version tagged "insert", rows
+    *    of removed files "delete" — the old contract, still correct,
+    *    just coarser.
+    *
+    * I/O is proportional to the CHANGED rows/files only, never a
+    * snapshot rescan. `fromV` must be 0 or a retained version (the
+    * fallback diffs against it — vacuumed history fails loudly rather
+    * than silently replaying a snapshot).
     */
-  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
+  def readChanges(spark: SparkSession, path: String, fromV: Long,
+                  toV: Long = -1L,
                   mergeSchema: Boolean = false,
                   schema: Option[StructType] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val hi = if (toV < 0) vs.last else toV
+    // every version in (fromV, hi] must be retained — a vacuumed gap
+    // would silently skip its changes (fromV itself is only needed by
+    // the file-granular fallback, checked lazily below: a row-level
+    // DML commit carries its own change data and doesn't need it)
+    require(fromV == 0 || fromV + 1 >= vs.head,
+      s"changes in ($fromV, ${vs.head - 1}] of $path were vacuumed — " +
+      "incremental change reads cannot resume from it")
     val (fs, p) = fsFor(spark, path)
-    val (added, removed) = changedFiles(spark, path, fromV, toV)
-    val pinned = schema.orElse(declaredSchemaAt(fs, p, toV))
-    def tagged(files: Seq[String], tag: String): Option[DataFrame] =
-      if (files.isEmpty) None
-      else Some(scanFiles(spark, p, files, mergeSchema, pinned)
-        .withColumn("_change_type", lit(tag)))
-    (tagged(added, "insert"), tagged(removed, "delete")) match {
-      case (Some(a), Some(r)) => a.unionByName(r, allowMissingColumns = mergeSchema)
-      case (Some(a), None) => a
-      case (None, Some(r)) => r
-      case (None, None) =>
-        readVersion(spark, path, toV, mergeSchema, schema)
-          .withColumn("_change_type", lit("insert")).where(lit(false))
+    val range = vs.filter(v => v > fromV && v <= hi)
+    def stamped(df: DataFrame, v: Long): DataFrame =
+      df.withColumn(CommitVersionCol, lit(v))
+        .withColumn(CommitTimestampCol,
+          lit(new java.sql.Timestamp(commitTimestamp(spark, path, v))))
+    val frames = range.flatMap { v =>
+      val meta = parseMeta(readManifest(fs, p, v)._1)
+      meta.get(ChangeDataMetaKey) match {
+        case Some("0") => None // row-change-free commit
+        case Some(uuid) =>
+          Some(stamped(spark.read.parquet(
+            new Path(p, s"$ChangesDir/$uuid").toString), v))
+        case None =>
+          // v-1 vacuumed (v is the earliest retained version): under a
+          // full-history read (fromV=0) the cumulative snapshot IS the
+          // insert set — exact. A mid-history consumer has no baseline
+          // to diff against: fail loudly, never double-ingest.
+          val prev =
+            if (v - 1 <= 0) Set.empty[String]
+            else if (!vs.contains(v - 1)) {
+              if (fromV == 0) Set.empty[String]
+              else sys.error(
+                s"version ${v - 1} of $path was vacuumed — file-granular " +
+                s"change capture for v$v has no baseline to diff against")
+            }
+            else readManifest(fs, p, v - 1)._2.map(pathOf).toSet
+          val cur = readManifest(fs, p, v)._2.map(pathOf)
+          val added = cur.filterNot(prev)
+          val removed = (prev -- cur.toSet).toSeq.sorted
+          val pinned = schema.orElse(declaredSchemaAt(fs, p, v))
+          def tagged(files: Seq[String], tag: String): Option[DataFrame] =
+            if (files.isEmpty) None
+            else Some(scanFiles(spark, p, files, mergeSchema, pinned)
+              .withColumn(ChangeTypeCol, lit(tag)))
+          (tagged(added, "insert") ++ tagged(removed, "delete"))
+            .reduceOption(_.unionByName(_,
+              allowMissingColumns = mergeSchema))
+            .map(stamped(_, v))
+      }
     }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = mergeSchema))
+      .getOrElse(stamped(
+        readVersion(spark, path, hi, mergeSchema, schema)
+          .withColumn(ChangeTypeCol, lit("insert")), hi).where(lit(false)))
   }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files whose
@@ -815,10 +995,15 @@ object TxTable {
              mergeSchema: Boolean = false,
              schema: Option[StructType] = None): Option[Long] =
     rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
-      schema) { (candidateRows, pred) =>
-      // keep rows where the predicate is FALSE or NULL (SQL DELETE)
-      candidateRows.where(not(coalesce(pred, lit(false))))
-    }
+      schema)(
+      rewrite = { (candidateRows, pred) =>
+        // keep rows where the predicate is FALSE or NULL (SQL DELETE)
+        candidateRows.where(not(coalesce(pred, lit(false))))
+      },
+      changesOf = { (candidateRows, pred) =>
+        candidateRows.where(coalesce(pred, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete"))
+      })
 
   /** Row-level UPDATE, copy-on-write: in files that may hold matching
     * rows (stats-pruned like [[delete]]), each `set` column becomes
@@ -834,36 +1019,54 @@ object TxTable {
              mergeSchema: Boolean = false,
              schema: Option[StructType] = None): Option[Long] = {
     require(set.nonEmpty, "update needs at least one SET column")
-    rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
-      schema) { (candidateRows, pred) =>
-      val unknown = set.keySet -- candidateRows.columns
-      require(unknown.isEmpty,
-        s"SET columns not in the table: ${unknown.mkString(", ")}")
-      // ONE simultaneous projection: every SET expression reads the
-      // PRE-update row (SQL UPDATE semantics) — a sequential fold would
-      // let SET a = b, b = a read the already-updated a
-      candidateRows.select(candidateRows.columns.map { name =>
-        set.get(name) match {
-          case Some(expr) =>
-            org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), expr)
-              .otherwise(org.apache.spark.sql.functions.col(name)).as(name)
-          case None => org.apache.spark.sql.functions.col(name)
-        }
+    // the post-image projection: `set` applied unconditionally (callers
+    // gate on the predicate) — one simultaneous select so every SET
+    // expression reads the PRE-update row (SQL UPDATE semantics; a
+    // sequential fold would let SET a = b, b = a read the updated a)
+    def applySet(rows: DataFrame): DataFrame =
+      rows.select(rows.columns.map { name =>
+        set.get(name).map(_.as(name))
+          .getOrElse(org.apache.spark.sql.functions.col(name))
       }.toIndexedSeq: _*)
-    }
+    rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
+      schema)(
+      rewrite = { (candidateRows, pred) =>
+        val unknown = set.keySet -- candidateRows.columns
+        require(unknown.isEmpty,
+          s"SET columns not in the table: ${unknown.mkString(", ")}")
+        candidateRows.select(candidateRows.columns.map { name =>
+          set.get(name) match {
+            case Some(expr) =>
+              org.apache.spark.sql.functions.when(coalesce(pred, lit(false)), expr)
+                .otherwise(org.apache.spark.sql.functions.col(name)).as(name)
+            case None => org.apache.spark.sql.functions.col(name)
+          }
+        }.toIndexedSeq: _*)
+      },
+      changesOf = { (candidateRows, pred) =>
+        val matched = candidateRows.where(coalesce(pred, lit(false)))
+        matched.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(matched)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      })
   }
 
   /** Shared copy-on-write core of [[delete]]/[[update]]: stats-prune
     * the head snapshot's files against `predicate`, hand the candidate
     * rows (and the predicate) to `rewrite`, and commit its result plus
-    * the untouched files as one atomic replace version.
+    * the untouched files as one atomic replace version. `changesOf`
+    * produces the commit's row-level change feed (see
+    * [[ChangeDataMetaKey]]) — one extra bounded job over the candidate
+    * files only, written before the claim so the winning manifest
+    * atomically references it.
     */
   private def rewriteMatching(spark: SparkSession, path: String,
                               predicate: org.apache.spark.sql.Column,
                               partitionCols: Seq[String],
                               mergeSchema: Boolean,
                               schema: Option[StructType])
-                             (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
+                             (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
+                              changesOf: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
@@ -881,12 +1084,12 @@ object TxTable {
     // the slot claim (the commit retry re-reads the new head, and a
     // keep-only-the-analyzed-set filter would silently drop them)
     val candidatePaths = candidates.map(pathOf).toSet
-    val rewritten = rewrite(
-      scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned),
-      predicate)
-    Some(commit(spark, path, rewritten, "replace",
+    val candidateRows =
+      scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned)
+    val cdfMeta = writeChangeData(fs, p, changesOf(candidateRows, predicate))
+    Some(commit(spark, path, rewrite(candidateRows, predicate), "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      layout, requirePresent = candidatePaths))
+      layout, meta = cdfMeta, requirePresent = candidatePaths))
   }
 
   /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace
@@ -936,9 +1139,13 @@ object TxTable {
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val u = updates.localCheckpoint()
-    if (lines.isEmpty)
+    if (lines.isEmpty) {
+      // merge into an empty table: every update row is an insert
+      val cdfMeta = writeChangeData(fs, p,
+        u.withColumn(ChangeTypeCol, lit("insert")))
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
-        layout, meta, guard = guard)
+        layout, meta ++ cdfMeta, guard = guard)
+    }
     if (u.isEmpty)
       // nothing to rewrite, but meta (e.g. a consumer offset) must
       // still land durably: a metadata-only commit — silently dropping
@@ -948,7 +1155,8 @@ object TxTable {
       // committer beat me", and a silent return would answer wrongly
       return if (meta.isEmpty && guard.isEmpty) vs.last
       else commitLines(spark, path, "append", Seq.empty,
-        (base, _) => base, meta, guard = guard)
+        (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
+        guard = guard)
 
     // observed key bounds on the update side; a null bound (all-null
     // keys) disables pruning for that column — conservative. Under
@@ -975,6 +1183,35 @@ object TxTable {
     // see rewriteMatching: drop exactly the rewritten files, so a racing
     // append between analysis and claim is never lost
     val candidatePaths = candidates.map(pathOf).toSet
+    // change feed: matched existing rows are update_preimage, their
+    // replacing update rows update_postimage, unmatched updates insert.
+    // Null keys never match under plain equality (null-key updates land
+    // as inserts, null-key existing rows untouched) — the semi/anti
+    // joins below reproduce exactly that, and the null-safe variant
+    // flips to <=> consistently with the rewrite.
+    val changes: DataFrame =
+      if (candidates.isEmpty) u.withColumn(ChangeTypeCol, lit("insert"))
+      else {
+        val existing = scanFiles(spark, p, candidates.map(pathOf),
+          mergeSchema, pinned)
+        val keys = u.select(keyCols.map(col): _*).distinct()
+        val existingKeys =
+          existing.select(keyCols.map(col): _*).distinct()
+        def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
+          if (!nullSafeKeys) l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
+            keyCols.map(k => l(k) === col(s"__k_$k")).reduce(_ && _), how)
+          else l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
+            keyCols.map(k => l(k) <=> col(s"__k_$k")).reduce(_ && _), how)
+        keyJoin(existing, keys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(keyJoin(u, existingKeys, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")),
+            allowMissingColumns = mergeSchema)
+          .unionByName(keyJoin(u, existingKeys, "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = mergeSchema)
+      }
+    val cdfMeta = writeChangeData(fs, p, changes)
     val newData =
       if (candidates.isEmpty) u
       else {
@@ -987,6 +1224,89 @@ object TxTable {
             keyCols.map(k => existing(k) <=> col(s"__u_$k")).reduce(_ && _),
             "left_anti")
         joined.unionByName(u, allowMissingColumns = mergeSchema)
+      }
+    commit(spark, path, newData, "replace",
+      (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
+      layout, meta ++ cdfMeta, requirePresent = candidatePaths,
+      guard = guard)
+  }
+
+  /** Apply a keyed CHANGE SET — upserts plus deletes — as ONE atomic
+    * commit: rows of `upserts` replace existing rows with equal key
+    * tuples (insert otherwise, exactly [[merge]]), and existing rows
+    * whose keys appear in `deleteKeys` are removed — all in the same
+    * copy-on-write replace version, so a crash can never land the
+    * upserts without the deletes. This is the APPLY side of the change
+    * feed: a follower that reduced [[readChanges]] output to final
+    * per-key actions materializes them here with one commit per
+    * consumed increment ([[graft.streaming.TxFollower.processChanges]]).
+    *
+    * The rewrite set is bounded like [[merge]]: only files whose key
+    * stats intersect the observed bounds of the CHANGED keys (upserts
+    * and deletes together) are rewritten; everything else carries over
+    * verbatim. Null keys never match (SQL equality): null-key upserts
+    * insert, null-key deletes are no-ops. An empty change set commits
+    * metadata only (offset advance), honoring `guard` — same contract
+    * as [[merge]]'s empty-update path.
+    */
+  def applyChanges(spark: SparkSession, path: String, upserts: DataFrame,
+                   deleteKeys: DataFrame, keyCols: Seq[String],
+                   partitionCols: Seq[String] = Nil,
+                   mergeSchema: Boolean = false,
+                   schema: Option[StructType] = None,
+                   meta: Map[String, String] = Map.empty,
+                   guard: Map[String, Long] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
+    val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
+    val u = upserts.localCheckpoint()
+    val dk = deleteKeys.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint()
+    if (lines.isEmpty)
+      return commit(spark, path, u, "replace", (_, _) => Seq.empty,
+        layout, meta, guard = guard)
+    if (u.isEmpty && dk.isEmpty)
+      return if (meta.isEmpty && guard.isEmpty) vs.last
+      else commitLines(spark, path, "append", Seq.empty,
+        (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
+        guard = guard)
+    // prune by the union of changed keys: a file can hold an affected
+    // row only if every key column's [min,max] intersects the bounds
+    val allKeys = u.select(keyCols.map(col): _*).unionByName(dk)
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val row = allKeys.agg(aggs.head, aggs.tail: _*).head()
+    val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
+    }
+    val cs =
+      if (boundPreds.isEmpty)
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+      else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
+        mergeSchema, pinned)
+    val (candidates, _) = lines.partition { l =>
+      lazy val st = statsOf(l)
+      cs.isEmpty || cs.forall(mayMatch(st, _))
+    }
+    val candidatePaths = candidates.map(pathOf).toSet
+    val newData =
+      if (candidates.isEmpty) u
+      else {
+        val existing = scanFiles(spark, p, candidates.map(pathOf),
+          mergeSchema, pinned)
+        val touched = allKeys.distinct()
+          .toDF(keyCols.map(k => s"__c_$k"): _*)
+        // one anti-join drops both the upserted and the deleted keys;
+        // the union then re-adds the upserts' new images only
+        existing.join(touched,
+          keyCols.map(k => existing(k) === col(s"__c_$k")).reduce(_ && _),
+          "left_anti")
+          .unionByName(u, allowMissingColumns = mergeSchema)
       }
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
@@ -1015,7 +1335,8 @@ object TxTable {
       if (partitionCols.nonEmpty) partitionCols
       else declaredPartitionCols(spark, path).getOrElse(Nil)
     val numFiles = headFileCountFor(spark, path, targetBytes)
-    rewriteSnapshot(spark, path, layout, mergeSchema) { snapshot =>
+    rewriteSnapshot(spark, path, layout, mergeSchema,
+      dataChange = false) { snapshot =>
       ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
         leadCols = layout)
     }
@@ -1078,7 +1399,7 @@ object TxTable {
       if (partitionCols.nonEmpty) partitionCols
       else declaredPartitionCols(spark, path).getOrElse(Nil)
     val numFiles = math.max(1, headFileCountFor(spark, path, targetBytes))
-    rewriteSnapshot(spark, path, layout, mergeSchema)(df =>
+    rewriteSnapshot(spark, path, layout, mergeSchema, dataChange = false)(df =>
       if (layout.isEmpty) df.repartition(numFiles)
       // partitioned: distribute BY the partition columns so each task
       // holds whole partitions — the per-dir writer then emits ~one
@@ -1115,7 +1436,8 @@ object TxTable {
   def rewriteSnapshot(spark: SparkSession, path: String,
                       partitionCols: Seq[String] = Nil,
                       mergeSchema: Boolean = false,
-                      schema: Option[StructType] = None)
+                      schema: Option[StructType] = None,
+                      dataChange: Boolean = true)
                      (transform: DataFrame => DataFrame): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -1134,9 +1456,16 @@ object TxTable {
     val rewritten = lines.map(pathOf).toSet
     val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema,
       schema.orElse(declaredSchemaAt(fs, p, vs.last)))
+    // dataChange=false (OPTIMIZE/compact): the transform is
+    // data-identical by contract, so the commit declares zero change
+    // rows — change-feed readers skip it instead of seeing the whole
+    // snapshot churn as delete+insert
+    val cdfMeta =
+      if (dataChange) Map.empty[String, String]
+      else Map(ChangeDataMetaKey -> "0")
     commit(spark, path, transform(snapshot), "replace",
       (base, _) => base.filterNot(l => rewritten.contains(pathOf(l))),
-      layout, Map.empty, requirePresent = rewritten)
+      layout, cdfMeta, requirePresent = rewritten)
   }
 
   /** Roll the table back (or forward) to EXACTLY the snapshot of
@@ -1291,7 +1620,8 @@ object TxTable {
                           meta: Map[String, String] = Map.empty,
                           requirePresent: Set[String] = Set.empty,
                           guard: Map[String, Long] = Map.empty,
-                          requireUnchangedUnder: Option[(Set[String], Set[String])] = None): Long = {
+                          requireUnchangedUnder: Option[(Set[String], Set[String])] = None,
+                          firstCommitOnly: Boolean = false): Long = {
     require(meta.forall { case (k, v) =>
       k.nonEmpty && !k.contains('=') &&
         !(k + v).exists(c => c == ' ' || c == '\n')
@@ -1303,6 +1633,12 @@ object TxTable {
     var committed = -1L
     while (committed < 0) {
       val head = versions(spark, path).lastOption
+      // a first-commit-only claim (CREATE) may only land as v1: a lost
+      // race means another creator won — surface "already exists"
+      // instead of silently replacing its declared metadata as v2
+      if (firstCommitOnly && head.isDefined)
+        throw new IllegalArgumentException(
+          s"graft table $path already exists (concurrent create)")
       val (prevHead, base) = head
         .map(v => readManifest(fs, p, v))
         .getOrElse(("", Seq.empty[String]))
@@ -1446,6 +1782,22 @@ object TxTable {
       val anyLive = live.exists(_.startsWith(rel + "/"))
       val wasCommitted = dropped.exists(_.startsWith(rel + "/"))
       if (!anyLive && (wasCommitted ||
+          now - d.getModificationTime > orphanGraceMs))
+        fs.delete(d.getPath, true)
+    }
+    // change-data dirs follow the same lifecycle: referenced by a kept
+    // manifest → live; referenced only by dropped manifests → reclaim
+    // now; referenced by nothing (a DML that lost its commit race) →
+    // reclaim past the grace period
+    def cdfOf(vsSet: Seq[Long]): Set[String] = vsSet.flatMap(v =>
+      parseMeta(readManifest(fs, p, v)._1).get(ChangeDataMetaKey))
+      .filter(_ != "0").toSet
+    val liveCdf = cdfOf(keep)
+    val droppedCdf = cdfOf(drop)
+    val changesRoot = new Path(p, ChangesDir)
+    if (fs.exists(changesRoot)) fs.listStatus(changesRoot).foreach { d =>
+      val name = d.getPath.getName
+      if (!liveCdf.contains(name) && (droppedCdf.contains(name) ||
           now - d.getModificationTime > orphanGraceMs))
         fs.delete(d.getPath, true)
     }

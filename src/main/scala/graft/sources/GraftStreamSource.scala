@@ -201,9 +201,23 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
       .orElse(Option(options.get("startingTimestamp")).map { s =>
         val t = scala.util.Try(s.toLong).getOrElse(
           java.time.Instant.parse(s).toEpochMilli)
-        TxTable.versions(spark, path)
-          .takeWhile(v => TxTable.commitTimestamp(spark, path, v) < t)
-          .lastOption.getOrElse(0L)
+        val vs = TxTable.versions(spark, path)
+        // find-LAST-at-or-before over ALL retained versions (not a
+        // takeWhile, which a single clock-regressed stamp would stop
+        // early, replaying already-old commits)
+        val before = vs.filter(v =>
+          TxTable.commitTimestamp(spark, path, v) < t)
+        if (before.nonEmpty) before.max
+        else if (vs.headOption.forall(_ <= 1L)) 0L
+        else sys.error(
+          // history vacuumed: the first retained snapshot folds in rows
+          // committed BEFORE t whose manifests are gone — starting at 0
+          // would silently replay them (same contract as the batch
+          // side's versionAsOfTimestamp: fail loudly)
+          s"startingTimestamp $t predates the earliest retained commit " +
+          s"of $path (v${vs.head}) — history before it was vacuumed; " +
+          "use startingVersion, or a timestamp at-or-after " +
+          TxTable.commitTimestamp(spark, path, vs.head))
       })
       .getOrElse(0L)
   }

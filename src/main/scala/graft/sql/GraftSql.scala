@@ -79,15 +79,22 @@ object GraftSql {
     * check.
     */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
-    if (!sqlText.contains("graft.`")) None
+    // case-insensitive, matching the (?i) statement regexes — a
+    // `MERGE INTO GRAFT.`…`` must not silently bypass this parser and
+    // die in Spark's analyzer with an unrelated error
+    if (!sqlText.toLowerCase(java.util.Locale.ROOT).contains("graft.`")) None
     else sqlText match {
       case CreateRe(replace, path, parts, query) =>
         Some(GraftCreateTableCommand(path, splitNames(parts),
           replace != null, delegate.parsePlan(query)))
       case MergeRe(path, rest) =>
         val (source, keys) = splitMergeSource(rest)
+        // strip the outer parens only when they wrap the WHOLE source —
+        // `(SELECT …) alias` keeps its parens and parses as a FROM-item
+        // subquery (`SELECT * FROM (SELECT …) alias`), instead of the
+        // mangled `SELECT …) alias` a blind stripSuffix would produce
         val plan =
-          if (source.startsWith("("))
+          if (source.startsWith("(") && closesAtEnd(source))
             delegate.parsePlan(source.stripPrefix("(").stripSuffix(")"))
           else delegate.parsePlan(s"SELECT * FROM $source")
         Some(GraftMergeCommand(path, plan, splitNames(keys)))
@@ -144,6 +151,30 @@ object GraftSql {
     require(keys.startsWith("(") && keys.endsWith(")"),
       s"MERGE key list must be parenthesized column names, got: $keys")
     (rest.substring(0, last).trim, keys.stripPrefix("(").stripSuffix(")"))
+  }
+
+  /** True iff the '(' at index 0 finds its matching ')' as the LAST
+    * character of `s` (quote-aware) — i.e. the parens wrap the whole
+    * string, not just a leading sub-expression.
+    */
+  private def closesAtEnd(s: String): Boolean = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i == s.length - 1
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {

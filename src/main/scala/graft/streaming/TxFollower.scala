@@ -75,6 +75,56 @@ object TxFollower {
     }
   }
 
+  /** Exactly-once KEYED REPLICA of a source table that receives
+    * row-level DML: consume the change feed ([[TxTable.readChanges]])
+    * since the last increment and materialize the final per-key
+    * outcome into `dst` with ONE atomic commit
+    * ([[TxTable.applyChanges]]). Unlike [[processAvailable]] — which a
+    * MERGE/UPDATE/DELETE on the source would poison (rewrite commits
+    * resurface carried rows as additions) — this stays exactly-once
+    * downstream of row-level DML: changed rows arrive tagged, carried
+    * rows never appear.
+    *
+    * Reduction: per key, the LAST change across the consumed window
+    * wins (preimages are not outcomes); a final insert/update_postimage
+    * upserts, a final delete removes. Sources must keep one row per
+    * key per commit (the keyed-table contract MERGE maintains); the
+    * offset+guard story is identical to [[processAvailable]].
+    */
+  def processChanges(spark: SparkSession, src: String, dst: String,
+                     app: String, keyCols: Seq[String]): Option[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(keyCols.nonEmpty, "keyed replica needs key columns")
+    requireTokenSafe(app)
+    val srcVersions = TxTable.versions(spark, src)
+    val head = srcVersions.lastOption.getOrElse(return None)
+    val from = processedVersion(spark, dst, app).getOrElse(0L)
+    if (head <= from) return None
+    checkRetention(srcVersions, from, src)
+    val changes = TxTable.readChanges(spark, src, fromV = from, toV = head)
+    val metaCols = Seq(TxTable.ChangeTypeCol, TxTable.CommitVersionCol,
+      TxTable.CommitTimestampCol)
+    val finals = changes
+      .where(col(TxTable.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(TxTable.CommitVersionCol).desc)))
+      .where(col("__rn") === 1).drop("__rn")
+    val upserts = finals.where(col(TxTable.ChangeTypeCol) =!= "delete")
+      .drop(metaCols: _*)
+    val deleted = finals.where(col(TxTable.ChangeTypeCol) === "delete")
+      .select(keyCols.map(col): _*)
+    val meta = Map(srcKey(app) -> head.toString)
+    val guard = Map(srcKey(app) -> head)
+    if (!TxTable.exists(spark, dst))
+      TxTable.append(spark, dst, upserts, meta = meta, guard = guard)
+    else
+      TxTable.applyChanges(spark, dst, upserts, deleted, keyCols,
+        meta = meta, guard = guard)
+    Some(head)
+  }
+
   /** The destination offset survives anything (carried meta), but the
     * delta read needs the SOURCE manifest at the last-consumed version
     * — a source vacuum that pruned it makes incremental consumption

@@ -174,6 +174,21 @@ class DedupSpec extends SparkSpec {
       "LSH candidates verified by exact cosine can only be a subset")
   }
 
+  test("cosineDupPairs refuses above the row ceiling unless forced") {
+    val vecs = df(Seq(
+      Vec(1, Array(1f, 0f, 0f)), Vec(2, Array(0.99f, 0.01f, 0f)),
+      Vec(3, Array(0f, 1f, 0f))))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosineDupPairs(vecs, "vec_id", "embedding", 0.95,
+        maxRows = 2).collect()
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // force overrides the guard; the result is unchanged
+    assert(Dedup.cosineDupPairs(vecs, "vec_id", "embedding", 0.95,
+      maxRows = 2, force = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("connectedComponents clusters transitively; keepCanonical keeps min id") {
     val s = spark
     import s.implicits._
@@ -455,6 +470,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPoisoned == brute, "zero-norm vector neither centroid nor neighbor")
   }
 
+  test("ivfAppend: incrementally-appended lists serve exactly like a full assignment") {
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 50L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val base = df(all.filter(_.vec_id < 40))
+    val batch = df(all.filter(_.vec_id >= 40))
+    val full = df(all)
+    val queries = full.filter(col("vec_id") < 3)
+    val index = Similarity.buildIvfIndex(base, numLists = 5).localCheckpoint()
+    val lists = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .toString + "/lists"
+    // build lists from the BASE corpus, append the batch incrementally
+    Similarity.writeIvfLists(base, index, lists)
+    Similarity.ivfAppend(spark, lists, index, batch)
+    // served results equal a full same-centroid assignment, exactly
+    val served = Similarity.ivfTopKFromLists(spark, lists, queries, 4,
+        nprobe = 2, index).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fullAssign = Similarity.ivfTopKWithIndex(full, queries, 4,
+        nprobe = 2, index).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == fullAssign,
+      "append routes with the same fixed centroids — results identical")
+    // probing every list from the persisted table is exactly brute force
+    val servedAll = Similarity.ivfTopKFromLists(spark, lists, queries, 4,
+        nprobe = 5, index).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute2 = Similarity.bruteForceTopK(full, queries, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(servedAll == brute2,
+      "appended index at nprobe=numLists must equal exhaustive search")
+  }
+
   test("ivfRecallReport: one row per nprobe, recall monotone, exact at full probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = Similarity.buildIvfIndex(emb, numLists = 8, kmeansIters = 2)
@@ -665,5 +712,40 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "text", "text", "source")
     val f = Multimodal.extractFeatures(media).collect().head
     assert(f.byte_len == 0 && f.features.forall(_ == 0.0))
+  }
+
+  test("decodeImageMeta reads real PNG/JPEG headers; junk degrades, not crashes") {
+    // a real PNG round-trip: synthesize → decode header
+    val png = Multimodal.synthesizePng(23, 7, seed = 42L)
+    // a real JPEG via the same in-JDK writer
+    val img = new java.awt.image.BufferedImage(11, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    val metas = Multimodal.decodeImageMeta(Iterator(
+      graft.multimodal.MediaRecord(1L, "image", png, "p"),
+      graft.multimodal.MediaRecord(2L, "image", jpg, "j"),
+      graft.multimodal.MediaRecord(3L, "image", Array[Byte](1, 2, 3), "x")))
+      .toSeq.sortBy(_.media_id)
+    assert(metas(0).format == "png" && metas(0).width == 23 &&
+      metas(0).height == 7 && metas(0).channels == 3)
+    assert(metas(1).format.startsWith("jp") && metas(1).width == 11 &&
+      metas(1).height == 5 && metas(1).channels == 3)
+    assert(metas(2).format == "unknown" && metas(2).width == -1,
+      "unrecognized bytes degrade to unknown/-1, never throw")
+  }
+
+  test("extractImageMeta runs the codec distributed (mapPartitions)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{Encoders => E}
+    val media = s.range(0, 6).as[Long]
+      .map(k => graft.multimodal.MediaRecord(k, "image",
+        Multimodal.synthesizePng(10 + k.toInt, 4, k), s"m:$k"))(
+        E.product[graft.multimodal.MediaRecord])
+    val out = Multimodal.extractImageMeta(media).collect().sortBy(_.media_id)
+    assert(out.map(_.width).toSeq == (10 until 16))
+    assert(out.forall(m => m.height == 4 && m.format == "png"))
   }
 }

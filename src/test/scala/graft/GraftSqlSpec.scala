@@ -310,6 +310,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(app.head().getLong(0) === 1L) // just v2's append
   }
 
+  test("graft statements parse case-insensitively (GRAFT.`…` included)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // upper-case prefix must route to the injected parser, not die in
+    // Spark's analyzer with an unrelated row-level-operation error
+    spark.sql(s"DELETE FROM GRAFT.`$table` WHERE id = 1")
+    assert(TxTable.read(spark, table).collect().map(_.getLong(0)).toSeq ===
+      Seq(2L))
+    spark.sql(s"Update graft.`$table` SET v = 'z' WHERE id = 2")
+    assert(TxTable.read(spark, table).head().getString(1) === "z")
+  }
+
+  test("MERGE with an aliased parenthesized source parses as a subquery") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO graft.`$table` USING (
+         |  SELECT CAST(1 AS BIGINT) AS id, 'upd' AS v
+         |  UNION ALL SELECT 9, 'new'
+         |) src ON (id)""".stripMargin)
+    val rows = TxTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows === Map(1L -> "upd", 2L -> "b", 9L -> "new"))
+  }
+
   test("catalog: the SQL and DataFrame surfaces see the same table") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,34 @@ class GraftStreamSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("startingTimestamp predating vacuumed history fails loudly") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_src") + "/t"
+    TxTable.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    val ts1 = TxTable.commitTimestamp(spark, table, 1L)
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    TxTable.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.vacuum(spark, table, keepVersions = 1) // v1's manifest gone
+    // t predates the earliest retained commit: starting at 0 would
+    // silently replay v1's rows folded into v2's snapshot — error out
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", ts1 - 1).load(table)
+        .writeStream.format("memory").queryName("graft_stream_vac")
+        .option("checkpointLocation", tmp("graft_src_cp")).start()
+      try { q.processAllAvailable(); q.stop() }
+      finally if (q.isActive) q.stop()
+    }
+    def anyCause(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(anyCause(e).contains("predates the earliest retained commit"))
+  }
+
   test("checkpoint restart resumes at the committed version — no replays, no gaps") {
     val s = spark
     import s.implicits._

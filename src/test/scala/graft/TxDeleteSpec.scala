@@ -149,26 +149,26 @@ class TxDeleteSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
-  test("readChanges tags file-level CDC between versions") {
+  test("readChanges: appends insert file-granularly, DML row-level") {
     val dir = tmp()
     threeCommits(dir)                          // v1..v3: one file per commit
     TxTable.delete(spark, dir, col("id") === 5L) // v4: rewrites the 0-9 file
-    // append-only window: inserts only, exactly the appended rows
+    // append-only window: inserts only, exactly the appended rows,
+    // stamped with the commit version that added them
     val c13 = TxTable.readChanges(spark, dir, 1L, 3L)
     assert(c13.filter(col("_change_type") === "delete").isEmpty)
     assert(c13.filter(col("_change_type") === "insert")
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 30L))
-    // the delete commit: the rewritten file's old rows come out as
-    // deletes, its surviving rows as inserts; row-level diffing is the
-    // consumer's set difference (Delta CDF file-granularity contract)
+    assert(c13.filter(col("_commit_version") === 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 20L))
+    // the delete commit carries ROW-LEVEL change data: exactly the
+    // deleted row, no carried-row churn from the rewritten file
     val c34 = TxTable.readChanges(spark, dir, 3L, 4L)
     val dels = c34.filter(col("_change_type") === "delete")
       .collect().map(_.getLong(0)).toSet
-    val ins = c34.filter(col("_change_type") === "insert")
-      .collect().map(_.getLong(0)).toSet
-    assert(dels == (0L until 10L).toSet)
-    assert(ins == (0L until 10L).toSet - 5L)
-    assert(dels -- ins == Set(5L), "row-level diff isolates the deleted row")
+    assert(dels == Set(5L), "row-level CDF isolates the deleted row")
+    assert(c34.filter(col("_change_type") =!= "delete").isEmpty,
+      "carried rows of the rewritten file must NOT resurface")
     // untouched-window CDC is all-insert of the window's appends only —
     // files carried unchanged across versions never re-read
     assert(TxTable.readChanges(spark, dir, 2L, 3L)

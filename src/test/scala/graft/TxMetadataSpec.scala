@@ -66,8 +66,12 @@ class TxMetadataSpec extends SparkSpec {
     import s.implicits._
     val dir = tmp()
     TxTable.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // nullability may only widen: the current (parquet-read) schema has
+    // id nullable, so the evolved declaration must keep it nullable —
+    // pinning non-null over files that could hold nulls would let
+    // Catalyst fold IsNotNull filters wrongly
     val evolved = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField("id", LongType),
       StructField("v", StringType),
       StructField("score", DoubleType)))
     TxTable.evolveSchema(spark, dir, evolved)

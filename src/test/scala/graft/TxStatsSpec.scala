@@ -238,4 +238,37 @@ class TxStatsSpec extends SparkSpec {
     val (added, _) = TxTable.changedFiles(spark, dir + "p", 1L, 2L)
     assert(added.forall(!_.contains('\t')), "changedFiles returns bare paths")
   }
+
+  test("IS NULL prunes all-non-null files; IS NOT NULL prunes all-null files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // file 1: v all non-null; file 2: v mixed; file 3: v all null
+    TxTable.append(spark, dir,
+      (0L until 5L).map(i => (i, Some(s"a$i"))).toDF("id", "v").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq((10L, Some("b")), (11L, None)).toDF("id", "v").coalesce(1))
+    TxTable.append(spark, dir,
+      Seq((20L, None: Option[String]), (21L, None)).toDF("id", "v").coalesce(1))
+    // IS NULL: skips the all-non-null file, keeps mixed + all-null
+    val isNull = TxTable.readWhere(spark, dir, col("v").isNull)
+    assert(isNull.inputFiles.length == 2,
+      s"zero-null file must be skipped, scanned ${isNull.inputFiles.toSeq}")
+    assert(isNull.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(11L, 20L, 21L))
+    // IS NOT NULL: skips the all-null file
+    val notNull = TxTable.readWhere(spark, dir, col("v").isNotNull)
+    assert(notNull.inputFiles.length == 2,
+      s"all-null file must be skipped, scanned ${notNull.inputFiles.toSeq}")
+    assert(notNull.count() == 6)
+    // a COMPARISON also skips the all-null file (no value can match)
+    val cmp = TxTable.readWhere(spark, dir, col("v") === "b")
+    assert(cmp.inputFiles.length <= 2 &&
+      cmp.collect().map(_.getLong(0)).toSeq == Seq(10L),
+      "all-null file cannot satisfy an equality")
+    // partition-path pseudo-stats: non-null partition values prune IS NULL
+    TxTable.replacePartitions(spark, dir + "n",
+      Seq((1L, "x"), (2L, "y")).toDF("id", "pt"), Seq("pt"))
+    assert(TxTable.readWhere(spark, dir + "n", col("pt").isNull).count() == 0)
+  }
 }
