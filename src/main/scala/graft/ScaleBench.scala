@@ -28,13 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** The 10 most expensive linear-semantics queries of BASELINE.md's
-    * median table.
+  /** Queries EXCLUDED from the ladder: semantics (not engine) make
+    * their cost non-linear in data size, so a 10× ratio would read as
+    * a scaling failure that isn't one. Everything else runs.
     */
-  val Ladder: Seq[String] = Seq(
-    "q_x_training_pipeline_full", "q_x_dedup_clusters", "q_x_inc_dedup",
-    "q_x_text_winnow", "q_x_jaccard_pairs", "q_x_training_pipeline",
-    "q_x_dsir", "q_x_text_repetition", "q_x_profile", "q_x_minhash_pairs")
+  val Excluded: Set[String] = Set(
+    // exact all-pairs cosine baseline: O(n²) BY CONTRACT (the guarded
+    // correctness anchor of the LSH path — see Dedup.cosineDupPairs)
+    "q_x_cosine_dups")
+
+  /** The FULL query surface at both scales — every SparkEntry query
+    * whose semantics are linear-in-data (see [[Excluded]]), so each
+    * family (core relational, dedup, ANN-served, text, tx DML/CDF,
+    * SQL surface, streaming sink, sketches, packing) has a measured
+    * 10× point, not just the 10 most expensive.
+    */
+  val Ladder: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(Excluded)
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -78,8 +88,14 @@ object ScaleBench {
       s""""$n":{"base_sec":${f(tb)},"scaled_sec":${f(ts)},"ratio":${f(r)},"plan_stable":$st}"""
     }.mkString("{", ",", "}")
     val subQuadratic = rows.forall(_._4 < copies.toDouble * copies)
-    println(s"""{"metric":"scale_ladder","base":"$base","scaled":"$out",""" +
-      s""""copies":$copies,"queries":$qs,"sub_quadratic":$subQuadratic}""")
+    val line = s"""{"metric":"scale_ladder","base":"$base","scaled":"$out",""" +
+      s""""copies":$copies,"queries":$qs,"sub_quadratic":$subQuadratic}"""
+    println(line)
+    // full-surface ladders are several KB — keep a self-contained
+    // artifact beside the stdout line (same rationale as Bench)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 

@@ -130,10 +130,12 @@ object VectorExpressions {
   * `RESTORE`, `DESCRIBE HISTORY`) become plain `spark.sql(...)`
   * calls routing to the [[graft.ops.TxTable]] commit protocol — and
   * the incremental table-valued functions
-  * `graft_changes('/t', from, to)` (file-granular CDC) and
-  * `graft_appended('/t', from[, to])` (delta-only incremental read),
-  * which compose into any SQL query with I/O proportional to the
-  * changed files.
+  * `graft_changes('/t', from[, to])` (the CHANGE FEED: row-level
+  * insert/update_preimage/update_postimage/delete for DML commits,
+  * file-granular for appends — see [[graft.ops.TxTable.readChanges]])
+  * and `graft_appended('/t', from[, to])` (delta-only incremental
+  * read), which compose into any SQL query with I/O proportional to
+  * the changed rows/files.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -192,7 +194,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(tvf("graft_changes", args => {
       val s = org.apache.spark.sql.SparkSession.active
       graft.ops.TxTable.readChanges(s, strArg(args, 0, "table path"),
-        longArg(args, 1, "fromVersion"), longArg(args, 2, "toVersion"))
+        longArg(args, 1, "fromVersion"),
+        if (args.length > 2) longArg(args, 2, "toVersion") else -1L)
         .queryExecution.logical
     }))
     ext.injectTableFunction(tvf("graft_appended", args => {

@@ -1086,8 +1086,11 @@ object TxTable {
     val candidatePaths = candidates.map(pathOf).toSet
     val candidateRows =
       scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned)
+    // build the rewrite plan FIRST: its eager validations (unknown SET
+    // columns, …) must fail before any change file hits disk
+    val rewritten = rewrite(candidateRows, predicate)
     val cdfMeta = writeChangeData(fs, p, changesOf(candidateRows, predicate))
-    Some(commit(spark, path, rewrite(candidateRows, predicate), "replace",
+    Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta = cdfMeta, requirePresent = candidatePaths))
   }
@@ -1267,9 +1270,12 @@ object TxTable {
     val u = upserts.localCheckpoint()
     val dk = deleteKeys.select(keyCols.map(col): _*).distinct()
       .localCheckpoint()
-    if (lines.isEmpty)
+    if (lines.isEmpty) {
+      val cdfMeta = writeChangeData(fs, p,
+        u.withColumn(ChangeTypeCol, lit("insert")))
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
-        layout, meta, guard = guard)
+        layout, meta ++ cdfMeta, guard = guard)
+    }
     if (u.isEmpty && dk.isEmpty)
       return if (meta.isEmpty && guard.isEmpty) vs.last
       else commitLines(spark, path, "append", Seq.empty,
@@ -1294,23 +1300,46 @@ object TxTable {
       cs.isEmpty || cs.forall(mayMatch(st, _))
     }
     val candidatePaths = candidates.map(pathOf).toSet
-    val newData =
-      if (candidates.isEmpty) u
+    // this commit writes its OWN change feed (like merge/delete), so a
+    // replica-of-a-replica consumer sees row-level changes, never the
+    // rewritten files' carried-row churn. Upsert and delete key sets
+    // should be disjoint (processChanges reduces to one final action
+    // per key); on overlap the upsert wins in the DATA (anti-join then
+    // union), and the feed mirrors that.
+    def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
+      l.join(r.toDF(keyCols.map(k => s"__c_$k"): _*),
+        keyCols.map(k => l(k) === col(s"__c_$k")).reduce(_ && _), how)
+    val (newData, changes) =
+      if (candidates.isEmpty)
+        (u, u.withColumn(ChangeTypeCol, lit("insert")))
       else {
         val existing = scanFiles(spark, p, candidates.map(pathOf),
           mergeSchema, pinned)
-        val touched = allKeys.distinct()
-          .toDF(keyCols.map(k => s"__c_$k"): _*)
+        val uKeys = u.select(keyCols.map(col): _*).distinct()
+        val existingKeys = existing.select(keyCols.map(col): _*).distinct()
         // one anti-join drops both the upserted and the deleted keys;
         // the union then re-adds the upserts' new images only
-        existing.join(touched,
-          keyCols.map(k => existing(k) === col(s"__c_$k")).reduce(_ && _),
-          "left_anti")
+        val data = keyJoin(existing, allKeys.distinct(), "left_anti")
           .unionByName(u, allowMissingColumns = mergeSchema)
+        val dkReal = keyJoin(dk, existingKeys, "left_semi")
+        val ch = keyJoin(existing, uKeys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(keyJoin(existing, dkReal, "left_semi")
+            .withColumn(ChangeTypeCol, lit("delete")),
+            allowMissingColumns = mergeSchema)
+          .unionByName(keyJoin(u, existingKeys, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")),
+            allowMissingColumns = mergeSchema)
+          .unionByName(keyJoin(u, existingKeys, "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = mergeSchema)
+        (data, ch)
       }
+    val cdfMeta = writeChangeData(fs, p, changes)
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      layout, meta, requirePresent = candidatePaths, guard = guard)
+      layout, meta ++ cdfMeta, requirePresent = candidatePaths,
+      guard = guard)
   }
 
   /** Rewrite the head snapshot Z-order-clustered on `zorderCols`

@@ -135,6 +135,39 @@ class TxChangeFeedSpec extends SparkSpec {
     assert(head(200L) == -200L, "new key inserted")
     assert(!head.contains(7L), "deleted key removed")
     assert(head.size == 20, "19 original + 1 insert - 1 delete + 0")
+    // the commit carries its own row-level feed (replica-of-replica safe)
+    val feed = TxTable.readChanges(spark, dir, before, before + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (5L, 500L, "update_preimage"), (5L, -5L, "update_postimage"),
+      (200L, -200L, "insert"), (7L, 700L, "delete")),
+      s"applyChanges feed must be row-level, got $feed")
+  }
+
+  test("the feed survives schema evolution (mergeSchema union)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))   // v1
+    val cur = TxTable.read(spark, dir).schema
+    TxTable.evolveSchema(spark, dir, org.apache.spark.sql.types.StructType(
+      cur :+ org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))               // v2
+    TxTable.merge(spark, dir,
+      Seq((2L, "B", 0.5), (3L, "c", 0.9)).toDF("id", "v", "score"),
+      Seq("id"), mergeSchema = true)                           // v3
+    val c = TxTable.readChanges(spark, dir, 0L, 3L, mergeSchema = true)
+    // v1's inserts surface score as null; v3's rows carry it
+    val v1 = c.filter(col("_commit_version") === 1L).collect()
+    assert(v1.length == 2 &&
+      v1.forall(r => r.isNullAt(r.fieldIndex("score"))),
+      "pre-evolution inserts surface the added column as null")
+    assert(c.filter(col("_commit_version") === 3L).count() == 3,
+      "merge feed: preimage(id=2) + postimage(id=2) + insert(id=3)")
+    assert(c.filter(col("_change_type") === "insert")
+      .filter(col("_commit_version") === 3L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("applyChanges with an empty change set advances meta only") {
