@@ -341,6 +341,33 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the APPLY side of the change feed, end-to-end: a keyed REPLICA
+    // follows the source through its whole DML cycle — initial load,
+    // MERGE, DELETE — consuming only the change feed (readChanges →
+    // last-final-action-per-key → applyChanges, one commit per
+    // increment, offset+guard in the same claim). The replica is read
+    // back and must equal the source head, which the oracle recomputes
+    // algebraically — so exactly-once CDC consumption is itself
+    // correctness-gated, not just the feed
+    "q_x_cdf_replica" -> ((s, dir) => {
+      val base = tmpQueryDir("graft_cdfrep")
+      val src = base + "/src"
+      val dst = base + "/dst"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, src, o)                             // v1
+      graft.streaming.TxFollower.processChanges(s, src, dst, "rep",
+        Seq("o_orderkey"))
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"), lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, src, updates, Seq("o_orderkey"))     // v2
+      graft.ops.TxTable.delete(s, src, col("o_orderkey") % 7 === 3)   // v3
+      graft.streaming.TxFollower.processChanges(s, src, dst, "rep",
+        Seq("o_orderkey"))
+      graft.ops.TxTable.read(s, dst).orderBy("o_orderkey")
+    }),
+
     // row-level change data feed: land orders, MERGE (update + insert),
     // DELETE — then read the CHANGE FEED of the DML window. Each commit
     // exposes exactly its changed rows tagged insert / update_preimage /
@@ -1403,6 +1430,21 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_x_tx_dml" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus))
+        |SELECT o_orderkey, o_orderstatus FROM merged
+        |WHERE NOT (o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the replica equals the source head after the DML cycle — same
+    // algebra as q_x_tx_dml (merge CASE + inserted keys, delete filter)
+    "q_x_cdf_replica" ->
       """WITH merged AS (
         |  SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END

@@ -372,12 +372,15 @@ object TxTable {
 
   /** One column's skipping stats as carried in a manifest line. `tag`
     * "x" = no comparable min/max (ignore `min`/`max`); `nulls`/`rows`
-    * absent on pre-null-count manifests.
+    * absent on pre-null-count manifests. `knownAllNull` marks a column
+    * proven all-null WITHOUT counts — the hive default-partition dir
+    * (every row's partition value is null, row count unknown).
     */
   private[ops] final case class ColStats(tag: String, min: String,
-      max: String, nulls: Option[Long] = None, rows: Option[Long] = None) {
-    def allNull: Boolean =
-      nulls.isDefined && rows.isDefined && nulls == rows && rows.get > 0
+      max: String, nulls: Option[Long] = None, rows: Option[Long] = None,
+      knownAllNull: Boolean = false) {
+    def allNull: Boolean = knownAllNull ||
+      (nulls.isDefined && rows.isDefined && nulls == rows && rows.get > 0)
   }
 
   /** Manifest file line → per-column stats, empty if none. */
@@ -416,7 +419,10 @@ object TxTable {
         val i = seg.indexOf('=')
         val k = seg.substring(0, i)
         val v = unescapePartition(seg.substring(i + 1))
-        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        if (v == "__HIVE_DEFAULT_PARTITION__")
+          // the null-partition dir: EVERY row's partition value is null
+          // — `IS NOT NULL` and any comparison prune it from the path
+          Some(k -> ColStats("x", "", "", knownAllNull = true))
         else {
           val tag =
             if (scala.util.Try(BigDecimal(v)).isSuccess) "n" else "s"
@@ -988,14 +994,21 @@ object TxTable {
     * call time; files appended by writers racing this delete are kept
     * verbatim (their rows are NOT filtered) — same last-writer
     * semantics as [[overwrite]].
+    *
+    * `changeFeed = false` skips the row-level change capture (one
+    * bounded job saved); [[readChanges]] then falls back to
+    * file-granular capture for this commit — honest coarseness, never
+    * a false "no changes" claim. Same switch on [[update]], [[merge]],
+    * [[applyChanges]].
     */
   def delete(spark: SparkSession, path: String,
              predicate: org.apache.spark.sql.Column,
              partitionCols: Seq[String] = Nil,
              mergeSchema: Boolean = false,
-             schema: Option[StructType] = None): Option[Long] =
+             schema: Option[StructType] = None,
+             changeFeed: Boolean = true): Option[Long] =
     rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
-      schema)(
+      schema, changeFeed)(
       rewrite = { (candidateRows, pred) =>
         // keep rows where the predicate is FALSE or NULL (SQL DELETE)
         candidateRows.where(not(coalesce(pred, lit(false))))
@@ -1017,7 +1030,8 @@ object TxTable {
              set: Map[String, org.apache.spark.sql.Column],
              partitionCols: Seq[String] = Nil,
              mergeSchema: Boolean = false,
-             schema: Option[StructType] = None): Option[Long] = {
+             schema: Option[StructType] = None,
+             changeFeed: Boolean = true): Option[Long] = {
     require(set.nonEmpty, "update needs at least one SET column")
     // the post-image projection: `set` applied unconditionally (callers
     // gate on the predicate) — one simultaneous select so every SET
@@ -1029,7 +1043,7 @@ object TxTable {
           .getOrElse(org.apache.spark.sql.functions.col(name))
       }.toIndexedSeq: _*)
     rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
-      schema)(
+      schema, changeFeed)(
       rewrite = { (candidateRows, pred) =>
         val unknown = set.keySet -- candidateRows.columns
         require(unknown.isEmpty,
@@ -1064,7 +1078,8 @@ object TxTable {
                               predicate: org.apache.spark.sql.Column,
                               partitionCols: Seq[String],
                               mergeSchema: Boolean,
-                              schema: Option[StructType])
+                              schema: Option[StructType],
+                              changeFeed: Boolean = true)
                              (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
                               changesOf: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
     val vs = versions(spark, path)
@@ -1075,8 +1090,12 @@ object TxTable {
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val cs = resolveConjuncts(spark, p, lines, predicate, mergeSchema, pinned)
+    // footer stats + partition-path pseudo-stats: a DELETE/UPDATE whose
+    // predicate names a partition column rewrites only that partition's
+    // files — pruned from the manifest alone, same as readWhere
     val (candidates, _) = lines.partition { l =>
-      val st = statsOf(l); cs.forall(mayMatch(st, _))
+      val st = statsOf(l) ++ partitionStats(pathOf(l))
+      cs.forall(mayMatch(st, _))
     }
     if (candidates.isEmpty) return None
     // drop exactly the files being rewritten; everything else survives —
@@ -1089,7 +1108,12 @@ object TxTable {
     // build the rewrite plan FIRST: its eager validations (unknown SET
     // columns, …) must fail before any change file hits disk
     val rewritten = rewrite(candidateRows, predicate)
-    val cdfMeta = writeChangeData(fs, p, changesOf(candidateRows, predicate))
+    // changeFeed=false skips the capture job AND the meta token, so
+    // readers fall back to file-granular capture (honest coarseness,
+    // never a false "no changes" claim)
+    val cdfMeta =
+      if (changeFeed) writeChangeData(fs, p, changesOf(candidateRows, predicate))
+      else Map.empty[String, String]
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta = cdfMeta, requirePresent = candidatePaths))
@@ -1132,7 +1156,8 @@ object TxTable {
             schema: Option[StructType] = None,
             meta: Map[String, String] = Map.empty,
             nullSafeKeys: Boolean = false,
-            guard: Map[String, Long] = Map.empty): Long = {
+            guard: Map[String, Long] = Map.empty,
+            changeFeed: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, path)
@@ -1144,8 +1169,10 @@ object TxTable {
     val u = updates.localCheckpoint()
     if (lines.isEmpty) {
       // merge into an empty table: every update row is an insert
-      val cdfMeta = writeChangeData(fs, p,
-        u.withColumn(ChangeTypeCol, lit("insert")))
+      val cdfMeta =
+        if (changeFeed) writeChangeData(fs, p,
+          u.withColumn(ChangeTypeCol, lit("insert")))
+        else Map.empty[String, String]
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
         layout, meta ++ cdfMeta, guard = guard)
     }
@@ -1180,7 +1207,7 @@ object TxTable {
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
     val (candidates, _) = lines.partition { l =>
-      lazy val st = statsOf(l)
+      lazy val st = statsOf(l) ++ partitionStats(pathOf(l))
       cs.isEmpty || cs.forall(mayMatch(st, _))
     }
     // see rewriteMatching: drop exactly the rewritten files, so a racing
@@ -1192,7 +1219,7 @@ object TxTable {
     // as inserts, null-key existing rows untouched) — the semi/anti
     // joins below reproduce exactly that, and the null-safe variant
     // flips to <=> consistently with the rewrite.
-    val changes: DataFrame =
+    lazy val changes: DataFrame =
       if (candidates.isEmpty) u.withColumn(ChangeTypeCol, lit("insert"))
       else {
         val existing = scanFiles(spark, p, candidates.map(pathOf),
@@ -1214,7 +1241,9 @@ object TxTable {
             .withColumn(ChangeTypeCol, lit("insert")),
             allowMissingColumns = mergeSchema)
       }
-    val cdfMeta = writeChangeData(fs, p, changes)
+    val cdfMeta =
+      if (changeFeed) writeChangeData(fs, p, changes)
+      else Map.empty[String, String]
     val newData =
       if (candidates.isEmpty) u
       else {
@@ -1258,7 +1287,8 @@ object TxTable {
                    mergeSchema: Boolean = false,
                    schema: Option[StructType] = None,
                    meta: Map[String, String] = Map.empty,
-                   guard: Map[String, Long] = Map.empty): Long = {
+                   guard: Map[String, Long] = Map.empty,
+                   changeFeed: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     val vs = versions(spark, path)
@@ -1271,8 +1301,10 @@ object TxTable {
     val dk = deleteKeys.select(keyCols.map(col): _*).distinct()
       .localCheckpoint()
     if (lines.isEmpty) {
-      val cdfMeta = writeChangeData(fs, p,
-        u.withColumn(ChangeTypeCol, lit("insert")))
+      val cdfMeta =
+        if (changeFeed) writeChangeData(fs, p,
+          u.withColumn(ChangeTypeCol, lit("insert")))
+        else Map.empty[String, String]
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
         layout, meta ++ cdfMeta, guard = guard)
     }
@@ -1296,7 +1328,7 @@ object TxTable {
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
     val (candidates, _) = lines.partition { l =>
-      lazy val st = statsOf(l)
+      lazy val st = statsOf(l) ++ partitionStats(pathOf(l))
       cs.isEmpty || cs.forall(mayMatch(st, _))
     }
     val candidatePaths = candidates.map(pathOf).toSet
@@ -1335,7 +1367,9 @@ object TxTable {
             allowMissingColumns = mergeSchema)
         (data, ch)
       }
-    val cdfMeta = writeChangeData(fs, p, changes)
+    val cdfMeta =
+      if (changeFeed) writeChangeData(fs, p, changes)
+      else Map.empty[String, String]
     commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta ++ cdfMeta, requirePresent = candidatePaths,
@@ -1354,18 +1388,32 @@ object TxTable {
     * optimize with the standard conflict error instead of resurrecting
     * its rows). File count targets `targetBytes` per file.
     */
+  /** `where` SCOPES the rewrite (Delta's `OPTIMIZE … WHERE`): only
+    * files whose stats/partition path may match the predicate are
+    * re-clustered; everything else carries verbatim. The predicate is
+    * a FILE-SELECTION hint, never a row filter — whole candidate files
+    * are rewritten with all their rows, so even an over-approximate
+    * selection stays data-identical. At 100 TB this is the difference
+    * between optimizing one day's partition and re-clustering the
+    * lake. A scope matching no file is a no-op (returns the head
+    * version, no commit).
+    */
   def optimize(spark: SparkSession, path: String, zorderCols: Seq[String],
                targetBytes: Long = 128L * 1024 * 1024,
                bitsPerCol: Int = 8,
                partitionCols: Seq[String] = Nil,
-               mergeSchema: Boolean = false): Long = {
+               mergeSchema: Boolean = false,
+               where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
     val layout =
       if (partitionCols.nonEmpty) partitionCols
       else declaredPartitionCols(spark, path).getOrElse(Nil)
-    val numFiles = headFileCountFor(spark, path, targetBytes)
-    rewriteSnapshot(spark, path, layout, mergeSchema,
-      dataChange = false) { snapshot =>
+    val (files, bytes) = scopedHeadFiles(spark, path, where, mergeSchema)
+    if (files.isEmpty) return versions(spark, path).last
+    val numFiles =
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    rewriteFiles(spark, path, files, layout, mergeSchema,
+      None) { snapshot =>
       ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
         leadCols = layout)
     }
@@ -1423,18 +1471,56 @@ object TxTable {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
-              mergeSchema: Boolean = false): Long = {
+              mergeSchema: Boolean = false,
+              where: Option[org.apache.spark.sql.Column] = None): Long = {
     val layout =
       if (partitionCols.nonEmpty) partitionCols
       else declaredPartitionCols(spark, path).getOrElse(Nil)
-    val numFiles = math.max(1, headFileCountFor(spark, path, targetBytes))
-    rewriteSnapshot(spark, path, layout, mergeSchema, dataChange = false)(df =>
+    val (files, bytes) = scopedHeadFiles(spark, path, where, mergeSchema)
+    if (files.isEmpty) return versions(spark, path).last
+    val numFiles =
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    rewriteFiles(spark, path, files, layout, mergeSchema, None)(df =>
       if (layout.isEmpty) df.repartition(numFiles)
       // partitioned: distribute BY the partition columns so each task
       // holds whole partitions — the per-dir writer then emits ~one
       // file per partition instead of (tasks × partitions) shards
       else df.repartition(numFiles,
         layout.map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  /** The head snapshot's manifest-relative files that may match
+    * `where` (all of them when None), plus their total bytes — the
+    * scope-selection half of [[compact]]/[[optimize]]'s `WHERE`
+    * support. Pure driver metadata: stats + partition-path pruning,
+    * one `getFileStatus` per kept file.
+    */
+  private def scopedHeadFiles(spark: SparkSession, path: String,
+                              where: Option[org.apache.spark.sql.Column],
+                              mergeSchema: Boolean): (Seq[String], Long) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    require(lines.nonEmpty || where.isDefined,
+      s"nothing to rewrite: head of $path is empty")
+    val kept = where match {
+      case None => lines
+      case Some(pred) =>
+        if (lines.isEmpty) Seq.empty
+        else {
+          val pinned = declaredSchemaAt(fs, p, vs.last)
+          val cs = resolveConjuncts(spark, p, lines, pred, mergeSchema,
+            pinned)
+          lines.filter { l =>
+            val st = statsOf(l) ++ partitionStats(pathOf(l))
+            cs.forall(mayMatch(st, _))
+          }
+        }
+    }
+    val bytes = kept.map(l =>
+      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
+    (kept.map(pathOf), bytes)
   }
 
   /** ceil(live snapshot bytes / targetBytes) — the file count a layout
@@ -1474,16 +1560,36 @@ object TxTable {
     val lines = readManifest(fs, p, vs.last)._2
     require(lines.nonEmpty, s"nothing to rewrite: head of $path is empty")
     val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
-    // a hive-partitioned table MUST be rewritten with its layout, or
+    rewriteFiles(spark, path, lines.map(pathOf), layout, mergeSchema,
+      schema, dataChange)(transform)
+  }
+
+  /** The maintenance core shared by [[rewriteSnapshot]] (whole head)
+    * and the scoped [[compact]]/[[optimize]] (candidate files only):
+    * rewrite EXACTLY `relFiles` through `transform`, keep every other
+    * head file verbatim, commit one atomic replace. Racing APPENDS are
+    * kept; a conflicting DML that removed one of the read files aborts
+    * (requirePresent) instead of resurrecting its rows.
+    */
+  private def rewriteFiles(spark: SparkSession, path: String,
+                           relFiles: Seq[String],
+                           layout: Seq[String],
+                           mergeSchema: Boolean,
+                           schema: Option[StructType],
+                           dataChange: Boolean = false)
+                          (transform: DataFrame => DataFrame): Long = {
+    val vs = versions(spark, path)
+    val (fs, p) = fsFor(spark, path)
+    // a hive-partitioned file set MUST be rewritten with its layout, or
     // the flat rewrite breaks directory pruning and a later
     // replacePartitions would keep (and so duplicate) the old rows;
     // tables with a manifest-declared layout resolve it automatically
     require(layout.nonEmpty ||
-      !lines.exists(l => partitionDirOf(pathOf(l)).nonEmpty),
+      !relFiles.exists(f => partitionDirOf(f).nonEmpty),
       s"$path is hive-partitioned — pass partitionCols so the rewrite " +
       "preserves the partition layout")
-    val rewritten = lines.map(pathOf).toSet
-    val snapshot = scanFiles(spark, p, lines.map(pathOf), mergeSchema,
+    val rewritten = relFiles.toSet
+    val snapshot = scanFiles(spark, p, relFiles, mergeSchema,
       schema.orElse(declaredSchemaAt(fs, p, vs.last)))
     // dataChange=false (OPTIMIZE/compact): the transform is
     // data-identical by contract, so the commit declares zero change

@@ -22,7 +22,7 @@ import graft.ops.TxTable
   *   MERGE INTO graft.`/t` USING (SELECT ...) ON (key1, key2)
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
-  *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)]
+  *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)] [WHERE cond]
   *   VACUUM graft.`/t` [RETAIN n VERSIONS]
   *   RESTORE graft.`/t` [TO] VERSION [AS OF] v
   *   RESTORE graft.`/t` [TO] TIMESTAMP [AS OF] 'ts'
@@ -58,9 +58,10 @@ object GraftSql {
     ("""(?is)\s*UPDATE\s+""" + Tbl + """\s+SET\s+(.+)""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+""" + Tbl +
-      """\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""").r
+      """\s+ZORDER\s+BY\s*\(([^)]*)\)\s*(?:WHERE\s+(.+?))?\s*""").r
   private val CompactRe =
-    ("""(?is)\s*OPTIMIZE\s+""" + Tbl + """\s*""").r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tbl +
+      """\s*(?:WHERE\s+(.+?))?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+""" + Tbl +
       """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""").r
@@ -114,10 +115,14 @@ object GraftSql {
         val cond = Option(where).map(w =>
           GraftShim.toColumn(delegate.parseExpression(w))).getOrElse(lit(true))
         Some(GraftDeleteCommand(path, cond))
-      case OptimizeRe(path, cols) =>
-        Some(GraftOptimizeCommand(path, splitNames(cols)))
-      case CompactRe(path) =>
-        Some(GraftCompactCommand(path))
+      case OptimizeRe(path, cols, where) =>
+        Some(GraftOptimizeCommand(path, splitNames(cols),
+          Option(where).map(w =>
+            GraftShim.toColumn(delegate.parseExpression(w)))))
+      case CompactRe(path, where) =>
+        Some(GraftCompactCommand(path,
+          Option(where).map(w =>
+            GraftShim.toColumn(delegate.parseExpression(w)))))
       case VacuumRe(path, keep) =>
         Some(GraftVacuumCommand(path,
           Option(keep).map(_.toInt).getOrElse(1)))
@@ -296,21 +301,27 @@ case class GraftUpdateCommand(path: String, cond: org.apache.spark.sql.Column,
     Seq(Row(TxTable.update(spark, path, cond, set).map(Long.box).orNull))
 }
 
-/** `OPTIMIZE graft.`p` ZORDER BY (cols)` → [[TxTable.optimize]]. */
-case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
+/** `OPTIMIZE graft.`p` ZORDER BY (cols) [WHERE cond]` →
+  * [[TxTable.optimize]] (the WHERE scopes which FILES are rewritten —
+  * stats/partition pruning, never a row filter).
+  */
+case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
+                                where: Option[org.apache.spark.sql.Column] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxTable.optimize(spark, path, zorderCols)))
+    Seq(Row(TxTable.optimize(spark, path, zorderCols, where = where)))
 }
 
-/** `OPTIMIZE graft.`p`` (no ZORDER) → [[TxTable.compact]] — bin-pack
-  * small files, no re-clustering.
+/** `OPTIMIZE graft.`p` [WHERE cond]` (no ZORDER) → [[TxTable.compact]]
+  * — bin-pack small files, no re-clustering; WHERE scopes the files.
   */
-case class GraftCompactCommand(path: String) extends LeafRunnableCommand {
+case class GraftCompactCommand(path: String,
+                               where: Option[org.apache.spark.sql.Column] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxTable.compact(spark, path)))
+    Seq(Row(TxTable.compact(spark, path, where = where)))
 }
 
 /** `VACUUM graft.`p` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */

@@ -220,4 +220,24 @@ object TxFollower {
         ()
       }
       .start()
+
+  /** Continuous form of [[processChanges]]: a live keyed replica of a
+    * table that RECEIVES ROW-LEVEL DML. Same heartbeat/offset story as
+    * [[follow]] — the rate ticks only trigger; each trigger consumes
+    * the change feed since the last consumed version and applies the
+    * final per-key outcomes in one guarded commit.
+    */
+  def followChanges(spark: SparkSession, src: String, dst: String,
+                    app: String, keyCols: Seq[String], checkpoint: String,
+                    ticksPerSecond: Int = 1): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        processChanges(spark, src, dst, app, keyCols)
+        ()
+      }
+      .start()
 }

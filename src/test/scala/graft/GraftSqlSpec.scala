@@ -310,6 +310,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(app.head().getLong(0) === 1L) // just v2's append
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matching partition's files") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // two commits per partition → multiple small files per pt
+    TxTable.replacePartitions(spark, table,
+      (0L until 8L).map(i => (i, (i % 2).toInt)).toDF("id", "pt"), Seq("pt"))
+    TxTable.append(spark, table,
+      (8L until 16L).map(i => (i, (i % 2).toInt)).toDF("id", "pt"), Seq("pt"))
+    val before = TxTable.read(spark, table).inputFiles.toSet
+    val pt0Before = before.filter(_.contains("pt=0"))
+    val pt1Before = before.filter(_.contains("pt=1"))
+    spark.sql(s"OPTIMIZE graft.`$table` WHERE pt = 0")
+    val after = TxTable.read(spark, table).inputFiles.toSet
+    assert(pt1Before.subsetOf(after),
+      "pt=1's files must carry verbatim under a pt=0 scope")
+    assert((after intersect pt0Before).isEmpty,
+      "pt=0's files must all be rewritten")
+    // data identical
+    assert(TxTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      (0L until 16L).map(i => (i, (i % 2).toInt)).toSet)
+    // a no-match scope is a no-op (no new version)
+    val v = TxTable.versions(spark, table).last
+    spark.sql(s"OPTIMIZE graft.`$table` WHERE pt = 99")
+    assert(TxTable.versions(spark, table).last == v)
+  }
+
   test("graft statements parse case-insensitively (GRAFT.`…` included)") {
     val s = spark
     import s.implicits._

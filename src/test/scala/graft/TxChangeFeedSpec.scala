@@ -214,6 +214,42 @@ class TxChangeFeedSpec extends SparkSpec {
     assert(TxFollower.processedVersion(spark, dst, "rep").contains(5L))
   }
 
+  test("changeFeed=false skips capture; readers fall back to file-granular") {
+    val dir = tmp()
+    seed(dir)
+    TxTable.delete(spark, dir, col("id") === 5L, changeFeed = false)
+    assert(!new java.io.File(dir, "_changes").exists(),
+      "no change files written when the feed is off")
+    // the fallback is honest coarseness: the rewritten file's rows
+    // churn as delete+insert instead of one row-level delete
+    val c = TxTable.readChanges(spark, dir, 2L, 3L)
+    val dels = c.filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSet
+    val ins = c.filter(col("_change_type") === "insert")
+      .collect().map(_.getLong(0)).toSet
+    assert(dels == (0L until 10L).toSet && ins == dels - 5L,
+      "file-granular fallback: old file deletes, surviving rows insert")
+  }
+
+  test("a partition predicate bounds the DML rewrite to that partition") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.replacePartitions(spark, dir,
+      (0L until 20L).map(i => (i, i % 4)).toDF("id", "pt"), Seq("pt"))
+    val before = TxTable.read(spark, dir).inputFiles.toSet
+    TxTable.delete(spark, dir, col("pt") === 2, Seq("pt"))
+    val after = TxTable.read(spark, dir).inputFiles.toSet
+    // only partition pt=2's files were rewritten; every other
+    // partition's files carried over as the SAME physical files
+    val pt2 = before.filter(_.contains("pt=2"))
+    assert(pt2.nonEmpty && (before -- pt2).subsetOf(after),
+      s"non-matching partitions must carry verbatim: before=$before after=$after")
+    assert((after intersect pt2).isEmpty, "pt=2's files replaced")
+    assert(TxTable.read(spark, dir).where(col("pt") === 2).count() == 0)
+    assert(TxTable.read(spark, dir).count() == 15)
+  }
+
   test("concurrent CREATE: exactly one creator wins, loser errors") {
     val dir = tmp()
     val schema = org.apache.spark.sql.types.StructType(Seq(

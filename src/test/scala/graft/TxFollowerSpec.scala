@@ -95,6 +95,33 @@ class TxFollowerSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  test("followChanges() keeps a live keyed replica exact under DML") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_fc") + "/src"
+    val dst = tmp("graft_fc") + "/dst"
+    TxTable.append(spark, src,
+      (0L until 10L).map(i => (i, 0L)).toDF("id", "v"))
+    val q = TxFollower.followChanges(spark, src, dst, "liverep",
+      Seq("id"), tmp("graft_fc_cp"), ticksPerSecond = 10)
+    try {
+      q.processAllAvailable()
+      TxTable.merge(spark, src,
+        Seq((3L, -3L), (100L, -100L)).toDF("id", "v"), Seq("id"))
+      TxTable.delete(spark, src, col("id") === 5L)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !TxFollower.processedVersion(spark, dst, "liverep").contains(3L)) {
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val want = TxTable.read(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TxTable.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "live replica must equal batch recompute")
+  }
+
   test("aggregate view folds deltas into stored partials, equals batch aggregation") {
     val s = spark
     import s.implicits._
