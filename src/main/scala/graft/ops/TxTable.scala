@@ -1202,13 +1202,21 @@ object TxTable {
       else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
     }
     val cs =
-      if (boundPreds.isEmpty || (nullSafeKeys && anyNullKey))
+      if (boundPreds.isEmpty)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
+    // under null-safe matching a null update key may match rows in ANY
+    // file whose key columns may hold nulls — but a file whose
+    // null-count stats PROVE zero null keys can only match through the
+    // non-null bounds, so it still prunes (pre-null-count manifests
+    // have no counts and conservatively stay candidates)
+    def mayHoldNullKey(st: Map[String, ColStats]): Boolean =
+      keyCols.exists(k => st.get(k).flatMap(_.nulls).forall(_ > 0))
     val (candidates, _) = lines.partition { l =>
       lazy val st = statsOf(l) ++ partitionStats(pathOf(l))
-      cs.isEmpty || cs.forall(mayMatch(st, _))
+      (cs.isEmpty || cs.forall(mayMatch(st, _))) ||
+        (nullSafeKeys && anyNullKey && mayHoldNullKey(st))
     }
     // see rewriteMatching: drop exactly the rewritten files, so a racing
     // append between analysis and claim is never lost
@@ -1883,10 +1891,36 @@ object TxTable {
     } finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
+  /** Head-snapshot facts for `DESCRIBE DETAIL`: (version, file count,
+    * total data bytes, partition columns, schema). O(files) driver
+    * metadata calls, no data I/O; schema from the manifest declaration
+    * when present, else the first footer.
+    */
+  def detail(spark: SparkSession, path: String)
+      : (Long, Long, Long, Seq[String], StructType) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    val bytes = lines.map(l =>
+      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
+    val schema = declaredSchemaAt(fs, p, vs.last)
+      .getOrElse(read(spark, path, mergeSchema = true).schema)
+    val parts = declaredPartitionColsAt(fs, p, vs.last).getOrElse(
+      lines.headOption.map(l => partitionDirOf(pathOf(l)).split('/')
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+        .getOrElse(Nil))
+    (vs.last, lines.size.toLong, bytes, parts, schema)
+  }
+
   /** Drop all but the newest `keepVersions` manifests and delete every
     * data file none of the kept snapshots references. Callers must
     * ensure no reader is pinned to a dropped version (same contract as
-    * Delta's VACUUM retention).
+    * Delta's VACUUM retention). Returns the table-relative paths
+    * removed (data/change dirs and manifests). `dryRun = true` reports
+    * what WOULD be removed without touching anything — the
+    * look-before-you-leap check a retention policy wants before an
+    * irreversible prune.
     */
   /** `orphanGraceMs`: a data dir referenced by NO manifest at all is
     * either debris from a failed commit or an IN-FLIGHT commit that has
@@ -1898,11 +1932,17 @@ object TxTable {
     * and are reclaimed immediately.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+             orphanGraceMs: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the head version")
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return Seq.empty
+    val removed = Seq.newBuilder[String]
+    def remove(rel: String, target: Path, recursive: Boolean): Unit = {
+      removed += rel
+      if (!dryRun) { fs.delete(target, recursive); () }
+    }
     // drop may be empty — orphan-dir cleanup below still runs (vacuum's
     // job includes reclaiming failed-commit debris past the grace)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
@@ -1918,7 +1958,7 @@ object TxTable {
       val wasCommitted = dropped.exists(_.startsWith(rel + "/"))
       if (!anyLive && (wasCommitted ||
           now - d.getModificationTime > orphanGraceMs))
-        fs.delete(d.getPath, true)
+        remove(rel, d.getPath, recursive = true)
     }
     // change-data dirs follow the same lifecycle: referenced by a kept
     // manifest → live; referenced only by dropped manifests → reclaim
@@ -1934,9 +1974,11 @@ object TxTable {
       val name = d.getPath.getName
       if (!liveCdf.contains(name) && (droppedCdf.contains(name) ||
           now - d.getModificationTime > orphanGraceMs))
-        fs.delete(d.getPath, true)
+        remove(s"$ChangesDir/$name", d.getPath, recursive = true)
     }
     drop.foreach(v =>
-      fs.delete(new Path(new Path(p, LogDir), manifestName(v)), false))
+      remove(s"$LogDir/${manifestName(v)}",
+        new Path(new Path(p, LogDir), manifestName(v)), recursive = false))
+    removed.result().sorted
   }
 }

@@ -23,7 +23,8 @@ import graft.ops.TxTable
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
   *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)] [WHERE cond]
-  *   VACUUM graft.`/t` [RETAIN n VERSIONS]
+  *   VACUUM graft.`/t` [RETAIN n VERSIONS] [DRY RUN]
+  *   DESCRIBE DETAIL graft.`/t`
   *   RESTORE graft.`/t` [TO] VERSION [AS OF] v
   *   RESTORE graft.`/t` [TO] TIMESTAMP [AS OF] 'ts'
   *   DESCRIBE HISTORY graft.`/t`
@@ -64,7 +65,9 @@ object GraftSql {
       """\s*(?:WHERE\s+(.+?))?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+""" + Tbl +
-      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""").r
+      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*""").r
+  private val DetailRe =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tbl + """\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+""" + Tbl +
       """\s+(?:TO\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*""").r
@@ -123,9 +126,11 @@ object GraftSql {
         Some(GraftCompactCommand(path,
           Option(where).map(w =>
             GraftShim.toColumn(delegate.parseExpression(w)))))
-      case VacuumRe(path, keep) =>
+      case VacuumRe(path, keep, dry) =>
         Some(GraftVacuumCommand(path,
-          Option(keep).map(_.toInt).getOrElse(1)))
+          Option(keep).map(_.toInt).getOrElse(1), dry != null))
+      case DetailRe(path) =>
+        Some(GraftDetailCommand(path))
       case RestoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
       case RestoreTsRe(path, ts) =>
@@ -324,12 +329,33 @@ case class GraftCompactCommand(path: String,
     Seq(Row(TxTable.compact(spark, path, where = where)))
 }
 
-/** `VACUUM graft.`p` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */
-case class GraftVacuumCommand(path: String, keepVersions: Int)
+/** `VACUUM graft.`p` [RETAIN n VERSIONS] [DRY RUN]` →
+  * [[TxTable.vacuum]]; one row per removed (or, dry, would-be-removed)
+  * table-relative path.
+  */
+case class GraftVacuumCommand(path: String, keepVersions: Int,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.vacuum(spark, path, keepVersions, dryRun = dryRun).map(Row(_))
+}
+
+/** `DESCRIBE DETAIL graft.`p`` → one row of head-snapshot facts
+  * (Delta's DESCRIBE DETAIL, reduced to the log): version, file
+  * count, total bytes, partition columns, schema.
+  */
+case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("schema", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    TxTable.vacuum(spark, path, keepVersions)
-    Seq.empty
+    val (v, n, bytes, parts, schema) = TxTable.detail(spark, path)
+    Seq(Row(v, n, bytes, parts.mkString(","), schema.simpleString))
   }
 }
 

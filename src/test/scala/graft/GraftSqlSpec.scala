@@ -310,6 +310,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(app.head().getLong(0) === 1L) // just v2's append
   }
 
+  test("DESCRIBE DETAIL reports head facts; VACUUM DRY RUN removes nothing") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    TxTable.delete(spark, table, col("id") === 1L)
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$table`").head()
+    assert(d.getLong(0) == 2L, "head version")
+    assert(d.getLong(1) >= 1L, "file count")
+    assert(d.getLong(2) > 0L, "data bytes")
+    assert(d.getString(4).contains("id"), "schema surfaced")
+    // DRY RUN lists the reclaimable paths without touching anything
+    val wouldRemove = spark.sql(
+      s"VACUUM graft.`$table` RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(wouldRemove.exists(_.startsWith("_txlog/")),
+      s"v1's manifest must be reclaimable, got ${wouldRemove.toSeq}")
+    assert(TxTable.versions(spark, table) == Seq(1L, 2L),
+      "dry run must not delete manifests")
+    assert(TxTable.readVersion(spark, table, 1L).count() == 2,
+      "dry run must not delete data")
+    // the real vacuum then removes exactly what the dry run promised
+    val removed = spark.sql(s"VACUUM graft.`$table` RETAIN 1 VERSIONS")
+      .collect().map(_.getString(0))
+    assert(removed.toSet == wouldRemove.toSet)
+    assert(TxTable.versions(spark, table) == Seq(2L))
+  }
+
   test("OPTIMIZE ... WHERE compacts only the matching partition's files") {
     val s = spark
     import s.implicits._
