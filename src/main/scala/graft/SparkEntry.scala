@@ -402,7 +402,12 @@ object SparkEntry {
       graft.ops.TxTable.append(s, tmp, d.filter(col("doc_id") % 2 === 1))
       graft.ops.TxTable.optimize(s, tmp, Seq("n_chars", "doc_id"),
         targetBytes = 64L * 1024)
-      graft.ops.TxTable.compact(s, tmp) // bin-pack — data-identical too
+      // scoped bin-pack (OPTIMIZE … WHERE): rewrites only the files
+      // whose stats may hold n_chars >= 500 — data-identical too, and
+      // the oracle proves the scoped path end-to-end
+      graft.ops.TxTable.compact(s, tmp,
+        where = Some(col("n_chars") >= 500))
+      graft.ops.TxTable.compact(s, tmp) // whole-snapshot bin-pack
       val compacted = graft.ops.TxTable.versions(s, tmp).last
       graft.ops.TxTable.overwrite(s, tmp, d.limit(10))
       graft.ops.TxTable.restore(s, tmp, compacted)
