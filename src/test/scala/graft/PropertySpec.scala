@@ -17,6 +17,58 @@ class PropertySpec extends SparkSpec {
   private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("change-feed replay reconciles with the snapshot for random DML sequences") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TxTable
+    // a random program of merges/deletes/updates over a small key space
+    // (collisions guaranteed); invariant: base snapshot + readChanges
+    // replayed per key in version order == head snapshot, ALWAYS
+    sealed trait Op
+    case class M(kvs: List[(Long, Long)]) extends Op
+    case class D(k: Long) extends Op
+    case class U(k: Long, v: Long) extends Op
+    val opGen: Gen[Op] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 12L),
+        Gen.chooseNum(-99L, 99L))).map(l => M(l.take(4))),
+      Gen.chooseNum(0L, 12L).map(D(_)),
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(-99L, 99L))
+        .map { case (k, v) => U(k, v) })
+    val progGen = Gen.nonEmptyListOf(opGen).map(_.take(5))
+    for ((prog, i) <- samples(progGen, 3).zipWithIndex) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cdfprop$i").toString + "/t"
+      TxTable.append(spark, dir,
+        (0L until 8L).map(k => (k, 0L)).toDF("id", "v").repartition(2))
+      prog.foreach {
+        case M(kvs) =>
+          TxTable.merge(spark, dir,
+            kvs.toMap.toSeq.toDF("id", "v"), Seq("id")); ()
+        case D(k) => TxTable.delete(spark, dir, col("id") === k); ()
+        case U(k, v) =>
+          TxTable.update(spark, dir, col("id") === k,
+            Map("v" -> lit(v))); ()
+      }
+      val head = TxTable.versions(spark, dir).last
+      val base = TxTable.readVersion(spark, dir, 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val changes = TxTable.readChanges(spark, dir, 1L, head).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      var state = base
+      changes.filter(c => c._3 != "update_preimage").sortBy(_._4)
+        .foreach {
+          case (k, v, "insert", _) => state += k -> v
+          case (k, v, "update_postimage", _) => state += k -> v
+          case (k, _, "delete", _) => state -= k
+          case _ => ()
+        }
+      val got = TxTable.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == state,
+        s"replay mismatch for program $prog: replayed=$state head=$got")
+    }
+  }
+
   test("downcast never changes numeric values, only (sometimes) the type") {
     val rowsGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.chooseNum(Long.MinValue, Long.MaxValue),
