@@ -341,6 +341,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // conditional multi-clause MERGE (Delta's WHEN MATCHED [AND cond]
+    // THEN UPDATE/DELETE + WHEN NOT MATCHED INSERT): matched non-F
+    // orders get src price + 1, matched F orders are deleted, unmatched
+    // source keys insert — the oracle recomputes the same clause
+    // algebra with a LEFT JOIN + CASE, so the conditional semantics
+    // (incl. clause precedence and the unmatched-insert split) are
+    // correctness-gated bit-for-bit
+    "q_x_merge_into" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_minto") + "/orders_tx"
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.ops.TxTable.append(s, tmp, o)
+      val source = o.filter(col("o_orderkey") % 10 === 0)
+        .unionByName(s.range(1, 4).select(
+          (-col("id")).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          lit(1.0).as("o_totalprice")))
+      graft.ops.TxTable.mergeInto(s, tmp, source, Seq("o_orderkey"),
+        updateWhen = Some(col("o_orderstatus") =!= "F"),
+        updateSet = Map("o_totalprice" ->
+          (graft.ops.TxTable.src("o_totalprice") + lit(1.0))),
+        deleteWhen = Some(col("o_orderstatus") === "F"))
+      graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
+    }),
+
     // the APPLY side of the change feed, end-to-end: a keyed REPLICA
     // follows the source through its whole DML cycle — initial load,
     // MERGE, DELETE — consuming only the change feed (readChanges →
@@ -1445,6 +1470,30 @@ object SparkEntry {
         |    t(o_orderkey, o_orderstatus))
         |SELECT o_orderkey, o_orderstatus FROM merged
         |WHERE NOT (o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_merge_into" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(-1 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)),
+        |      (-2, 'N', 1.0), (-3, 'N', 1.0))
+        |    t(o_orderkey, o_orderstatus, o_totalprice)),
+        |m AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+        |         THEN s.o_totalprice + 1.0 ELSE t.o_totalprice END
+        |      AS o_totalprice,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F'
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m WHERE del = 0
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
         |ORDER BY o_orderkey""".stripMargin,
 
     // the replica equals the source head after the DML cycle — same

@@ -1271,6 +1271,188 @@ object TxTable {
       guard = guard)
   }
 
+  /** Source-column reference for [[mergeInto]] clause expressions: the
+    * joined row exposes target columns under their own names and
+    * source columns as `src_<name>` — `TxTable.src("x")` is sugar for
+    * `col("src_x")`.
+    */
+  def src(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(s"src_$name")
+
+  /** Conditional multi-clause MERGE — Delta's full
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET … / DELETE,
+    * WHEN NOT MATCHED [AND cond] THEN INSERT` shape, against the
+    * copy-on-write log. Clause semantics (per matched target row,
+    * DELETE clause evaluated first, Delta's default clause order):
+    *
+    *  - matched ∧ `deleteWhen` → row removed;
+    *  - else matched ∧ `updateWhen` → `updateSet` applied (one
+    *    simultaneous projection; expressions read the PRE-update row
+    *    and may reference source columns via [[src]]);
+    *  - else → row carried unchanged.
+    *  - source rows matching NO target key, passing `insertWhen`
+    *    (evaluated over the source's own columns) → inserted. Inserts
+    *    align BY NAME, so the source schema must match the table's
+    *    (modulo `mergeSchema` widening) when `insertUnmatched` is on;
+    *    a clause-only merge over a differently-shaped source sets
+    *    `insertUnmatched = false`.
+    *
+    * Conditions evaluate over the target row joined with its matching
+    * source row (source columns prefixed `src_` — no collisions by
+    * construction). NULL conditions are false (SQL WHERE semantics);
+    * null keys never match (plain equality), so null-key source rows
+    * can only INSERT. Each source key should match at most one clause
+    * application per target row; duplicate source keys are rejected
+    * (Delta's multiple-matches error) because "which source row
+    * updates the target" would be nondeterministic.
+    *
+    * Scale shape = [[merge]]: rewrite bounded by the source's key
+    * bounds (stats + partition pruning), untouched files carried
+    * verbatim, one atomic replace commit carrying the row-level change
+    * feed (delete / update_preimage / update_postimage / insert).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keyCols: Seq[String],
+                updateWhen: Option[org.apache.spark.sql.Column] = None,
+                updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                insertWhen: Option[org.apache.spark.sql.Column] = None,
+                insertUnmatched: Boolean = true,
+                partitionCols: Seq[String] = Nil,
+                mergeSchema: Boolean = false,
+                schema: Option[StructType] = None,
+                meta: Map[String, String] = Map.empty,
+                guard: Map[String, Long] = Map.empty,
+                changeFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, when}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(updateWhen.isEmpty || updateSet.nonEmpty,
+      "updateWhen needs a non-empty updateSet")
+    require(updateWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched,
+      "mergeInto with no clauses would be a no-op — give it one")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
+    val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
+    val s0 = source.localCheckpoint()
+    // duplicate source keys would make "which row wins" arbitrary
+    val dup = s0.groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto source has duplicate key ${dup.headOption}" +
+      " — aggregate the source first (Delta's multiple-matches error)")
+    val inserts0 =
+      if (!insertUnmatched) s0.where(lit(false))
+      else insertWhen.fold(s0)(s0.where(_))
+    if (lines.isEmpty)
+      return commit(spark, path, inserts0, "replace", (_, _) => Seq.empty,
+        layout, meta ++ (if (changeFeed)
+          writeChangeData(fs, p,
+            inserts0.withColumn(ChangeTypeCol, lit("insert")))
+        else Map.empty[String, String]), guard = guard)
+    if (s0.isEmpty)
+      return if (meta.isEmpty && guard.isEmpty) vs.last
+      else commitLines(spark, path, "append", Seq.empty,
+        (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
+        guard = guard)
+
+    // key-bounds pruning, as in merge (null source keys never match,
+    // so they constrain nothing)
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val row = s0.agg(aggs.head, aggs.tail: _*).head()
+    val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
+    }
+    val cs =
+      if (boundPreds.isEmpty)
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+      else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
+        mergeSchema, pinned)
+    val (candidates, _) = lines.partition { l =>
+      lazy val st = statsOf(l) ++ partitionStats(pathOf(l))
+      cs.isEmpty || cs.forall(mayMatch(st, _))
+    }
+    val candidatePaths = candidates.map(pathOf).toSet
+    // nothing can match and inserts are off → the whole statement is a
+    // no-op (meta/guard still honored, like the empty-source path)
+    if (candidates.isEmpty && !insertUnmatched)
+      return if (meta.isEmpty && guard.isEmpty) vs.last
+      else commitLines(spark, path, "append", Seq.empty,
+        (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
+        guard = guard)
+    val existing =
+      if (candidates.isEmpty) null
+      else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned)
+    // the joined frame: target columns by name, source as src_<name>,
+    // plus a match marker (null-safe "did a source row join here")
+    val srcPrefixed = s0.toDF(s0.columns.map(c => s"src_$c"): _*)
+      .withColumn("__m", lit(true))
+    def joined = existing.join(srcPrefixed,
+      keyCols.map(k => existing(k) === col(s"src_$k")).reduce(_ && _),
+      "left")
+    val matched = coalesce(col("__m"), lit(false))
+    val delCond = matched &&
+      coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+    val updCond = matched && !delCond &&
+      coalesce(updateWhen.getOrElse(lit(false)), lit(false))
+    def applyClauses(j: DataFrame): DataFrame =
+      j.where(!delCond).select(existing.columns.map { name =>
+        updateSet.get(name) match {
+          case Some(expr) if updateWhen.isDefined =>
+            when(updCond, expr).otherwise(col(name)).as(name)
+          case _ => col(name)
+        }
+      }.toIndexedSeq: _*)
+    val existingKeys =
+      if (candidates.isEmpty) null
+      else existing.select(keyCols.map(col): _*).distinct()
+        .toDF(keyCols.map(k => s"__e_$k"): _*)
+    def unmatchedInserts: DataFrame =
+      if (candidates.isEmpty) inserts0
+      else inserts0.join(existingKeys,
+        keyCols.map(k => inserts0(k) === col(s"__e_$k")).reduce(_ && _),
+        "left_anti")
+    val newData =
+      if (candidates.isEmpty) inserts0
+      else {
+        val base = applyClauses(joined)
+        if (!insertUnmatched) base
+        else base.unionByName(unmatchedInserts,
+          allowMissingColumns = mergeSchema)
+      }
+    val cdfMeta =
+      if (!changeFeed) Map.empty[String, String]
+      else {
+        val changes =
+          if (candidates.isEmpty)
+            inserts0.withColumn(ChangeTypeCol, lit("insert"))
+          else {
+            val tgtCols = existing.columns.toIndexedSeq.map(col)
+            val deleted = joined.where(delCond).select(tgtCols: _*)
+              .withColumn(ChangeTypeCol, lit("delete"))
+            val pre = joined.where(updCond).select(tgtCols: _*)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            val post = applyClauses(joined.where(updCond))
+              .withColumn(ChangeTypeCol, lit("update_postimage"))
+            val core = deleted
+              .unionByName(pre, allowMissingColumns = mergeSchema)
+              .unionByName(post, allowMissingColumns = mergeSchema)
+            if (!insertUnmatched) core
+            else core.unionByName(unmatchedInserts
+              .withColumn(ChangeTypeCol, lit("insert")),
+              allowMissingColumns = mergeSchema)
+          }
+        writeChangeData(fs, p, changes)
+      }
+    commit(spark, path, newData, "replace",
+      (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
+      layout, meta ++ cdfMeta, requirePresent = candidatePaths,
+      guard = guard)
+  }
+
   /** Apply a keyed CHANGE SET — upserts plus deletes — as ONE atomic
     * commit: rows of `upserts` replace existing rows with equal key
     * tuples (insert otherwise, exactly [[merge]]), and existing rows

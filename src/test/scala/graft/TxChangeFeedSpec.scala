@@ -214,6 +214,70 @@ class TxChangeFeedSpec extends SparkSpec {
     assert(TxFollower.processedVersion(spark, dst, "rep").contains(5L))
   }
 
+  test("mergeInto: conditional update/delete/insert clauses, Delta semantics") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // target: (id, status, x)
+    TxTable.append(spark, dir, Seq(
+      (1L, "open", 10L), (2L, "closed", 20L), (3L, "open", 30L),
+      (4L, "open", 40L)).toDF("id", "status", "x").coalesce(1))
+    // source matches 1 (open → update), 2 (closed → delete), and
+    // 3 (open but src gate fails → carried). The source schema differs
+    // from the table's, so the insert clause is off (inserts require a
+    // name-aligned source, like merge)
+    val source = Seq(
+      (1L, 100L, true), (2L, 200L, true), (3L, 300L, false),
+      (9L, 900L, true)).toDF("id", "sx", "apply")
+    TxTable.mergeInto(spark, dir, source, Seq("id"),
+      updateWhen = Some(col("status") === "open" && TxTable.src("apply")),
+      updateSet = Map("x" -> (TxTable.src("sx") + col("x"))),
+      deleteWhen = Some(col("status") === "closed"),
+      insertUnmatched = false)
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // 1: updated to src_sx + old x = 110; 2: deleted; 3: gate false →
+    // carried; 4: unmatched → carried; 9: no insert clause → dropped
+    assert(got.exists(t => t._1 == 1L && t._3 == 110L),
+      s"clause update must read pre-row and source: $got")
+    assert(!got.exists(_._1 == 2L), "matched closed row deleted")
+    assert(got.exists(t => t._1 == 3L && t._3 == 30L), "gated row carried")
+    assert(got.exists(t => t._1 == 4L && t._3 == 40L), "unmatched carried")
+    assert(!got.exists(_._1 == 9L), "no insert clause → source-only key dropped")
+  }
+
+  test("mergeInto: insert alignment, duplicate-source rejection, CDF") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq(
+      (1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1))
+    // source schema == table schema → inserts align by name
+    TxTable.mergeInto(spark, dir,
+      Seq((2L, -2L), (7L, 70L), (8L, 80L)).toDF("id", "x"), Seq("id"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("x" -> TxTable.src("x")),
+      insertWhen = Some(col("x") > 75L))  // gates INSERTS only (8, not 7)
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 10L, 2L -> -2L, 8L -> 80L),
+      s"update-all + gated insert: $got")
+    // the commit carries a row-level feed
+    val v = TxTable.versions(spark, dir).last
+    val feed = TxTable.readChanges(spark, dir, v - 1, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((2L, 20L, "update_preimage"),
+      (2L, -2L, "update_postimage"), (8L, 80L, "insert")), s"feed: $feed")
+    // duplicate source keys are rejected (nondeterministic match)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, dir,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "x"), Seq("id"),
+        updateWhen = Some(lit(true)),
+        updateSet = Map("x" -> TxTable.src("x")))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("null-safe merge prunes zero-null-key files, rewrites null holders") {
     val s = spark
     import s.implicits._
