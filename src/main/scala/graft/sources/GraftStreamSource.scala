@@ -34,8 +34,10 @@ import graft.ops.TxTable
   *
   * Contract notes:
   *  - Append-only semantics: commits that also REMOVE files
-  *    (overwrite / replacePartitions / optimize) surface their
-  *    rewritten rows as additions, same as [[TxTable.readAppended]].
+  *    (overwrite / replacePartitions / DML) surface their rewritten
+  *    rows as additions, same as [[TxTable.readAppended]] — EXCEPT
+  *    row-change-free layout commits (OPTIMIZE / compact, `cdf=0`),
+  *    which emit nothing instead of replaying the table.
   *  - The schema is pinned at stream start (a later mergeSchema
   *    widening does not change in-flight batch schemas).
   *  - Offsets older than vacuum retention fail loudly rather than
@@ -238,20 +240,40 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
     case other => other.json().toLong
   }
 
+  /** Files whose rows batch (fromV, toV] must emit: the UNION of each
+    * commit's additions, skipping commits whose `cdf=0` token declares
+    * them row-change-free (OPTIMIZE / compact) — a layout rewrite used
+    * to make this source replay the WHOLE table (every rewritten file
+    * looked added); now it emits nothing, which is what data-identical
+    * means. Per-version iteration (not an end-to-end set diff) so a
+    * file appended then compacted away WITHIN the window still emits
+    * its rows exactly once: the appended file is listed even though
+    * the head no longer references it (it exists until vacuum, whose
+    * retention must outlast the stream — the existing contract).
+    * Row-level DML commits still surface their rewritten files as
+    * additions (the documented coarse behavior; use
+    * [[graft.streaming.TxFollower.processChanges]] downstream of DML).
+    */
   private def filesBetween(fromV: Long, toV: Long): Seq[String] = {
     val versions = TxTable.versions(spark, path)
     require(versions.contains(toV),
       s"version $toV of $path no longer exists — vacuum outran the stream")
-    val to = TxTable.snapshotFiles(spark, path, toV).toSet
-    val from =
-      if (fromV <= 0) Set.empty[String]
-      else {
-        require(versions.contains(fromV),
-          s"checkpointed version $fromV of $path no longer exists " +
-            "(vacuum retention passed) — restart from a fresh checkpoint")
-        TxTable.snapshotFiles(spark, path, fromV).toSet
-      }
-    (to -- from).toSeq.sorted
+    if (fromV > 0) require(versions.contains(fromV),
+      s"checkpointed version $fromV of $path no longer exists " +
+        "(vacuum retention passed) — restart from a fresh checkpoint")
+    val range = versions.filter(v => v > fromV && v <= toV)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    var prev: Set[String] =
+      if (fromV <= 0) Set.empty
+      else TxTable.snapshotFiles(spark, path, fromV).toSet
+    range.foreach { v =>
+      val cur = TxTable.snapshotFiles(spark, path, v).toSet
+      if (!TxTable.commitMeta(spark, path, v)
+            .get(graft.ops.TxTable.ChangeDataMetaKey).contains("0"))
+        (cur -- prev).foreach(out += _)
+      prev = cur
+    }
+    out.toSeq.sorted
   }
 
   /** A fresh parquet V2 scan over exactly the delta's files, schema

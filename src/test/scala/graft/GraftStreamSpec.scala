@@ -86,6 +86,36 @@ class GraftStreamSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("a compact mid-stream emits NOTHING — no full-table replay") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_src") + "/t"
+    TxTable.append(spark, table,
+      (0L until 10L).map(i => (i, "a")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("graft_stream_cpt")
+      .option("checkpointLocation", tmp("graft_src_cp")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_cpt").count() == 10)
+      // layout rewrite: data-identical, so the stream must stay silent
+      TxTable.compact(spark, table, targetBytes = 1L << 20)
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_cpt").count() == 10,
+        "compact must not replay the table into the stream")
+      // appends after the compact flow normally — and a file appended
+      // then compacted away within ONE batch window still emits once
+      TxTable.append(spark, table, Seq((100L, "b")).toDF("id", "v"))
+      TxTable.compact(spark, table, targetBytes = 1L << 20)
+      TxTable.append(spark, table, Seq((101L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_cpt").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == ((0L until 10L) ++ Seq(100L, 101L)),
+        s"exactly the appended rows, once each: $got")
+    } finally q.stop()
+  }
+
   test("startingTimestamp predating vacuumed history fails loudly") {
     val s = spark
     import s.implicits._
