@@ -1387,7 +1387,18 @@ object TxTable {
       if (candidates.isEmpty) null
       else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned)
     // the joined frame: target columns by name, source as src_<name>,
-    // plus a match marker (null-safe "did a source row join here")
+    // plus a match marker (null-safe "did a source row join here").
+    // Guard the namespace: a target column that already looks like a
+    // source reference (or the marker) would make clause expressions
+    // silently ambiguous — refuse loudly instead
+    if (existing != null) {
+      val clash = existing.columns.filter(c =>
+        c == "__m" || c.startsWith("src_"))
+      require(clash.isEmpty,
+        s"mergeInto cannot run against target columns named " +
+        s"${clash.mkString(", ")} — the src_ prefix and __m are " +
+        "reserved for clause-expression scoping")
+    }
     val srcPrefixed = s0.toDF(s0.columns.map(c => s"src_$c"): _*)
       .withColumn("__m", lit(true))
     def joined = existing.join(srcPrefixed,
