@@ -242,21 +242,27 @@ object Dedup {
     * nested-loop — never run it on a full 100 TB corpus.
     *
     * Guarded against exactly that: refuses above `maxRows` input rows
-    * (one cheap count — nothing compared to the O(n²) join it gates)
-    * unless `force = true`. The ceiling defaults to 1M rows ≈ 5·10¹¹
-    * candidate pairs, already days of compute — far past any sane use
-    * of the exact path, so real baselines never notice the guard while
-    * an accidental full-corpus invocation fails in seconds, not days.
+    * unless `force = true`. The probe is `limit(maxRows+1).count()` —
+    * it reads at most maxRows+1 rows and stops (never a full pass over
+    * a huge input just to reject it). The ceiling defaults to 1M rows
+    * ≈ 5·10¹¹ candidate pairs, already days of compute — far past any
+    * sane use of the exact path, so real baselines never notice the
+    * guard while an accidental full-corpus invocation fails in
+    * seconds, not days. NOTE (behavior change, round 7): callers above
+    * the ceiling that previously (slowly) succeeded must now pass
+    * `force = true` — deliberate; the guard exists to make the O(n²)
+    * cost an explicit decision at 100 TB, not an accident.
     */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCos: Double, maxRows: Long = 1000000L,
                      force: Boolean = false): DataFrame = {
     import graft.ann.Similarity.{dot, norm}
     if (!force) {
-      val n = df.count()
+      val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+      val n = df.limit(probe).count()
       require(n <= maxRows,
         s"cosineDupPairs is the EXACT all-pairs baseline (O(n²) " +
-        s"nested-loop): $n rows > $maxRows ceiling. Use " +
+        s"nested-loop): >$maxRows input rows. Use " +
         "cosineDupPairsLsh for the bucketed scale path, or pass " +
         "force = true if you really mean it")
     }

@@ -1227,48 +1227,59 @@ object TxTable {
     // as inserts, null-key existing rows untouched) — the semi/anti
     // joins below reproduce exactly that, and the null-safe variant
     // flips to <=> consistently with the rewrite.
-    lazy val changes: DataFrame =
-      if (candidates.isEmpty) u.withColumn(ChangeTypeCol, lit("insert"))
+    // with the change feed on, the candidate-file scan feeds TWO jobs
+    // (feed write, then the rewrite) — persist it so the second pays a
+    // cache read, not a parquet re-scan + re-decode (ADVICE r7)
+    val existing: DataFrame =
+      if (candidates.isEmpty) null
       else {
-        val existing = scanFiles(spark, p, candidates.map(pathOf),
+        val e = scanFiles(spark, p, candidates.map(pathOf),
           mergeSchema, pinned)
-        val keys = u.select(keyCols.map(col): _*).distinct()
-        val existingKeys =
-          existing.select(keyCols.map(col): _*).distinct()
-        def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
-          if (!nullSafeKeys) l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
-            keyCols.map(k => l(k) === col(s"__k_$k")).reduce(_ && _), how)
-          else l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
-            keyCols.map(k => l(k) <=> col(s"__k_$k")).reduce(_ && _), how)
-        keyJoin(existing, keys, "left_semi")
-          .withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(keyJoin(u, existingKeys, "left_semi")
-            .withColumn(ChangeTypeCol, lit("update_postimage")),
-            allowMissingColumns = mergeSchema)
-          .unionByName(keyJoin(u, existingKeys, "left_anti")
-            .withColumn(ChangeTypeCol, lit("insert")),
-            allowMissingColumns = mergeSchema)
+        if (changeFeed)
+          e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else e
       }
-    val cdfMeta =
-      if (changeFeed) writeChangeData(fs, p, changes)
-      else Map.empty[String, String]
-    val newData =
-      if (candidates.isEmpty) u
-      else {
-        val existing = scanFiles(spark, p, candidates.map(pathOf),
-          mergeSchema, pinned)
-        val keys = u.select(keyCols.map(col): _*).distinct()
-        val joined =
-          if (!nullSafeKeys) existing.join(keys, keyCols, "left_anti")
-          else existing.join(keys.toDF(keyCols.map(k => s"__u_$k"): _*),
-            keyCols.map(k => existing(k) <=> col(s"__u_$k")).reduce(_ && _),
-            "left_anti")
-        joined.unionByName(u, allowMissingColumns = mergeSchema)
-      }
-    commit(spark, path, newData, "replace",
-      (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      layout, meta ++ cdfMeta, requirePresent = candidatePaths,
-      guard = guard)
+    try {
+      lazy val changes: DataFrame =
+        if (candidates.isEmpty) u.withColumn(ChangeTypeCol, lit("insert"))
+        else {
+          val keys = u.select(keyCols.map(col): _*).distinct()
+          val existingKeys =
+            existing.select(keyCols.map(col): _*).distinct()
+          def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
+            if (!nullSafeKeys) l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
+              keyCols.map(k => l(k) === col(s"__k_$k")).reduce(_ && _), how)
+            else l.join(r.toDF(keyCols.map(k => s"__k_$k"): _*),
+              keyCols.map(k => l(k) <=> col(s"__k_$k")).reduce(_ && _), how)
+          keyJoin(existing, keys, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(keyJoin(u, existingKeys, "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_postimage")),
+              allowMissingColumns = mergeSchema)
+            .unionByName(keyJoin(u, existingKeys, "left_anti")
+              .withColumn(ChangeTypeCol, lit("insert")),
+              allowMissingColumns = mergeSchema)
+        }
+      val cdfMeta =
+        if (changeFeed) writeChangeData(fs, p, changes)
+        else Map.empty[String, String]
+      val newData =
+        if (candidates.isEmpty) u
+        else {
+          val keys = u.select(keyCols.map(col): _*).distinct()
+          val joined =
+            if (!nullSafeKeys) existing.join(keys, keyCols, "left_anti")
+            else existing.join(keys.toDF(keyCols.map(k => s"__u_$k"): _*),
+              keyCols.map(k => existing(k) <=> col(s"__u_$k")).reduce(_ && _),
+              "left_anti")
+          joined.unionByName(u, allowMissingColumns = mergeSchema)
+        }
+      commit(spark, path, newData, "replace",
+        (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
+        layout, meta ++ cdfMeta, requirePresent = candidatePaths,
+        guard = guard)
+    } finally if (changeFeed && existing != null)
+      existing.unpersist(blocking = false)
   }
 
   /** Source-column reference for [[mergeInto]] clause expressions: the
@@ -1328,7 +1339,13 @@ object TxTable {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     require(updateWhen.isEmpty || updateSet.nonEmpty,
       "updateWhen needs a non-empty updateSet")
-    require(updateWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched,
+    // Delta's `WHEN MATCHED THEN UPDATE` with no AND-condition is an
+    // UNCONDITIONAL update — an updateSet without updateWhen means
+    // lit(true), never a silently ignored clause
+    val updWhen =
+      if (updateWhen.isEmpty && updateSet.nonEmpty) Some(lit(true))
+      else updateWhen
+    require(updWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched,
       "mergeInto with no clauses would be a no-op — give it one")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -1383,9 +1400,18 @@ object TxTable {
       else commitLines(spark, path, "append", Seq.empty,
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
         guard = guard)
+    // changeFeed on → the joined candidate scan feeds two jobs (feed
+    // write references it three times, the rewrite once); persist the
+    // scan so each pays a cache read, not a parquet re-scan (ADVICE r7)
     val existing =
       if (candidates.isEmpty) null
-      else scanFiles(spark, p, candidates.map(pathOf), mergeSchema, pinned)
+      else {
+        val e = scanFiles(spark, p, candidates.map(pathOf),
+          mergeSchema, pinned)
+        if (changeFeed)
+          e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else e
+      }
     // the joined frame: target columns by name, source as src_<name>,
     // plus a match marker (null-safe "did a source row join here").
     // Guard the namespace: a target column that already looks like a
@@ -1408,11 +1434,11 @@ object TxTable {
     val delCond = matched &&
       coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
     val updCond = matched && !delCond &&
-      coalesce(updateWhen.getOrElse(lit(false)), lit(false))
+      coalesce(updWhen.getOrElse(lit(false)), lit(false))
     def applyClauses(j: DataFrame): DataFrame =
       j.where(!delCond).select(existing.columns.map { name =>
         updateSet.get(name) match {
-          case Some(expr) if updateWhen.isDefined =>
+          case Some(expr) if updWhen.isDefined =>
             when(updCond, expr).otherwise(col(name)).as(name)
           case _ => col(name)
         }
@@ -1458,10 +1484,12 @@ object TxTable {
           }
         writeChangeData(fs, p, changes)
       }
-    commit(spark, path, newData, "replace",
+    try commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta ++ cdfMeta, requirePresent = candidatePaths,
       guard = guard)
+    finally if (changeFeed && existing != null)
+      existing.unpersist(blocking = false)
   }
 
   /** Apply a keyed CHANGE SET — upserts plus deletes — as ONE atomic
@@ -1536,25 +1564,30 @@ object TxTable {
     // this commit writes its OWN change feed (like merge/delete), so a
     // replica-of-a-replica consumer sees row-level changes, never the
     // rewritten files' carried-row churn. Upsert and delete key sets
-    // should be disjoint (processChanges reduces to one final action
+    // SHOULD be disjoint (processChanges reduces to one final action
     // per key); on overlap the upsert wins in the DATA (anti-join then
-    // union), and the feed mirrors that.
+    // union), so the delete-side FEED drops overlapping keys — the
+    // feed must never claim a delete for a key the data kept, or a
+    // downstream replica diverges (ADVICE r7).
     def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
       l.join(r.toDF(keyCols.map(k => s"__c_$k"): _*),
         keyCols.map(k => l(k) === col(s"__c_$k")).reduce(_ && _), how)
-    val (newData, changes) =
+    val (newData, changes, cached) =
       if (candidates.isEmpty)
-        (u, u.withColumn(ChangeTypeCol, lit("insert")))
+        (u, u.withColumn(ChangeTypeCol, lit("insert")), null: DataFrame)
       else {
         val existing = scanFiles(spark, p, candidates.map(pathOf),
           mergeSchema, pinned)
+        if (changeFeed)
+          existing.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val uKeys = u.select(keyCols.map(col): _*).distinct()
         val existingKeys = existing.select(keyCols.map(col): _*).distinct()
         // one anti-join drops both the upserted and the deleted keys;
         // the union then re-adds the upserts' new images only
         val data = keyJoin(existing, allKeys.distinct(), "left_anti")
           .unionByName(u, allowMissingColumns = mergeSchema)
-        val dkReal = keyJoin(dk, existingKeys, "left_semi")
+        val dkReal = keyJoin(keyJoin(dk, uKeys, "left_anti"),
+          existingKeys, "left_semi")
         val ch = keyJoin(existing, uKeys, "left_semi")
           .withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(keyJoin(existing, dkReal, "left_semi")
@@ -1566,15 +1599,16 @@ object TxTable {
           .unionByName(keyJoin(u, existingKeys, "left_anti")
             .withColumn(ChangeTypeCol, lit("insert")),
             allowMissingColumns = mergeSchema)
-        (data, ch)
+        (data, ch, existing)
       }
     val cdfMeta =
       if (changeFeed) writeChangeData(fs, p, changes)
       else Map.empty[String, String]
-    commit(spark, path, newData, "replace",
+    try commit(spark, path, newData, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta ++ cdfMeta, requirePresent = candidatePaths,
       guard = guard)
+    finally if (changeFeed && cached != null) cached.unpersist(blocking = false)
   }
 
   /** Rewrite the head snapshot Z-order-clustered on `zorderCols`

@@ -105,11 +105,16 @@ object TxFollower {
     val changes = TxTable.readChanges(spark, src, fromV = from, toV = head)
     val metaCols = Seq(TxTable.ChangeTypeCol, TxTable.CommitVersionCol,
       TxTable.CommitTimestampCol)
+    // File-granular fallback commits (overwrite/restore/changeFeed=false
+    // DML) emit a 'delete' AND an 'insert' for a surviving key at the
+    // SAME commit version. Within a version the row present in the
+    // post-snapshot must win, so 'delete' deterministically loses ties.
     val finals = changes
       .where(col(TxTable.ChangeTypeCol) =!= "update_preimage")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(TxTable.CommitVersionCol).desc)))
+          .orderBy(col(TxTable.CommitVersionCol).desc,
+            (col(TxTable.ChangeTypeCol) === "delete").cast("int").asc)))
       .where(col("__rn") === 1).drop("__rn")
     val upserts = finals.where(col(TxTable.ChangeTypeCol) =!= "delete")
       .drop(metaCols: _*)

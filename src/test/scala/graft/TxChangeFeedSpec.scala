@@ -362,6 +362,70 @@ class TxChangeFeedSpec extends SparkSpec {
       "the loser must not land a second create commit")
   }
 
+  test("replica survives file-granular same-version delete/insert ties") {
+    val s = spark
+    import s.implicits._
+    val src = tmp()
+    val dst = tmp()
+    seed(src)
+    assert(TxFollower.processChanges(spark, src, dst, "rep", Seq("id"))
+      .contains(2L))
+    // changeFeed=false DML falls back to file-granular: the rewritten
+    // file's surviving rows appear as BOTH 'delete' and 'insert' at
+    // the SAME commit version. The replica must deterministically keep
+    // every row present in the post-snapshot — 'delete' loses ties.
+    TxTable.delete(spark, src, col("id") === 5L, changeFeed = false)
+    assert(TxFollower.processChanges(spark, src, dst, "rep", Seq("id"))
+      .contains(3L))
+    val want = TxTable.read(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TxTable.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"replica diverged on same-version ties: missing=${want -- got} " +
+      s"extra=${got -- want}")
+  }
+
+  test("mergeInto: updateSet without updateWhen updates unconditionally") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq((1L, 10L), (2L, 20L))
+      .toDF("id", "x").coalesce(1))
+    // Delta's `WHEN MATCHED THEN UPDATE` has no AND-condition —
+    // omitting updateWhen must mean "always", never a silent no-op
+    TxTable.mergeInto(spark, dir,
+      Seq((1L, -1L), (7L, 70L)).toDF("id", "x"), Seq("id"),
+      updateSet = Map("x" -> TxTable.src("x")))
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> -1L, 2L -> 20L, 7L -> 70L),
+      s"unconditional matched update + unmatched insert expected: $got")
+  }
+
+  test("applyChanges overlap: upsert wins in data AND the feed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    seed(dir)
+    // key 3 is both upserted and deleted — the data keeps the upsert,
+    // so the feed must NOT emit a delete for it (a replica applying
+    // the feed would otherwise drop a row the source kept)
+    val v = TxTable.applyChanges(spark, dir,
+      upserts = Seq((3L, -3L), (99L, -99L)).toDF("id", "x"),
+      deleteKeys = Seq(Tuple1(3L), Tuple1(4L)).toDF("id"),
+      keyCols = Seq("id"))
+    val head = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(head.get(3L).contains(-3L) && !head.contains(4L) &&
+      head.get(99L).contains(-99L), s"upsert-wins data: $head")
+    val dels = TxTable.readChanges(spark, dir, v - 1, v)
+      .where(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSet
+    assert(dels == Set(4L),
+      s"feed must only delete keys the data dropped: $dels")
+  }
+
   test("evolveSchema refuses narrowing a nullable column to non-null") {
     val s = spark
     import s.implicits._
