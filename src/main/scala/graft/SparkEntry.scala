@@ -460,6 +460,34 @@ object SparkEntry {
       graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
+    // the clause-form MERGE through SQL: same clause algebra as
+    // q_x_merge_into (update non-F matches from the source, delete F
+    // matches, insert the unmatched), driven entirely by the parser's
+    // WHEN MATCHED [AND]/WHEN NOT MATCHED grammar — same oracle, so the
+    // SQL clause surface and the Scala mergeInto API are proven to
+    // share one semantics (incl. the textual-precedence rewrite)
+    "q_x_sql_merge_clauses" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlmc") + "/orders_tx"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("sql_mc_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_mc_orders")
+      s.sql(
+        s"""MERGE INTO graft.`$tmp` t USING (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM sql_mc_orders WHERE o_orderkey % 10 = 0
+           |  UNION ALL
+           |  SELECT * FROM VALUES
+           |    (CAST(-1 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)),
+           |    (-2, 'N', 1.0), (-3, 'N', 1.0)
+           |) s ON (o_orderkey)
+           |WHEN MATCHED AND t.o_orderstatus <> 'F' THEN
+           |  UPDATE SET o_totalprice = s.o_totalprice + 1.0
+           |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
+    }),
+
     // partitioned TxTable end-to-end: V2 writer partitionBy → catalog
     // SQL read with a partition predicate (prunes via the explicit
     // manifest partition spec — no directory inference involved)
@@ -1473,6 +1501,32 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_x_merge_into" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(-1 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)),
+        |      (-2, 'N', 1.0), (-3, 'N', 1.0))
+        |    t(o_orderkey, o_orderstatus, o_totalprice)),
+        |m AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+        |         THEN s.o_totalprice + 1.0 ELSE t.o_totalprice END
+        |      AS o_totalprice,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F'
+        |         THEN 1 ELSE 0 END AS del
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m WHERE del = 0
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // identical algebra to q_x_merge_into: the SQL clause form lowers
+    // onto the same mergeInto call
+    "q_x_sql_merge_clauses" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |  WHERE o_orderkey % 10 = 0

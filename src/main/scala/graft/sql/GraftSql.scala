@@ -20,6 +20,10 @@ import graft.ops.TxTable
   *   CREATE [OR REPLACE] TABLE graft.`/t` [USING graft]
   *     [PARTITIONED BY (c, ...)] AS SELECT ...
   *   MERGE INTO graft.`/t` USING (SELECT ...) ON (key1, key2)
+  *   MERGE INTO graft.`/t` [AS] t USING (SELECT ...) [AS] s ON (keys)
+  *     WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ... | SET *
+  *     WHEN MATCHED [AND cond] THEN DELETE
+  *     WHEN NOT MATCHED [AND cond] THEN INSERT *
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
   *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)] [WHERE cond]
@@ -34,7 +38,16 @@ import graft.ops.TxTable
   * `merge`/`delete`/`update`/`optimize`/`vacuum`/`restore` — so SQL
   * and Scala users share one commit protocol, one conflict story, one
   * file layout. MERGE takes a key-column list (upsert-by-key, the
-  * TxTable merge semantics), not an arbitrary ON predicate; sub-plans
+  * TxTable merge semantics), not an arbitrary ON predicate. The
+  * clause form (`WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE`,
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT *`) lowers onto
+  * [[TxTable.mergeInto]]: clause conditions and SET values are parsed
+  * by the delegate parser's expression API and rewritten at the
+  * EXPRESSION level — source-alias-qualified attributes (`s.x`) become
+  * `src_x` (the name the mergeInto joined row exposes source columns
+  * under), target-alias-qualified (`t.x`) drop the qualifier —
+  * never by string surgery, so arbitrary nesting (CASE, functions,
+  * subfield access) scopes correctly. Sub-plans
   * (the CTAS query, the MERGE source) are parsed by the DELEGATE
   * parser at parse time and analyzed at execution time, so temp views
   * and graft SQL functions inside them work as in any query.
@@ -52,7 +65,8 @@ object GraftSql {
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Tbl +
       """\s*(?:USING\s+graft\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.+)""").r
   private val MergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+""" + Tbl + """\s+USING\s+(.+)""").r
+    ("""(?is)\s*MERGE\s+INTO\s+""" + Tbl +
+      """(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+USING\s+(.+)""").r
   private val DeleteRe =
     ("""(?is)\s*DELETE\s+FROM\s+""" + Tbl + """\s*(?:WHERE\s+(.+?))?\s*""").r
   private val UpdateRe =
@@ -91,17 +105,21 @@ object GraftSql {
       case CreateRe(replace, path, parts, query) =>
         Some(GraftCreateTableCommand(path, splitNames(parts),
           replace != null, delegate.parsePlan(query)))
-      case MergeRe(path, rest) =>
-        val (source, keys) = splitMergeSource(rest)
-        // strip the outer parens only when they wrap the WHOLE source —
-        // `(SELECT …) alias` keeps its parens and parses as a FROM-item
-        // subquery (`SELECT * FROM (SELECT …) alias`), instead of the
-        // mangled `SELECT …) alias` a blind stripSuffix would produce
-        val plan =
-          if (source.startsWith("(") && closesAtEnd(source))
-            delegate.parsePlan(source.stripPrefix("(").stripSuffix(")"))
-          else delegate.parsePlan(s"SELECT * FROM $source")
-        Some(GraftMergeCommand(path, plan, splitNames(keys)))
+      case MergeRe(path, tgtAlias, rest) =>
+        // clause-form MERGE starts at the first top-level WHEN (CASE-
+        // aware: a WHEN inside a CASE expression never splits a clause)
+        val wi = topLevelIndexOf(rest, "WHEN", caseAware = true)
+        if (wi < 0) {
+          val (source, keys) = splitMergeSource(rest)
+          Some(GraftMergeCommand(path, parseMergeSource(source, delegate),
+            splitNames(keys)))
+        } else {
+          val (source, keys) = splitMergeSource(rest.substring(0, wi))
+          val (srcSql, srcAlias) = splitSourceAlias(source)
+          Some(parseMergeClauses(path, Option(tgtAlias), srcAlias,
+            parseMergeSource(srcSql, delegate), splitNames(keys),
+            rest.substring(wi), delegate))
+        }
       case UpdateRe(path, rest) =>
         val (setPart, where) = splitAtTopLevelWhere(rest)
         val set = splitTopLevel(setPart, ',').map { a =>
@@ -163,6 +181,203 @@ object GraftSql {
     (rest.substring(0, last).trim, keys.stripPrefix("(").stripSuffix(")"))
   }
 
+  /** The MERGE source as a plan: strip the outer parens only when they
+    * wrap the WHOLE source — `(SELECT …) alias` keeps its parens and
+    * parses as a FROM-item subquery (`SELECT * FROM (SELECT …) alias`),
+    * instead of the mangled `SELECT …) alias` a blind stripSuffix would
+    * produce.
+    */
+  private def parseMergeSource(source: String,
+                               delegate: ParserInterface): LogicalPlan =
+    if (source.startsWith("(") && closesAtEnd(source))
+      delegate.parsePlan(source.stripPrefix("(").stripSuffix(")"))
+    else delegate.parsePlan(s"SELECT * FROM $source")
+
+  /** `(query) [AS] alias` / `tbl [AS] alias` / bare `tbl` → (source
+    * text without the alias, the qualifier clause expressions may use
+    * for source columns). A bare table name is its own qualifier
+    * (standard SQL); a bare parenthesized query has none — clause
+    * expressions must then reference source columns unqualified or the
+    * statement must alias the source.
+    */
+  private def splitSourceAlias(source: String): (String, Option[String]) = {
+    val s = source.trim
+    val IdRe = """(?s)(.+?)\s+(?:(?i:AS)\s+)?([A-Za-z_]\w*)\s*""".r
+    s match {
+      case IdRe(head, alias)
+          if head.trim.endsWith(")") || !head.trim.exists(_.isWhitespace) =>
+        (head.trim, Some(alias))
+      case _ =>
+        (s, if (s.matches("""[A-Za-z_][\w.]*""")) // bare table name
+          Some(s.split('.').last)
+        else None)
+    }
+  }
+
+  /** One parsed `WHEN …` clause of a conditional MERGE. */
+  private final case class MergeClause(notMatched: Boolean,
+                                       cond: Option[String], action: String)
+
+  /** The clause tail of a conditional MERGE —
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE` /
+    * `WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *` — lowered
+    * onto [[GraftMergeIntoCommand]]. Clause-condition and SET
+    * expressions are parsed by the DELEGATE parser and rewritten at the
+    * expression level (source-alias-qualified attributes → `src_…`,
+    * target-alias-qualified → bare), never by string surgery.
+    */
+  private def parseMergeClauses(path: String, tgtAlias: Option[String],
+                                srcAlias: Option[String], source: LogicalPlan,
+                                keys: Seq[String], clauseText: String,
+                                delegate: ParserInterface): GraftMergeIntoCommand = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    // split on top-level WHEN; each piece is one clause body
+    val bodies = {
+      val starts = Iterator.iterate(
+        topLevelIndexOf(clauseText, "WHEN", caseAware = true))(i =>
+        topLevelIndexOf(clauseText, "WHEN", i + 4, caseAware = true))
+        .takeWhile(_ >= 0).toSeq
+      starts.zipAll(starts.drop(1), -1, clauseText.length).map {
+        case (a, b) => clauseText.substring(a + 4, b)
+      }
+    }
+    val MatchedRe = """(?is)\s*MATCHED\b(.*)""".r
+    val NotMatchedRe =
+      """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\b(.*)""".r
+    val NotMatchedBySourceRe = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\b.*""".r
+    val clauses = bodies.map {
+      case NotMatchedBySourceRe() => sys.error(
+        "MERGE INTO graft: WHEN NOT MATCHED BY SOURCE is not supported " +
+        "— express source-absent deletes as a separate DELETE statement")
+      case NotMatchedRe(rest) => splitClause(rest, notMatched = true)
+      case MatchedRe(rest) => splitClause(rest, notMatched = false)
+      case other => sys.error(s"malformed MERGE clause: WHEN$other")
+    }
+
+    // expression-level alias scoping (matched clauses): source-alias
+    // attributes become src_<name>, target-alias attributes drop the
+    // qualifier, unqualified names bind to the target row (the joined
+    // frame mergeInto evaluates clauses over exposes exactly that).
+    // Results are wrapped as Columns IMMEDIATELY: a raw Expression
+    // field on a command is walked by CheckAnalysis, which rejects the
+    // (deliberately) unresolved clause attributes before run() ever
+    // hands them to mergeInto's own analysis
+    def scopedExpr(sql: String): Expression =
+      delegate.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            srcAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          UnresolvedAttribute(
+            s"src_${a.nameParts(1)}" +: a.nameParts.drop(2))
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            tgtAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      }
+    def scoped(sql: String): org.apache.spark.sql.Column =
+      GraftShim.toColumn(scopedExpr(sql))
+    // insert-clause scoping: the condition evaluates over the SOURCE's
+    // own columns — source-alias attributes drop the qualifier, target
+    // references are meaningless (no matched target row) and refused
+    def scopedInsert(sql: String): org.apache.spark.sql.Column =
+      GraftShim.toColumn(delegate.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            srcAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          UnresolvedAttribute(a.nameParts.tail)
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            tgtAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          sys.error(s"MERGE INTO graft: a WHEN NOT MATCHED condition " +
+            s"cannot reference the target (${a.sql}) — there is no " +
+            "matched target row")
+      })
+
+    var updateWhen: Option[org.apache.spark.sql.Column] = None
+    var updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty
+    var updateSetStar = false
+    var deleteWhen: Option[org.apache.spark.sql.Column] = None
+    var insertWhen: Option[org.apache.spark.sql.Column] = None
+    var insertUnmatched = false
+    var sawUpdate, sawDelete, sawInsert = false
+    var updateBeforeDelete = false
+    val UpdateRe = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
+    val DeleteActRe = """(?is)\s*DELETE\s*""".r
+    val InsertStarRe = """(?is)\s*INSERT\s*\*\s*""".r
+    val InsertRe = """(?is)\s*INSERT\b.*""".r
+    clauses.foreach { c =>
+      (c.notMatched, c.action) match {
+        case (false, UpdateRe(sets)) =>
+          require(!sawUpdate, "MERGE INTO graft supports ONE WHEN " +
+            "MATCHED … UPDATE clause")
+          sawUpdate = true
+          updateBeforeDelete = !sawDelete
+          updateWhen = c.cond.map(scoped)
+          if (sets.trim == "*") updateSetStar = true
+          else updateSet = splitTopLevel(sets, ',').map { a =>
+            val i = topLevelIndexOf(a, "=")
+            require(i > 0, s"malformed SET assignment: $a")
+            val lhs = a.substring(0, i).trim
+            // `SET t.col = …` sheds the target alias; a source alias
+            // on the LHS is a user error worth naming
+            val parts = lhs.split('.').map(
+              _.trim.stripPrefix("`").stripSuffix("`"))
+            val name =
+              if (parts.length == 2 &&
+                  tgtAlias.exists(_.equalsIgnoreCase(parts(0)))) parts(1)
+              else {
+                require(parts.length == 1 ||
+                  !srcAlias.exists(_.equalsIgnoreCase(parts(0))),
+                  s"SET target must be a TARGET column, got $lhs")
+                parts.last
+              }
+            name -> scoped(a.substring(i + 1))
+          }.toMap
+        case (false, DeleteActRe()) =>
+          require(!sawDelete, "MERGE INTO graft supports ONE WHEN " +
+            "MATCHED … DELETE clause")
+          sawDelete = true
+          deleteWhen = Some(c.cond.map(scoped).getOrElse(lit(true)))
+        case (true, InsertStarRe()) =>
+          require(!sawInsert, "MERGE INTO graft supports ONE WHEN NOT " +
+            "MATCHED … INSERT clause")
+          sawInsert = true
+          insertUnmatched = true
+          insertWhen = c.cond.map(scopedInsert)
+        case (true, InsertRe()) => sys.error(
+          "MERGE INTO graft: WHEN NOT MATCHED THEN INSERT takes `*` " +
+          "(by-name insert of the source row) — project the source " +
+          "instead of a column-list INSERT")
+        case (nm, other) => sys.error(
+          s"malformed MERGE clause action for WHEN " +
+          s"${if (nm) "NOT MATCHED" else "MATCHED"}: $other")
+      }
+    }
+    require(sawUpdate || sawDelete || sawInsert,
+      "MERGE INTO graft needs at least one WHEN clause")
+    GraftMergeIntoCommand(path, source, keys, updateWhen, updateSet,
+      updateSetStar, deleteWhen, insertWhen, insertUnmatched,
+      updateBeforeDelete)
+  }
+
+  /** `[AND cond] THEN action` → (cond?, action). The THEN that ends the
+    * condition is the first top-level CASE-aware one — a CASE … WHEN …
+    * THEN … END inside the condition never terminates it.
+    */
+  private def splitClause(rest: String, notMatched: Boolean): MergeClause = {
+    val ti = topLevelIndexOf(rest, "THEN", caseAware = true)
+    require(ti >= 0, s"MERGE clause is missing THEN: $rest")
+    val pre = rest.substring(0, ti).trim
+    val cond =
+      if (pre.isEmpty) None
+      else {
+        val AndRe = """(?is)\s*AND\b(.*)""".r
+        pre match {
+          case AndRe(c) => Some(c.trim)
+          case _ => sys.error(
+            s"MERGE clause condition must follow AND, got: $pre")
+        }
+      }
+    MergeClause(notMatched, cond, rest.substring(ti + 4))
+  }
+
   /** True iff the '(' at index 0 finds its matching ')' as the LAST
     * character of `s` (quote-aware) — i.e. the parens wrap the whole
     * string, not just a leading sub-expression.
@@ -195,13 +410,27 @@ object GraftSql {
 
   /** First index of keyword/operator `kw` at paren/bracket depth 0,
     * outside '…', "…" and `…` quoting (case-insensitive, word-bounded
-    * for alphabetic keywords); -1 if absent.
+    * for alphabetic keywords); -1 if absent. With `caseAware`, also
+    * skips matches inside a `CASE … END` expression (tracked only at
+    * paren depth 0 — a parenthesized CASE is already depth-skipped), so
+    * MERGE clause scanning can find the WHEN/THEN that delimit clauses
+    * without tripping over the WHEN/THEN of a CASE in a condition.
     */
-  private def topLevelIndexOf(s: String, kw: String, from: Int = 0): Int = {
+  private def topLevelIndexOf(s: String, kw: String, from: Int = 0,
+                              caseAware: Boolean = false): Int = {
     var depth = 0
+    var caseDepth = 0
     var quote: Char = 0
     var i = from.max(0)
     val alpha = kw.head.isLetter
+    def isWord(at: Int, w: String): Boolean =
+      s.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 ||
+          !(s.charAt(at - 1).isLetterOrDigit || s.charAt(at - 1) == '_')) && {
+          val after = at + w.length
+          after >= s.length ||
+            !(s.charAt(after).isLetterOrDigit || s.charAt(after) == '_')
+        }
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
@@ -210,7 +439,15 @@ object GraftSql {
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
         case _ =>
-          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length)) {
+          if (caseAware && depth == 0) {
+            // no index advance: word-boundary checks make the letters
+            // INSIDE a matched CASE/END unable to re-match, and the
+            // loop's own i += 1 keeps paren/quote tracking intact
+            if (isWord(i, "CASE")) caseDepth += 1
+            else if (caseDepth > 0 && isWord(i, "END")) caseDepth -= 1
+          }
+          if (depth == 0 && caseDepth == 0 &&
+              s.regionMatches(true, i, kw, 0, kw.length)) {
             val okBefore = !alpha || i == 0 ||
               !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')
             val after = i + kw.length
@@ -284,6 +521,44 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.merge(spark, path, GraftShim.ofRows(spark, source),
       keyCols)))
+}
+
+/** Conditional multi-clause `MERGE INTO graft.`p`` →
+  * [[TxTable.mergeInto]]. Clause expressions arrive pre-scoped
+  * (source-qualified attributes already rewritten to `src_…`); this
+  * command only restores SQL's first-matching-clause precedence:
+  * [[TxTable.mergeInto]] always evaluates DELETE before UPDATE, so when
+  * the UPDATE clause textually preceded the DELETE clause, the delete
+  * condition is AND-ed with the update condition's negation — a row
+  * both clauses match then updates, exactly as SQL orders it.
+  */
+case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
+    keyCols: Seq[String],
+    updateWhen: Option[org.apache.spark.sql.Column],
+    updateSet: Map[String, org.apache.spark.sql.Column],
+    updateSetStar: Boolean,
+    deleteWhen: Option[org.apache.spark.sql.Column],
+    insertWhen: Option[org.apache.spark.sql.Column],
+    insertUnmatched: Boolean, updateBeforeDelete: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.coalesce
+    val src = GraftShim.ofRows(spark, source)
+    val updSet =
+      if (updateSetStar) // SET * = every source column, by name
+        src.columns.toSeq.map(c => c -> TxTable.src(c)).toMap
+      else updateSet
+    val delW = deleteWhen.map { d =>
+      if (updateBeforeDelete && updSet.nonEmpty)
+        d && !coalesce(updateWhen.getOrElse(lit(true)), lit(false))
+      else d
+    }
+    Seq(Row(TxTable.mergeInto(spark, path, src, keyCols,
+      updateWhen = updateWhen, updateSet = updSet, deleteWhen = delW,
+      insertWhen = insertWhen,
+      insertUnmatched = insertUnmatched)))
+  }
 }
 
 /** `DELETE FROM graft.`p` [WHERE cond]` → [[TxTable.delete]]. Version

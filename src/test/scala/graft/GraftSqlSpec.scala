@@ -419,4 +419,119 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 'graft.`fake`' AS s").collect()
       .head.getString(0) === "graft.`fake`")
   }
+
+  // ---- conditional multi-clause MERGE (WHEN MATCHED/NOT MATCHED) ----
+
+  private def clauseFixture(): (String, String) = {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0), (4L, "O", 40.0))
+      .toDF("k", "status", "price")
+      .createOrReplaceTempView("mc_base")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM mc_base")
+    Seq((2L, "U", 99.0), (3L, "U", 98.0), (9L, "N", 9.0))
+      .toDF("k", "status", "price")
+      .createOrReplaceTempView("mc_src")
+    (table, "mc_src")
+  }
+
+  private def rowsOf(table: String): Map[Long, (String, Double)] =
+    TxTable.read(spark, table).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("clause MERGE ≡ TxTable.mergeInto: UPDATE AND / DELETE AND / INSERT *") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN MATCHED AND t.status <> 'F' THEN
+         |  UPDATE SET price = s.price + 1.0, status = s.status
+         |WHEN MATCHED AND t.status = 'F' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // k=2 matched non-F → updated from source; k=3 matched F → deleted;
+    // k=9 unmatched → inserted; k=1,4 untouched
+    assert(rowsOf(table) === Map(
+      1L -> ("F", 10.0), 2L -> ("U", 100.0), 4L -> ("O", 40.0),
+      9L -> ("N", 9.0)))
+  }
+
+  test("clause MERGE precedence: textual order wins when conditions overlap") {
+    // UPDATE first: a row matching BOTH clauses updates
+    val (t1, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$t1` t USING $src s ON (k)
+         |WHEN MATCHED AND s.price > 50 THEN UPDATE SET price = s.price
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    // k=2 (99>50) and k=3 (98>50) both update; nothing else matched
+    assert(rowsOf(t1) === Map(
+      1L -> ("F", 10.0), 2L -> ("O", 99.0), 3L -> ("F", 98.0),
+      4L -> ("O", 40.0)))
+    // DELETE first: the same overlapping row deletes instead
+    val (t2, _) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$t2` t USING $src s ON (k)
+         |WHEN MATCHED THEN DELETE
+         |WHEN MATCHED AND s.price > 50 THEN UPDATE SET price = s.price
+         |""".stripMargin)
+    assert(rowsOf(t2) === Map(1L -> ("F", 10.0), 4L -> ("O", 40.0)))
+  }
+
+  test("clause MERGE: UPDATE SET * takes every source column by name") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` USING $src s ON (k)
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(rowsOf(table) === Map(
+      1L -> ("F", 10.0), 2L -> ("U", 99.0), 3L -> ("U", 98.0),
+      4L -> ("O", 40.0)))
+  }
+
+  test("clause MERGE: CASE inside conditions and SET values parses (CASE-aware clause split)") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN MATCHED AND CASE WHEN t.status = 'F' THEN false ELSE true END
+         |  THEN UPDATE SET price =
+         |    CASE WHEN s.price > 50 THEN s.price ELSE t.price END
+         |WHEN NOT MATCHED AND CASE WHEN s.status = 'N' THEN true
+         |  ELSE false END THEN INSERT *""".stripMargin)
+    assert(rowsOf(table) === Map(
+      1L -> ("F", 10.0), 2L -> ("O", 99.0), 3L -> ("F", 30.0),
+      4L -> ("O", 40.0), 9L -> ("N", 9.0)))
+  }
+
+  test("clause MERGE: insert-only with a source-scoped condition") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` USING $src s ON (k)
+         |WHEN NOT MATCHED AND s.price < 50 THEN INSERT *""".stripMargin)
+    assert(rowsOf(table) === Map(
+      1L -> ("F", 10.0), 2L -> ("O", 20.0), 3L -> ("F", 30.0),
+      4L -> ("O", 40.0), 9L -> ("N", 9.0)))
+  }
+
+  test("clause MERGE: unqualified columns bind to the target row") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` USING $src s ON (k)
+         |WHEN MATCHED AND status = 'F' THEN DELETE""".stripMargin)
+    assert(rowsOf(table).keySet === Set(1L, 2L, 4L))
+  }
+
+  test("clause MERGE rejects BY SOURCE, column-list INSERT, and target refs in INSERT conditions") {
+    val (table, src) = clauseFixture()
+    val bySource = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(bySource.getMessage.contains("BY SOURCE"))
+    val colList = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` USING $src s ON (k)
+         |WHEN NOT MATCHED THEN INSERT (k, status, price)
+         |  VALUES (s.k, s.status, s.price)""".stripMargin))
+    assert(colList.getMessage.contains("INSERT"))
+    val tgtRef = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED AND t.price > 0 THEN INSERT *""".stripMargin))
+    assert(tgtRef.getMessage.contains("target"))
+  }
 }
