@@ -303,16 +303,25 @@ object Dedup {
     * comp is the smallest id in the component — the pairs→clusters step
     * every dedup pipeline needs before "keep one per cluster".
     *
-    * Iterative min-label propagation (the Pregel/hash-to-min shape):
-    * each round, every node takes the min of its own and its neighbors'
-    * labels; converges in O(graph diameter) rounds — near-dup clusters
-    * are shallow (dozens of docs, diameter ≤ a few hops), so 3-5 rounds
-    * in practice. Each round is one shuffle join + one aggregation;
-    * `localCheckpoint` truncates lineage so plans don't snowball.
-    * Convergence is read off a per-row `changed` flag carried INSIDE
-    * the round's own result — no separate old-vs-new join (round 2 ran
-    * one per round, doubling each round's shuffle work); the flag check
-    * only scans the freshly checkpointed local blocks.
+    * Min-label propagation WITH pointer jumping (path doubling): each
+    * round every node first takes the min of its own and its neighbors'
+    * labels (the Pregel/hash-to-min step), then jumps through its label
+    * — `L(u) ← L(L(u))` via one self-join of the label table (labels
+    * are always node ids, so the jump target always resolves). The jump
+    * halves the remaining label-chain length every round, so rounds are
+    * O(log diameter) instead of O(diameter): a length-d chain converges
+    * in ~log₂ d rounds where plain hash-to-min needs d. Per round that
+    * costs one extra join over the LABEL table (|V| rows, smaller than
+    * the edge table driving the neighbor-min join) and buys a round
+    * count that stays flat as components deepen with corpus growth —
+    * measured 11.7× time at 10× data under plain propagation, because
+    * 10× data deepened the largest near-dup chains and added whole
+    * edge-table rounds. `localCheckpoint` truncates lineage so plans
+    * don't snowball. Convergence is read off a per-row `changed` flag
+    * carried INSIDE the round's own result — no separate old-vs-new
+    * join (round 2 ran one per round, doubling each round's shuffle
+    * work); the flag check only scans the freshly checkpointed local
+    * blocks.
     *
     * `checkpointDir`: by default rounds are pinned with `localCheckpoint`
     * (executor-local blocks — fastest, fine on local mode and for short
@@ -348,11 +357,25 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: comp ← L(comp). Every comp value is a node id (it
+      // started as one and min/jump only move it to other nodes' labels),
+      // so the lookup resolves; least() keeps comp non-increasing. The
+      // jump table is the PREVIOUS round's pinned labels, not `stepped`
+      // — jumping through `stepped` would be the textbook formulation
+      // but consumes it twice, re-running the edge-table neighbor-min
+      // join (different join keys, so ReuseExchange cannot rescue it);
+      // composing through L_prev contracts chains by the same factor,
+      // one round later at most.
+      val jumpTo = labels.select(col("id").as("__jid"), col("comp").as("__jcomp"))
       val (updated, releaseUpdated) = pin(
-        labels.join(neighborMin, labels("id") === col("id2"), "left")
+        stepped.join(jumpTo, col("comp") === col("__jid"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-            (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg")))
+            least(col("comp"), coalesce(col("__jcomp"), col("comp"))).as("comp"),
+            (least(col("comp"), coalesce(col("__jcomp"), col("comp")))
+              < col("__old")).as("__chg")))
       converged = updated.filter(col("__chg")).isEmpty
       releaseLabels()
       labels = updated.drop("__chg")

@@ -74,16 +74,25 @@ object RangeJoin {
   /** Timestamp convenience over [[bandJoin]]: pairs with
     * `right.ts ∈ [left.ts + loSeconds, left.ts + hiSeconds]`. Ordinates
     * are compared at microsecond precision; the original timestamp
-    * columns are preserved in the output.
+    * columns are preserved in the output. Accepts TIMESTAMP and
+    * TIMESTAMP_NTZ ordinates — NTZ is reinterpreted in the session TZ
+    * before `unix_micros` (which rejects NTZ directly); with the
+    * session pinned UTC this is value-identical.
     */
   def timeBandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTs: String, rightTs: String,
                    loSeconds: Long, hiSeconds: Long): DataFrame = {
+    def micros(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(c).cast("timestamp"))
+        case _ => unix_micros(col(c))
+      }
     val lUs = graft.util.Cols.fresh(left.columns ++ right.columns, "__l_us")
     val rUs = graft.util.Cols.fresh(left.columns ++ right.columns :+ lUs, "__r_us")
     bandJoin(
-      left.withColumn(lUs, unix_micros(col(leftTs))),
-      right.withColumn(rUs, unix_micros(col(rightTs))),
+      left.withColumn(lUs, micros(left, leftTs)),
+      right.withColumn(rUs, micros(right, rightTs)),
       keyCols, lUs, rUs,
       math.multiplyExact(loSeconds, 1000000L),
       math.multiplyExact(hiSeconds, 1000000L))

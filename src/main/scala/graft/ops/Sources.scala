@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table scans (SURVEY §2.1 S1/S2).
   *
@@ -63,11 +63,25 @@ object Sources {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    * raw long (legacy conf) and convert to a microsecond timestamp —
-    * integer `div`, no double round-trip (2024 epoch-nanos ≈ 1.7e18,
-    * far above a double's 2^53 exact-integer range).
+  /** The `events` table's `ts` encoding has varied across harness
+    * fixture regenerations; normalize every observed encoding to a
+    * session-TZ [[org.apache.spark.sql.types.TimestampType]] so every
+    * downstream consumer (`unix_micros`, window functions, as-of joins)
+    * sees ONE type:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]); read nanos as a raw long (legacy conf)
+    *    and convert with integer `div` — no double round-trip (2024
+    *    epoch-nanos ≈ 1.7e18, far above a double's 2^53 exact range);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; `cast("timestamp")` reinterprets in the session
+    *    TZ — pinned UTC in [[graft.util.Sessions]], so values are
+    *    bit-identical to the UTC-adjusted encoding;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TimestampType.
+    *
+    * The three-encoding matrix is pinned by test ("events ts encoding
+    * matrix") over generated fixtures, so the NEXT fixture regeneration
+    * fails loudly in one place instead of deep inside one operator.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // restore the session's prior conf afterwards: leaking nanosAsLong=true
@@ -83,9 +97,13 @@ object Sources {
     spark.conf.set(key, "true")
     try {
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -206,6 +206,20 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("connectedComponents converges in O(log d) rounds on a deep chain") {
+    val s = spark
+    import s.implicits._
+    // a 64-node path graph: plain hash-to-min needs ~63 rounds to pull
+    // node 63's label to 0; pointer jumping must do it in ~log2(64)+2.
+    // maxIter=10 makes the test FAIL (wrong labels + convergence warn)
+    // if the jump step is ever lost.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 64)
+    assert(comps.forall(_._2 == 0L), "all 64 chain nodes label to min id 0")
+  }
+
   test("containmentPairs flags an eval doc embedded in a longer corpus doc") {
     val evalDoc = "the quick brown fox jumps over the lazy dog"
     val corpus = df(Seq(
@@ -595,9 +609,28 @@ class SimilaritySpec extends SparkSpec {
       "multi-probe can only widen the candidate set")
   }
 
+  test("events ts encoding matrix: NANOS / MICROS-NTZ / MICROS-UTC all normalize") {
+    // one fixture per parquet encoding the harness has shipped so far;
+    // a future fixture regeneration that lands a FOURTH encoding should
+    // break here, in one place, not deep inside one operator
+    val base = "src/test/resources/events-enc"
+    val frames = Seq("nanos", "micros_ntz", "micros_utc").map { enc =>
+      val ev = graft.ops.Sources.events(spark, s"$base/$enc")
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$enc must surface TimestampType")
+      enc -> ev.select("event_id", "ts").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+    }.toMap
+    // identical logical values regardless of physical encoding
+    assert(frames("nanos") == frames("micros_ntz"))
+    assert(frames("micros_ntz") == frames("micros_utc"))
+    assert(frames("nanos").nonEmpty)
+  }
+
   test("nanosAsLong conf scope: events frame executes after restore; conf not leaked") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val ev = graft.ops.Sources.events(spark, "/root/testdata/sf0.001")
+    val nanosDir = "src/test/resources/events-enc/nanos"
+    val ev = graft.ops.Sources.events(spark, nanosDir)
     // the conf must already be restored (not leaked session-wide) ...
     assert(spark.conf.getOption(key).forall(_ == "false"), "conf leaked")
     // ... and the LAZY frame must still execute afterwards — this is the
@@ -608,8 +641,12 @@ class SimilaritySpec extends SparkSpec {
     // a raw read without the conf still rejects TIMESTAMP(NANOS): the
     // restore really did return the session to its strict default
     intercept[Exception] {
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+      spark.read.parquet(s"$nanosDir/events.parquet").collect()
     }
+    // the HARNESS fixture (whatever its current encoding) also normalizes
+    val harness = graft.ops.Sources.events(spark, "/root/testdata/sf0.001")
+    assert(harness.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
   }
 
   test("flipMasks enumerates combinations, not a 2^n sweep") {
