@@ -42,9 +42,15 @@ object ScaleBench {
     * family (core relational, dedup, ANN-served, text, tx DML/CDF,
     * SQL surface, streaming sink, sketches, packing) has a measured
     * 10× point, not just the 10 most expensive.
+    * `SPARK_GRAFT_SCALE_ONLY=q_a,q_b` restricts the ladder (builder-side
+    * fast iteration on one family; the driver leaves it unset).
     */
-  val Ladder: Seq[String] =
+  val Ladder: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries.keys.toSeq.sorted.filterNot(Excluded)
+      .filter(n => only.forall(_.contains(n)))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -292,6 +292,26 @@ object SparkEntry {
       semi.unionByName(anti).orderBy("c_custkey", "side")
     }),
 
+    // salted skew join under oracle: HALF of lineitem lands on one hot
+    // key (7) by construction, the dim is salted 8 ways so the hot key
+    // spreads over 8 shuffle partitions, and the oracle is the PLAIN
+    // join — salting must be correctness-invisible (each fact row meets
+    // its dim row exactly once, the final agg merges all salts)
+    "q_x_skew_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 2 === 0, lit(7L))
+          .otherwise(pmod(col("l_partkey"), lit(100L))).as("k"),
+        col("l_quantity"))
+      val dim = s.range(0, 100).select(col("id").as("k"),
+        concat(lit("grp_"), (col("id") % 10).cast("string")).as("grp"))
+      graft.ops.Skew.saltedEnrichUsing(fact, dim, Seq("k"), salts = 8)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("grp")
+    }),
+
     // bloom-pruned inner join: results are bit-identical to the plain
     // join by construction (false positives are removed by the exact
     // join), so the oracle is the plain INNER JOIN — what the query
@@ -488,6 +508,30 @@ object SparkEntry {
       graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
     }),
 
+    // the by-source MERGE clause (Delta's WHEN NOT MATCHED BY SOURCE
+    // THEN DELETE): one statement updates matched keys, inserts new
+    // ones, AND deletes source-absent 'F' rows — the replicate-a-
+    // snapshot shape — in ONE atomic commit (the source-anti-join
+    // delete rides the same copy-on-write replace as the upserts)
+    "q_x_sql_merge_by_source" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlbs") + "/orders_tx"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("sql_bs_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_bs_orders")
+      s.sql(
+        s"""MERGE INTO graft.`$tmp` t USING (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM sql_bs_orders WHERE o_orderkey % 3 = 0
+           |  UNION ALL
+           |  SELECT * FROM VALUES (CAST(-5 AS BIGINT), 'N', CAST(1.0 AS DOUBLE))
+           |) s ON (o_orderkey)
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1.0
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE""".stripMargin)
+      graft.ops.TxTable.read(s, tmp).orderBy("o_orderkey")
+    }),
+
     // partitioned TxTable end-to-end: V2 writer partitionBy → catalog
     // SQL read with a partition predicate (prunes via the explicit
     // manifest partition spec — no directory inference involved)
@@ -523,6 +567,35 @@ object SparkEntry {
         s"""SELECT coalesce(flag, -1) AS flag, count(*) AS n,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            |    AS total_price
+           |FROM graft.`$tmp` GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // the evolution cycle driven ENTIRELY through SQL — CTAS via the
+    // injected parser, ALTER TABLE ADD COLUMNS via the graft catalog,
+    // INSERT INTO with the evolved column, DESCRIBE to prove the
+    // catalog serves the evolved schema (its column count is folded
+    // into the result so the DESCRIBE is oracled, not just executed),
+    // then one aggregate over the mixed snapshot
+    "q_x_sql_evolve" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlev") + "/orders_ev"
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("sql_ev_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS " +
+        "SELECT * FROM sql_ev_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"ALTER TABLE graft.`$tmp` ADD COLUMNS (flag INT)")
+      s.sql(
+        s"""INSERT INTO graft.`$tmp`
+           |SELECT o_orderkey, o_totalprice,
+           |  CAST(o_orderkey % 2 AS INT) AS flag
+           |FROM sql_ev_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      val nCols = s.sql(s"DESCRIBE graft.`$tmp`")
+        .where(col("col_name").isin("o_orderkey", "o_totalprice", "flag"))
+        .count()
+      s.sql(
+        s"""SELECT coalesce(flag, -1) AS flag, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_price,
+           |  CAST($nCols AS BIGINT) AS n_described_cols
            |FROM graft.`$tmp` GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
@@ -672,6 +745,18 @@ object SparkEntry {
 
     "q_x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // the hot-shingle-capped Jaccard path (mandatory at 100 TB: a
+    // stopword-run shared by 1M docs is a 5e11-pair hot key) under the
+    // same oracle discipline: the oracle SQL implements the CAPPED
+    // semantics (df>5 shingles dropped from index AND denominators).
+    // At sf0.01 cap=5 drops 29 shingles yet preserves all 25 pairs, so
+    // the branch is exercised while staying comparable to the uncapped
+    // row above
+    "q_x_jaccard_pairs_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3,
+          minJ = 0.2, maxShingleDf = Some(5))
         .orderBy("id_a", "id_b")),
 
     "q_x_dedup_clusters" -> ((s, dir) =>
@@ -1481,6 +1566,17 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // plain (unsalted) join: salting must be correctness-invisible
+    "q_x_skew_join" ->
+      """WITH fact AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 7
+        |    ELSE l_partkey % 100 END AS k, l_quantity FROM lineitem),
+        |dim AS (SELECT i AS k, 'grp_' || CAST(i % 10 AS VARCHAR) AS grp
+        |        FROM range(0, 100) t(i))
+        |SELECT grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM fact LEFT JOIN dim USING (k)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
     "q_x_data_skipping" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -1548,6 +1644,18 @@ object SparkEntry {
         |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
         |FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
         |WHERE t.o_orderkey IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // matched keys (%3=0) update, source-absent 'F' rows delete, the
+    // new key inserts — the by-source clause algebra in plain SQL
+    "q_x_sql_merge_by_source" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT CAST(-5 AS BIGINT), 'N', CAST(1.0 AS DOUBLE)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the replica equals the source head after the DML cycle — same
@@ -1623,6 +1731,21 @@ object SparkEntry {
       """SELECT flag, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
+        |FROM (
+        |  SELECT CAST(-1 AS INTEGER) AS flag, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey % 2 AS INTEGER) AS flag, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_described_cols pins DESCRIBE's view of the evolved schema: all
+    // three columns (incl. the ALTER-added `flag`) must be served
+    "q_x_sql_evolve" ->
+      """SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(3 AS BIGINT) AS n_described_cols
         |FROM (
         |  SELECT CAST(-1 AS INTEGER) AS flag, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 0
@@ -2050,6 +2173,26 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
          |        FROM d WHERE len(toks) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY a.id, b.id)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.id
+         |JOIN sizes sb ON i.id_b = sb.id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // CAPPED semantics end-to-end: shingles with df > 5 leave both the
+    // inverted index and the per-doc denominators (post-filter counts)
+    "q_x_jaccard_pairs_capped" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |idx0 AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |         FROM d WHERE len(toks) >= 3),
+         |hot AS (SELECT shingle FROM idx0 GROUP BY 1 HAVING COUNT(*) > 5),
+         |idx AS (SELECT id, shingle FROM idx0 ANTI JOIN hot USING (shingle)),
          |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
          |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
          |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id

@@ -797,6 +797,20 @@ object TxTable {
     readManifest(fs, p, v)._2.map(l => new Path(p, pathOf(l)).toString)
   }
 
+  /** Absolute paths of a commit's row-level change-data parquet files
+    * (the `cdf=<uuid>` payload) — the file-list surface the streaming
+    * change feed ([[graft.sources.GraftCdfMicroBatchStream]]) scans.
+    */
+  private[graft] def changeDataFiles(spark: SparkSession, path: String,
+                                     uuid: String): Seq[String] = {
+    val (fs, p) = fsFor(spark, path)
+    fs.listStatus(new Path(p, s"$ChangesDir/$uuid")).toSeq
+      .map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+  }
+
   /** Scan an explicit manifest-relative file list as one DataFrame.
     *
     * Partition discovery walks each file's parents collecting
@@ -1307,6 +1321,16 @@ object TxTable {
     *    (modulo `mergeSchema` widening) when `insertUnmatched` is on;
     *    a clause-only merge over a differently-shaped source sets
     *    `insertUnmatched = false`.
+    *  - target rows whose key matches NO source row, passing
+    *    `deleteBySourceWhen` (evaluated over the TARGET row alone —
+    *    there is no source row to reference) → removed. This is
+    *    Delta's `WHEN NOT MATCHED BY SOURCE THEN DELETE`, the
+    *    replicate-a-snapshot clause (`Some(lit(true))` deletes every
+    *    key absent from the source). NOTE the scale cost: a by-source
+    *    clause makes EVERY file a rewrite candidate (any file may hold
+    *    unmatched rows), so source-key-bounds pruning is disabled for
+    *    the statement — exactly Delta's behavior, and why by-source
+    *    merges belong in replication jobs, not hot upsert paths.
     *
     * Conditions evaluate over the target row joined with its matching
     * source row (source columns prefixed `src_` — no collisions by
@@ -1329,6 +1353,7 @@ object TxTable {
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
                 insertUnmatched: Boolean = true,
+                deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None,
                 partitionCols: Seq[String] = Nil,
                 mergeSchema: Boolean = false,
                 schema: Option[StructType] = None,
@@ -1345,7 +1370,8 @@ object TxTable {
     val updWhen =
       if (updateWhen.isEmpty && updateSet.nonEmpty) Some(lit(true))
       else updateWhen
-    require(updWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched,
+    require(updWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched ||
+        deleteBySourceWhen.nonEmpty,
       "mergeInto with no clauses would be a no-op — give it one")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -1369,14 +1395,18 @@ object TxTable {
           writeChangeData(fs, p,
             inserts0.withColumn(ChangeTypeCol, lit("insert")))
         else Map.empty[String, String]), guard = guard)
-    if (s0.isEmpty)
+    // an empty source is NOT a no-op under a by-source clause: every
+    // target row is then unmatched and subject to the delete condition
+    if (s0.isEmpty && deleteBySourceWhen.isEmpty)
       return if (meta.isEmpty && guard.isEmpty) vs.last
       else commitLines(spark, path, "append", Seq.empty,
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
         guard = guard)
 
     // key-bounds pruning, as in merge (null source keys never match,
-    // so they constrain nothing)
+    // so they constrain nothing). A by-source clause DISABLES pruning:
+    // any file may hold source-unmatched rows, so every file is a
+    // candidate (see scaladoc)
     val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
     val row = s0.agg(aggs.head, aggs.tail: _*).head()
     val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
@@ -1384,7 +1414,7 @@ object TxTable {
       else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
     }
     val cs =
-      if (boundPreds.isEmpty)
+      if (boundPreds.isEmpty || deleteBySourceWhen.nonEmpty)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
@@ -1433,10 +1463,14 @@ object TxTable {
     val matched = coalesce(col("__m"), lit(false))
     val delCond = matched &&
       coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+    // by-source delete: target rows with NO source match; condition
+    // sees the target row alone (source columns are all null here)
+    val bySrcDel = !matched &&
+      coalesce(deleteBySourceWhen.getOrElse(lit(false)), lit(false))
     val updCond = matched && !delCond &&
       coalesce(updWhen.getOrElse(lit(false)), lit(false))
     def applyClauses(j: DataFrame): DataFrame =
-      j.where(!delCond).select(existing.columns.map { name =>
+      j.where(!delCond && !bySrcDel).select(existing.columns.map { name =>
         updateSet.get(name) match {
           case Some(expr) if updWhen.isDefined =>
             when(updCond, expr).otherwise(col(name)).as(name)
@@ -1468,7 +1502,8 @@ object TxTable {
             inserts0.withColumn(ChangeTypeCol, lit("insert"))
           else {
             val tgtCols = existing.columns.toIndexedSeq.map(col)
-            val deleted = joined.where(delCond).select(tgtCols: _*)
+            val deleted = joined.where(delCond || bySrcDel)
+              .select(tgtCols: _*)
               .withColumn(ChangeTypeCol, lit("delete"))
             val pre = joined.where(updCond).select(tgtCols: _*)
               .withColumn(ChangeTypeCol, lit("update_preimage"))

@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TxTable
+
+/** The TxTable change feed as a Structured Streaming source — Delta's
+  * streaming CDF:
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     [.option("startingVersion", 3)]
+  *     .load(tablePath)
+  * }}}
+  *
+  * Each micro-batch (start, end] serves exactly the CHANGE ROWS of the
+  * commits in that version window, stamped `_change_type` /
+  * `_commit_version` / `_commit_timestamp` — row-for-row what the
+  * batch [[TxTable.readChanges]] returns for the same window (the
+  * parity is pinned by test). Per commit, the same three-way contract
+  * as the batch side:
+  *
+  *  - row-level DML commits read their `cdf=<uuid>` change files
+  *    (already tagged insert / update_preimage / update_postimage /
+  *    delete) — I/O proportional to the CHANGED rows;
+  *  - layout commits (`cdf=0`) emit nothing;
+  *  - pre-CDF commits (append / overwrite / restore) fall back to
+  *    file-granular capture: rows of added files tagged "insert",
+  *    rows of removed files "delete".
+  *
+  * Offsets are manifest versions (identical to the non-CDF stream),
+  * so the engine checkpoint makes restarts exactly-once: a batch is
+  * re-planned from its immutable version window, never re-derived
+  * from mutable state. Batch reads (`spark.read` with the same
+  * option) serve `[startingVersion, endingVersion|head]` through the
+  * same planner.
+  *
+  * The change columns are appended by the READER (a per-partition
+  * constant join), not by per-file rewrite: change files cannot embed
+  * `_commit_version` because the version is only claimed AFTER the
+  * files are written (optimistic concurrency).
+  */
+private[sources] object GraftCdf {
+
+  /** `_change_type` + `_commit_version` + `_commit_timestamp` appended
+    * to the data schema — the shape both the batch and streaming CDF
+    * readers emit, matching [[TxTable.readChanges]] column order.
+    */
+  def cdfSchema(data: StructType): StructType =
+    StructType(data.fields ++ Array(
+      StructField(TxTable.ChangeTypeCol, StringType, nullable = false),
+      StructField(TxTable.CommitVersionCol, LongType, nullable = false),
+      StructField(TxTable.CommitTimestampCol, TimestampType,
+        nullable = false)))
+
+  /** One partition of change rows: the wrapped parquet partition plus
+    * the per-commit constants its reader appends. `fromChangeFiles`
+    * selects the delegate schema (change files already carry
+    * `_change_type`; fallback data files don't, so `changeType` holds
+    * the constant tag).
+    */
+  final case class CdfPartition(delegate: InputPartition,
+                                fromChangeFiles: Boolean,
+                                changeType: String,
+                                version: Long,
+                                tsMillis: Long) extends InputPartition
+
+  /** Plan the change partitions of `(fromV, toV]` — the shared planner
+    * behind both the micro-batch and the batch CDF paths.
+    */
+  def planPartitions(spark: SparkSession, path: String, dataSchema: StructType,
+                     options: CaseInsensitiveStringMap,
+                     fromV: Long, toV: Long): Array[InputPartition] = {
+    val vs = TxTable.versions(spark, path)
+    require(vs.contains(toV),
+      s"version $toV of $path no longer exists — vacuum outran the stream")
+    val range = vs.filter(v => v > fromV && v <= toV)
+    range.flatMap { v =>
+      val ts = TxTable.commitTimestamp(spark, path, v)
+      def parts(files: Seq[String], withType: Boolean): Seq[InputPartition] =
+        if (files.isEmpty) Nil
+        else scan(spark, path, files,
+            if (withType) withTypeSchema(dataSchema) else dataSchema, options)
+          .planInputPartitions().toSeq
+      TxTable.commitMeta(spark, path, v)
+        .get(TxTable.ChangeDataMetaKey) match {
+        case Some("0") => Nil // row-change-free commit
+        case Some(uuid) =>
+          parts(TxTable.changeDataFiles(spark, path, uuid), withType = true)
+            .map(CdfPartition(_, fromChangeFiles = true, null, v, ts))
+        case None =>
+          // file-granular fallback — same baseline rules as the batch
+          // readChanges: no baseline at v<=1; a vacuumed v-1 is exact
+          // only for a full-history read (fromV = 0)
+          val prev =
+            if (v - 1 <= 0) Set.empty[String]
+            else if (!vs.contains(v - 1)) {
+              if (fromV == 0) Set.empty[String]
+              else sys.error(
+                s"version ${v - 1} of $path was vacuumed — file-granular " +
+                s"change capture for v$v has no baseline to diff against")
+            } else TxTable.snapshotFiles(spark, path, v - 1).toSet
+          val cur = TxTable.snapshotFiles(spark, path, v)
+          val added = cur.filterNot(prev)
+          val removed = (prev -- cur.toSet).toSeq.sorted
+          parts(added, withType = false)
+            .map(CdfPartition(_, fromChangeFiles = false, "insert", v, ts)) ++
+            parts(removed, withType = false)
+              .map(CdfPartition(_, fromChangeFiles = false, "delete", v, ts))
+      }
+    }.toArray
+  }
+
+  private def withTypeSchema(data: StructType): StructType =
+    StructType(data.fields :+
+      StructField(TxTable.ChangeTypeCol, StringType, nullable = true))
+
+  private def scan(spark: SparkSession, path: String, files: Seq[String],
+                   schema: StructType,
+                   options: CaseInsensitiveStringMap): Batch =
+    ParquetTable(s"graft-cdf:$path", spark, options, files,
+      Some(schema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).build().toBatch
+
+  /** The factory wraps TWO delegate parquet factories (change-file
+    * schema vs bare data schema) and appends the per-commit constants
+    * via a [[JoinedRow]] — row path only (`supportColumnarReads` stays
+    * false), which is the right trade for change feeds: the volume is
+    * the CHANGED rows, not the table.
+    */
+  def readerFactory(spark: SparkSession, path: String,
+                    dataSchema: StructType,
+                    options: CaseInsensitiveStringMap)
+      : PartitionReaderFactory = {
+    val withType = scan(spark, path, Seq.empty,
+      withTypeSchema(dataSchema), options).createReaderFactory()
+    val bare = scan(spark, path, Seq.empty, dataSchema, options)
+      .createReaderFactory()
+    new CdfReaderFactory(withType, bare)
+  }
+
+  private final class CdfReaderFactory(withType: PartitionReaderFactory,
+                                       bare: PartitionReaderFactory)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = {
+      val cp = p.asInstanceOf[CdfPartition]
+      val inner =
+        (if (cp.fromChangeFiles) withType else bare).createReader(cp.delegate)
+      // change files carry _change_type themselves → append (version,
+      // ts); fallback data files get all three constants appended
+      val consts: Array[Any] =
+        if (cp.fromChangeFiles)
+          Array(cp.version, cp.tsMillis * 1000L)
+        else
+          Array(UTF8String.fromString(cp.changeType), cp.version,
+            cp.tsMillis * 1000L)
+      val constRow = new GenericInternalRow(consts)
+      new PartitionReader[InternalRow] {
+        private val joined = new JoinedRow
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), constRow)
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}
+
+/** The CDF scan: fixed schema (no pruning negotiation — the feed's
+  * contract IS its column set), streaming via version-window planning,
+  * batch via the same planner over `[startingVersion, endingVersion]`.
+  */
+private[sources] class GraftCdfScan(path: String, spark: SparkSession,
+    dataSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+
+  override def readSchema(): StructType = GraftCdf.cdfSchema(dataSchema)
+
+  override def description(): String = s"graft-cdf:$path"
+
+  override def toBatch: Batch = new Batch {
+    private val fromV =
+      Option(options.get("startingVersion")).map(_.toLong - 1).getOrElse(0L)
+    private val toV = Option(options.get("endingVersion")).map(_.toLong)
+      .getOrElse(TxTable.versions(spark, path).last)
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftCdf.planPartitions(spark, path, dataSchema, options, fromV, toV)
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftCdf.readerFactory(spark, path, dataSchema, options)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(path, spark, dataSchema, options)
+}
+
+/** Micro-batch CDF stream: identical offset algebra to the non-CDF
+  * [[GraftMicroBatchStream]] (offsets ARE versions; startingVersion /
+  * startingTimestamp honored), only the batch CONTENT differs — change
+  * rows instead of added-file rows.
+  */
+private[sources] class GraftCdfMicroBatchStream(path: String,
+    spark: SparkSession, dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends GraftMicroBatchStream(path, spark, dataSchema, options) {
+
+  override def planInputPartitions(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                                   end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] =
+    GraftCdf.planPartitions(spark, path, dataSchema, options,
+      version(start), version(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdf.readerFactory(spark, path, dataSchema, options)
+}

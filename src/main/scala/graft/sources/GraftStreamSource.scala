@@ -46,7 +46,8 @@ import graft.ops.TxTable
 private[sources] class GraftTable(path: String, spark: SparkSession,
                                   resolved: Option[GraftResolved],
                                   declaredSchema: StructType = new StructType(),
-                                  writerPartitionCols: Seq[String] = Nil) extends Table
+                                  writerPartitionCols: Seq[String] = Nil,
+                                  changeFeed: Boolean = false) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -59,8 +60,10 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
   override def name: String =
     resolved.map(_.name).getOrElse(s"graft:$path (uncommitted)")
 
-  override def schema: StructType =
-    resolved.map(_.schema).getOrElse(declaredSchema)
+  override def schema: StructType = {
+    val data = resolved.map(_.schema).getOrElse(declaredSchema)
+    if (changeFeed) GraftCdf.cdfSchema(data) else data
+  }
 
   // what the writer's partitionBy is validated against — identity
   // transforms over the declared partition columns
@@ -82,6 +85,14 @@ private[sources] class GraftTable(path: String, spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val d = resolved.getOrElse(sys.error(
       s"$path has no committed version yet — write one first"))
+    // change-feed mode: the feed's column set IS the contract — a
+    // fixed-schema scan (no pruning negotiation), streaming and batch
+    // both planned from version windows (see GraftCdfScan)
+    if (changeFeed)
+      return new ScanBuilder {
+        override def build(): Scan =
+          new GraftCdfScan(path, spark, d.schema, options)
+      }
     val inner = new ParquetScanBuilder(spark, d.fileIndex,
       d.schema, d.dataSchema, options)
     // the streamed schema is the built scan's readSchema (post-pruning),
@@ -235,7 +246,7 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
 
   override def stop(): Unit = ()
 
-  private def version(o: Offset): Long = o match {
+  protected def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json().toLong
   }

@@ -105,8 +105,14 @@ class GraftTableProvider extends DataSourceRegister
           .atZone(zone).toInstant.toEpochMilli))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    tableFor(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val data = tableFor(options).schema
+    // readChangeFeed=true widens the advertised schema with the CDF
+    // columns — they are READER-appended constants, so the table's
+    // data schema stays untouched
+    if (options.getBoolean("readChangeFeed", false)) GraftCdf.cdfSchema(data)
+    else data
+  }
 
   /** Reads arrive here with the schema [[inferSchema]] resolved (or a
     * user-pinned one); writes arrive with the INCOMING FRAME's schema
@@ -128,13 +134,16 @@ class GraftTableProvider extends DataSourceRegister
       new GraftTable(path, spark, None, schema, partCols)
     else {
       val t = tableFor(options)
+      val cdf = options.getBoolean("readChangeFeed", false)
+      val expected = if (cdf) GraftCdf.cdfSchema(t.schema) else t.schema
       val norm = (s: StructType) => s.fields
         .map(f => f.name -> org.apache.spark.sql.GraftShim.nullable(f.dataType))
         .toMap
-      require(norm(schema) == norm(t.schema),
+      require(norm(schema) == norm(expected),
         s"schema for $path does not match the resolved snapshot " +
-          s"(given ${schema.simpleString}, table has ${t.schema.simpleString})")
-      new GraftTable(path, spark, Some(t), writerPartitionCols = partCols)
+          s"(given ${schema.simpleString}, table has ${expected.simpleString})")
+      new GraftTable(path, spark, Some(t), writerPartitionCols = partCols,
+        changeFeed = cdf)
     }
   }
 }

@@ -24,6 +24,7 @@ import graft.ops.TxTable
   *     WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ... | SET *
   *     WHEN MATCHED [AND cond] THEN DELETE
   *     WHEN NOT MATCHED [AND cond] THEN INSERT *
+  *     WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
   *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)] [WHERE cond]
@@ -216,7 +217,8 @@ object GraftSql {
 
   /** One parsed `WHEN …` clause of a conditional MERGE. */
   private final case class MergeClause(notMatched: Boolean,
-                                       cond: Option[String], action: String)
+                                       cond: Option[String], action: String,
+                                       bySource: Boolean = false)
 
   /** The clause tail of a conditional MERGE —
     * `WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE` /
@@ -245,11 +247,11 @@ object GraftSql {
     val MatchedRe = """(?is)\s*MATCHED\b(.*)""".r
     val NotMatchedRe =
       """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\b(.*)""".r
-    val NotMatchedBySourceRe = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\b.*""".r
+    val NotMatchedBySourceRe =
+      """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\b(.*)""".r
     val clauses = bodies.map {
-      case NotMatchedBySourceRe() => sys.error(
-        "MERGE INTO graft: WHEN NOT MATCHED BY SOURCE is not supported " +
-        "— express source-absent deletes as a separate DELETE statement")
+      case NotMatchedBySourceRe(rest) =>
+        splitClause(rest, notMatched = true).copy(bySource = true)
       case NotMatchedRe(rest) => splitClause(rest, notMatched = true)
       case MatchedRe(rest) => splitClause(rest, notMatched = false)
       case other => sys.error(s"malformed MERGE clause: WHEN$other")
@@ -289,6 +291,21 @@ object GraftSql {
             s"cannot reference the target (${a.sql}) — there is no " +
             "matched target row")
       })
+    // by-source scoping is the mirror of scopedInsert: the condition
+    // evaluates over the TARGET row alone — target-alias attributes
+    // drop the qualifier, source references are meaningless (no
+    // matching source row) and refused
+    def scopedBySource(sql: String): org.apache.spark.sql.Column =
+      GraftShim.toColumn(delegate.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            tgtAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          UnresolvedAttribute(a.nameParts.tail)
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            srcAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          sys.error(s"MERGE INTO graft: a WHEN NOT MATCHED BY SOURCE " +
+            s"condition cannot reference the source (${a.sql}) — there " +
+            "is no matching source row")
+      })
 
     var updateWhen: Option[org.apache.spark.sql.Column] = None
     var updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty
@@ -296,14 +313,27 @@ object GraftSql {
     var deleteWhen: Option[org.apache.spark.sql.Column] = None
     var insertWhen: Option[org.apache.spark.sql.Column] = None
     var insertUnmatched = false
-    var sawUpdate, sawDelete, sawInsert = false
+    var deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None
+    var sawUpdate, sawDelete, sawInsert, sawBySource = false
     var updateBeforeDelete = false
     val UpdateRe = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
     val DeleteActRe = """(?is)\s*DELETE\s*""".r
     val InsertStarRe = """(?is)\s*INSERT\s*\*\s*""".r
     val InsertRe = """(?is)\s*INSERT\b.*""".r
     clauses.foreach { c =>
-      (c.notMatched, c.action) match {
+      if (c.bySource) c.action match {
+        case DeleteActRe() =>
+          require(!sawBySource, "MERGE INTO graft supports ONE WHEN NOT " +
+            "MATCHED BY SOURCE clause")
+          sawBySource = true
+          deleteBySourceWhen =
+            Some(c.cond.map(scopedBySource).getOrElse(lit(true)))
+        case other => sys.error(
+          "MERGE INTO graft: WHEN NOT MATCHED BY SOURCE supports THEN " +
+          s"DELETE only, got: $other — express a by-source UPDATE as a " +
+          "separate UPDATE statement")
+      }
+      else (c.notMatched, c.action) match {
         case (false, UpdateRe(sets)) =>
           require(!sawUpdate, "MERGE INTO graft supports ONE WHEN " +
             "MATCHED … UPDATE clause")
@@ -350,11 +380,11 @@ object GraftSql {
           s"${if (nm) "NOT MATCHED" else "MATCHED"}: $other")
       }
     }
-    require(sawUpdate || sawDelete || sawInsert,
+    require(sawUpdate || sawDelete || sawInsert || sawBySource,
       "MERGE INTO graft needs at least one WHEN clause")
     GraftMergeIntoCommand(path, source, keys, updateWhen, updateSet,
       updateSetStar, deleteWhen, insertWhen, insertUnmatched,
-      updateBeforeDelete)
+      updateBeforeDelete, deleteBySourceWhen)
   }
 
   /** `[AND cond] THEN action` → (cond?, action). The THEN that ends the
@@ -539,7 +569,8 @@ case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
     updateSetStar: Boolean,
     deleteWhen: Option[org.apache.spark.sql.Column],
     insertWhen: Option[org.apache.spark.sql.Column],
-    insertUnmatched: Boolean, updateBeforeDelete: Boolean)
+    insertUnmatched: Boolean, updateBeforeDelete: Boolean,
+    deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -557,7 +588,8 @@ case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
     Seq(Row(TxTable.mergeInto(spark, path, src, keyCols,
       updateWhen = updateWhen, updateSet = updSet, deleteWhen = delW,
       insertWhen = insertWhen,
-      insertUnmatched = insertUnmatched)))
+      insertUnmatched = insertUnmatched,
+      deleteBySourceWhen = deleteBySourceWhen)))
   }
 }
 

@@ -518,12 +518,48 @@ class GraftSqlSpec extends SparkSpec {
     assert(rowsOf(table).keySet === Set(1L, 2L, 4L))
   }
 
-  test("clause MERGE rejects BY SOURCE, column-list INSERT, and target refs in INSERT conditions") {
+  test("clause MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE replicates a snapshot") {
+    // target {1:(F,10), 2:(O,20), 3:(F,30), 4:(O,40)}, source keys {2,3,9}
     val (table, src) = clauseFixture()
-    val bySource = intercept[Exception](spark.sql(
-      s"""MERGE INTO graft.`$table` USING $src s ON (k)
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
-    assert(bySource.getMessage.contains("BY SOURCE"))
+    val v0 = TxTable.versions(spark, table).last
+    spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // the table now IS the source — the replicate-a-snapshot shape
+    assert(rowsOf(table) === Map(
+      2L -> ("U", 99.0), 3L -> ("U", 98.0), 9L -> ("N", 9.0)))
+    assert(TxTable.versions(spark, table).last === v0 + 1,
+      "all three clauses land in ONE commit")
+    // the feed carries the by-source deletes as row-level deletes
+    val dels = TxTable.readChanges(spark, table, v0).collect()
+      .filter(_.getString(3) == "delete").map(_.getLong(0)).toSet
+    assert(dels === Set(1L, 4L), s"by-source deletes in the feed: $dels")
+  }
+
+  test("clause MERGE: conditional BY SOURCE delete sees the target row alone") {
+    val (table, src) = clauseFixture()
+    spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE AND t.status = 'F' THEN DELETE""".stripMargin)
+    // source-absent rows: 1 (F → deleted), 4 (O → kept); matched rows
+    // 2, 3 carried (no matched clause)
+    assert(rowsOf(table).keySet === Set(2L, 3L, 4L))
+    // a source reference in the by-source condition is refused loudly
+    val srcRef = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE AND s.price > 0 THEN DELETE""".stripMargin))
+    assert(srcRef.getMessage.contains("source"))
+    // by-source UPDATE is out of surface, named as such
+    val upd = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'X'""".stripMargin))
+    assert(upd.getMessage.contains("DELETE"))
+  }
+
+  test("clause MERGE rejects column-list INSERT and target refs in INSERT conditions") {
+    val (table, src) = clauseFixture()
     val colList = intercept[Exception](spark.sql(
       s"""MERGE INTO graft.`$table` USING $src s ON (k)
          |WHEN NOT MATCHED THEN INSERT (k, status, price)

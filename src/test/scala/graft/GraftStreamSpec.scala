@@ -179,4 +179,70 @@ class GraftStreamSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
   }
+
+  /** (id, x, _change_type, _commit_version) tuples — the timestamp is
+    * compared separately (it must match the batch feed's stamp).
+    */
+  private def changeTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getTimestamp(4))).sortBy(t => (t._4, t._3, t._1)).toSeq
+
+  test("readChangeFeed streams row-level changes with batch readChanges parity") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_cdf") + "/t"
+    // a history mixing every capture mode: file-granular (append),
+    // row-level DML (update/delete/merge), row-change-free (compact)
+    TxTable.append(spark, table,
+      (0L until 6L).map(i => (i, i * 10L)).toDF("id", "x").coalesce(1))
+    TxTable.update(spark, table, col("id") === 2L, Map("x" -> lit(-2L)))
+    TxTable.delete(spark, table, col("id") === 3L)
+    TxTable.compact(spark, table, targetBytes = 1L << 20)
+    TxTable.merge(spark, table,
+      Seq((0L, 100L), (9L, 90L)).toDF("id", "x"), Seq("id"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("memory").queryName("graft_cdf_stream")
+      .option("checkpointLocation", tmp("graft_cdf_cp")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = changeTuples(spark.table("graft_cdf_stream").collect())
+      val batch = changeTuples(
+        TxTable.readChanges(spark, table, 0L).collect())
+      assert(streamed === batch,
+        s"streamed feed must equal batch readChanges:\n$streamed\nvs\n$batch")
+      assert(streamed.exists(_._3 == "update_preimage") &&
+        streamed.exists(_._3 == "delete") &&
+        streamed.exists(_._3 == "insert"), s"all tags present: $streamed")
+      // a mid-stream DML arrives incrementally, tagged with ITS version
+      val v0 = TxTable.versions(spark, table).last
+      TxTable.delete(spark, table, col("id") === 9L)
+      q.processAllAvailable()
+      val tail = changeTuples(spark.table("graft_cdf_stream").collect())
+        .filter(_._4 > v0)
+      assert(tail === changeTuples(
+        TxTable.readChanges(spark, table, v0).collect()),
+        s"incremental batch must equal readChanges($v0, head): $tail")
+    } finally q.stop()
+  }
+
+  test("batch read with readChangeFeed serves the same feed; startingVersion scopes it") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_cdf") + "/t"
+    TxTable.append(spark, table,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1))
+    TxTable.update(spark, table, col("id") === 1L, Map("x" -> lit(-1L)))
+    val full = changeTuples(spark.read.format("graft")
+      .option("readChangeFeed", "true").load(table).collect())
+    assert(full === changeTuples(
+      TxTable.readChanges(spark, table, 0L).collect()))
+    // startingVersion=2 → only the update commit's changes
+    val scoped = changeTuples(spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(table).collect())
+    assert(scoped === changeTuples(
+      TxTable.readChanges(spark, table, 1L).collect()))
+    assert(scoped.forall(_._4 == 2L), s"only v2 changes: $scoped")
+  }
 }

@@ -426,6 +426,51 @@ class TxChangeFeedSpec extends SparkSpec {
       s"feed must only delete keys the data dropped: $dels")
   }
 
+  test("mergeInto: deleteBySourceWhen removes source-absent rows in the SAME commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "x").coalesce(1))
+    val v0 = TxTable.versions(spark, dir).last
+    // source: update 2, insert 9; 1/3/4 are source-absent — the
+    // by-source condition keeps 3 (x >= 30 fails only for 1)
+    TxTable.mergeInto(spark, dir,
+      Seq((2L, -2L), (9L, 90L)).toDF("id", "x"), Seq("id"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("x" -> TxTable.src("x")),
+      deleteBySourceWhen = Some(col("x") < 30L))
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> -2L, 3L -> 30L, 4L -> 40L, 9L -> 90L),
+      s"update + insert + conditional by-source delete: $got")
+    // ONE commit for the whole statement
+    val v1 = TxTable.versions(spark, dir).last
+    assert(v1 == v0 + 1, "by-source merge must be a single atomic commit")
+    // the feed carries the by-source delete as a row-level delete
+    val feed = TxTable.readChanges(spark, dir, v0, v1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((2L, 20L, "update_preimage"),
+      (2L, -2L, "update_postimage"), (9L, 90L, "insert"),
+      (1L, 10L, "delete")), s"feed: $feed")
+  }
+
+  test("mergeInto: by-source delete with an EMPTY source clears matching rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq(
+      (1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1))
+    // an empty source is NOT a no-op under a by-source clause: every
+    // row is unmatched (the replicate-empty-snapshot degenerate case)
+    TxTable.mergeInto(spark, dir,
+      Seq.empty[(Long, Long)].toDF("id", "x"), Seq("id"),
+      insertUnmatched = false,
+      deleteBySourceWhen = Some(lit(true)))
+    assert(TxTable.read(spark, dir).isEmpty,
+      "unconditional by-source delete over an empty source empties the table")
+  }
+
   test("evolveSchema refuses narrowing a nullable column to non-null") {
     val s = spark
     import s.implicits._
