@@ -1323,10 +1323,12 @@ object TxTable {
     *    `insertUnmatched = false`.
     *  - target rows whose key matches NO source row, passing
     *    `deleteBySourceWhen` (evaluated over the TARGET row alone —
-    *    there is no source row to reference) → removed. This is
-    *    Delta's `WHEN NOT MATCHED BY SOURCE THEN DELETE`, the
-    *    replicate-a-snapshot clause (`Some(lit(true))` deletes every
-    *    key absent from the source). NOTE the scale cost: a by-source
+    *    there is no source row to reference) → removed; else passing
+    *    `updateBySourceWhen` → `updateBySourceSet` applied (values
+    *    also target-only). These are Delta's `WHEN NOT MATCHED BY
+    *    SOURCE THEN DELETE / UPDATE SET` — the replicate-a-snapshot
+    *    and mark-stale clauses (`Some(lit(true))` hits every key
+    *    absent from the source). NOTE the scale cost: a by-source
     *    clause makes EVERY file a rewrite candidate (any file may hold
     *    unmatched rows), so source-key-bounds pruning is disabled for
     *    the statement — exactly Delta's behavior, and why by-source
@@ -1354,6 +1356,9 @@ object TxTable {
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
                 insertUnmatched: Boolean = true,
                 deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+                updateBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+                updateBySourceSet: Map[String, org.apache.spark.sql.Column] =
+                  Map.empty,
                 partitionCols: Seq[String] = Nil,
                 mergeSchema: Boolean = false,
                 schema: Option[StructType] = None,
@@ -1370,8 +1375,17 @@ object TxTable {
     val updWhen =
       if (updateWhen.isEmpty && updateSet.nonEmpty) Some(lit(true))
       else updateWhen
+    require(updateBySourceWhen.isEmpty || updateBySourceSet.nonEmpty,
+      "updateBySourceWhen needs a non-empty updateBySourceSet")
+    val updBySrcWhen =
+      if (updateBySourceWhen.isEmpty && updateBySourceSet.nonEmpty)
+        Some(lit(true))
+      else updateBySourceWhen
+    // any by-source clause disables key-bounds pruning and the
+    // empty-source fast path below
+    val hasBySource = deleteBySourceWhen.nonEmpty || updBySrcWhen.nonEmpty
     require(updWhen.nonEmpty || deleteWhen.nonEmpty || insertUnmatched ||
-        deleteBySourceWhen.nonEmpty,
+        hasBySource,
       "mergeInto with no clauses would be a no-op — give it one")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
@@ -1396,8 +1410,8 @@ object TxTable {
             inserts0.withColumn(ChangeTypeCol, lit("insert")))
         else Map.empty[String, String]), guard = guard)
     // an empty source is NOT a no-op under a by-source clause: every
-    // target row is then unmatched and subject to the delete condition
-    if (s0.isEmpty && deleteBySourceWhen.isEmpty)
+    // target row is then unmatched and subject to the by-source clauses
+    if (s0.isEmpty && !hasBySource)
       return if (meta.isEmpty && guard.isEmpty) vs.last
       else commitLines(spark, path, "append", Seq.empty,
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
@@ -1414,7 +1428,7 @@ object TxTable {
       else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
     }
     val cs =
-      if (boundPreds.isEmpty || deleteBySourceWhen.nonEmpty)
+      if (boundPreds.isEmpty || hasBySource)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
@@ -1463,18 +1477,32 @@ object TxTable {
     val matched = coalesce(col("__m"), lit(false))
     val delCond = matched &&
       coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
-    // by-source delete: target rows with NO source match; condition
-    // sees the target row alone (source columns are all null here)
+    // by-source clauses: target rows with NO source match; conditions
+    // and SET values see the target row alone (source columns are all
+    // null here). Delete evaluated first, mirroring the matched side.
     val bySrcDel = !matched &&
       coalesce(deleteBySourceWhen.getOrElse(lit(false)), lit(false))
     val updCond = matched && !delCond &&
       coalesce(updWhen.getOrElse(lit(false)), lit(false))
+    val bySrcUpdCond = !matched && !bySrcDel &&
+      coalesce(updBySrcWhen.getOrElse(lit(false)), lit(false))
     def applyClauses(j: DataFrame): DataFrame =
       j.where(!delCond && !bySrcDel).select(existing.columns.map { name =>
-        updateSet.get(name) match {
-          case Some(expr) if updWhen.isDefined =>
-            when(updCond, expr).otherwise(col(name)).as(name)
-          case _ => col(name)
+        // matched-update and by-source-update branches are mutually
+        // exclusive (matched vs not); CaseWhen evaluates only the
+        // taken branch, so a matched SET referencing src_ columns is
+        // never evaluated over a source-absent row
+        val branches =
+          updateSet.get(name).filter(_ => updWhen.isDefined)
+            .map(e => (updCond, e)).toSeq ++
+          updateBySourceSet.get(name).filter(_ => updBySrcWhen.isDefined)
+            .map(e => (bySrcUpdCond, e))
+        branches match {
+          case Seq() => col(name)
+          case (c1, e1) +: rest =>
+            rest.foldLeft(when(c1, e1)) { case (acc, (c2, e2)) =>
+              acc.when(c2, e2)
+            }.otherwise(col(name)).as(name)
         }
       }.toIndexedSeq: _*)
     val existingKeys =
@@ -1505,9 +1533,10 @@ object TxTable {
             val deleted = joined.where(delCond || bySrcDel)
               .select(tgtCols: _*)
               .withColumn(ChangeTypeCol, lit("delete"))
-            val pre = joined.where(updCond).select(tgtCols: _*)
+            val pre = joined.where(updCond || bySrcUpdCond)
+              .select(tgtCols: _*)
               .withColumn(ChangeTypeCol, lit("update_preimage"))
-            val post = applyClauses(joined.where(updCond))
+            val post = applyClauses(joined.where(updCond || bySrcUpdCond))
               .withColumn(ChangeTypeCol, lit("update_postimage"))
             val core = deleted
               .unionByName(pre, allowMissingColumns = mergeSchema)

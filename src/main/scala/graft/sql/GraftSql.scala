@@ -25,6 +25,7 @@ import graft.ops.TxTable
   *     WHEN MATCHED [AND cond] THEN DELETE
   *     WHEN NOT MATCHED [AND cond] THEN INSERT *
   *     WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+  *     WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr, ...
   *   UPDATE graft.`/t` SET c = expr, ... [WHERE cond]
   *   DELETE FROM graft.`/t` [WHERE cond]
   *   OPTIMIZE graft.`/t` [ZORDER BY (c1, c2)] [WHERE cond]
@@ -314,7 +315,11 @@ object GraftSql {
     var insertWhen: Option[org.apache.spark.sql.Column] = None
     var insertUnmatched = false
     var deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None
-    var sawUpdate, sawDelete, sawInsert, sawBySource = false
+    var updateBySourceWhen: Option[org.apache.spark.sql.Column] = None
+    var updateBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty
+    var sawUpdate, sawDelete, sawInsert = false
+    var sawBySourceDelete, sawBySourceUpdate = false
+    var bySourceUpdateBeforeDelete = false
     var updateBeforeDelete = false
     val UpdateRe = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
     val DeleteActRe = """(?is)\s*DELETE\s*""".r
@@ -323,15 +328,41 @@ object GraftSql {
     clauses.foreach { c =>
       if (c.bySource) c.action match {
         case DeleteActRe() =>
-          require(!sawBySource, "MERGE INTO graft supports ONE WHEN NOT " +
-            "MATCHED BY SOURCE clause")
-          sawBySource = true
+          require(!sawBySourceDelete, "MERGE INTO graft supports ONE " +
+            "WHEN NOT MATCHED BY SOURCE … DELETE clause")
+          sawBySourceDelete = true
           deleteBySourceWhen =
             Some(c.cond.map(scopedBySource).getOrElse(lit(true)))
+        case UpdateRe(sets) =>
+          require(!sawBySourceUpdate, "MERGE INTO graft supports ONE " +
+            "WHEN NOT MATCHED BY SOURCE … UPDATE clause")
+          sawBySourceUpdate = true
+          bySourceUpdateBeforeDelete = !sawBySourceDelete
+          updateBySourceWhen =
+            Some(c.cond.map(scopedBySource).getOrElse(lit(true)))
+          require(sets.trim != "*",
+            "MERGE INTO graft: a BY SOURCE update has no source row — " +
+            "SET * is meaningless; list target assignments")
+          updateBySourceSet = splitTopLevel(sets, ',').map { a =>
+            val i = topLevelIndexOf(a, "=")
+            require(i > 0, s"malformed SET assignment: $a")
+            val lhs = a.substring(0, i).trim
+            val parts = lhs.split('.').map(
+              _.trim.stripPrefix("`").stripSuffix("`"))
+            val name =
+              if (parts.length == 2 &&
+                  tgtAlias.exists(_.equalsIgnoreCase(parts(0)))) parts(1)
+              else {
+                require(parts.length == 1 ||
+                  !srcAlias.exists(_.equalsIgnoreCase(parts(0))),
+                  s"SET target must be a TARGET column, got $lhs")
+                parts.last
+              }
+            name -> scopedBySource(a.substring(i + 1))
+          }.toMap
         case other => sys.error(
           "MERGE INTO graft: WHEN NOT MATCHED BY SOURCE supports THEN " +
-          s"DELETE only, got: $other — express a by-source UPDATE as a " +
-          "separate UPDATE statement")
+          s"DELETE or THEN UPDATE SET …, got: $other")
       }
       else (c.notMatched, c.action) match {
         case (false, UpdateRe(sets)) =>
@@ -380,11 +411,13 @@ object GraftSql {
           s"${if (nm) "NOT MATCHED" else "MATCHED"}: $other")
       }
     }
-    require(sawUpdate || sawDelete || sawInsert || sawBySource,
+    require(sawUpdate || sawDelete || sawInsert || sawBySourceDelete ||
+        sawBySourceUpdate,
       "MERGE INTO graft needs at least one WHEN clause")
     GraftMergeIntoCommand(path, source, keys, updateWhen, updateSet,
       updateSetStar, deleteWhen, insertWhen, insertUnmatched,
-      updateBeforeDelete, deleteBySourceWhen)
+      updateBeforeDelete, deleteBySourceWhen, updateBySourceWhen,
+      updateBySourceSet, bySourceUpdateBeforeDelete)
   }
 
   /** `[AND cond] THEN action` → (cond?, action). The THEN that ends the
@@ -570,7 +603,10 @@ case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
     deleteWhen: Option[org.apache.spark.sql.Column],
     insertWhen: Option[org.apache.spark.sql.Column],
     insertUnmatched: Boolean, updateBeforeDelete: Boolean,
-    deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None)
+    deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+    updateBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+    updateBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
+    bySourceUpdateBeforeDelete: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -585,11 +621,21 @@ case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
         d && !coalesce(updateWhen.getOrElse(lit(true)), lit(false))
       else d
     }
+    // same textual-precedence rewrite on the by-source side: mergeInto
+    // evaluates the by-source DELETE first, so an UPDATE clause that
+    // textually preceded it claims the overlap by negation
+    val delBySrcW = deleteBySourceWhen.map { d =>
+      if (bySourceUpdateBeforeDelete && updateBySourceSet.nonEmpty)
+        d && !coalesce(updateBySourceWhen.getOrElse(lit(true)), lit(false))
+      else d
+    }
     Seq(Row(TxTable.mergeInto(spark, path, src, keyCols,
       updateWhen = updateWhen, updateSet = updSet, deleteWhen = delW,
       insertWhen = insertWhen,
       insertUnmatched = insertUnmatched,
-      deleteBySourceWhen = deleteBySourceWhen)))
+      deleteBySourceWhen = delBySrcW,
+      updateBySourceWhen = updateBySourceWhen,
+      updateBySourceSet = updateBySourceSet)))
   }
 }
 

@@ -551,11 +551,31 @@ class GraftSqlSpec extends SparkSpec {
       s"""MERGE INTO graft.`$table` t USING $src s ON (k)
          |WHEN NOT MATCHED BY SOURCE AND s.price > 0 THEN DELETE""".stripMargin))
     assert(srcRef.getMessage.contains("source"))
-    // by-source UPDATE is out of surface, named as such
-    val upd = intercept[Exception](spark.sql(
+  }
+
+  test("clause MERGE: BY SOURCE UPDATE marks stale rows; precedence vs BY SOURCE DELETE") {
+    // target {1:(F,10), 2:(O,20), 3:(F,30), 4:(O,40)}, source keys {2,3,9}
+    val (table, src) = clauseFixture()
+    spark.sql(
       s"""MERGE INTO graft.`$table` t USING $src s ON (k)
-         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'X'""".stripMargin))
-    assert(upd.getMessage.contains("DELETE"))
+         |WHEN NOT MATCHED BY SOURCE AND t.price < 15 THEN UPDATE
+         |  SET status = 'stale', price = t.price * 2
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // source-absent rows 1, 4: 1 (price 10 < 15) textually hits the
+    // UPDATE first → marked stale; 4 falls through to DELETE. Matched
+    // rows 2, 3 carried (no matched clause).
+    assert(rowsOf(table) === Map(
+      1L -> ("stale", 20.0), 2L -> ("O", 20.0), 3L -> ("F", 30.0)))
+    // SET * in a by-source update has no source row to take — refused
+    val star = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin))
+    assert(star.getMessage.contains("SET *"))
+    // a source reference in the SET value is refused loudly
+    val srcSet = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$table` t USING $src s ON (k)
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = s.price""".stripMargin))
+    assert(srcSet.getMessage.contains("source"))
   }
 
   test("clause MERGE rejects column-list INSERT and target refs in INSERT conditions") {

@@ -455,6 +455,32 @@ class TxChangeFeedSpec extends SparkSpec {
       (1L, 10L, "delete")), s"feed: $feed")
   }
 
+  test("mergeInto: updateBySourceSet marks source-absent rows; CDF carries pre/post") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir, Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x").coalesce(1))
+    val v0 = TxTable.versions(spark, dir).last
+    // source matches 2 only; 1 and 3 are source-absent → x negated
+    // (values read the target row alone — no src_ columns exist there)
+    TxTable.mergeInto(spark, dir,
+      Seq((2L, -2L)).toDF("id", "x"), Seq("id"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("x" -> TxTable.src("x")),
+      updateBySourceWhen = Some(col("x") >= 30L),
+      updateBySourceSet = Map("x" -> -col("x")))
+    val got = TxTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 10L, 2L -> -2L, 3L -> -30L),
+      s"matched update + conditional by-source update: $got")
+    val feed = TxTable.readChanges(spark, dir, v0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((2L, 20L, "update_preimage"),
+      (2L, -2L, "update_postimage"), (3L, 30L, "update_preimage"),
+      (3L, -30L, "update_postimage")), s"feed: $feed")
+  }
+
   test("mergeInto: by-source delete with an EMPTY source clears matching rows") {
     val s = spark
     import s.implicits._
