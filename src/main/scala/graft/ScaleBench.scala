@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * table (key columns offset by copy × key-span, so joins produce
   * exactly `copies`× the rows), with `region`/`nation` held fixed the
   * way TPC-H fixes its dimension tables. Document text is made
-  * UNIQUE PER COPY (a copy-tag suffix): without that, every doc would
-  * gain `copies − 1` verbatim duplicates and the near-dup pair count
-  * would grow quadratically BY SEMANTICS, which would wrongly read as
-  * an engine scaling failure. The deliberately-quadratic correctness
+  * DISSIMILAR PER COPY (every token carries a copy tag): without
+  * that, every doc would gain `copies − 1` near-duplicates and the
+  * near-dup pair count would grow quadratically BY SEMANTICS, which
+  * would wrongly read as an engine scaling failure (a suffix-only tag
+  * was not enough — see the synthesize note). The deliberately-quadratic correctness
   * baselines (`q_x_cosine_dups`'s all-pairs check) are excluded for
   * the same reason — SCALE.md documents them as non-scale paths.
   */
@@ -161,12 +162,20 @@ object ScaleBench {
     write("events", scaled("events",
       Map("event_id" -> eSpan, "user_id" -> uSpan)))
     write("embeddings", scaled("embeddings", Map("vec_id" -> vSpan)))
-    // copy-tag suffix keeps cross-copy texts distinct (see scaladoc);
-    // n_chars stays consistent with the text it describes
+    // EVERY TOKEN carries the copy tag, not just a document suffix: a
+    // suffix-only tag (rounds 7-8) kept cross-copy docs at jaccard ≈ 1
+    // — each base doc became a 10-copy near-dup CLIQUE, the edge set
+    // grew ~copies² and the dedup-cluster/jaccard ladder measured that
+    // SEMANTIC quadratic growth as if it were engine superlinearity
+    // (q_x_dedup_clusters read 11.7-15x at 10x data; the engine was
+    // innocent). Token-level salting zeroes cross-copy shingle overlap,
+    // so near-dup pair counts scale linearly and the ladder measures
+    // the ENGINE again. n_chars is recomputed to stay consistent.
     write("documents", scaled("documents", Map("doc_id" -> dSpan),
       (d, i) =>
         if (i == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" zq$i")))
-          .withColumn("n_chars", col("n_chars") + lit(s" zq$i".length))))
+        else d.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1zq$i"))
+          .withColumn("n_chars", length(col("text")))))
   }
 }

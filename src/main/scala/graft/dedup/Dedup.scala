@@ -69,13 +69,20 @@ object Dedup {
     */
   def cappedShingleIndex(df: DataFrame, idCol: String, textCol: String,
                          n: Int, cap: Int): DataFrame = {
-    // Materialize the raw index once: it feeds BOTH the hot-key
-    // aggregation and the anti-join probe side here, and callers
-    // (jaccardPairs) consume the capped result several more times —
-    // without the pin the tokenize+shingle+explode subplan re-executes
-    // per consumer (only identically-partitioned self-join sides are
-    // rescued by ReuseExchange).
-    val idx0 = shingleIndex(df, idCol, textCol, n).localCheckpoint()
+    // Deliberately NOT materialized: an earlier round localCheckpoint'd
+    // the raw index here (it feeds the hot-key aggregation, the
+    // anti-join probe, and several caller consumers), but pinning the
+    // FULL exploded inverted index is the single most expensive thing
+    // this operator can do — at 10× data the materialization alone made
+    // the capped path 4× slower than the uncapped one it exists to
+    // protect (scale ladder, round 9). Recomputing the narrow
+    // tokenize+shingle+explode subplan per consumer is cheaper than
+    // writing the index out, and the self-join consumers still share
+    // one hashpartitioning(shingle) exchange via ReuseExchange exactly
+    // as the uncapped path does. The hot side is df > cap shingles
+    // only; left AQE-planned (it broadcasts when small, stays a
+    // shuffle anti-join when a 100 TB corpus makes it big).
+    val idx0 = shingleIndex(df, idCol, textCol, n)
     val hot = idx0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("shingle")
     idx0.join(hot, Seq("shingle"), "left_anti")
