@@ -161,7 +161,21 @@ object ScaleBench {
       Map("l_orderkey" -> oSpan, "l_partkey" -> pSpan, "l_suppkey" -> sSpan)))
     write("events", scaled("events",
       Map("event_id" -> eSpan, "user_id" -> uSpan)))
-    write("embeddings", scaled("embeddings", Map("vec_id" -> vSpan)))
+    // per-copy deterministic ±1 diagonal mask: flipping a fixed sign
+    // pattern is an ORTHOGONAL transform, so every within-copy cosine
+    // is preserved exactly while cross-copy copies of the same vector
+    // decorrelate (E[cos] = 0 under independent sign patterns). Without
+    // it each vector exists verbatim in all `copies` copies, they land
+    // in the same LSH bucket, and cosine-pair counts grow copies² BY
+    // SEMANTICS — the embedding analog of the document-text clique the
+    // token salt fixes above.
+    write("embeddings", scaled("embeddings", Map("vec_id" -> vSpan),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"),
+            (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, -x)
+              .otherwise(x)))))
     // EVERY TOKEN carries the copy tag, not just a document suffix: a
     // suffix-only tag (rounds 7-8) kept cross-copy docs at jaccard ≈ 1
     // — each base doc became a 10-copy near-dup CLIQUE, the edge set
