@@ -767,6 +767,15 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .orderBy("doc_id")),
 
+    // overlapping token-window chunking (RAG indexing / context-window
+    // prep): 12-token windows with a 4-token overlap, no redundant
+    // tail chunk (a final window fully contained in its predecessor is
+    // not emitted)
+    "q_x_chunk_split" -> ((s, dir) =>
+      graft.ops.Chunking.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 12, overlapTokens = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_x_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.2)
         .orderBy("id_a", "id_b")),
@@ -2224,6 +2233,19 @@ object SparkEntry {
          |  coalesce(g.n_kept, 0) AS n_kept,
          |  coalesce(g.text_dedup, '') AS text_dedup
          |FROM c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    // stride = 12 - 4 = 8; chunk count = 1 + max(0, floor((n-4-1)/8));
+    // DuckDB list slicing is 1-based inclusive and end-clamped, exactly
+    // like Spark's slice()
+    "q_x_chunk_split" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk_text,
+         |  CAST(least(12, n - i*8) AS INTEGER) AS n_tokens
+         |FROM n CROSS JOIN
+         |  unnest(range(1 + greatest(0, CAST(floor((n - 5.0) / 8) AS BIGINT)))) t(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_x_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),

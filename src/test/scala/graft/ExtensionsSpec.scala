@@ -206,6 +206,37 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("chunkDocs: overlap windows, no redundant tail, empty docs dropped") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunk 8, overlap 4 (stride 4): starts 0 and 4; a
+    // third window at 8 would add nothing past tokens 5-10 — dropped
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),   // shorter than one chunk → single short chunk
+      (3L, ""),        // empty → zero rows
+      (4L, (1 to 13).map(i => s"t$i").mkString(" "))) // starts 0,4,8 — t13 is new at start 8
+      .toDF("doc_id", "text")
+    val out = graft.ops.Chunking.chunkDocs(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, (1 to 8).map(i => s"t$i").mkString(" "), 8),
+      (1L, 1, (5 to 10).map(i => s"t$i").mkString(" "), 6),
+      (2L, 0, "a b c", 3),
+      (4L, 0, (1 to 8).map(i => s"t$i").mkString(" "), 8),
+      (4L, 1, (5 to 12).map(i => s"t$i").mkString(" "), 8),
+      (4L, 2, (9 to 13).map(i => s"t$i").mkString(" "), 5)), s"got $out")
+    // overlap 0 = disjoint cover: chunks concatenate back to the doc
+    val flat = graft.ops.Chunking.chunkDocs(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", 4, 0)
+      .orderBy("chunk_idx").collect().map(_.getString(2)).mkString(" ")
+    assert(flat == (1 to 10).map(i => s"t$i").mkString(" "))
+    intercept[IllegalArgumentException] {
+      graft.ops.Chunking.chunkDocs(docs, "doc_id", "text", 4, 4)
+    }
+  }
+
   test("connectedComponents converges in O(log d) rounds on a deep chain") {
     val s = spark
     import s.implicits._
