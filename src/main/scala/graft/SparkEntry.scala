@@ -767,6 +767,25 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .orderBy("doc_id")),
 
+    // Unicode NFC normalization: a decomposed "cafe" + COMBINING ACUTE
+    // (appended to every doc) must compose to the precomposed é — the
+    // length delta proves composition happened, and the full normalized
+    // text is hash-compared against DuckDB's nfc_normalize (same
+    // Unicode canonical-composition algorithm as java.text.Normalizer)
+    "q_x_text_nfc" -> ((s, dir) => {
+      // " cafe" + U+0301 COMBINING ACUTE, spelled as an escape so no
+      // editor silently recomposes it: NFC must compose it to the
+      // precomposed é, one char shorter
+      val decomposed = lit(" cafe\u0301")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeNfc(concat(col("text"), decomposed))
+            .as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          length(col("nfc_text")).as("n_chars_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // overlapping token-window chunking (RAG indexing / context-window
     // prep): 12-token windows with a 4-token overlap, no redundant
     // tail chunk (a final window fully contained in its predecessor is
@@ -2233,6 +2252,15 @@ object SparkEntry {
          |  coalesce(g.n_kept, 0) AS n_kept,
          |  coalesce(g.text_dedup, '') AS text_dedup
          |FROM c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    // chr(769) = U+0301 COMBINING ACUTE; nfc_normalize composes it with
+    // the preceding 'e' exactly as java.text.Normalizer NFC does
+    "q_x_text_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769)) AS nfc_text,
+        |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INTEGER)
+        |    AS n_chars_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // stride = 12 - 4 = 8; chunk count = 1 + max(0, floor((n-4-1)/8));
     // DuckDB list slicing is 1-based inclusive and end-clamped, exactly

@@ -103,6 +103,19 @@ object TextAnalysis {
   def md5Hash60Sql(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Unicode NFC normalization (canonical composition) — run BEFORE
+    * fingerprinting/shingling so visually-identical text with different
+    * codepoint sequences (decomposed accents, compatibility variants of
+    * canonical pairs) dedups correctly. Native codegen'd expression
+    * ([[graft.functions.UnicodeNormalizeNfc]]), already-NFC input (all
+    * ASCII included) passes through without allocation.
+    */
+  def normalizeNfc(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.GraftShim.toColumn(graft.functions.UnicodeNormalizeNfc(
+      org.apache.spark.sql.GraftShim.toExpression(spark, c.cast("string"))))
+  }
+
   /** Per-language stopword lists used by [[langScores]]. Deliberately
     * tiny — this is the classic cheap n-gram/stopword heuristic, not a
     * trained model; the point is the *shape* (pure column expressions,

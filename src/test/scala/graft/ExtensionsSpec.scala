@@ -18,6 +18,23 @@ class TextAnalysisSpec extends SparkSpec {
   def one(c: org.apache.spark.sql.Column, text: String): Any =
     df(Seq(Doc(1, text, "s"))).select(c.as("r")).collect().head.get(0)
 
+  test("normalizeNfc composes decomposed accents; NFC input passes through") {
+    spark // normalizeNfc builds a native expression \u2014 needs the active session
+    val decomposed = "cafe\u0301"      // e + COMBINING ACUTE, 5 chars
+    val composed = "caf\u00e9"         // precomposed e-acute, 4 chars
+    assert(one(TextAnalysis.normalizeNfc(col("text")), decomposed) == composed)
+    assert(one(length(TextAnalysis.normalizeNfc(col("text"))), decomposed) == 4)
+    // already-NFC (incl. pure ASCII) is identity
+    assert(one(TextAnalysis.normalizeNfc(col("text")), composed) == composed)
+    assert(one(TextAnalysis.normalizeNfc(col("text")), "plain ascii") == "plain ascii")
+    // the dedup payoff: fingerprints agree after normalization,
+    // disagree without it
+    assert(one(TextAnalysis.fingerprintMd5(TextAnalysis.normalizeNfc(col("text"))), decomposed) ==
+      one(TextAnalysis.fingerprintMd5(TextAnalysis.normalizeNfc(col("text"))), composed))
+    assert(one(TextAnalysis.fingerprintMd5(col("text")), decomposed) !=
+      one(TextAnalysis.fingerprintMd5(col("text")), composed))
+  }
+
   test("tokens drops empty strings from repeated whitespace") {
     assert(one(size(TextAnalysis.tokens(col("text"))), "a  b   c") == 3)
     assert(one(size(TextAnalysis.tokens(col("text"))), "") == 0)
