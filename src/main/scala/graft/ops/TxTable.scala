@@ -1420,18 +1420,24 @@ object TxTable {
     // key-bounds pruning, as in merge (null source keys never match,
     // so they constrain nothing). A by-source clause DISABLES pruning:
     // any file may hold source-unmatched rows, so every file is a
-    // candidate (see scaladoc)
-    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
-    val row = s0.agg(aggs.head, aggs.tail: _*).head()
-    val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-      else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
-    }
+    // candidate (see scaladoc) — and then the source min/max job is
+    // skipped entirely, not run and discarded
     val cs =
-      if (boundPreds.isEmpty || hasBySource)
+      if (hasBySource)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
-      else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
-        mergeSchema, pinned)
+      else {
+        val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val row = s0.agg(aggs.head, aggs.tail: _*).head()
+        val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else Some(col(k).between(lit(row.get(2 * i)),
+            lit(row.get(2 * i + 1))))
+        }
+        if (boundPreds.isEmpty)
+          Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+        else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
+          mergeSchema, pinned)
+      }
     val (candidates, _) = lines.partition { l =>
       lazy val st = statsOf(l) ++ partitionStats(pathOf(l))
       cs.isEmpty || cs.forall(mayMatch(st, _))

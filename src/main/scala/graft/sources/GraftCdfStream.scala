@@ -5,8 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,41 +61,61 @@ private[sources] object GraftCdf {
       StructField(TxTable.CommitTimestampCol, TimestampType,
         nullable = false)))
 
-  /** One partition of change rows: the wrapped parquet partition plus
-    * the per-commit constants its reader appends. `fromChangeFiles`
-    * selects the delegate schema (change files already carry
-    * `_change_type`; fallback data files don't, so `changeType` holds
-    * the constant tag).
+  /** One partition of change rows: the planned delegate (with its own
+    * factory + declared-order projection, see [[ScanPlanning]]) plus
+    * the per-commit constants its reader appends. `changeType == null`
+    * marks change-file partitions (they carry `_change_type`
+    * themselves); fallback data-file partitions get the constant tag.
     */
-  final case class CdfPartition(delegate: InputPartition,
-                                fromChangeFiles: Boolean,
+  final case class CdfPartition(part: ScanPlanning.PlannedPart,
                                 changeType: String,
                                 version: Long,
                                 tsMillis: Long) extends InputPartition
 
   /** Plan the change partitions of `(fromV, toV]` — the shared planner
-    * behind both the micro-batch and the batch CDF paths.
+    * behind both the micro-batch and the batch CDF paths. Fallback
+    * data-file reads go through the same partition-aware scanning as
+    * the batch reader (`basePath` + reprojection to declared order),
+    * so hive-partitioned tables surface their partition columns
+    * correctly; change files carry every column physically and are
+    * scanned as leaf files.
     */
   def planPartitions(spark: SparkSession, path: String, dataSchema: StructType,
                      options: CaseInsensitiveStringMap,
                      fromV: Long, toV: Long): Array[InputPartition] = {
     val vs = TxTable.versions(spark, path)
-    require(vs.contains(toV),
-      s"version $toV of $path no longer exists — vacuum outran the stream")
+    require(vs.nonEmpty, s"$path is not a TxTable (no committed versions)")
+    if (!vs.contains(toV)) {
+      // a toV beyond the head is a caller error (bad endingVersion),
+      // not vacuum — misdiagnosing it as retention loss sends users
+      // chasing the wrong fix
+      require(toV <= vs.last,
+        s"endingVersion $toV of $path does not exist — the head is " +
+        s"version ${vs.last}")
+      sys.error(
+        s"version $toV of $path no longer exists — vacuum outran the stream")
+    }
+    // every version in (fromV, toV] must be retained — a vacuum-created
+    // gap would silently SKIP its DML commits (row-level change files
+    // need no baseline, so the fallback's loud no-baseline error never
+    // fires for them). Same guard as the batch readChanges
+    // (TxTable.scala:941).
+    require(fromV == 0 || fromV + 1 >= vs.head,
+      s"changes in ($fromV, ${vs.head - 1}] of $path were vacuumed — the " +
+      s"change feed cannot resume from version $fromV; restart from a " +
+      s"fresh checkpoint or startingVersion ${vs.head}")
+    val root = new org.apache.hadoop.fs.Path(path).toString
     val range = vs.filter(v => v > fromV && v <= toV)
     range.flatMap { v =>
       val ts = TxTable.commitTimestamp(spark, path, v)
-      def parts(files: Seq[String], withType: Boolean): Seq[InputPartition] =
-        if (files.isEmpty) Nil
-        else scan(spark, path, files,
-            if (withType) withTypeSchema(dataSchema) else dataSchema, options)
-          .planInputPartitions().toSeq
       TxTable.commitMeta(spark, path, v)
         .get(TxTable.ChangeDataMetaKey) match {
         case Some("0") => Nil // row-change-free commit
         case Some(uuid) =>
-          parts(TxTable.changeDataFiles(spark, path, uuid), withType = true)
-            .map(CdfPartition(_, fromChangeFiles = true, null, v, ts))
+          ScanPlanning.plan(spark, root,
+              TxTable.changeDataFiles(spark, path, uuid),
+              withTypeSchema(dataSchema), options, partitioned = false)
+            .map(CdfPartition(_, null, v, ts))
         case None =>
           // file-granular fallback — same baseline rules as the batch
           // readChanges: no baseline at v<=1; a vacuumed v-1 is exact
@@ -113,10 +131,11 @@ private[sources] object GraftCdf {
           val cur = TxTable.snapshotFiles(spark, path, v)
           val added = cur.filterNot(prev)
           val removed = (prev -- cur.toSet).toSeq.sorted
-          parts(added, withType = false)
-            .map(CdfPartition(_, fromChangeFiles = false, "insert", v, ts)) ++
-            parts(removed, withType = false)
-              .map(CdfPartition(_, fromChangeFiles = false, "delete", v, ts))
+          def tagged(files: Seq[String], tag: String): Seq[InputPartition] =
+            ScanPlanning.plan(spark, root, files, dataSchema, options,
+                partitioned = true)
+              .map(CdfPartition(_, tag, v, ts))
+          tagged(added, "insert") ++ tagged(removed, "delete")
       }
     }.toArray
   }
@@ -125,42 +144,21 @@ private[sources] object GraftCdf {
     StructType(data.fields :+
       StructField(TxTable.ChangeTypeCol, StringType, nullable = true))
 
-  private def scan(spark: SparkSession, path: String, files: Seq[String],
-                   schema: StructType,
-                   options: CaseInsensitiveStringMap): Batch =
-    ParquetTable(s"graft-cdf:$path", spark, options, files,
-      Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options).build().toBatch
-
-  /** The factory wraps TWO delegate parquet factories (change-file
-    * schema vs bare data schema) and appends the per-commit constants
-    * via a [[JoinedRow]] — row path only (`supportColumnarReads` stays
+  /** Stateless: each [[CdfPartition]] carries its own delegate factory
+    * and projection; this factory appends the per-commit constants via
+    * a [[JoinedRow]] — row path only (`supportColumnarReads` stays
     * false), which is the right trade for change feeds: the volume is
     * the CHANGED rows, not the table.
     */
-  def readerFactory(spark: SparkSession, path: String,
-                    dataSchema: StructType,
-                    options: CaseInsensitiveStringMap)
-      : PartitionReaderFactory = {
-    val withType = scan(spark, path, Seq.empty,
-      withTypeSchema(dataSchema), options).createReaderFactory()
-    val bare = scan(spark, path, Seq.empty, dataSchema, options)
-      .createReaderFactory()
-    new CdfReaderFactory(withType, bare)
-  }
-
-  private final class CdfReaderFactory(withType: PartitionReaderFactory,
-                                       bare: PartitionReaderFactory)
-      extends PartitionReaderFactory {
+  final class CdfReaderFactory extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = {
       val cp = p.asInstanceOf[CdfPartition]
-      val inner =
-        (if (cp.fromChangeFiles) withType else bare).createReader(cp.delegate)
+      val inner = ScanPlanning.openReader(cp.part)
       // change files carry _change_type themselves → append (version,
       // ts); fallback data files get all three constants appended
       val consts: Array[Any] =
-        if (cp.fromChangeFiles)
+        if (cp.changeType == null)
           Array(cp.version, cp.tsMillis * 1000L)
         else
           Array(UTF8String.fromString(cp.changeType), cp.version,
@@ -196,7 +194,7 @@ private[sources] class GraftCdfScan(path: String, spark: SparkSession,
     override def planInputPartitions(): Array[InputPartition] =
       GraftCdf.planPartitions(spark, path, dataSchema, options, fromV, toV)
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftCdf.readerFactory(spark, path, dataSchema, options)
+      new GraftCdf.CdfReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -220,5 +218,5 @@ private[sources] class GraftCdfMicroBatchStream(path: String,
       version(start), version(end))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdf.readerFactory(spark, path, dataSchema, options)
+    new GraftCdf.CdfReaderFactory
 }

@@ -6,8 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -287,26 +286,23 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
     out.toSeq.sorted
   }
 
-  /** A fresh parquet V2 scan over exactly the delta's files, schema
-    * pinned to the stream's. Filters stay correct because file-source
-    * pushdown is advisory: Spark keeps the post-scan Filter node.
+  /** Partition-aware V2 scans over exactly the delta's files, schema
+    * pinned to the stream's — `basePath` + per-commit-dir grouping +
+    * declared-order reprojection (see [[ScanPlanning]]), so a
+    * hive-partitioned table streams its partition columns correctly
+    * instead of reading them as nulls from footers that never stored
+    * them. Filters stay correct because file-source pushdown is
+    * advisory: Spark keeps the post-scan Filter node.
     */
-  private def deltaScan(files: Seq[String]): Scan =
-    ParquetTable(s"graft-stream:$path", spark, options, files,
-      Some(pinned), classOf[ParquetFileFormat])
-      .newScanBuilder(options).build()
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val files = filesBetween(version(start), version(end))
-    if (files.isEmpty) Array.empty
-    else deltaScan(files).toBatch.planInputPartitions()
+    val root = new org.apache.hadoop.fs.Path(path).toString
+    ScanPlanning.plan(spark, root, files, pinned, options, partitioned = true)
+      .map(ScanPlanning.ReorderPartition(_): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // factory captures schema/conf, not a file list — built from an
-    // EMPTY file list to make that assumption explicit (and skip a
-    // pointless head-snapshot resolution); it reads whatever
-    // FilePartitions planInputPartitions handed out
-    deltaScan(Seq.empty).toBatch.createReaderFactory()
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    // stateless: each planned partition carries its own delegate
+    // factory + projection, decided at planning time per commit dir
+    new ScanPlanning.ReorderReaderFactory
 }

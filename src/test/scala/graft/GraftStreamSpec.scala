@@ -226,6 +226,101 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned table streams its partition columns with path values, batch-read order") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_part") + "/t"
+    // partition column in the MIDDLE of the declared order — the V2
+    // surface (batch AND stream) puts partition columns last
+    // (GraftResolve contract); the bug class under test is the VALUES:
+    // a bare leaf-file scan reads pt from footers that never stored it
+    TxTable.append(spark, table,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "pt", "x"),
+      partitionCols = Seq("pt"))
+    val q = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("graft_stream_part")
+      .option("checkpointLocation", tmp("graft_part_cp")).start()
+    try {
+      q.processAllAvailable()
+      val streamedCols = spark.table("graft_stream_part").columns.toSeq
+      assert(streamedCols ===
+        spark.read.format("graft").load(table).columns.toSeq,
+        "stream and batch V2 reads must agree on column order")
+      val got = spark.table("graft_stream_part")
+        .select("id", "pt", "x").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got === Seq((1L, "a", 10L), (2L, "b", 20L)),
+        s"partition values must come from the path, never nulls: $got")
+    } finally q.stop()
+  }
+
+  test("partitioned table CDF: stream/batch parity, partition values intact") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_part_cdf") + "/t"
+    TxTable.append(spark, table,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+        .toDF("id", "pt", "x").coalesce(1),
+      partitionCols = Seq("pt"))
+    TxTable.update(spark, table, col("id") === 2L, Map("x" -> lit(-2L)),
+      partitionCols = Seq("pt"))
+    TxTable.delete(spark, table, col("id") === 3L, partitionCols = Seq("pt"))
+    // compare by NAME: the batch readChanges surfaces declared order,
+    // the V2 feed partition-columns-last — values must agree row-for-row
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "pt", "x", TxTable.ChangeTypeCol,
+          TxTable.CommitVersionCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).sortBy(t => (t._5, t._4, t._1)).toSeq
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("memory").queryName("graft_part_cdf_stream")
+      .option("checkpointLocation", tmp("graft_part_cdf_cp")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = tuples(spark.table("graft_part_cdf_stream"))
+      val batch = tuples(TxTable.readChanges(spark, table, 0L))
+      assert(streamed === batch,
+        s"partitioned CDF stream must equal batch readChanges:\n" +
+          s"$streamed\nvs\n$batch")
+      // the v1 fallback rows (file-granular) come from partition dirs:
+      // pt must be the path value, never null
+      assert(streamed.count(_._5 == 1L) == 3 &&
+        streamed.filter(_._5 == 1L).forall(t => t._2 == "a" || t._2 == "b"),
+        s"fallback rows must recover hive partition values: $streamed")
+    } finally q.stop()
+  }
+
+  test("CDF resume from a vacuumed version fails loudly (no silent DML skip)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_cdf_vac") + "/t"
+    TxTable.append(spark, table, Seq((1L, 10L)).toDF("id", "x"))
+    TxTable.update(spark, table, col("id") === 1L, Map("x" -> lit(-1L)))
+    TxTable.append(spark, table, Seq((2L, 20L)).toDF("id", "x"))
+    TxTable.vacuum(spark, table, keepVersions = 1) // only v3 retained
+    // resuming from v1 would skip v2's DML changes silently (change
+    // files need no baseline, so only an explicit guard catches it)
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "2").load(table).collect()
+    }
+    assert(e.getMessage.contains("were vacuumed"), e.getMessage)
+  }
+
+  test("CDF endingVersion beyond the head is reported as a bad argument, not vacuum") {
+    val s = spark
+    import s.implicits._
+    val table = tmp("graft_cdf_end") + "/t"
+    TxTable.append(spark, table, Seq((1L, 10L)).toDF("id", "x"))
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("endingVersion", "99").load(table).collect()
+    }
+    assert(e.getMessage.contains("does not exist") &&
+      e.getMessage.contains("head is version 1"), e.getMessage)
+  }
+
   test("batch read with readChangeFeed serves the same feed; startingVersion scopes it") {
     val s = spark
     import s.implicits._
