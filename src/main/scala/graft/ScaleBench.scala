@@ -53,6 +53,12 @@ object ScaleBench {
       .filter(n => only.forall(_.contains(n)))
   }
 
+  /** Bump on ANY change to [[synthesize]] — stale cached corpora are
+    * silently wrong in ways that read as operator regressions.
+    * "v3" = token-level text salt + embedding sign-mask decorrelation.
+    */
+  val SynthesisVersion = "v3"
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -60,9 +66,20 @@ object ScaleBench {
     val spark = graft.util.Sessions.local(graft.util.Sessions.cpus(
       Runtime.getRuntime.availableProcessors().toString))
 
-    if (!new java.io.File(s"$out/_SCALE_OK").exists()) {
+    // the cache marker carries the SYNTHESIS VERSION: a corpus built by
+    // an older synthesize() must be rebuilt, not reused — round 9's
+    // dedup ladder read 4-8x ratios off a cached pre-token-salt corpus
+    // and the artifact blamed the operators (the fresh corpus reads
+    // 1.4-2.6x on the same code)
+    val marker = new java.io.File(s"$out/_SCALE_OK")
+    val cachedVersion =
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      catch { case _: Throwable => "" }
+    if (cachedVersion != SynthesisVersion) {
       synthesize(spark, base, out, copies)
-      new java.io.FileOutputStream(s"$out/_SCALE_OK").close()
+      java.nio.file.Files.write(marker.toPath, SynthesisVersion.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
     }
 
     // warm the JVM on the small scale so sf-base numbers aren't all JIT
@@ -95,8 +112,19 @@ object ScaleBench {
       s""""$n":{"base_sec":${f(tb)},"scaled_sec":${f(ts)},"ratio":${f(r)},"plan_stable":$st}"""
     }.mkString("{", ",", "}")
     val subQuadratic = rows.forall(_._4 < copies.toDouble * copies)
+    // same contention stamps as Bench: ratios are internal (base and
+    // scaled inflate together) but absolute numbers are compared across
+    // rounds, so the artifact says whether the host was quiet
+    val load = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty[Double] }
+    val loadJson = load.map(f).mkString("[", ",", "]")
     val line = s"""{"metric":"scale_ladder","base":"$base","scaled":"$out",""" +
-      s""""copies":$copies,"queries":$qs,"sub_quadratic":$subQuadratic}"""
+      s""""copies":$copies,"load":$loadJson,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""queries":$qs,"sub_quadratic":$subQuadratic}"""
     println(line)
     // full-surface ladders are several KB — keep a self-contained
     // artifact beside the stdout line (same rationale as Bench)

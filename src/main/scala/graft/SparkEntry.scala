@@ -459,6 +459,27 @@ object SparkEntry {
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     }),
 
+    // batch CDF through SQL: the same DML cycle as q_x_cdf, read back
+    // via the Delta-spelled table-valued function the extensions
+    // inject — `table_changes('graft.`…`', 2, 3)` (INCLUSIVE starting
+    // version) — so the SQL spelling of the change feed sits under the
+    // same algebraic oracle as the Scala and V2-scan spellings
+    "q_x_sql_cdf" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlcdf") + "/orders_tx"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, tmp, o)                             // v1
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"), lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, tmp, updates, Seq("o_orderkey"))     // v2
+      graft.ops.TxTable.delete(s, tmp, col("o_orderkey") % 7 === 3)   // v3
+      s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, _change_type, _commit_version
+           |FROM table_changes('graft.`$tmp`', 2, 3)
+           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
+    }),
+
     // optimize + restore maintenance cycle: land unclustered, z-order
     // the table, clobber it with a bad overwrite, roll back — the final
     // pruned read must equal a plain filter over the source (layout
@@ -1726,6 +1747,38 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_x_cdf" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus)),
+        |changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    'update_preimage' AS _change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version FROM pre
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 'update_postimage', 2 FROM pre
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(-1 AS BIGINT), 'N', 'insert', CAST(2 AS BIGINT)),
+        |      (-2, 'N', 'insert', 2), (-3, 'N', 'insert', 2))
+        |    t(o_orderkey, o_orderstatus, _change_type, _commit_version)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'delete', 3 FROM merged
+        |  WHERE o_orderkey % 7 = 3)
+        |SELECT o_orderkey, o_orderstatus, _change_type, _commit_version
+        |FROM changes
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+
+    // identical change algebra to q_x_cdf — the query differs only in
+    // the READ path (SQL table_changes TVF vs TxTable.readChanges)
+    "q_x_sql_cdf" ->
       """WITH pre AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders
         |  WHERE o_orderkey % 100 = 0),

@@ -205,6 +205,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length > 2) longArg(args, 2, "toVersion") else -1L)
         .queryExecution.logical
     }))
+    // Delta's spelling of the same feed: `table_changes('t', v1 [, v2])`
+    // with an INCLUSIVE starting version (Delta semantics; our
+    // graft_changes keeps readChanges's exclusive fromV). The path may
+    // be bare or wrapped in the graft.`…` table marker so users can
+    // paste the same identifier they use in DML statements.
+    ext.injectTableFunction(tvf("table_changes", args => {
+      val s = org.apache.spark.sql.SparkSession.active
+      val raw = strArg(args, 0, "table path")
+      val path = """(?s)\s*graft\.`([^`]+)`\s*""".r
+        .findFirstMatchIn(raw).map(_.group(1)).getOrElse(raw)
+      val start = longArg(args, 1, "startingVersion")
+      require(start >= 1,
+        s"table_changes: startingVersion must be >= 1 (versions are " +
+          s"1-based), got $start")
+      graft.ops.TxTable.readChanges(s, path, start - 1,
+        if (args.length > 2) longArg(args, 2, "endingVersion") else -1L)
+        .queryExecution.logical
+    }))
     ext.injectFunction(
       (FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),

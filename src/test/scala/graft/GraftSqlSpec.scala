@@ -310,6 +310,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(app.head().getLong(0) === 1L) // just v2's append
   }
 
+  test("table_changes: Delta spelling, inclusive start, graft.` wrapper accepted") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    TxTable.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.delete(spark, table, col("id") === 1L)
+    // startingVersion 2 is INCLUSIVE (Delta semantics): v2's insert and
+    // v3's delete both appear — readChanges(1, …) in the Scala spelling
+    val ch = spark.sql(
+      s"SELECT _change_type, id FROM table_changes('graft.`$table`', 2) " +
+        "ORDER BY _change_type, id").collect()
+    assert(ch.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("delete", 1L), ("insert", 3L)))
+    // bare path + endingVersion bound it to just v2
+    val v2 = spark.sql(
+      s"SELECT _change_type, id FROM table_changes('$table', 2, 2)").collect()
+    assert(v2.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("insert", 3L)))
+    // version 0 is a caller error: versions are 1-based
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$table', 0)").collect()
+    }
+    assert(e.getMessage.contains("must be >= 1"), e.getMessage)
+  }
+
   test("DESCRIBE DETAIL reports head facts; VACUUM DRY RUN removes nothing") {
     val s = spark
     import s.implicits._
