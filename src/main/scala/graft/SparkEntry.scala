@@ -8,7 +8,7 @@ import graft.ann.Similarity
 import graft.dedup.Dedup
 import graft.events.EventWindows
 import graft.multimodal.Multimodal
-import graft.text.{LmScore, TextAnalysis}
+import graft.text.{Bpe, LmScore, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7): every operator from SURVEY.md §2 —
   * plus the LLM-training-data extensions — exposed as a named query over
@@ -50,6 +50,18 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
+
+  /** Fixed merge table for `q_x_text_bpe_tokens` — rank-ordered and
+    * HIERARCHY-CLOSED (every pair's parts are single characters or
+    * earlier-rank merges), which is what makes sequential rank-order
+    * application equivalent to the encoder's min-rank loop and lets the
+    * DuckDB oracle mirror it with nested replaces. Common English
+    * merges; the leading-space merge exercises the GPT-2-style
+    * space-rides-with-the-word pre-token shape.
+    */
+  private val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), (" ", "the"))
 
   /** Flagship composed query (scan → window → agg → join → project; the
     * shape of the reference's gold-player job, `aws-job-silver-to-gold-player/
@@ -908,6 +920,30 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
           TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
+    // trained BPE: distributed pre-token histogram → bounded top-K
+    // collect → driver-side pair-merge loop (Bpe.scala scaladoc walks
+    // the 100 TB reasoning); output = the learned merge table. Training
+    // is a deterministic pure function of the corpus histogram
+    // (deterministic top-K and tie-breaks), so the oracle pins the
+    // expected merges as literals.
+    "q_x_text_bpe_train" -> ((s, dir) => {
+      val merges = Bpe.train(t(s, dir, "documents"), "text", numMerges = 30)
+      Bpe.mergesDF(s, merges).orderBy("rank")
+    }),
+
+    // tokenization under a PINNED merge table (rank-ordered, hierarchy-
+    // closed): per-doc subword counts through the native BpeWordEncode
+    // expression. The oracle mirrors the encoder ALGORITHMICALLY in
+    // DuckDB — sequential rank-order replace over a separator-seeded
+    // symbol string is equivalent to the min-rank merge loop for any
+    // trained table (each merge's parts are formed by earlier ranks) —
+    // so the encoder itself sits under an independent oracle, not a pin.
+    "q_x_text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bpe.tokenCount(col("text"), PinnedBpeMerges).as("n_bpe_sub"))
         .orderBy("doc_id")),
 
     "q_x_text_quality" -> ((s, dir) =>
@@ -2519,6 +2555,64 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
          |  CAST(len($sqlToks) AS INTEGER) AS n_ws_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the encoder mirrored ALGORITHMICALLY: per pre-token, seed a
+    // chr(31)-separated symbol string and apply the pinned merges as
+    // nested replaces in rank order (equivalent to the min-rank loop
+    // for a hierarchy-closed table — see the query comment); token
+    // count = separators left + 1
+    "q_x_text_bpe_tokens" -> {
+      val seed = "array_to_string(string_split(w, ''), chr(31))"
+      val chain = PinnedBpeMerges.foldLeft(seed) { case (acc, (l, r)) =>
+        s"replace($acc, '$l'||chr(31)||'$r', '$l$r')"
+      }
+      s"""SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+         |    regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}'),
+         |    w -> len(string_split($chain, chr(31))))), 0) AS INTEGER)
+         |  AS n_bpe_sub
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // pinned vocab: training is a deterministic pure function of the
+    // sf0.01 corpus histogram (deterministic top-K order + lexicographic
+    // tie-breaks), so the expected merge table is a literal. The merge
+    // ALGORITHM is independently verified by TextBpeSpec's known-sequence
+    // tests and the algorithmic q_x_text_bpe_tokens oracle above;
+    // regenerate this pin with Bpe.train(documents, "text", 30) if the
+    // harness corpus ever changes (the gate fails loudly if it does).
+    "q_x_text_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), ' ', 's', ' s'),
+        |  (1, 'e', 'r', 'er'),
+        |  (2, 'i', 'n', 'in'),
+        |  (3, 'o', 'w', 'ow'),
+        |  (4, 'o', 'r', 'or'),
+        |  (5, 'm', 'er', 'mer'),
+        |  (6, 'a', 't', 'at'),
+        |  (7, 'l', 'u', 'lu'),
+        |  (8, ' ', 'c', ' c'),
+        |  (9, 'a', 's', 'as'),
+        |  (10, ' ', 'b', ' b'),
+        |  (11, ' ', 'v', ' v'),
+        |  (12, 'a', 'r', 'ar'),
+        |  (13, 'p', 'ar', 'par'),
+        |  (14, ' ', 'f', ' f'),
+        |  (15, ' ', 'a', ' a'),
+        |  (16, ' ', 't', ' t'),
+        |  (17, 'j', 'o', 'jo'),
+        |  (18, 'jo', 'in', 'join'),
+        |  (19, 'as', 'h', 'ash'),
+        |  (20, 'h', 'ash', 'hash'),
+        |  (21, ' ', 'join', ' join'),
+        |  (22, 's', 't', 'st'),
+        |  (23, 'r', 'ow', 'row'),
+        |  (24, 'at', 'c', 'atc'),
+        |  (25, 'atc', 'h', 'atch'),
+        |  (26, 'a', 'n', 'an'),
+        |  (27, 'c', 'an', 'can'),
+        |  (28, 'lu', 'm', 'lum'),
+        |  (29, 'lum', 'n', 'lumn')
+        |) t("rank", "left", "right", "merged") ORDER BY "rank"""".stripMargin,
 
     "q_x_text_quality" ->
       s"""WITH s AS (SELECT doc_id, text,

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained byte-pair encoding: learn a merge table from the corpus,
+  * tokenize under it — the real version of what [[TextAnalysis.tokensBpe]]
+  * approximates with the pre-tokenizer alone. Token counts drive budget
+  * decisions (how many training tokens does this corpus hold? which
+  * documents fit the mixture?), and a pre-tokenizer count can be off
+  * by 2-3× from what a trained vocab reports, so the trained path is
+  * what a 100 TB pipeline actually wants.
+  *
+  * Algorithm (Sennrich et al. 2016, GPT-2 shape: merges operate WITHIN
+  * pre-tokens, no end-of-word marker; the pre-token boundary — spaces
+  * ride with the following word — is the merge boundary):
+  *
+  *  1. **Histogram** (distributed): one `explode` + `groupBy` over the
+  *     pre-tokens of the corpus — the only full-data pass, one shuffle.
+  *  2. **Bounded collect**: the top `maxWords` words by frequency
+  *     (deterministic tie-break on the word). Word frequency is
+  *     Zipfian, so a bounded head covers ~all corpus mass; the collect
+  *     is `maxWords` rows regardless of corpus size — the same
+  *     deliberate bounded-collect pattern as `Prefix.scala`.
+  *  3. **Driver-side pair-merge loop**: `numMerges` rounds of
+  *     count-adjacent-pairs → merge the winner (highest count; ties
+  *     break lexicographically so training is deterministic). O(vocab
+  *     symbols) per round on the driver — microseconds against the
+  *     corpus scan, and the alternative (one distributed groupBy PER
+  *     merge round) costs `numMerges` job launches to compute the same
+  *     bounded histogram's statistics.
+  *  4. **Tokenize** (distributed): the merge ranks ship inside a native
+  *     codegen'd expression ([[graft.functions.BpeWordEncode]]) applied
+  *     per pre-token under a `transform` HOF — no UDF, no broadcast
+  *     plumbing, narrow pass.
+  */
+object Bpe {
+
+  /** Ordered merge table learned from `docs(textCol)` — element `i` is
+    * the pair merged at rank `i` (earlier = higher priority).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 20000): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(TextAnalysis.tokensBpe(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords) // bounded: the ONLY driver-side materialization
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromWordCounts(words, numMerges)
+  }
+
+  /** The pair-merge loop over an explicit word histogram — exposed for
+    * unit tests against known merge sequences.
+    */
+  def trainFromWordCounts(wordCounts: Seq[(String, Long)],
+                          numMerges: Int): Seq[(String, String)] = {
+    // split on code points so surrogate pairs never split
+    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }.toArray
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.merge(k, c, _ + _)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // deterministic winner: max count, then lexicographically
+        // smallest pair — training must be a pure function of the
+        // histogram for the pinned-vocab oracle to hold
+        var best: (String, String) = null
+        var bestC = -1L
+        pairCounts.forEach { (k, v) =>
+          if (v > bestC || (v == bestC &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2))))
+            { best = k; bestC = v }
+        }
+        merges += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) { out += merged; i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** Subword tokens of `text` under `merges`: pre-tokenize, BPE-merge
+    * each pre-token, flatten. Every step is a codegen'd Column
+    * expression — one narrow pass.
+    */
+  def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    val coder = new graft.functions.BpeCoder(
+      merges.map(p => Array(p._1, p._2)).toArray)
+    flatten(transform(TextAnalysis.tokensBpe(text), w =>
+      org.apache.spark.sql.GraftShim.toColumn(
+        graft.functions.BpeWordEncode(
+          org.apache.spark.sql.GraftShim.toExpression(
+            org.apache.spark.sql.SparkSession.active, w), coder))))
+  }
+
+  /** Token count under a trained vocab — the budget-decision number. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(encode(text, merges))
+
+  /** The merge table as a DataFrame `(rank, left, right, merged)` —
+    * the persistable training artifact (write it as a TxTable, read it
+    * back to tokenize consistently across jobs).
+    */
+  def mergesDF(spark: SparkSession,
+               merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+}
