@@ -38,6 +38,29 @@ object ScaleBench {
     // correctness anchor of the LSH path — see Dedup.cosineDupPairs)
     "q_x_cosine_dups")
 
+  /** Ladder-ONLY entries (not oracled queries): plans whose scale
+    * behavior matters but whose raw output is engine-specific, so the
+    * driver oracle can't hash them. The pure-HLL profile is the
+    * 100 TB profiling default — its correctness bridge is
+    * `q_x_profile_approx` (estimates bounds-checked against exact in
+    * the oracle gate); its row HERE returns the raw aggregation frame
+    * so the fingerprint proves the approx plan carries no Expand node
+    * (one scan, partial-aggregable HLL sketches, one reduce), while
+    * the exact twin's fingerprint shows the ExpandExec it pays for
+    * N exact countDistincts.
+    */
+  val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_profile_approx_plan" -> ((s, dir) =>
+      graft.ops.Profile.statsPlan(
+        graft.ops.Sources.table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        approxDistinct = true)),
+    "x_profile_exact_plan" -> ((s, dir) =>
+      graft.ops.Profile.statsPlan(
+        graft.ops.Sources.table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        approxDistinct = false)))
+
   /** The FULL query surface at both scales — every SparkEntry query
     * whose semantics are linear-in-data (see [[Excluded]]), so each
     * family (core relational, dedup, ANN-served, text, tx DML/CDF,
@@ -49,7 +72,7 @@ object ScaleBench {
   val Ladder: Seq[String] = {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(Excluded)
+    (SparkEntry.queries.keys ++ Extra.keys).toSeq.sorted.filterNot(Excluded)
       .filter(n => only.forall(_.contains(n)))
   }
 
@@ -88,7 +111,7 @@ object ScaleBench {
 
     def time(name: String, dir: String): (Double, String) = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = (SparkEntry.queries ++ Extra)(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       ((System.nanoTime() - t0) / 1e9, fingerprint(df))
     }

@@ -926,8 +926,9 @@ object SparkEntry {
     // collect → driver-side pair-merge loop (Bpe.scala scaladoc walks
     // the 100 TB reasoning); output = the learned merge table. Training
     // is a deterministic pure function of the corpus histogram
-    // (deterministic top-K and tie-breaks), so the oracle pins the
-    // expected merges as literals.
+    // (deterministic top-K and tie-breaks), and the oracle REPLAYS it:
+    // an unrolled 30-round merge-loop CTE over the same histogram, so
+    // the check holds at any sf with no pinned vocab.
     "q_x_text_bpe_train" -> ((s, dir) => {
       val merges = Bpe.train(t(s, dir, "documents"), "text", numMerges = 30)
       Bpe.mergesDF(s, merges).orderBy("rank")
@@ -1073,6 +1074,15 @@ object SparkEntry {
       graft.ops.Profile.profile(t(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
           approxDistinct = false)
+        .orderBy("column")),
+
+    // the 100 TB profiling mode, oracled: deterministic stats flow
+    // through the HLL plan and `hll_ok` asserts each estimate sits
+    // within ±20% (4× rsd) of the exact cardinality — the oracle pins
+    // it TRUE, so an out-of-envelope estimator hash-mismatches
+    "q_x_profile_approx" -> ((s, dir) =>
+      graft.ops.Profile.profileChecked(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
 
     // SemDeDup: cluster-then-dedup over embeddings. Centroids here are
@@ -2172,6 +2182,21 @@ object SparkEntry {
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
+    // the deterministic columns are recomputed exactly; hll_ok is
+    // pinned TRUE — the Spark side must land every HLL estimate inside
+    // the ±20% envelope or the hash mismatches
+    "q_x_profile_approx" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT($c) AS n_nonnull,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str,
+           |  TRUE AS hll_ok
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
     // same shapes as the operator: norms once per row, cos =
     // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule
     // "exists a smaller-id near-dup in my cluster"
@@ -2573,46 +2598,45 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    // pinned vocab: training is a deterministic pure function of the
-    // sf0.01 corpus histogram (deterministic top-K order + lexicographic
-    // tie-breaks), so the expected merge table is a literal. The merge
-    // ALGORITHM is independently verified by TextBpeSpec's known-sequence
-    // tests and the algorithmic q_x_text_bpe_tokens oracle above;
-    // regenerate this pin with Bpe.train(documents, "text", 30) if the
-    // harness corpus ever changes (the gate fails loudly if it does).
-    "q_x_text_bpe_train" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), ' ', 's', ' s'),
-        |  (1, 'e', 'r', 'er'),
-        |  (2, 'i', 'n', 'in'),
-        |  (3, 'o', 'w', 'ow'),
-        |  (4, 'o', 'r', 'or'),
-        |  (5, 'm', 'er', 'mer'),
-        |  (6, 'a', 't', 'at'),
-        |  (7, 'l', 'u', 'lu'),
-        |  (8, ' ', 'c', ' c'),
-        |  (9, 'a', 's', 'as'),
-        |  (10, ' ', 'b', ' b'),
-        |  (11, ' ', 'v', ' v'),
-        |  (12, 'a', 'r', 'ar'),
-        |  (13, 'p', 'ar', 'par'),
-        |  (14, ' ', 'f', ' f'),
-        |  (15, ' ', 'a', ' a'),
-        |  (16, ' ', 't', ' t'),
-        |  (17, 'j', 'o', 'jo'),
-        |  (18, 'jo', 'in', 'join'),
-        |  (19, 'as', 'h', 'ash'),
-        |  (20, 'h', 'ash', 'hash'),
-        |  (21, ' ', 'join', ' join'),
-        |  (22, 's', 't', 'st'),
-        |  (23, 'r', 'ow', 'row'),
-        |  (24, 'at', 'c', 'atc'),
-        |  (25, 'atc', 'h', 'atch'),
-        |  (26, 'a', 'n', 'an'),
-        |  (27, 'c', 'an', 'can'),
-        |  (28, 'lu', 'm', 'lum'),
-        |  (29, 'lum', 'n', 'lumn')
-        |) t("rank", "left", "right", "merged") ORDER BY "rank"""".stripMargin,
+    // training mirrored ALGORITHMICALLY, unrolled: the oracle recomputes
+    // the word histogram (same deterministic top-K order), seeds each
+    // word as a bracketed symbol string chr(1)<sym>chr(2) — brackets on
+    // BOTH sides, so a merge replace can never match inside a longer
+    // symbol or consume a neighbouring delimiter — then runs 30 chained
+    // CTE rounds of count-adjacent-pairs / pick (max count, lexicographic
+    // tie-break) / single-pass replace. Left-to-right non-overlapping
+    // replace is exactly the trainer's greedy within-word merge, so this
+    // holds for ANY corpus at ANY sf (no pinned vocab). The merge loop is
+    // additionally unit-pinned by TextBpeSpec's known-sequence tests.
+    "q_x_text_bpe_train" -> {
+      val pat = TextAnalysis.bpePattern.replace("'", "''")
+      val rounds = (1 to 30).map { k =>
+        s"""sp$k AS (SELECT string_split(substr(ws, 2, length(ws) - 2),
+           |    chr(2)||chr(1)) AS syms, c FROM s${k - 1}),
+           |p$k AS (SELECT sp.syms[g.i] AS l, sp.syms[g.i + 1] AS r,
+           |    SUM(sp.c) AS cnt
+           |  FROM sp$k sp, unnest(generate_series(1, len(sp.syms) - 1)) AS g(i)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, l||r AS m FROM p$k
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT replace(ws, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+           |    chr(1)||b.m||chr(2)) AS ws, c FROM s${k - 1}, b$k b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 30).map(k =>
+        s"""SELECT CAST(${k - 1} AS BIGINT) AS "rank", l AS "left",""" +
+          s""" r AS "right", m AS merged FROM b$k""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH h0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(regexp_extract_all(text, '$pat')) AS w
+         |    FROM documents)
+         |  GROUP BY 1 ORDER BY c DESC, w ASC LIMIT 20000),
+         |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g') AS ws, c
+         |  FROM h0),
+         |$rounds
+         |$union
+         |ORDER BY "rank"""".stripMargin
+    },
 
     "q_x_text_quality" ->
       s"""WITH s AS (SELECT doc_id, text,

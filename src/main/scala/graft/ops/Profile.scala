@@ -28,8 +28,15 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String],
-              approxDistinct: Boolean = true): DataFrame = {
+  /** The raw one-row stats aggregation (4 values per column + total),
+    * exposed so scale evidence can fingerprint the AGGREGATION plan
+    * itself: approx mode is plain partial-aggregable HLL (no Expand
+    * node anywhere); exact mode plans an Expand whose row stream is
+    * `cols`× the input — the documented cost difference between the
+    * two modes at lake scale.
+    */
+  def statsPlan(df: DataFrame, cols: Seq[String],
+                approxDistinct: Boolean): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
@@ -39,7 +46,12 @@ object Profile {
     val aggs = cols.flatMap(c => Seq(
       count(col(c)), distinctOf(c),
       min(col(c)).cast("string"), max(col(c)).cast("string"))) :+ count(lit(1))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = true): DataFrame = {
+    val r = statsPlan(df, cols, approxDistinct).head()
     val total = r.getLong(cols.size * 4)
     val rows = cols.zipWithIndex.map { case (c, i) =>
       val base = i * 4
@@ -57,5 +69,27 @@ object Profile {
         StructField("n_nonnull", LongType, nullable = false),
         StructField("n_distinct", LongType, nullable = false),
         StructField("min_str", StringType), StructField("max_str", StringType))))
+  }
+
+  /** The correctness bridge for the 100 TB mode: runs BOTH cardinality
+    * modes and returns the deterministic stats plus a per-column
+    * `hll_ok` flag asserting the HLL++ estimate lies within `tol`
+    * relative error of the exact count (floor of ±1 absolute, so
+    * tiny cardinalities aren't held to a fractional bound). Default
+    * tol 0.2 = 4× the default `approx_count_distinct` rsd of 0.05 —
+    * far outside honest HLL noise, so a false `hll_ok = false` is a
+    * real estimator defect, not variance. The exact pass exists only
+    * in this check; production profiling runs the approx plan alone.
+    */
+  def profileChecked(df: DataFrame, cols: Seq[String],
+                     tol: Double = 0.2): DataFrame = {
+    val ap = profile(df, cols, approxDistinct = true)
+    val ex = profile(df, cols, approxDistinct = false)
+      .select(col("column"), col("n_distinct").as("exact_distinct"))
+    ap.join(ex, "column")
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_nonnull"),
+        col("min_str"), col("max_str"),
+        (abs(col("n_distinct") - col("exact_distinct")) <=
+          greatest(lit(1.0), col("exact_distinct") * tol)).as("hll_ok"))
   }
 }

@@ -31,6 +31,28 @@ class ProfileSpec extends SparkSpec {
     assert(d >= 2L && d <= 4L)
   }
 
+  test("HLL error envelope: estimates within 4×rsd of exact at real cardinality") {
+    import org.apache.spark.sql.functions._
+    // 20k distinct ids + a 997-valued column + a 3-valued column — the
+    // dense-register, linear-counting, and trivially-exact HLL regimes
+    val big = spark.range(20000).select(col("id"),
+      (col("id") % 997).as("mid"), (col("id") % 3).as("small"))
+    val checked = Profile.profileChecked(big, Seq("id", "mid", "small"))
+      .collect()
+    assert(checked.length === 3)
+    assert(checked.forall(_.getAs[Boolean]("hll_ok")),
+      "an HLL estimate fell outside ±20% of exact")
+  }
+
+  test("approx stats plan is Expand-free; exact plan pays the Expand") {
+    def hasExpand(p: org.apache.spark.sql.DataFrame) =
+      p.queryExecution.executedPlan.toString.contains("Expand")
+    assert(!hasExpand(Profile.statsPlan(data, Seq("id", "name"),
+      approxDistinct = true)))
+    assert(hasExpand(Profile.statsPlan(data, Seq("id", "name"),
+      approxDistinct = false)))
+  }
+
   test("unknown columns are rejected") {
     intercept[IllegalArgumentException] {
       Profile.profile(data, Seq("id", "nope"))
