@@ -355,6 +355,57 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // metadata-only aggregates: land orders (with injected nulls so
+    // COUNT(col) differs from COUNT(*)), DELETE a slice (rewritten
+    // files carry fresh stats), then answer COUNT(*), COUNT(col),
+    // MIN/MAX from the MANIFEST alone — zero data I/O; the .get fails
+    // loudly if the metadata path ever declines, and the oracle
+    // recomputes the same algebra over the source table, so both
+    // availability and exactness are correctness-gated
+    "q_x_meta_count" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = tmpQueryDir("graft_meta") + "/orders_tx"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          col("o_orderstatus"))
+      graft.ops.TxTable.append(s, tmp,
+        o.repartitionByRange(4, col("o_orderkey")))
+      graft.ops.TxTable.delete(s, tmp, col("o_orderkey") % 7 === 3)
+      Seq((graft.ops.TxTable.metaRowCount(s, tmp).get,
+        graft.ops.TxTable.metaColumnCount(s, tmp, "o_custkey").get,
+        graft.ops.TxTable.metaMinMax(s, tmp, "o_orderkey").get._1.toLong,
+        graft.ops.TxTable.metaMinMax(s, tmp, "o_orderkey").get._2.toLong))
+        .toDF("n_rows", "n_custkey", "min_orderkey", "max_orderkey")
+    }),
+
+    // CHECK constraints end-to-end: declare (validating existing rows),
+    // have a violating append REJECTED (caught and witnessed in the
+    // output — the oracle pins rejected=TRUE), then land a valid
+    // append; final count proves the violating commit left nothing
+    "q_x_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = tmpQueryDir("graft_check") + "/orders_tx"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.ops.TxTable.append(s, tmp,
+        o.repartitionByRange(2, col("o_orderkey")))
+      graft.ops.TxTable.addConstraint(s, tmp, "price_pos",
+        "o_totalprice > 0")
+      val rejected =
+        try {
+          graft.ops.TxTable.append(s, tmp,
+            o.limit(3).withColumn("o_totalprice",
+              -abs(col("o_totalprice"))))
+          false
+        } catch { case _: IllegalStateException => true }
+      graft.ops.TxTable.append(s, tmp,
+        o.filter(col("o_orderkey") % 1000 === 0))
+      Seq((graft.ops.TxTable.read(s, tmp).count(), rejected,
+        graft.ops.TxTable.constraints(s, tmp).size))
+        .toDF("n_rows", "rejected", "n_constraints")
+    }),
+
     // tx-table DML end-to-end: land orders, MERGE an update+insert set,
     // DELETE a key slice, read the head snapshot — the oracle recomputes
     // the same upsert/delete algebraically over the source table, so the
@@ -1701,6 +1752,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the violating append must contribute NOTHING to the final count;
+    // rejected is pinned TRUE (a non-enforcing build hash-mismatches)
+    "q_x_constraints" ->
+      """SELECT CAST((SELECT COUNT(*) FROM orders)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1000 = 0)
+        |    AS BIGINT) AS n_rows,
+        |  TRUE AS rejected,
+        |  CAST(1 AS INTEGER) AS n_constraints""".stripMargin,
+
+    // same append + delete algebra recomputed over the source rows —
+    // the metadata path must agree exactly with a real scan
+    "q_x_meta_count" ->
+      """WITH live AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+        |      AS o_custkey
+        |  FROM orders WHERE o_orderkey % 7 <> 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+        |FROM live""".stripMargin,
 
     "q_x_tx_dml" ->
       """WITH merged AS (

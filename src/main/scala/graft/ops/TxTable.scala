@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -240,6 +240,112 @@ object TxTable {
         "no value for it)"))
     commitLines(spark, path, "evolve", Seq.empty, (base, _) => base,
       Map(SchemaMetaKey -> enc(newSchema.json)))
+  }
+
+  // ------------------------------------------------------ CHECK constraints
+  //
+  // Table-level CHECK constraints, Delta-style: declared once as
+  // carried manifest meta (`graft.constraint.<name>` — the `graft.`
+  // prefix makes every later commit carry them forward), enforced on
+  // EVERY data commit. SQL semantics: a row violates iff the
+  // expression evaluates to FALSE — NULL passes, exactly like SQL
+  // CHECK. Enforcement validates the freshly WRITTEN parquet files
+  // (the exact bytes the manifest would reference) before the slot
+  // claim: one aggregate job over the new files only — O(commit), not
+  // O(table) — with predicate evaluation pushed into a columnar scan,
+  // and no re-evaluation of a possibly nondeterministic input frame.
+  // A violating commit deletes its data dir and throws; nothing is
+  // ever visible to readers. Constraints observed are those of the
+  // head AT WRITE TIME: a constraint added while a commit is in
+  // flight applies to commits that start after it lands.
+
+  private[ops] val ConstraintMetaPrefix = "graft.constraint."
+
+  /** The table's active CHECK constraints, name → SQL expression. */
+  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    headConstraints(spark, path)
+  }
+
+  /** Tolerant form for the commit path: empty for a first commit. */
+  private def headConstraints(spark: SparkSession,
+                              path: String): Map[String, String] =
+    versions(spark, path).lastOption.map { v =>
+      commitMeta(spark, path, v).collect {
+        case (k, v0) if k.startsWith(ConstraintMetaPrefix) && v0.nonEmpty =>
+          k.stripPrefix(ConstraintMetaPrefix) -> dec(v0)
+      }
+    }.getOrElse(Map.empty)
+
+  /** Declare a CHECK constraint as a metadata-only commit. EXISTING
+    * rows must already satisfy it (one validation scan of the head
+    * snapshot — Delta's `ADD CONSTRAINT` contract: a constraint is a
+    * promise about the whole table, not just future writes), and the
+    * expression must be boolean-typed — both refused loudly.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    checkExpr: String): Long = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val snapshot = read(spark, path, mergeSchema = true)
+    val checked = snapshot.select(expr(checkExpr).as("ok"))
+    require(checked.schema.head.dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"CHECK expression must be boolean, got " +
+        s"${checked.schema.head.dataType.simpleString}: $checkExpr")
+    val bad = checked.where(col("ok") === false).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint $name to $path: $bad existing " +
+        s"rows violate ($checkExpr)")
+    commitLines(spark, path, "constraint", Seq.empty, (base, _) => base,
+      Map(ConstraintMetaPrefix + name -> enc(checkExpr)))
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit; the carried key
+    * is tombstoned empty — carried meta has no deletion, same as a
+    * superseded `txn.` token).
+    */
+  def dropConstraint(spark: SparkSession, path: String,
+                     name: String): Long = {
+    require(constraints(spark, path).contains(name),
+      s"no CHECK constraint named $name on $path")
+    commitLines(spark, path, "constraint", Seq.empty, (base, _) => base,
+      Map(ConstraintMetaPrefix + name -> ""))
+  }
+
+  /** Enforcement: one aggregate over `newFiles` counting violations
+    * per active constraint; on any violation delete `cleanupDir` (the
+    * uncommitted data dir) and throw. Reads with the declared schema
+    * when present so a constraint on an evolved column sees nulls
+    * (which PASS) rather than an analysis error.
+    */
+  private def enforceConstraints(spark: SparkSession, path: String,
+                                 fs: FileSystem, p: Path,
+                                 newFiles: Seq[String],
+                                 cleanupDir: Option[String]): Unit = {
+    if (newFiles.isEmpty) return
+    val cons = headConstraints(spark, path).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return
+    val pinned = versions(spark, path).lastOption
+      .flatMap(v => declaredSchemaAt(fs, p, v))
+    val written = scanFiles(spark, p, newFiles, mergeSchema = false, pinned)
+    val flags = cons.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(expr(e) === false, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val r = written.agg(flags.head, flags.tail: _*).head()
+    val viols = cons.zipWithIndex.collect {
+      case ((n, e), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"$n ($e): ${r.getLong(i)} rows"
+    }
+    if (viols.nonEmpty) {
+      cleanupDir.foreach(d => fs.delete(new Path(p, d), true))
+      throw new IllegalStateException(
+        s"commit to $path rejected — CHECK constraint violation: " +
+          viols.mkString("; "))
+    }
   }
 
   private def parseMeta(headLine: String): Map[String, String] =
@@ -795,6 +901,95 @@ object TxTable {
   def snapshotFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val (fs, p) = fsFor(spark, path)
     readManifest(fs, p, v)._2.map(l => new Path(p, pathOf(l)).toString)
+  }
+
+  // ----------------------------------------------- metadata-only aggregates
+  //
+  // COUNT(*) / COUNT(col) / MIN / MAX answered from the manifest's
+  // file statistics ALONE — O(manifest lines) driver work, zero data
+  // or footer I/O. At 100 TB this is the difference between a
+  // row-count taking milliseconds and a full-lake scan; it is how
+  // Delta/Iceberg serve `SELECT COUNT(*)`. Every method returns None
+  // the moment the manifest cannot PROVE the answer (pre-null-count
+  // files, a column without usable stats) — callers fall back to a
+  // scan; the metadata path never guesses.
+
+  /** Exact head-snapshot row count from per-file row counts, or None
+    * if any live file's manifest line lacks one.
+    */
+  def metaRowCount(spark: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = fsFor(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val per = readManifest(fs, p, vs.last)._2
+      .map(l => statsOf(l).values.flatMap(_.rows).headOption)
+    if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
+  }
+
+  /** Exact head-snapshot COUNT(column) — non-null values — from
+    * per-file row and null counts (partition columns via their path
+    * pseudo-stats: a concrete partition value is zero nulls, the hive
+    * null dir is all nulls). None unless every live file proves its
+    * contribution.
+    */
+  def metaColumnCount(spark: SparkSession, path: String,
+                      column: String): Option[Long] = {
+    val (fs, p) = fsFor(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val per = readManifest(fs, p, vs.last)._2.map { l =>
+      val st = statsOf(l)
+      val cs = st.get(column).orElse(partitionStats(pathOf(l)).get(column))
+      for {
+        rows <- st.values.flatMap(_.rows).headOption
+        nonNull <- cs.flatMap(c =>
+          if (c.knownAllNull) Some(0L) else c.nulls.map(rows - _))
+      } yield nonNull
+    }
+    if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
+  }
+
+  /** Exact head-snapshot (MIN, MAX) of a NUMERIC-stats column (tag
+    * `n`: ints/longs/floats/doubles, dates, micros timestamps —
+    * parquet numeric chunk statistics are exact) or a partition
+    * column (path values are exact by construction), rendered as the
+    * stats strings. Provably all-null files contribute nothing;
+    * string DATA columns return None (a writer may truncate binary
+    * chunk stats, making them bounds rather than attained values —
+    * fine for pruning, wrong for an exact MIN/MAX). None for an
+    * all-null or statless column.
+    */
+  def metaMinMax(spark: SparkSession, path: String,
+                 column: String): Option[(String, String)] = {
+    val (fs, p) = fsFor(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    // per live file: None = provably no values (all-null; skip),
+    // Some((exact, min, max)) otherwise — bail the moment a file
+    // can't prove exact extremes
+    val contrib = readManifest(fs, p, vs.last)._2.map { l =>
+      val pstats = partitionStats(pathOf(l))
+      val fromPath = pstats.get(column)
+      fromPath.orElse(statsOf(l).get(column)) match {
+        case Some(c) if c.allNull => Some(None)
+        // numeric chunk stats and partition path values are exact;
+        // string DATA stats may be writer-truncated bounds → not exact
+        case Some(c) if c.tag == "n" || fromPath.isDefined =>
+          Some(Some((c.tag, c.min, c.max)))
+        case _ => None
+      }
+    }
+    if (contrib.exists(_.isEmpty)) return None
+    val vals = contrib.flatten.flatten
+    // a string partition column can yield per-VALUE tags ("2024" is
+    // numeric-looking, "misc" is not) — mixed tags have no single
+    // comparison order, so the metadata path declines
+    if (vals.isEmpty || vals.map(_._1).distinct.size != 1) return None
+    val cmp: (String, String) => Int =
+      if (vals.head._1 == "n") (a, b) => BigDecimal(a).compare(BigDecimal(b))
+      else utf8Cmp
+    Some((vals.map(_._2).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+      vals.map(_._3).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
   }
 
   /** Absolute paths of a commit's row-level change-data parquet files
@@ -1749,6 +1944,11 @@ object TxTable {
         .flatMap(s => scala.util.Try(s.toLong).toOption).exists(_ >= epochId))
     if (already) None
     else {
+      // same CHECK enforcement as batch commits; the micro-batch's
+      // files belong to the stream's epoch dir, which the sink owns —
+      // don't delete on failure, just refuse the commit (the thrown
+      // error fails the batch and the checkpoint retries)
+      enforceConstraints(spark, path, fs, p, relFiles, None)
       val stats = footerStats(fs, p, relFiles)
       val newLines = relFiles.map(f =>
         stats.get(f).map(s => s"$f\t$s").getOrElse(f))
@@ -2019,6 +2219,10 @@ object TxTable {
       }
       buf.toSeq.sorted
     }
+    // CHECK constraints validate the freshly written files before any
+    // claim — a violating commit cleans up and throws, invisible to
+    // readers (see the constraints section above)
+    enforceConstraints(spark, path, fs, p, newFiles, Some(dataDir))
     // footer min/max per new file ride in the manifest line (see
     // "file stats" above); failures degrade to stats-less lines
     val stats = footerStats(fs, p, newFiles)

@@ -92,6 +92,12 @@ object GraftSql {
       """\s+(?:TO\s+)?TIMESTAMP\s+(?:AS\s+OF\s+)?'([^']+)'\s*""").r
   private val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tbl + """\s*""").r
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z]\w*)\s+CHECK\s*\((.+)\)\s*""").r
+  private val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+CONSTRAINT\s+([A-Za-z]\w*)\s*""").r
 
   /** Some(command) when `sqlText` is a graft statement; None → the
     * delegate parser owns it. The `graft.` backtick marker gates the
@@ -157,6 +163,10 @@ object GraftSql {
         Some(GraftRestoreTimestampCommand(path, ts))
       case HistoryRe(path) =>
         Some(GraftHistoryCommand(path))
+      case AddConstraintRe(path, name, check) =>
+        Some(GraftAddConstraintCommand(path, name, check.trim))
+      case DropConstraintRe(path, name) =>
+        Some(GraftDropConstraintCommand(path, name))
       case _ => None
     }
   }
@@ -739,6 +749,30 @@ case class GraftRestoreTimestampCommand(path: String, ts: String)
     Seq(Row(TxTable.restore(spark, path,
       TxTable.versionAsOfTimestamp(spark, path, millis))))
   }
+}
+
+/** `ALTER TABLE graft.`p` ADD CONSTRAINT name CHECK (expr)` →
+  * [[TxTable.addConstraint]]: validates existing rows, then a
+  * metadata-only commit; every later data commit enforces the check.
+  * (Spark's own ALTER grammar has no CONSTRAINT form for V2 catalogs,
+  * so this statement lives here with the other graft DDL.)
+  */
+case class GraftAddConstraintCommand(path: String, name: String,
+                                     check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.addConstraint(spark, path, name, check)))
+}
+
+/** `ALTER TABLE graft.`p` DROP CONSTRAINT name` →
+  * [[TxTable.dropConstraint]].
+  */
+case class GraftDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.dropConstraint(spark, path, name)))
 }
 
 /** `DESCRIBE HISTORY graft.`p`` → one row per retained commit, with

@@ -271,4 +271,56 @@ class TxStatsSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")).toDF("id", "pt"), Seq("pt"))
     assert(TxTable.readWhere(spark, dir + "n", col("pt").isNull).count() == 0)
   }
+
+  test("metadata-only aggregates agree with a real scan across DML") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    TxTable.delete(spark, dir, col("id") % 5 === 2L)
+    val scan = TxTable.read(spark, dir)
+    assert(TxTable.metaRowCount(spark, dir) === Some(scan.count()))
+    assert(TxTable.metaColumnCount(spark, dir, "name") ===
+      Some(scan.where(col("name").isNotNull).count()))
+    assert(TxTable.metaMinMax(spark, dir, "id") === Some(("0", "29")))
+    // nulls: COUNT(col) < COUNT(*), all-null files still counted in rows
+    val d2 = tmp()
+    TxTable.append(spark, d2, Seq((1L, Some("a")), (2L, None), (3L, None))
+      .toDF("id", "v").coalesce(1))
+    assert(TxTable.metaRowCount(spark, d2) === Some(3L))
+    assert(TxTable.metaColumnCount(spark, d2, "v") === Some(1L))
+  }
+
+  test("metadata min/max declines rather than guesses") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    // string DATA column: chunk stats may be writer-truncated bounds,
+    // so the exact-MIN/MAX contract refuses them
+    assert(TxTable.metaMinMax(spark, dir, "name") === None)
+    assert(TxTable.metaMinMax(spark, dir, "nope") === None)
+    // an all-null column has no extremes
+    val d2 = tmp()
+    TxTable.append(spark, d2,
+      Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v").coalesce(1))
+    assert(TxTable.metaMinMax(spark, d2, "v") === None)
+  }
+
+  test("metadata aggregates read partition columns from the path") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.replacePartitions(spark, dir,
+      Seq((1L, 10L), (2L, 10L), (3L, 40L)).toDF("id", "day"), Seq("day"))
+    assert(TxTable.metaMinMax(spark, dir, "day") === Some(("10", "40")))
+    assert(TxTable.metaColumnCount(spark, dir, "day") === Some(3L))
+    // a string partition column with mixed numeric/non-numeric values
+    // has no single comparison order → decline
+    val d2 = tmp()
+    TxTable.replacePartitions(spark, d2,
+      Seq((1L, "2024"), (2L, "misc")).toDF("id", "pt"), Seq("pt"))
+    assert(TxTable.metaMinMax(spark, d2, "pt") === None)
+    assert(TxTable.metaColumnCount(spark, d2, "pt") === Some(2L))
+  }
 }
