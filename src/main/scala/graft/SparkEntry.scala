@@ -728,6 +728,18 @@ object SparkEntry {
     // query it as a plain SQL table (catalog resolution, predicate +
     // aggregate over graft.`path`) — decimal-accumulated sum so the
     // result is bit-stable across engines and partitionings
+    // metadata-only COUNT(*) through SQL: CTAS a graft table, count it
+    // through the catalog — the injected optimizer rule collapses the
+    // aggregate to the manifest's row counts, no scan (plan shape
+    // pinned by MetadataAggSpec); the oracle recomputes from source
+    "q_x_sql_count_meta" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_sqlcnt") + "/orders_tx"
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .createOrReplaceTempView("sql_cnt_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_cnt_orders")
+      s.sql(s"SELECT COUNT(*) AS n_rows FROM graft.`$tmp`")
+    }),
+
     "q_x_sql_select" -> ((s, dir) => {
       val tmp = tmpQueryDir("graft_sqlsel") + "/li_tx"
       t(s, dir, "lineitem")
@@ -2014,6 +2026,9 @@ object SparkEntry {
     "q_x_time_travel" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer
         |WHERE c_custkey % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_x_sql_count_meta" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
 
     "q_x_sql_select" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -188,6 +188,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // metadata-only COUNT(*): an ungrouped, unfiltered count-star over
+    // a graft snapshot collapses to the manifest's row counts — no scan
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggregateRule)
     // table-valued incremental surfaces: CDC and delta reads compose
     // into plain SQL — `SELECT * FROM graft_changes('/t', 1, 5)` —
     // with I/O proportional to the CHANGED files, never a rescan

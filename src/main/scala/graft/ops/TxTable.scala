@@ -914,14 +914,18 @@ object TxTable {
   // files, a column without usable stats) — callers fall back to a
   // scan; the metadata path never guesses.
 
-  /** Exact head-snapshot row count from per-file row counts, or None
-    * if any live file's manifest line lacks one.
+  /** Exact snapshot row count (head, or `version` when >= 0) from
+    * per-file row counts, or None if any live file's manifest line
+    * lacks one.
     */
-  def metaRowCount(spark: SparkSession, path: String): Option[Long] = {
+  def metaRowCount(spark: SparkSession, path: String,
+                   version: Long = -1L): Option[Long] = {
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
-    val per = readManifest(fs, p, vs.last)._2
+    val v = if (version >= 0) version else vs.last
+    require(vs.contains(v), s"version $v of $path does not exist")
+    val per = readManifest(fs, p, v)._2
       .map(l => statsOf(l).values.flatMap(_.rows).headOption)
     if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
   }

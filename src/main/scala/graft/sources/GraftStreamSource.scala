@@ -42,7 +42,7 @@ import graft.ops.TxTable
   *  - Offsets older than vacuum retention fail loudly rather than
   *    silently skipping data.
   */
-private[sources] class GraftTable(path: String, spark: SparkSession,
+private[graft] class GraftTable(path: String, spark: SparkSession,
                                   resolved: Option[GraftResolved],
                                   declaredSchema: StructType = new StructType(),
                                   writerPartitionCols: Seq[String] = Nil,

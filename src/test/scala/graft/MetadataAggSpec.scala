@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+
+/** The metadata-only COUNT(*) optimizer rule: an ungrouped, unfiltered
+  * count-star over a graft snapshot must collapse to a one-row plan
+  * with NO scan (the manifest's row counts are the answer), stay
+  * snapshot-exact under time travel, and decline — plan untouched —
+  * the moment anything could make metadata and scan disagree.
+  */
+class MetadataAggSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_metaagg").toString + "/t"
+
+  private def build(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    TxTable.append(spark, dir, (1L to 10L).toDF("id").coalesce(1))
+    TxTable.append(spark, dir, (11L to 25L).toDF("id").coalesce(2))
+  }
+
+  private def scansFiles(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("BatchScan")
+
+  test("count(*) collapses to a scanless one-row plan with the exact count") {
+    val dir = tmp()
+    build(dir)
+    val counted = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(!scansFiles(counted), counted.queryExecution.executedPlan.toString)
+    assert(counted.collect().head.getLong(0) === 25L)
+    // Dataset.count() rides the same plan shape
+    assert(spark.read.format("graft").load(dir).count() === 25L)
+    // SQL catalog spelling too
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir`")
+      .collect().head.getLong(0) === 25L)
+  }
+
+  test("time travel counts the PINNED version's manifest") {
+    val dir = tmp()
+    build(dir)
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(dir)
+      .agg(count(lit(1)))
+    assert(!scansFiles(v1))
+    assert(v1.collect().head.getLong(0) === 10L)
+  }
+
+  test("declines: filters, grouping, distinct, other aggregates, CDF") {
+    val dir = tmp()
+    build(dir)
+    def t = spark.read.format("graft").load(dir)
+    val filtered = t.filter(col("id") > 5L).agg(count(lit(1)))
+    assert(scansFiles(filtered))
+    assert(filtered.collect().head.getLong(0) === 20L)
+    val grouped = t.groupBy(col("id") % 2).agg(count(lit(1)))
+    assert(scansFiles(grouped))
+    val distinctC = t.agg(countDistinct(col("id")))
+    assert(scansFiles(distinctC))
+    assert(distinctC.collect().head.getLong(0) === 25L)
+    val mixed = t.agg(count(lit(1)), sum(col("id")))
+    assert(scansFiles(mixed))
+    TxTable.delete(spark, dir, col("id") === 1L)
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir).agg(count(lit(1)))
+    assert(scansFiles(cdf))
+  }
+
+  test("a manifest line without row stats falls back to the scan") {
+    val dir = tmp()
+    build(dir)
+    // strip the stats suffix from the head manifest's file lines —
+    // the pre-stats manifest format, which metaRowCount must refuse
+    val log = new java.io.File(dir, "_txlog")
+    val head = log.listFiles().filter(_.getName.endsWith(".manifest"))
+      .maxBy(_.getName)
+    val lines = scala.io.Source.fromFile(head).getLines().toSeq
+    val stripped = lines.head +: lines.tail.map(_.takeWhile(_ != '\t'))
+    java.nio.file.Files.write(head.toPath,
+      stripped.mkString("\n").getBytes("UTF-8"))
+    assert(TxTable.metaRowCount(spark, dir) === None)
+    val counted = spark.read.format("graft").load(dir).agg(count(lit(1)))
+    assert(scansFiles(counted))
+    assert(counted.collect().head.getLong(0) === 25L)
+  }
+}
