@@ -737,7 +737,10 @@ object SparkEntry {
       t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
         .createOrReplaceTempView("sql_cnt_orders")
       s.sql(s"CREATE TABLE graft.`$tmp` AS SELECT * FROM sql_cnt_orders")
-      s.sql(s"SELECT COUNT(*) AS n_rows FROM graft.`$tmp`")
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+           |  MAX(o_orderkey) AS max_key, COUNT(o_orderstatus) AS n_status
+           |FROM graft.`$tmp`""".stripMargin)
     }),
 
     "q_x_sql_select" -> ((s, dir) => {
@@ -2028,7 +2031,11 @@ object SparkEntry {
         |WHERE c_custkey % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_x_sql_count_meta" ->
-      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status
+        |FROM orders""".stripMargin,
 
     "q_x_sql_select" ->
       """SELECT l_returnflag, COUNT(*) AS n,

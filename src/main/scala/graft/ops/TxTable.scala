@@ -937,11 +937,13 @@ object TxTable {
     * contribution.
     */
   def metaColumnCount(spark: SparkSession, path: String,
-                      column: String): Option[Long] = {
+                      column: String, version: Long = -1L): Option[Long] = {
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
-    val per = readManifest(fs, p, vs.last)._2.map { l =>
+    val v = if (version >= 0) version else vs.last
+    require(vs.contains(v), s"version $v of $path does not exist")
+    val per = readManifest(fs, p, v)._2.map { l =>
       val st = statsOf(l)
       val cs = st.get(column).orElse(partitionStats(pathOf(l)).get(column))
       for {
@@ -964,14 +966,17 @@ object TxTable {
     * all-null or statless column.
     */
   def metaMinMax(spark: SparkSession, path: String,
-                 column: String): Option[(String, String)] = {
+                 column: String, version: Long = -1L)
+      : Option[(String, String)] = {
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
+    val v = if (version >= 0) version else vs.last
+    require(vs.contains(v), s"version $v of $path does not exist")
     // per live file: None = provably no values (all-null; skip),
     // Some((exact, min, max)) otherwise — bail the moment a file
     // can't prove exact extremes
-    val contrib = readManifest(fs, p, vs.last)._2.map { l =>
+    val contrib = readManifest(fs, p, v)._2.map { l =>
       val pstats = partitionStats(pathOf(l))
       val fromPath = pstats.get(column)
       fromPath.orElse(statsOf(l).get(column)) match {

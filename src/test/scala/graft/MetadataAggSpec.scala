@@ -40,6 +40,53 @@ class MetadataAggSpec extends SparkSpec {
       .collect().head.getLong(0) === 25L)
   }
 
+  test("min/max/count(col) are served from stats; strings decline") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, Some(2.5), "a"), (2L, None, "b"), (7L, Some(-3.5), "c"))
+        .toDF("id", "score", "name").coalesce(1))
+    val served = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"), count(col("score")).as("n_score"),
+        min("score").as("min_s"), max("score").as("max_s"))
+    assert(!scansFiles(served), served.queryExecution.executedPlan.toString)
+    val r = served.collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 1L && r.getLong(2) === 7L)
+    assert(r.getLong(3) === 2L && r.getDouble(4) === -3.5 &&
+      r.getDouble(5) === 2.5)
+    // a renaming Project between agg and relation is followed
+    val renamed = spark.read.format("graft").load(dir)
+      .select(col("id").as("renamed_id")).agg(max("renamed_id"))
+    assert(!scansFiles(renamed))
+    assert(renamed.collect().head.getLong(0) === 7L)
+    // string DATA columns decline (possibly truncated stats bounds)
+    val minName = spark.read.format("graft").load(dir).agg(min("name"))
+    assert(scansFiles(minName))
+    assert(minName.collect().head.getString(0) === "a")
+    // a computed column is not a bare relation column → decline
+    val computed = spark.read.format("graft").load(dir)
+      .select((col("id") + 1).as("id2")).agg(max("id2"))
+    assert(scansFiles(computed))
+    assert(computed.collect().head.getLong(0) === 8L)
+  }
+
+  test("partition-column min/max served from path pseudo-stats") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.replacePartitions(spark, dir,
+      Seq((1L, 10L), (2L, 40L), (3L, 10L)).toDF("id", "day"), Seq("day"))
+    val served = spark.read.format("graft").load(dir)
+      .agg(min("day"), max("day"), count(col("day")))
+    assert(!scansFiles(served))
+    val r = served.collect().head
+    // partition types come from directory-string inference (no declared
+    // schema here) → day reads back as Integer
+    assert(r.get(0) === 10 && r.get(1) === 40 && r.getLong(2) === 3L)
+  }
+
   test("time travel counts the PINNED version's manifest") {
     val dir = tmp()
     build(dir)
