@@ -380,6 +380,37 @@ object SparkEntry {
         .toDF("n_rows", "n_custkey", "min_orderkey", "max_orderkey")
     }),
 
+    // incremental aggregate view under row-level DML: the q_x_tx_dml
+    // cycle (append, MERGE upsert, DELETE) drives a retraction-
+    // maintained count/sum view — one change-feed increment per DML
+    // commit, the source is never re-aggregated — and the oracle
+    // recomputes the final groupBy from scratch
+    "q_x_agg_view" -> ((s, dir) => {
+      val root = tmpQueryDir("graft_aggview")
+      val srcT = root + "/orders_tx"
+      val dstT = root + "/view_tx"
+      def fold(): Unit = {
+        graft.streaming.TxFollower.processAggregateChanges(s, srcT, dstT,
+          "aggv", Seq("o_orderstatus"), Seq("o_orderkey")); ()
+      }
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, srcT,
+        o.repartitionByRange(4, col("o_orderkey")))
+      fold()
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, srcT, updates, Seq("o_orderkey"))
+      fold()
+      graft.ops.TxTable.delete(s, srcT, col("o_orderkey") % 7 === 3)
+      fold()
+      graft.ops.TxTable.read(s, dstT)
+        .select("o_orderstatus", "n_rows", "sum_o_orderkey")
+        .orderBy("o_orderstatus")
+    }),
+
     // CHECK constraints end-to-end: declare (validating existing rows),
     // have a violating append REJECTED (caught and witnessed in the
     // output — the oracle pins rejected=TRUE), then land a valid
@@ -1766,6 +1797,22 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the retraction-maintained view must equal a from-scratch groupBy
+    // of the post-DML state (same algebra as the q_x_tx_dml oracle)
+    "q_x_agg_view" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
+        |FROM merged WHERE NOT (o_orderkey % 7 = 3)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the violating append must contribute NOTHING to the final count;

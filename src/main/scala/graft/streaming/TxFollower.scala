@@ -205,6 +205,93 @@ object TxFollower {
     Some(head)
   }
 
+  /** Incremental aggregate view of a source that RECEIVES ROW-LEVEL
+    * DML: maintain `groupBy(groupCols).agg(count(*), sum(c)...)` from
+    * the CHANGE FEED with RETRACTIONS — insert / update_postimage
+    * rows add, delete / update_preimage rows subtract — so the view
+    * tracks the source under MERGE/UPDATE/DELETE without ever
+    * re-aggregating it. (File-granular fallback commits are signed
+    * the same way: a whole-file delete+insert is a valid retraction +
+    * re-addition, so even overwrites fold exactly.) Only RETRACTABLE
+    * aggregates work this way — counts, sums, and anything derived
+    * from them (averages = sum/count at read time); min/max need the
+    * surviving group re-scanned after a delete, which is what
+    * [[processAggregate]]'s re-aggregating `combine` is for on
+    * append-only sources.
+    *
+    * View schema: groupCols ++ `n_rows` ++ per sum column `c`:
+    * `sum_<c>` (NULL iff the group holds no non-null values — exact
+    * SQL SUM semantics) and `nn_<c>` (its non-null count, the state
+    * that makes that NULL decidable under retraction). Groups whose
+    * row count reaches zero are DELETED (a group exists iff it has
+    * rows). Exact for integral sums; floating-point sums accumulate
+    * retraction round-off vs a from-scratch re-aggregate, so prefer
+    * integral/decimal columns where bit-equality matters.
+    *
+    * Scale/exactly-once shape is [[processChanges]]'s: each increment
+    * reads only the consumed window's change rows, touches only the
+    * groups present in the delta (one [[TxTable.applyChanges]]
+    * commit, key-bounded rewrite), and the offset+guard ride the same
+    * manifest claim.
+    */
+  def processAggregateChanges(spark: SparkSession, src: String, dst: String,
+                              app: String, groupCols: Seq[String],
+                              sumCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    require(groupCols.nonEmpty, "aggregate view needs group columns")
+    requireTokenSafe(app)
+    val srcVersions = TxTable.versions(spark, src)
+    val head = srcVersions.lastOption.getOrElse(return None)
+    val from = processedVersion(spark, dst, app).getOrElse(0L)
+    if (head <= from) return None
+    checkRetention(srcVersions, from, src)
+    val changes = TxTable.readChanges(spark, src, fromV = from, toV = head)
+    val w = when(col(TxTable.ChangeTypeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val deltas = changes.withColumn("__w", w)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w")).as("__dn"),
+        sumCols.flatMap(c => Seq(
+          sum(col(c) * col("__w")).as(s"__ds_$c"),
+          sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
+            .as(s"__dnn_$c"))): _*)
+    def project(n: org.apache.spark.sql.Column,
+                sumOf: String => org.apache.spark.sql.Column,
+                nnOf: String => org.apache.spark.sql.Column,
+                from: DataFrame) =
+      from.select(groupCols.map(col) ++ Seq(n.as("n_rows")) ++
+        sumCols.flatMap(c => Seq(
+          when(nnOf(c) > 0, sumOf(c)).as(s"sum_$c"),
+          nnOf(c).as(s"nn_$c"))): _*)
+    val meta = Map(srcKey(app) -> head.toString)
+    val guard = Map(srcKey(app) -> head)
+    if (!TxTable.exists(spark, dst)) {
+      TxTable.append(spark, dst,
+        project(col("__dn"), c => coalesce(col(s"__ds_$c"), lit(0L)),
+          c => col(s"__dnn_$c"), deltas.where(col("__dn") > 0)),
+        meta = meta, guard = guard)
+    } else {
+      // null-safe key join: a null group key is a real group
+      val s0 = TxTable.read(spark, dst)
+      val state = s0.toDF(s0.columns.map(c => s"__s_$c"): _*)
+      val joined = deltas.join(state,
+        groupCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _),
+        "left")
+      val newN = coalesce(col("__s_n_rows"), lit(0L)) + col("__dn")
+      val folded = project(newN,
+        c => coalesce(col(s"__s_sum_$c"), lit(0L)) +
+          coalesce(col(s"__ds_$c"), lit(0L)),
+        c => coalesce(col(s"__s_nn_$c"), lit(0L)) + col(s"__dnn_$c"),
+        joined)
+      val upserts = folded.where(col("n_rows") > 0)
+      val deletes = folded.where(col("n_rows") <= 0)
+        .select(groupCols.map(col): _*)
+      TxTable.applyChanges(spark, dst, upserts, deletes, groupCols,
+        meta = meta, guard = guard)
+    }
+    Some(head)
+  }
+
   /** Continuous form: a Structured Streaming query whose every trigger
     * runs [[processAvailable]]. The rate source only provides the
     * heartbeat; offsets, idempotence, and restart safety all live in

@@ -270,4 +270,68 @@ class TxFollowerSpec extends SparkSpec {
       TxFollower.processAvailable(spark, src, dst, "mv"))
     assert(e.getMessage.contains("vacuumed past"))
   }
+
+  private def aggViewEqualsRecompute(src: String, dst: String): Unit = {
+    val batch = TxTable.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("x").as("sum_x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val view = TxTable.read(spark, dst).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(view == batch, s"view $view != recompute $batch")
+  }
+
+  test("retraction view tracks DML: merge updates, deletes, null sums") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    TxTable.append(spark, src,
+      Seq(("a", 1L, Some(10L)), ("a", 2L, Some(20L)), ("b", 3L, None))
+        .toDF("k", "id", "x").select("k", "id", "x"))
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(1L))
+    aggViewEqualsRecompute(src, dst)
+    // a MERGE that moves id=2 from group a to group c and rewrites x
+    TxTable.merge(spark, src,
+      Seq(("c", 2L, Some(200L)), ("b", 9L, None)).toDF("k", "id", "x"),
+      Seq("id"))
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(2L))
+    aggViewEqualsRecompute(src, dst)
+    // group b stays all-null → its sum must be NULL, not 0
+    assert(TxTable.read(spark, dst).where(col("k") === "b")
+      .collect().head.isNullAt(2))
+    // deleting every row of group a removes its view row entirely
+    TxTable.delete(spark, src, col("k") === "a")
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(3L))
+    aggViewEqualsRecompute(src, dst)
+    assert(TxTable.read(spark, dst).where(col("k") === "a").count() == 0L)
+    // caught up: no-op, no commit
+    val versions = TxTable.versions(spark, dst)
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).isEmpty)
+    assert(TxTable.versions(spark, dst) == versions)
+  }
+
+  test("retraction view folds a whole-table overwrite (file-granular feed)") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    TxTable.append(spark, src,
+      Seq(("a", 1L, Some(5L))).toDF("k", "id", "x"))
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(1L))
+    // overwrite = file-granular delete of every old row + insert of the
+    // new snapshot; the signed fold must land on the new state exactly
+    TxTable.overwrite(spark, src,
+      Seq(("b", 1L, Some(7L)), ("b", 2L, Some(8L))).toDF("k", "id", "x"))
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(2L))
+    aggViewEqualsRecompute(src, dst)
+    assert(TxTable.read(spark, dst).count() == 1L)
+  }
 }
