@@ -332,4 +332,23 @@ object TxFollower {
         ()
       }
       .start()
+
+  /** Continuous form of [[processAggregateChanges]]: a live
+    * retraction-maintained count/sum view of a table receiving
+    * row-level DML. Same heartbeat/offset story as [[follow]].
+    */
+  def followAggregateChanges(spark: SparkSession, src: String, dst: String,
+                             app: String, groupCols: Seq[String],
+                             sumCols: Seq[String], checkpoint: String,
+                             ticksPerSecond: Int = 1): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        processAggregateChanges(spark, src, dst, app, groupCols, sumCols)
+        ()
+      }
+      .start()
 }

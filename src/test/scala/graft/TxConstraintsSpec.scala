@@ -119,6 +119,36 @@ class TxConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("the V2 streaming sink enforces constraints; table stays clean") {
+    val s = spark
+    import s.implicits._
+    val src = tmp()
+    val dst = tmp()
+    val cp = java.nio.file.Files.createTempDirectory("graft_check_cp")
+      .toString
+    TxTable.append(spark, src, Seq((1L, 10L)).toDF("id", "qty"))
+    seed(dst)
+    TxTable.addConstraint(spark, dst, "qty_pos", "qty > 0")
+    def stream(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp).start(dst)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    stream() // valid rows flow
+    assert(TxTable.read(spark, dst).count() === 3)
+    TxTable.append(spark, src, Seq((2L, -5L)).toDF("id", "qty"))
+    val before = TxTable.versions(spark, dst).last
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      stream()
+    }
+    assert(e.getMessage.contains("qty_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("qty_pos")))
+    assert(TxTable.versions(spark, dst).last === before,
+      "a violating micro-batch must not commit")
+    assert(TxTable.read(spark, dst).where(col("qty") < 0).count() === 0)
+  }
+
   test("SQL spellings: ADD/DROP CONSTRAINT and enforced INSERT") {
     val s = spark
     import s.implicits._

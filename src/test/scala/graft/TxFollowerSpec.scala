@@ -316,6 +316,30 @@ class TxFollowerSpec extends SparkSpec {
     assert(TxTable.versions(spark, dst) == versions)
   }
 
+  test("followAggregateChanges keeps a live retraction view exact") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    val cp = tmp("graft_f_cp")
+    TxTable.append(spark, src,
+      Seq(("a", 1L, Some(10L)), ("b", 2L, Some(20L))).toDF("k", "id", "x"))
+    val q = TxFollower.followAggregateChanges(spark, src, dst, "liveagg",
+      Seq("k"), Seq("x"), cp, ticksPerSecond = 5)
+    try {
+      TxTable.merge(spark, src,
+        Seq(("a", 3L, Some(30L))).toDF("k", "id", "x"), Seq("id"))
+      TxTable.delete(spark, src, col("k") === "b")
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !TxFollower.processedVersion(spark, dst, "liveagg").contains(3L)) {
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    assert(TxFollower.processedVersion(spark, dst, "liveagg").contains(3L))
+    aggViewEqualsRecompute(src, dst)
+  }
+
   test("retraction view folds a whole-table overwrite (file-granular feed)") {
     val s = spark
     import s.implicits._
