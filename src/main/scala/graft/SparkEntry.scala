@@ -373,10 +373,10 @@ object SparkEntry {
       graft.ops.TxTable.append(s, tmp,
         o.repartitionByRange(4, col("o_orderkey")))
       graft.ops.TxTable.delete(s, tmp, col("o_orderkey") % 7 === 3)
+      val mm = graft.ops.TxTable.metaMinMax(s, tmp, "o_orderkey").get
       Seq((graft.ops.TxTable.metaRowCount(s, tmp).get,
         graft.ops.TxTable.metaColumnCount(s, tmp, "o_custkey").get,
-        graft.ops.TxTable.metaMinMax(s, tmp, "o_orderkey").get._1.toLong,
-        graft.ops.TxTable.metaMinMax(s, tmp, "o_orderkey").get._2.toLong))
+        mm._1.toLong, mm._2.toLong))
         .toDF("n_rows", "n_custkey", "min_orderkey", "max_orderkey")
     }),
 

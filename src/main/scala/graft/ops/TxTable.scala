@@ -271,12 +271,25 @@ object TxTable {
   /** Tolerant form for the commit path: empty for a first commit. */
   private def headConstraints(spark: SparkSession,
                               path: String): Map[String, String] =
-    versions(spark, path).lastOption.map { v =>
-      commitMeta(spark, path, v).collect {
-        case (k, v0) if k.startsWith(ConstraintMetaPrefix) && v0.nonEmpty =>
-          k.stripPrefix(ConstraintMetaPrefix) -> dec(v0)
-      }
-    }.getOrElse(Map.empty)
+    versions(spark, path).lastOption.map(v =>
+      effectiveConstraints(commitMeta(spark, path, v))).getOrElse(Map.empty)
+
+  /** The ACTIVE constraint set carried in a head's meta tokens
+    * (tombstoned = dropped = absent), decoded name -> expression.
+    */
+  private def effectiveConstraints(
+      metaMap: Map[String, String]): Map[String, String] =
+    metaMap.collect {
+      case (k, v) if k.startsWith(ConstraintMetaPrefix) && v.nonEmpty =>
+        k.stripPrefix(ConstraintMetaPrefix) -> dec(v)
+    }
+
+  /** Canonical fingerprint of a constraint set for the claim-loop
+    * conflict check — order-independent, collision-free for
+    * identifier names.
+    */
+  private def constraintFingerprint(cons: Map[String, String]): String =
+    cons.toSeq.sorted.map { case (k, v) => s"$k=${enc(v)}" }.mkString(";")
 
   /** Declare a CHECK constraint as a metadata-only commit. EXISTING
     * rows must already satisfy it (one validation scan of the head
@@ -288,20 +301,39 @@ object TxTable {
                     checkExpr: String): Long = {
     require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
       s"constraint name must be an identifier, got: $name")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
-    val snapshot = read(spark, path, mergeSchema = true)
-    val checked = snapshot.select(expr(checkExpr).as("ok"))
-    require(checked.schema.head.dataType ==
-      org.apache.spark.sql.types.BooleanType,
-      s"CHECK expression must be boolean, got " +
-        s"${checked.schema.head.dataType.simpleString}: $checkExpr")
-    val bad = checked.where(col("ok") === false).count()
-    require(bad == 0L,
-      s"cannot add CHECK constraint $name to $path: $bad existing " +
-        s"rows violate ($checkExpr)")
-    commitLines(spark, path, "constraint", Seq.empty, (base, _) => base,
-      Map(ConstraintMetaPrefix + name -> enc(checkExpr)))
+    require(versions(spark, path).nonEmpty,
+      s"$path is not a TxTable (no $LogDir manifests)")
+    // validate-then-claim, PINNED to the validated head: the claim
+    // aborts if any commit landed during validation (its rows would
+    // have escaped the scan), and we re-validate against the new head
+    // — the two-sided closure of the races the data-commit side's
+    // constraint-fingerprint check can't see. Bounded retries: under
+    // sustained write pressure adding a constraint loses, loudly.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v0 = versions(spark, path).last
+      val snapshot = readVersion(spark, path, v0, mergeSchema = true)
+      val checked = snapshot.select(expr(checkExpr).as("ok"))
+      require(checked.schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"CHECK expression must be boolean, got " +
+          s"${checked.schema.head.dataType.simpleString}: $checkExpr")
+      val bad = checked.where(col("ok") === false).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name to $path: $bad existing " +
+          s"rows violate ($checkExpr)")
+      try {
+        return commitLines(spark, path, "constraint", Seq.empty,
+          (base, _) => base,
+          Map(ConstraintMetaPrefix + name -> enc(checkExpr)),
+          requireHeadVersion = Some(v0))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e // sustained racing writes
+      }
+    }
+    -1L // unreachable
   }
 
   /** Remove a CHECK constraint (metadata-only commit; the carried key
@@ -325,9 +357,10 @@ object TxTable {
   private def enforceConstraints(spark: SparkSession, path: String,
                                  fs: FileSystem, p: Path,
                                  newFiles: Seq[String],
-                                 cleanupDir: Option[String]): Unit = {
+                                 cleanupDir: Option[String],
+                                 constraints: Map[String, String]): Unit = {
     if (newFiles.isEmpty) return
-    val cons = headConstraints(spark, path).toSeq.sortBy(_._1)
+    val cons = constraints.toSeq.sortBy(_._1)
     if (cons.isEmpty) return
     val pinned = versions(spark, path).lastOption
       .flatMap(v => declaredSchemaAt(fs, p, v))
@@ -955,18 +988,26 @@ object TxTable {
     if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
   }
 
-  /** Exact head-snapshot (MIN, MAX) of a NUMERIC-stats column (tag
-    * `n`: ints/longs/floats/doubles, dates, micros timestamps —
-    * parquet numeric chunk statistics are exact) or a partition
-    * column (path values are exact by construction), rendered as the
-    * stats strings. Provably all-null files contribute nothing;
-    * string DATA columns return None (a writer may truncate binary
-    * chunk stats, making them bounds rather than attained values —
-    * fine for pruning, wrong for an exact MIN/MAX). None for an
-    * all-null or statless column.
+  /** Exact snapshot (MIN, MAX) of a column, rendered as the stats
+    * strings, or None when the manifest can't prove them.
+    *
+    * `stringOrdered` declares the COLUMN's comparison semantics and
+    * MUST be true iff the column is string-typed — the manifest alone
+    * cannot know (a string partition value "2024" parses as a number
+    * and would be tagged numeric, silently ordering "10" < "5" under
+    * a numeric compare). With `stringOrdered = true` only partition
+    * PATH values are accepted (exact by construction; data `s` stats
+    * may be writer-truncated bounds) and extremes use unsigned UTF-8
+    * byte order, regardless of the per-value tag guess. With the
+    * numeric default, only `n`-tagged stats are accepted
+    * (ints/longs/floats/doubles, dates as epoch days, micros
+    * timestamps — parquet numeric chunk statistics are exact) and
+    * extremes compare numerically. Provably all-null files contribute
+    * nothing; an all-null or statless column returns None.
     */
   def metaMinMax(spark: SparkSession, path: String,
-                 column: String, version: Long = -1L)
+                 column: String, version: Long = -1L,
+                 stringOrdered: Boolean = false)
       : Option[(String, String)] = {
     val (fs, p) = fsFor(spark, path)
     val vs = versions(spark, path)
@@ -974,31 +1015,28 @@ object TxTable {
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v of $path does not exist")
     // per live file: None = provably no values (all-null; skip),
-    // Some((exact, min, max)) otherwise — bail the moment a file
-    // can't prove exact extremes
+    // Some((min, max)) otherwise — bail the moment a file can't prove
+    // exact extremes under the declared ordering
     val contrib = readManifest(fs, p, v)._2.map { l =>
       val pstats = partitionStats(pathOf(l))
       val fromPath = pstats.get(column)
       fromPath.orElse(statsOf(l).get(column)) match {
         case Some(c) if c.allNull => Some(None)
-        // numeric chunk stats and partition path values are exact;
-        // string DATA stats may be writer-truncated bounds → not exact
-        case Some(c) if c.tag == "n" || fromPath.isDefined =>
-          Some(Some((c.tag, c.min, c.max)))
+        case Some(c) if stringOrdered && fromPath.isDefined =>
+          Some(Some((c.min, c.max)))
+        case Some(c) if !stringOrdered && c.tag == "n" =>
+          Some(Some((c.min, c.max)))
         case _ => None
       }
     }
     if (contrib.exists(_.isEmpty)) return None
     val vals = contrib.flatten.flatten
-    // a string partition column can yield per-VALUE tags ("2024" is
-    // numeric-looking, "misc" is not) — mixed tags have no single
-    // comparison order, so the metadata path declines
-    if (vals.isEmpty || vals.map(_._1).distinct.size != 1) return None
+    if (vals.isEmpty) return None
     val cmp: (String, String) => Int =
-      if (vals.head._1 == "n") (a, b) => BigDecimal(a).compare(BigDecimal(b))
-      else utf8Cmp
-    Some((vals.map(_._2).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-      vals.map(_._3).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+      if (stringOrdered) utf8Cmp
+      else (a, b) => BigDecimal(a).compare(BigDecimal(b))
+    Some((vals.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+      vals.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
   }
 
   /** Absolute paths of a commit's row-level change-data parquet files
@@ -1779,10 +1817,16 @@ object TxTable {
     * The rewrite set is bounded like [[merge]]: only files whose key
     * stats intersect the observed bounds of the CHANGED keys (upserts
     * and deletes together) are rewritten; everything else carries over
-    * verbatim. Null keys never match (SQL equality): null-key upserts
-    * insert, null-key deletes are no-ops. An empty change set commits
-    * metadata only (offset advance), honoring `guard` — same contract
-    * as [[merge]]'s empty-update path.
+    * verbatim. Null keys never match under the default SQL equality
+    * (null-key upserts insert, null-key deletes are no-ops);
+    * `nullSafeKeys = true` switches every key comparison to `<=>` so
+    * a null key is a real key — what an aggregate-view maintainer
+    * needs (a null GROUP is a group) — at the cost of disabling file
+    * pruning when the change set actually carries a null key (stats
+    * say nothing about null presence; same trade as [[merge]]). An
+    * empty change set commits metadata only (offset advance),
+    * honoring `guard` — same contract as [[merge]]'s
+    * empty-update path.
     */
   def applyChanges(spark: SparkSession, path: String, upserts: DataFrame,
                    deleteKeys: DataFrame, keyCols: Seq[String],
@@ -1791,7 +1835,8 @@ object TxTable {
                    schema: Option[StructType] = None,
                    meta: Map[String, String] = Map.empty,
                    guard: Map[String, Long] = Map.empty,
-                   changeFeed: Boolean = true): Long = {
+                   changeFeed: Boolean = true,
+                   nullSafeKeys: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     val vs = versions(spark, path)
@@ -1817,8 +1862,13 @@ object TxTable {
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
         guard = guard)
     // prune by the union of changed keys: a file can hold an affected
-    // row only if every key column's [min,max] intersects the bounds
+    // row only if every key column's [min,max] intersects the bounds.
+    // Under null-safe keys an actual null key disables pruning: stats
+    // carry no null-presence information, and a pruned file could hold
+    // the null-key row this change set must replace.
     val allKeys = u.select(keyCols.map(col): _*).unionByName(dk)
+    val hasNullKey = nullSafeKeys &&
+      !allKeys.where(keyCols.map(k => col(k).isNull).reduce(_ || _)).isEmpty
     val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
     val row = allKeys.agg(aggs.head, aggs.tail: _*).head()
     val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>
@@ -1826,7 +1876,7 @@ object TxTable {
       else Some(col(k).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1))))
     }
     val cs =
-      if (boundPreds.isEmpty)
+      if (boundPreds.isEmpty || hasNullKey)
         Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
       else resolveConjuncts(spark, p, lines, boundPreds.reduce(_ && _),
         mergeSchema, pinned)
@@ -1845,7 +1895,9 @@ object TxTable {
     // downstream replica diverges (ADVICE r7).
     def keyJoin(l: DataFrame, r: DataFrame, how: String): DataFrame =
       l.join(r.toDF(keyCols.map(k => s"__c_$k"): _*),
-        keyCols.map(k => l(k) === col(s"__c_$k")).reduce(_ && _), how)
+        keyCols.map(k =>
+          if (nullSafeKeys) l(k) <=> col(s"__c_$k")
+          else l(k) === col(s"__c_$k")).reduce(_ && _), how)
     val (newData, changes, cached) =
       if (candidates.isEmpty)
         (u, u.withColumn(ChangeTypeCol, lit("insert")), null: DataFrame)
@@ -1957,7 +2009,9 @@ object TxTable {
       // files belong to the stream's epoch dir, which the sink owns —
       // don't delete on failure, just refuse the commit (the thrown
       // error fails the batch and the checkpoint retries)
-      enforceConstraints(spark, path, fs, p, relFiles, None)
+      val activeConstraints = headConstraints(spark, path)
+      enforceConstraints(spark, path, fs, p, relFiles, None,
+        activeConstraints)
       val stats = footerStats(fs, p, relFiles)
       val newLines = relFiles.map(f =>
         stats.get(f).map(s => s"$f\t$s").getOrElse(f))
@@ -1967,7 +2021,8 @@ object TxTable {
       try Some(commitLines(spark, path, "append", newLines,
         (base, _) => base,
         meta = layoutMeta + (key -> epochId.toString),
-        guard = Map(key -> epochId)))
+        guard = Map(key -> epochId),
+        requireConstraints = Some(constraintFingerprint(activeConstraints))))
       catch {
         case _: java.util.ConcurrentModificationException => None
       }
@@ -2230,8 +2285,12 @@ object TxTable {
     }
     // CHECK constraints validate the freshly written files before any
     // claim — a violating commit cleans up and throws, invisible to
-    // readers (see the constraints section above)
-    enforceConstraints(spark, path, fs, p, newFiles, Some(dataDir))
+    // readers; the validated set's fingerprint rides into the claim
+    // loop so a concurrent ADD/DROP CONSTRAINT aborts this commit
+    // instead of letting unvalidated data slip past the new rules
+    val activeConstraints = headConstraints(spark, path)
+    enforceConstraints(spark, path, fs, p, newFiles, Some(dataDir),
+      activeConstraints)
     // footer min/max per new file ride in the manifest line (see
     // "file stats" above); failures degrade to stats-less lines
     val stats = footerStats(fs, p, newFiles)
@@ -2248,7 +2307,8 @@ object TxTable {
         Map(PartitionsMetaKey -> enc(partitionCols.mkString(",")))
       else Map.empty[String, String]
     commitLines(spark, path, action, newLines, baseKeep, layoutMeta ++ meta,
-      requirePresent, guard, requireUnchangedUnder)
+      requirePresent, guard, requireUnchangedUnder,
+      requireConstraints = Some(constraintFingerprint(activeConstraints)))
   }
 
   /** The claim loop of [[commit]], usable on its own for METADATA-ONLY
@@ -2274,7 +2334,9 @@ object TxTable {
                           requirePresent: Set[String] = Set.empty,
                           guard: Map[String, Long] = Map.empty,
                           requireUnchangedUnder: Option[(Set[String], Set[String])] = None,
-                          firstCommitOnly: Boolean = false): Long = {
+                          firstCommitOnly: Boolean = false,
+                          requireConstraints: Option[String] = None,
+                          requireHeadVersion: Option[Long] = None): Long = {
     require(meta.forall { case (k, v) =>
       k.nonEmpty && !k.contains('=') &&
         !(k + v).exists(c => c == ' ' || c == '\n')
@@ -2336,6 +2398,29 @@ object TxTable {
                 "— a concurrent committer applied this increment first")
             }
         }
+      }
+      // constraint-set conflict check (Delta's metadata-changed
+      // semantics): this DATA commit was validated against a specific
+      // CHECK-constraint set; if a concurrent ADD/DROP CONSTRAINT
+      // moved the head's set since, committing unvalidated data would
+      // silently break the new constraint's whole-table promise —
+      // abort and let the caller retry under the new rules
+      requireConstraints.foreach { fp =>
+        val cur = constraintFingerprint(effectiveConstraints(
+          parseMeta(prevHead)))
+        if (cur != fp)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit on $path: CHECK constraints changed " +
+            "concurrently (this write was validated against the old " +
+            "set) — retry the operation")
+      }
+      // head-version pin: ADD CONSTRAINT validated a specific
+      // snapshot; data committed since would escape that validation
+      requireHeadVersion.foreach { v0 =>
+        if (head.getOrElse(0L) != v0)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit on $path: head advanced past $v0 " +
+            "during constraint validation")
       }
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString

@@ -164,16 +164,22 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val memoMinMax =
       scala.collection.mutable.Map.empty[String, Option[(String, String)]]
-    def minMax(c: String) =
-      memoMinMax.getOrElseUpdate(c, TxTable.metaMinMax(spark, path, c, v))
+    // the COLUMN TYPE decides the comparison order — a string
+    // partition value "2024" is tagged numeric by the manifest's
+    // parse guess, and only the relation knows better
+    def minMax(c: String, dt: DataType) =
+      memoMinMax.getOrElseUpdate(c, TxTable.metaMinMax(spark, path, c, v,
+        stringOrdered = dt == StringType))
     def valueOf(m: MetaAgg): Option[Literal] = m match {
       case RowCount => TxTable.metaRowCount(spark, path, v).map(Literal(_))
       case ColCount(c) =>
         TxTable.metaColumnCount(spark, path, c, v).map(Literal(_))
       case ColMin(c, dt) =>
-        minMax(c).flatMap(mm => scala.util.Try(literalOf(mm._1, dt)).toOption)
+        minMax(c, dt).flatMap(mm =>
+          scala.util.Try(literalOf(mm._1, dt)).toOption)
       case ColMax(c, dt) =>
-        minMax(c).flatMap(mm => scala.util.Try(literalOf(mm._2, dt)).toOption)
+        minMax(c, dt).flatMap(mm =>
+          scala.util.Try(literalOf(mm._2, dt)).toOption)
     }
     val values: Seq[Seq[(AggregateExpression, Option[Literal])]] =
       classified.map(_._2.map { case (ae, m) => ae -> m.flatMap(valueOf) })

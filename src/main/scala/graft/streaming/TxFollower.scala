@@ -286,8 +286,11 @@ object TxFollower {
       val upserts = folded.where(col("n_rows") > 0)
       val deletes = folded.where(col("n_rows") <= 0)
         .select(groupCols.map(col): _*)
+      // nullSafeKeys: the fold above already treats a null group key
+      // as a real group; the persisted apply must match, or the null
+      // group would re-insert on every increment and never delete
       TxTable.applyChanges(spark, dst, upserts, deletes, groupCols,
-        meta = meta, guard = guard)
+        meta = meta, guard = guard, nullSafeKeys = true)
     }
     Some(head)
   }

@@ -74,15 +74,22 @@ object Bpe {
       }
       if (pairCounts.isEmpty) done = true
       else {
-        // deterministic winner: max count, then lexicographically
-        // smallest pair — training must be a pure function of the
-        // histogram for the pinned-vocab oracle to hold
+        // deterministic winner: max count, then smallest pair in
+        // UNSIGNED UTF-8 BYTE order — the order Spark SQL strings,
+        // DuckDB's default collation, and therefore the replayed
+        // oracle all sort by. Java's String '<' (UTF-16 code units)
+        // disagrees above the BMP (surrogates sort below U+E000+),
+        // which would fork trainer and oracle on emoji/CJK-ext ties.
+        def u8(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var best: (String, String) = null
         var bestC = -1L
         pairCounts.forEach { (k, v) =>
-          if (v > bestC || (v == bestC &&
-              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2))))
-            { best = k; bestC = v }
+          if (v > bestC || (v == bestC && {
+              val c1 = u8(k._1, best._1)
+              c1 < 0 || (c1 == 0 && u8(k._2, best._2) < 0)
+            })) { best = k; bestC = v }
         }
         merges += best
         val merged = best._1 + best._2

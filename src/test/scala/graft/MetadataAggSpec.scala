@@ -87,6 +87,27 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.get(0) === 10 && r.get(1) === 40 && r.getLong(2) === 3L)
   }
 
+  test("string partition extremes use STRING order, not the numeric tag guess") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // all values parse as numbers → manifest tags them numeric, and
+    // WITHOUT a declared schema directory inference would even type
+    // the column int; a DECLARED string schema keeps it a string, so
+    // SQL says MIN="10" (byte order), not "5"
+    val df = {
+      val s2 = spark; import s2.implicits._
+      Seq((1L, "5"), (2L, "10")).toDF("id", "pt")
+    }
+    TxTable.create(spark, dir, df.schema, Seq("pt"))
+    TxTable.replacePartitions(spark, dir, df, Seq("pt"))
+    val served = spark.read.format("graft").load(dir)
+      .agg(min("pt"), max("pt"))
+    assert(!scansFiles(served))
+    val r = served.collect().head
+    assert(r.getString(0) === "10" && r.getString(1) === "5")
+  }
+
   test("time travel counts the PINNED version's manifest") {
     val dir = tmp()
     build(dir)

@@ -149,6 +149,50 @@ class TxConstraintsSpec extends SparkSpec {
     assert(TxTable.read(spark, dst).where(col("qty") < 0).count() === 0)
   }
 
+  test("racing ADD CONSTRAINT vs appends can never strand violating rows") {
+    val s = spark
+    import s.implicits._
+    // invariant under ANY interleaving: if the constraint is active in
+    // the final head, no violating row exists. Closed by two checks:
+    // data commits abort when the constraint set moved under them
+    // (fingerprint in the claim loop), ADD aborts+revalidates when the
+    // head moved during its validation scan (pinned head version).
+    (1 to 3).foreach { round =>
+      val dir = tmp()
+      seed(dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val results = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String =
+            try {
+              if (i == 0) {
+                TxTable.addConstraint(spark, dir, "qty_pos", "qty > 0")
+                "added"
+              } else {
+                TxTable.append(spark, dir,
+                  Seq((100L * round + i, -i.toLong))
+                    .toDF("id", "qty").coalesce(1))
+                "appended"
+              }
+            } catch {
+              case _: IllegalStateException => "rejected" // CHECK
+              case _: java.util.ConcurrentModificationException => "conflict"
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("existing rows violate") =>
+                "validation_failed"
+            }
+        })
+      }
+      pool.shutdown()
+      val outcomes = results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      val active = TxTable.constraints(spark, dir).contains("qty_pos")
+      val violating = TxTable.read(spark, dir).where(col("qty") <= 0).count()
+      assert(!active || violating === 0L,
+        s"round $round: constraint active with $violating violating rows " +
+          s"(outcomes: ${outcomes.mkString(",")})")
+    }
+  }
+
   test("SQL spellings: ADD/DROP CONSTRAINT and enforced INSERT") {
     val s = spark
     import s.implicits._

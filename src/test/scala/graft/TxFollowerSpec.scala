@@ -316,6 +316,31 @@ class TxFollowerSpec extends SparkSpec {
     assert(TxTable.versions(spark, dst) == versions)
   }
 
+  test("retraction view treats a NULL group key as one real group") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    def fold() = TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x"))
+    TxTable.append(spark, src,
+      Seq((Option.empty[String], 1L, Some(10L)), (Some("a"), 2L, Some(20L)))
+        .toDF("k", "id", "x"))
+    fold()
+    // second increment touches the null group: it must FOLD into the
+    // stored null-group row, not insert a second one
+    TxTable.append(spark, src,
+      Seq((Option.empty[String], 3L, Some(5L))).toDF("k", "id", "x"))
+    fold()
+    aggViewEqualsRecompute(src, dst)
+    assert(TxTable.read(spark, dst).where(col("k").isNull).count() === 1L)
+    // draining the null group must DELETE its view row
+    TxTable.delete(spark, src, col("k").isNull)
+    fold()
+    aggViewEqualsRecompute(src, dst)
+    assert(TxTable.read(spark, dst).where(col("k").isNull).count() === 0L)
+  }
+
   test("followAggregateChanges keeps a live retraction view exact") {
     val s = spark
     import s.implicits._

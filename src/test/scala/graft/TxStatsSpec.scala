@@ -315,12 +315,23 @@ class TxStatsSpec extends SparkSpec {
       Seq((1L, 10L), (2L, 10L), (3L, 40L)).toDF("id", "day"), Seq("day"))
     assert(TxTable.metaMinMax(spark, dir, "day") === Some(("10", "40")))
     assert(TxTable.metaColumnCount(spark, dir, "day") === Some(3L))
-    // a string partition column with mixed numeric/non-numeric values
-    // has no single comparison order → decline
+    // string partition columns need the caller-declared string order:
+    // under the numeric default the "misc" value has no numeric stats
+    // (decline); declared string-ordered, path values are exact
     val d2 = tmp()
     TxTable.replacePartitions(spark, d2,
       Seq((1L, "2024"), (2L, "misc")).toDF("id", "pt"), Seq("pt"))
     assert(TxTable.metaMinMax(spark, d2, "pt") === None)
+    assert(TxTable.metaMinMax(spark, d2, "pt", stringOrdered = true) ===
+      Some(("2024", "misc")))
     assert(TxTable.metaColumnCount(spark, d2, "pt") === Some(2L))
+    // ALL-numeric-looking string partitions: the manifest's parse
+    // guess tags them numeric, but string semantics order "10" < "5"
+    // — the declared ordering must win (the silent-wrong-MIN trap)
+    val d3 = tmp()
+    TxTable.replacePartitions(spark, d3,
+      Seq((1L, "5"), (2L, "10")).toDF("id", "pt"), Seq("pt"))
+    assert(TxTable.metaMinMax(spark, d3, "pt", stringOrdered = true) ===
+      Some(("10", "5")))
   }
 }
