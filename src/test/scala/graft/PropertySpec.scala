@@ -212,4 +212,102 @@ class PropertySpec extends SparkSpec {
         s"sessionizer diverged from session_window for $events")
     }
   }
+
+  test("retraction aggregate view equals recompute for random DML programs") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TxTable
+    import graft.streaming.TxFollower
+    // random programs over a tiny key space with NULL group keys and
+    // NULL sum values in play; invariant after EVERY increment: the
+    // persisted view == a from-scratch groupBy of the source head
+    sealed trait Op
+    case class App(rows: List[(Option[String], Long, Option[Long])]) extends Op
+    case class Mrg(rows: List[(Option[String], Long, Option[Long])]) extends Op
+    case class Del(mod: Long) extends Op
+    val grp = Gen.oneOf(Gen.const(Option.empty[String]),
+      Gen.oneOf("a", "b", "c").map(Some(_)))
+    val rowGen = Gen.zip(grp, Gen.chooseNum(0L, 9L),
+      Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.chooseNum(-50L, 50L).map(Some(_))))
+    val opGen: Gen[Op] = Gen.oneOf(
+      Gen.nonEmptyListOf(rowGen).map(l => App(l.take(3))),
+      Gen.nonEmptyListOf(rowGen).map(l => Mrg(l.take(3))),
+      Gen.chooseNum(2L, 4L).map(Del(_)))
+    val progGen = Gen.nonEmptyListOf(opGen).map(_.take(4))
+    for ((prog, i) <- samples(progGen, 3).zipWithIndex) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_rvprop$i").toString
+      val src = root + "/src"
+      val dst = root + "/rv"
+      // ids must be unique per append so merges hit deterministic keys
+      var nextId = 100L
+      def df(rows: List[(Option[String], Long, Option[Long])],
+             freshIds: Boolean) = {
+        val r = if (!freshIds) rows
+          else rows.map { t => nextId += 1; (t._1, nextId, t._3) }
+        r.toDF("k", "id", "x")
+      }
+      TxTable.append(spark, src,
+        df(List((Some("a"), 1L, Some(5L)), (None, 2L, None)),
+          freshIds = false))
+      TxFollower.processAggregateChanges(spark, src, dst, "rvp",
+        Seq("k"), Seq("x"))
+      prog.foreach { op =>
+        op match {
+          case App(rows) => TxTable.append(spark, src, df(rows, freshIds = true))
+          case Mrg(rows) => TxTable.merge(spark, src,
+            df(rows, freshIds = false)
+              .groupBy("id").agg(first("k").as("k"), first("x").as("x"))
+              .select("k", "id", "x"), Seq("id"))
+          case Del(m) => TxTable.delete(spark, src, col("id") % m === 0)
+        }
+        TxFollower.processAggregateChanges(spark, src, dst, "rvp",
+          Seq("k"), Seq("x"))
+        val want = TxTable.read(spark, src).groupBy("k")
+          .agg(count(lit(1)).as("n_rows"), sum("x").as("sum_x"))
+          .collect()
+          .map(r => Option(r.getString(0)) ->
+            ((r.getLong(1), Option(r.get(2))))).toMap
+        val got = TxTable.read(spark, dst)
+          .select("k", "n_rows", "sum_x").collect()
+          .map(r => Option(r.getString(0)) ->
+            ((r.getLong(1), Option(r.get(2))))).toMap
+        assert(got == want, s"view diverged after $op in program $prog")
+      }
+    }
+  }
+
+  test("metadata aggregates equal the scan for random null-riddled tables") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TxTable
+    val rowGen = Gen.zip(Gen.chooseNum(-1000L, 1000L),
+      Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.chooseNum(-99L, 99L).map(Some(_))))
+    val tableGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(rowGen)
+      .map(_.take(6))).map(_.take(3)) // up to 3 commits of up to 6 rows
+    for ((commits, i) <- samples(tableGen, 4).zipWithIndex) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_metaprop$i").toString + "/t"
+      commits.foreach(rows =>
+        TxTable.append(spark, dir, rows.toDF("id", "v").coalesce(1)))
+      val scan = TxTable.read(spark, dir)
+      assert(TxTable.metaRowCount(spark, dir) === Some(scan.count()))
+      assert(TxTable.metaColumnCount(spark, dir, "v") ===
+        Some(scan.where(col("v").isNotNull).count()))
+      val mm = TxTable.metaMinMax(spark, dir, "id")
+      val want = scan.agg(min("id"), max("id")).head()
+      assert(mm === Some((want.getLong(0).toString,
+        want.getLong(1).toString)), s"min/max diverged for table $i")
+      // v can be all-null in a file; the column-level extremes must
+      // either decline or agree exactly
+      val mmV = TxTable.metaMinMax(spark, dir, "v")
+      val wantV = scan.agg(min("v"), max("v")).head()
+      mmV.foreach { case (lo, hi) =>
+        assert(!wantV.isNullAt(0) && lo.toLong == wantV.getLong(0) &&
+          hi.toLong == wantV.getLong(1), s"v extremes diverged for table $i")
+      }
+    }
+  }
 }
