@@ -741,6 +741,30 @@ object SparkEntry {
     // commit-timestamp time travel: two commits, read back AS OF the
     // first commit's manifest `ts` stamp (spinning past it first so the
     // second stamp is strictly later — deterministic at any speed)
+    // shallow clone: fork the table at v1 (SQL spelling), diverge BOTH
+    // sides with independent DML, vacuum the source — the clone's
+    // hard-linked snapshot must survive all of it
+    "q_x_clone" -> ((s, dir) => {
+      val root = tmpQueryDir("graft_clone")
+      val src = root + "/src"; val dst = root + "/dst"
+      graft.ops.TxTable.overwrite(s, src,
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+      s.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src` " +
+        "VERSION AS OF 1")
+      graft.ops.TxTable.delete(s, src, col("c_custkey") % 2 === 0)
+      graft.ops.TxTable.delete(s, dst, col("c_custkey") % 3 === 0)
+      graft.ops.TxTable.vacuum(s, src, keepVersions = 1)
+      val a = graft.ops.TxTable.read(s, src)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_src"))
+      val b = graft.ops.TxTable.read(s, dst)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_clone"))
+      a.join(b, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_src"), lit(0L)).as("n_src"),
+          coalesce(col("n_clone"), lit(0L)).as("n_clone"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_x_time_travel" -> ((s, dir) => {
       val tmp = tmpQueryDir("graft_ttravel") + "/cust_tt"
       val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
@@ -895,6 +919,15 @@ object SparkEntry {
     "q_x_chunk_dedup" -> ((s, dir) =>
       graft.dedup.ChunkDedup.dedupChunks(
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
+        .orderBy("doc_id")),
+
+    // span-level exact dedup at ARBITRARY alignment (Lee et al.'s
+    // substring dedup as a sliding-fingerprint plan): duplicated
+    // >=8-token spans are stripped wherever they start, not just on
+    // the chunk grid
+    "q_x_span_dedup" -> ((s, dir) =>
+      graft.dedup.SpanDedup.stripDuplicatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
         .orderBy("doc_id")),
 
     // Unicode NFC normalization: a decomposed "cafe" + COMBINING ACUTE
@@ -2073,6 +2106,17 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 3 = 1
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // clone ≡ algebra: the source ends at odd custkeys, the v1-pinned
+    // clone at custkeys not divisible by 3 — both reconstructed from
+    // the input table (the vacuum must not change either side)
+    "q_x_clone" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_src,
+        |  CAST(SUM(CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clone
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_x_time_travel" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer
         |WHERE c_custkey % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2509,6 +2553,42 @@ object SparkEntry {
          |  coalesce(g.n_kept, 0) AS n_kept,
          |  coalesce(g.text_dedup, '') AS text_dedup
          |FROM c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    // Mirrors SpanDedup.stripDuplicatedSpans(k=8): same sliding md5
+    // windows, same (doc_id, pos) first-wins election, same distinct
+    // coverage + lag-islands span merge, same position-ordered
+    // reassembly of surviving tokens.
+    "q_x_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tokens
+         |      FROM d),
+         |w AS (SELECT doc_id, i - 1 AS pos,
+         |        md5(array_to_string(toks[i : i+7], ' ')) AS fp
+         |      FROM b CROSS JOIN unnest(range(1, n_tokens - 6)) t(i)
+         |      WHERE n_tokens >= 8),
+         |dup AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos, row_number() OVER (PARTITION BY fp
+         |    ORDER BY doc_id, pos) AS rn FROM w) WHERE rn > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+         |        FROM dup CROSS JOIN unnest(range(0, 8)) u(j)),
+         |st AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_dup_tokens,
+         |        CAST(SUM(brk) AS INTEGER) AS n_spans FROM (
+         |          SELECT doc_id, CASE WHEN tp - lag(tp) OVER (
+         |            PARTITION BY doc_id ORDER BY tp) = 1
+         |            THEN 0 ELSE 1 END AS brk FROM cov)
+         |        GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i - 1 AS tp, toks[i] AS tok
+         |        FROM b CROSS JOIN unnest(range(1, n_tokens + 1)) t(i)),
+         |keep AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp)
+         |           AS text_stripped
+         |         FROM tok ANTI JOIN cov USING (doc_id, tp)
+         |         GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(st.n_dup_tokens, 0) AS n_dup_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(keep.text_stripped, '') AS text_stripped
+         |FROM b LEFT JOIN st USING (doc_id) LEFT JOIN keep USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
 
     // chr(769) = U+0301 COMBINING ACUTE; nfc_normalize composes it with
     // the preceding 'e' exactly as java.text.Normalizer NFC does

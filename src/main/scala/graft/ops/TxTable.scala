@@ -2193,6 +2193,82 @@ object TxTable {
     commitLines(spark, path, "restore", lines, (_, _) => Seq.empty)
   }
 
+  /** Shallow-clone `srcPath` at `version` (default: head) into a NEW
+    * table at `dstPath` — Delta's `CREATE TABLE … SHALLOW CLONE`,
+    * reduced to the manifest. The clone's v1 manifest is the source
+    * version's file list VERBATIM (stats suffixes included, so data
+    * skipping works from the first query), its carried `graft.*` meta
+    * (declared schema, partition layout, CHECK constraints) is the
+    * source's as of that version, and the two tables then evolve fully
+    * independently — DML, OPTIMIZE, even VACUUM on either side never
+    * touches the other.
+    *
+    * Zero-copy mechanics: manifests reference table-RELATIVE paths, so
+    * each referenced data file is materialized in the clone under the
+    * same relative name as a HARD LINK (local FS — O(files) metadata
+    * ops, no data bytes move; the same primitive the commit claim
+    * uses). Vacuum safety is free: each table's vacuum only unlinks its
+    * OWN directory's names, and the kernel frees the shared inode when
+    * the last link goes — none of Delta's "vacuum on the source breaks
+    * the clone" hazard. Filesystems without hard links (HDFS, object
+    * stores) fall back to a byte copy per file (a real S3 deployment
+    * would swap in server-side copy, which is metadata-fast).
+    *
+    * Deliberately NOT copied: `txn.*` streaming idempotence tokens (a
+    * clone is a new table — suppressing its first micro-batch because
+    * the SOURCE had seen that batch would lose data) and the source's
+    * history (the clone starts at v1; its change feed reads as one
+    * initial insert snapshot, exactly like a fresh table).
+    */
+  def cloneAt(spark: SparkSession, srcPath: String, dstPath: String,
+              version: Long = -1L): Long = {
+    val vs = versions(spark, srcPath)
+    require(vs.nonEmpty, s"$srcPath is not a TxTable (no $LogDir manifests)")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v),
+      s"version $v of $srcPath does not exist or was vacuumed " +
+      s"(retained: ${vs.head}..${vs.last})")
+    require(!exists(spark, dstPath),
+      s"graft table $dstPath already exists — clone targets a fresh path")
+    val (sfs, sp) = fsFor(spark, srcPath)
+    val (dfs, dp) = fsFor(spark, dstPath)
+    require(sfs.makeQualified(sp) != dfs.makeQualified(dp),
+      "cannot clone a table onto itself")
+    val (headLine, lines) = readManifest(sfs, sp, v)
+    lines.map(pathOf).distinct.foreach { rel =>
+      val srcF = new Path(sp, rel)
+      val dstF = new Path(dp, rel)
+      dfs.mkdirs(dstF.getParent)
+      // a leftover file from a crashed earlier clone attempt is
+      // unreferenced (the clone commit below never landed) — replace it
+      if (dfs.exists(dstF)) dfs.delete(dstF, false)
+      linkOrCopy(spark, sfs, srcF, dfs, dstF)
+    }
+    val carried = parseMeta(headLine).filter(_._1.startsWith("graft."))
+    commitLines(spark, dstPath, "clone", lines, (_, _) => Seq.empty,
+      carried, firstCommitOnly = true)
+  }
+
+  /** Hard-link `src` to `dst` when both sides are the local FS (zero
+    * data movement); byte-copy otherwise, or when the link fails
+    * because the paths straddle devices/volumes.
+    */
+  private def linkOrCopy(spark: SparkSession, sfs: FileSystem, src: Path,
+                         dfs: FileSystem, dst: Path): Unit = {
+    if (sfs.getScheme == "file" && dfs.getScheme == "file") {
+      val s = java.nio.file.Paths.get(sfs.makeQualified(src).toUri)
+      val d = java.nio.file.Paths.get(dfs.makeQualified(dst).toUri)
+      try { java.nio.file.Files.createLink(d, s); return }
+      catch {
+        case _: UnsupportedOperationException => ()
+        case e: java.nio.file.FileSystemException
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] => ()
+      }
+    }
+    org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Overwrite-commit `df` as the next version (the whole snapshot
     * becomes exactly this write's files).
     */

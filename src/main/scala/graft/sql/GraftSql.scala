@@ -84,6 +84,10 @@ object GraftSql {
       """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*""").r
   private val DetailRe =
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tbl + """\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Tbl +
+      """\s+SHALLOW\s+CLONE\s+""" + Tbl +
+      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+""" + Tbl +
       """\s+(?:TO\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*""").r
@@ -110,6 +114,12 @@ object GraftSql {
     // die in Spark's analyzer with an unrelated error
     if (!sqlText.toLowerCase(java.util.Locale.ROOT).contains("graft.`")) None
     else sqlText match {
+      // before CreateRe: both start with CREATE TABLE (CreateRe cannot
+      // match a clone — it requires AS <query> — but the order makes
+      // the precedence explicit)
+      case CloneRe(dst, src, v) =>
+        Some(GraftCloneCommand(dst, src,
+          Option(v).map(_.toLong).getOrElse(-1L)))
       case CreateRe(replace, path, parts, query) =>
         Some(GraftCreateTableCommand(path, splitNames(parts),
           replace != null, delegate.parsePlan(query)))
@@ -723,6 +733,17 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
 }
 
 /** `RESTORE graft.`p` VERSION AS OF v` → [[TxTable.restore]]. */
+/** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` [VERSION AS OF
+  * v]` → [[TxTable.cloneAt]]: a zero-copy (hard-linked) independent
+  * table at the source's pinned snapshot. Returns the clone's v1.
+  */
+case class GraftCloneCommand(dstPath: String, srcPath: String,
+    version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.cloneAt(spark, srcPath, dstPath, version)))
+}
+
 case class GraftRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
