@@ -741,6 +741,38 @@ object SparkEntry {
     // commit-timestamp time travel: two commits, read back AS OF the
     // first commit's manifest `ts` stamp (spinning past it first so the
     // second stamp is strictly later — deterministic at any speed)
+    // COPY INTO: three landed files, loaded across three invocations of
+    // which one is an exact re-run no-op — any double-load doubles a
+    // group count and hash-mismatches the oracle
+    "q_x_copy_into" -> ((s, dir) => {
+      val root = tmpQueryDir("graft_copyin")
+      val landing = root + "/landing"; val tbl = root + "/t"
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft_land")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(landing))
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(landing, name))
+      }
+      land("b0.parquet", o.filter(col("o_orderkey") % 3 === 0))
+      land("b1.parquet", o.filter(col("o_orderkey") % 3 === 1))
+      graft.ops.TxTable.copyInto(s, tbl, landing)
+      graft.ops.TxTable.copyInto(s, tbl, landing) // exact re-run: no-op
+      land("b2.parquet", o.filter(col("o_orderkey") % 3 === 2))
+      s.sql(s"COPY INTO graft.`$tbl` FROM '$landing'") // loads only b2
+      graft.ops.TxTable.read(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     // shallow clone: fork the table at v1 (SQL spelling), diverge BOTH
     // sides with independent DML, vacuum the source — the clone's
     // hard-linked snapshot must survive all of it
@@ -2105,6 +2137,13 @@ object SparkEntry {
         |  SELECT CAST(o_orderkey % 2 AS INTEGER) AS flag, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 1
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the three batches partition orders by o_orderkey % 3, so the
+    // exactly-once union is just the whole table
+    "q_x_copy_into" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // clone ≡ algebra: the source ends at odd custkeys, the v1-pinned
     // clone at custkeys not divisible by 3 — both reconstructed from

@@ -2269,6 +2269,104 @@ object TxTable {
       spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Idempotent bulk file ingestion — Databricks' `COPY INTO`, reduced
+    * to manifest membership. Every parquet file under `sourceDir`
+    * matching `pattern` is loaded into the table EXACTLY ONCE across
+    * any number of invocations: a source file's identity is the md5 of
+    * its (qualified path, mtime, length), its in-table name is the
+    * DETERMINISTIC `data/copyin_<identity>/<name>`, and "already
+    * loaded" is simply "that name is in the head manifest" — no
+    * side-car ledger to drift, survive-vacuum rules, or extra state.
+    * A source file that is modified in place (new mtime/length) gets a
+    * new identity and is loaded again as new data — append semantics,
+    * matching COPY INTO's treat-changed-content-as-new-file behavior.
+    *
+    * Data movement is a hard link per new file on local FS (byte copy
+    * where links don't exist) — ingestion cost is O(new files) metadata
+    * ops, not a rewrite of the data. Footer min/max stats ride into the
+    * manifest lines, so skipping works on copied-in files exactly as on
+    * written ones; CHECK constraints are enforced on the new files
+    * before the claim, like any data commit. A nonexistent target
+    * bootstraps as v1 with the files' schema; an existing target
+    * requires the incoming schema to match its read schema by
+    * name→type (ingestion is not evolution — use [[evolveSchema]]).
+    * Partitioned targets are refused: copied-in files carry no hive
+    * path segments, and silently mixing layouts is the one thing the
+    * resolver must never see.
+    *
+    * Concurrency: the append claim retries against the new head, and
+    * `baseKeep` drops any base line a racing copyInto of the same
+    * source already committed — the deterministic names make the
+    * duplicate detectable at commit time, so two racers net exactly
+    * one copy of each file. Returns (committed version — the head when
+    * nothing was new, loaded relative paths, skipped-as-already-loaded
+    * count).
+    */
+  def copyInto(spark: SparkSession, path: String, sourceDir: String,
+               pattern: String = "*.parquet"): (Long, Seq[String], Int) = {
+    val (fs, p) = fsFor(spark, path)
+    val sq = new Path(sourceDir)
+    val sfs = FileSystem.get(sq.toUri, spark.sparkContext.hadoopConfiguration)
+    val srcs = Option(sfs.globStatus(new Path(sq, pattern))).toSeq.flatten
+      .filter(_.isFile).sortBy(_.getPath.toString)
+    val head = versions(spark, path).lastOption
+    head.foreach { v =>
+      require(declaredPartitionColsAt(fs, p, v).forall(_.isEmpty),
+        s"COPY INTO a partitioned table is not supported ($path declares " +
+        "partition columns; copied-in files carry no partition segments)")
+    }
+    val existing = head
+      .map(v => readManifest(fs, p, v)._2.map(pathOf).toSet)
+      .getOrElse(Set.empty)
+    val targets = srcs.map { st =>
+      val id = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${sfs.makeQualified(st.getPath)}|${st.getModificationTime}|${st.getLen}"
+          .getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      (st.getPath, s"data/copyin_$id/${st.getPath.getName}")
+    }
+    val (skipped, fresh) = targets.partition(t => existing.contains(t._2))
+    if (fresh.isEmpty)
+      return (head.getOrElse(0L), Seq.empty, skipped.size)
+    // schema gate BEFORE any linking: name→type equality with the
+    // table's read schema (nullability aside)
+    val incoming = spark.read.parquet(
+      fresh.map(f => sfs.makeQualified(f._1).toString): _*).schema
+    head.foreach { _ =>
+      val have = read(spark, path).schema
+        .map(f => f.name -> f.dataType).toMap
+      val got = incoming.map(f => f.name -> f.dataType).toMap
+      require(have == got,
+        s"COPY INTO schema mismatch for $path: table reads " +
+        s"${have.toSeq.sortBy(_._1).mkString(", ")} but the files carry " +
+        s"${got.toSeq.sortBy(_._1).mkString(", ")}")
+    }
+    fresh.foreach { case (src, rel) =>
+      val dstF = new Path(p, rel)
+      fs.mkdirs(dstF.getParent)
+      // an existing target is this source file's identical content —
+      // either a crashed earlier attempt or a racing loader; reuse it
+      // (deleting it could yank a file a racer just committed)
+      if (!fs.exists(dstF)) linkOrCopy(spark, sfs, src, fs, dstF)
+    }
+    val freshRels = fresh.map(_._2)
+    val activeConstraints = headConstraints(spark, path)
+    try enforceConstraints(spark, path, fs, p, freshRels, None,
+      activeConstraints)
+    catch { case t: Throwable =>
+      freshRels.foreach(r => fs.delete(new Path(p, r).getParent, true))
+      throw t
+    }
+    val stats = footerStats(fs, p, freshRels)
+    val newLines = freshRels.map(f =>
+      stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+    val freshSet = freshRels.toSet
+    val v = commitLines(spark, path, "copyinto", newLines,
+      (base, _) => base.filterNot(b => freshSet.contains(pathOf(b))),
+      requireConstraints = Some(constraintFingerprint(activeConstraints)))
+    (v, freshRels, skipped.size)
+  }
+
   /** Overwrite-commit `df` as the next version (the whole snapshot
     * becomes exactly this write's files).
     */

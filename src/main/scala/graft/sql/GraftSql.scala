@@ -84,6 +84,9 @@ object GraftSql {
       """\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*""").r
   private val DetailRe =
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tbl + """\s*""").r
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+""" + Tbl +
+      """\s+FROM\s+'([^']+)'\s*(?:PATTERN\s+'([^']+)')?\s*""").r
   private val CloneRe =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Tbl +
       """\s+SHALLOW\s+CLONE\s+""" + Tbl +
@@ -120,6 +123,9 @@ object GraftSql {
       case CloneRe(dst, src, v) =>
         Some(GraftCloneCommand(dst, src,
           Option(v).map(_.toLong).getOrElse(-1L)))
+      case CopyIntoRe(path, srcDir, pat) =>
+        Some(GraftCopyIntoCommand(path, srcDir,
+          Option(pat).getOrElse("*.parquet")))
       case CreateRe(replace, path, parts, query) =>
         Some(GraftCreateTableCommand(path, splitNames(parts),
           replace != null, delegate.parsePlan(query)))
@@ -733,6 +739,24 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
 }
 
 /** `RESTORE graft.`p` VERSION AS OF v` → [[TxTable.restore]]. */
+/** `COPY INTO graft.`t` FROM '<dir>' [PATTERN '<glob>']` →
+  * [[TxTable.copyInto]]: idempotent bulk file ingestion — each
+  * matching source file loads exactly once across re-runs. Returns
+  * one row (version, n_loaded, n_skipped).
+  */
+case class GraftCopyIntoCommand(path: String, sourceDir: String,
+    pattern: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_loaded", LongType, nullable = false)(),
+    AttributeReference("n_skipped", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, loaded, skipped) = TxTable.copyInto(spark, path, sourceDir,
+      pattern)
+    Seq(Row(v, loaded.size.toLong, skipped.toLong))
+  }
+}
+
 /** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` [VERSION AS OF
   * v]` → [[TxTable.cloneAt]]: a zero-copy (hard-linked) independent
   * table at the source's pinned snapshot. Returns the clone's v1.
