@@ -1371,6 +1371,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 serving: full-precision queries against the 8-bit-quantized
+    // corpus — every arithmetic step (train ranges, encode, dequantize,
+    // in-order double dot) is mirrored exactly in the oracle, so the
+    // hash pins the whole quantization pipeline, not just the ranking
+    "q_x_ann_sq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranges = Similarity.sqTrain(emb)
+      val codes = Similarity.sqEncode(emb, ranges)
+      Similarity.sqTopK(codes, ranges, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL index maintenance end-to-end: build centroids + lists
     // over 2/3 of the corpus, ivfAppend the other 1/3 (no rebuild — the
     // streaming ingest path), serve from the persisted lists probing
@@ -2830,6 +2842,43 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
          |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
          |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors sqTrain/sqEncode/sqDequantize/sqTopK exactly: per-dim
+    // [min,max] over the whole corpus, u8 = floor((x-mn)/(mx-mn)*255
+    // + 0.5), reconstruction mn + u8*(mx-mn)/255 (constant dims → mn),
+    // asymmetric cosine with in-order double accumulation
+    "q_x_ann_sq" ->
+      s"""WITH rngcols AS (
+         |  SELECT i AS pos, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings
+         |  CROSS JOIN unnest(range(1, len(embedding) + 1)) t(i)
+         |  GROUP BY i),
+         |rng AS (SELECT list(mn ORDER BY pos) AS mins,
+         |               list(mx ORDER BY pos) AS maxs FROM rngcols),
+         |deq AS (
+         |  SELECT c.vec_id, list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CASE WHEN r.maxs[i] > r.mins[i]
+         |      THEN r.mins[i] + floor((CAST(c.embedding[i] AS DOUBLE)
+         |             - r.mins[i]) / (r.maxs[i] - r.mins[i]) * 255.0 + 0.5)
+         |           * (r.maxs[i] - r.mins[i]) / 255.0
+         |      ELSE r.mins[i] END) AS dv
+         |  FROM embeddings c CROSS JOIN rng r),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "d.dv")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("d.dv", "d.dv")})) AS cos
+         |  FROM embeddings q JOIN deq d
+         |    ON q.vec_id < 8 AND q.vec_id <> d.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("d.dv", "d.dv")}) > 0),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank

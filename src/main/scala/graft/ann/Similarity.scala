@@ -424,4 +424,87 @@ object Similarity {
         choose(i + 1, rem - 1).map(_ | (1L << i)))
     (0 to radius).flatMap(choose(0, _))
   }
+
+  // ------------------------------------------------ scalar quantization
+
+  /** Per-dimension [min, max] over the corpus — the SQ8 "codebook".
+    * ONE aggregation pass (posexplode → per-dimension min/max →
+    * re-assembled arrays), returned as a SINGLE-ROW frame
+    * (mins array<double>, maxs array<double>) meant to be
+    * broadcast-crossJoined into encode/serve plans — the same
+    * broadcast-totals pattern the TF-IDF corpus stats use. At 100 TB
+    * the codebook is `2 × dim` doubles however big the corpus is.
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        col("mx")))).as("pm"))
+      .select(transform(col("pm"), s => s.getField("mn")).as("mins"),
+        transform(col("pm"), s => s.getField("mx")).as("maxs"))
+
+  /** 8-bit scalar-quantize the corpus: per dimension,
+    * `u8 = floor((x - mn) / (mx - mn) * 255 + 0.5)` (constant
+    * dimensions code to 0), stored offset by -128 as `array<tinyint>` —
+    * 4× smaller than the float vectors at serving time, the standard
+    * memory lever between full-precision and product quantization.
+    * Returns (idCol, codes). A narrow zip-free pass: one broadcast of
+    * the codebook, per-element arithmetic, no shuffle.
+    */
+  def sqEncode(corpus: DataFrame, ranges: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(ranges))
+      .select(col(idCol),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          (when(mx > mn,
+            floor((x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5))
+            .otherwise(0.0).cast("int") - 128).cast("tinyint")
+        }).as("codes"))
+
+  /** Reconstruction of a code array under a codebook:
+    * `mn + (code + 128) * (mx - mn) / 255` per dimension (double).
+    */
+  def sqDequantize(codes: Column, mins: Column, maxs: Column): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      mn + (c.cast("double") + 128.0) * (mx - mn) / 255.0
+    })
+
+  /** Asymmetric SQ8 top-k: full-precision queries scored against the
+    * DEQUANTIZED corpus codes — [[bruteForceTopK]]'s shape (broadcast
+    * query set, one corpus scan, per-query-key window) over a corpus
+    * that costs a quarter of the memory. Reconstruction error is
+    * bounded by half a quantization step per dimension, so ranking is
+    * approximate; recall floors are pinned in the spec. Deterministic:
+    * ties break on neighbor id, zero-norm rows (either side) excluded.
+    */
+  def sqTopK(codes: DataFrame, ranges: DataFrame, queries: DataFrame,
+             k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")).filter(col("qn") > 0)
+    val c = codes.crossJoin(broadcast(ranges))
+      .select(col(idCol).as("neighbor_id"),
+        sqDequantize(col("codes"), col("mins"), col("maxs")).as("dv"))
+      // dotHof, not the float-native kernel: dv is array<double>, and
+      // the HOF's in-order double accumulation is the exactly-mirrored
+      // arithmetic the oracle reproduces
+      .withColumn("cn", sqrt(dotHof(col("dv"), col("dv"))))
+      .filter(col("cn") > 0)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotHof(col("qv"), col("dv")) / (col("qn") * col("cn")))
+    graft.ops.Windows.topKPerGroup(
+        scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }
