@@ -1383,6 +1383,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 × IVF at FULL probe: list routing cannot change the result
+    // (every list probed), so the oracle is exactly the sqTopK replay
+    // over the zero-norm-filtered corpus — pins that quantized lists
+    // serve what the flat quantized scan serves
+    "q_x_ann_sq_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqIvfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          numLists = 8, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL index maintenance end-to-end: build centroids + lists
     // over 2/3 of the corpus, ivfAppend the other 1/3 (no rebuild — the
     // streaming ingest path), serve from the persisted lists probing
@@ -2870,6 +2881,43 @@ object SparkEntry {
          |           * (r.maxs[i] - r.mins[i]) / 255.0
          |      ELSE r.mins[i] END) AS dv
          |  FROM embeddings c CROSS JOIN rng r),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "d.dv")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("d.dv", "d.dv")})) AS cos
+         |  FROM embeddings q JOIN deq d
+         |    ON q.vec_id < 8 AND q.vec_id <> d.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("d.dv", "d.dv")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe SQ-IVF ≡ flat SQ over the zero-norm-filtered corpus:
+    // identical dequant arithmetic, plus the routing step's original-
+    // norm filter (zero vectors are never assigned to a list)
+    "q_x_ann_sq_ivf" ->
+      s"""WITH rngcols AS (
+         |  SELECT i AS pos, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings
+         |  CROSS JOIN unnest(range(1, len(embedding) + 1)) t(i)
+         |  GROUP BY i),
+         |rng AS (SELECT list(mn ORDER BY pos) AS mins,
+         |               list(mx ORDER BY pos) AS maxs FROM rngcols),
+         |deq AS (
+         |  SELECT c.vec_id, list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CASE WHEN r.maxs[i] > r.mins[i]
+         |      THEN r.mins[i] + floor((CAST(c.embedding[i] AS DOUBLE)
+         |             - r.mins[i]) / (r.maxs[i] - r.mins[i]) * 255.0 + 0.5)
+         |           * (r.maxs[i] - r.mins[i]) / 255.0
+         |      ELSE r.mins[i] END) AS dv
+         |  FROM embeddings c CROSS JOIN rng r
+         |  WHERE sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
          |scored AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          |    ${sqlDot("q.embedding", "d.dv")}

@@ -486,6 +486,55 @@ object Similarity {
     * approximate; recall floors are pinned in the spec. Deterministic:
     * ties break on neighbor id, zero-norm rows (either side) excluded.
     */
+  /** SQ8 × IVF — the composed 100 TB serve path: the inverted lists
+    * hold 8-bit CODES (a quarter of the float memory), queries stay
+    * full precision, and each query scores only its `nprobe` lists'
+    * dequantized entries through the same equi-join-on-list_id plan as
+    * [[ivfTopKWithIndex]]. Routing (corpus→list, query→probes) runs on
+    * the FULL-PRECISION vectors against the k-means centroids — codes
+    * only replace the stored list payload, exactly FAISS's
+    * `IVF<n>,SQ8` split. With `nprobe = numLists` every list is probed
+    * and the result is EXACTLY [[sqTopK]] over the zero-norm-filtered
+    * corpus (pinned by the oracle): ranking comes purely from the
+    * dequantized cosine, wherever the centroids sit.
+    */
+  def sqIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numLists: Int, nprobe: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                kmeansIters: Int = 2): DataFrame = {
+    require(nprobe > 0, "need nprobe > 0")
+    val index = buildIvfIndex(corpus, numLists, idCol, vecCol, kmeansIters)
+    val ranges = sqTrain(corpus, vecCol)
+    val codes = sqEncode(corpus, ranges, idCol, vecCol)
+    // full-precision routing; the stored payload is the code array
+    val lists = assignToLists(corpus, index, idCol, vecCol)
+      .select(col(idCol), col("list_id"))
+      .join(codes, Seq(idCol))
+      .crossJoin(broadcast(ranges))
+      .select(col(idCol).as("c_id"), col("list_id"),
+        sqDequantize(col("codes"), col("mins"), col("maxs")).as("dv"))
+      .withColumn("c_n", sqrt(dotHof(col("dv"), col("dv"))))
+      .filter(col("c_n") > 0)
+    val qNorm = queries.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    val qScored = qNorm.crossJoin(broadcast(index))
+      .withColumn("__cs",
+        dot(col(vecCol), col("centroid")) / (col("__n") * col("cent_n")))
+    val probes = graft.ops.Windows.topKPerGroup(qScored, Seq(col(idCol)),
+        Seq(col("__cs").desc, col("list_id").asc), nprobe, rankCol = "__qr")
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        col("__n").as("q_n"), col("list_id"))
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        (dotHof(col("q_v"), col("dv")) / (col("q_n") * col("c_n")))
+          .as("cos"))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   def sqTopK(codes: DataFrame, ranges: DataFrame, queries: DataFrame,
              k: Int, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {

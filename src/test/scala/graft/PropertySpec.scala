@@ -165,6 +165,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span dedup equals an in-memory reference model on random colliding corpora") {
+    val k = 3
+    // tiny alphabet → plenty of cross-doc and within-doc window
+    // collisions at length-3 windows
+    val docGen = Gen.listOf(Gen.chooseNum(0, 4).map(i => s"w$i")).map(_.take(24))
+    val corpusGen = Gen.listOfN(6, docGen)
+    for (docs0 <- samples(corpusGen, 4)) {
+      val s = spark
+      import s.implicits._
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      // reference: global (doc, pos) first-wins over sliding k-windows,
+      // coverage union, islands
+      val occs = for {
+        (ws, i) <- docs0.zipWithIndex
+        p <- 0 to ws.length - k
+      } yield (ws.slice(p, p + k).mkString(" "), i.toLong, p)
+      val first = occs.groupBy(_._1).map { case (w, os) =>
+        w -> os.minBy(o => (o._2, o._3)) }
+      val covered: Map[Long, Set[Int]] = occs.filterNot(o => first(o._1) == o)
+        .groupBy(_._2)
+        .map { case (d, os) => d -> os.flatMap(o => o._3 until o._3 + k).toSet }
+        .withDefaultValue(Set.empty)
+      val expected = docs0.zipWithIndex.map { case (ws, i) =>
+        val cov = covered(i.toLong).toSeq.sorted
+        // sentinel -2: a covered position 0 still OPENS an island (-1
+        // would read as its predecessor and swallow the first break)
+        val spans = cov.zip(-2 +: cov).count { case (c, prev) => c != prev + 1 }
+        val stripped = ws.zipWithIndex
+          .collect { case (w, p) if !covered(i.toLong)(p) => w }.mkString(" ")
+        (i.toLong, ws.length, cov.size, spans, stripped)
+      }.sortBy(_._1)
+      val got = graft.dedup.SpanDedup
+        .stripDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4))).toSeq
+      assert(got === expected)
+    }
+  }
+
   test("stateful sessionizer equals batch session_window on random multi-batch streams") {
     import graft.streaming.StreamingWindows
     import graft.streaming.StreamingWindows.SessionEvent

@@ -70,6 +70,26 @@ class SqAnnSpec extends SparkSpec {
     assert(hits >= 45, s"recall@5 = $hits/50") // 8-bit error is tiny
   }
 
+  test("SQ x IVF at full probe equals flat SQ exactly; low probe keeps recall") {
+    val corpus = df(vecs(150, 12, seed = 11))
+    val queries = corpus.filter(col("vec_id") < 8)
+    val ranges = Similarity.sqTrain(corpus)
+    val codes = Similarity.sqEncode(corpus, ranges)
+    val flat = Similarity.sqTopK(codes, ranges, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = Similarity.sqIvfTopK(corpus, queries, k = 5,
+      numLists = 6, nprobe = 6).orderBy("query_id", "rank").collect().toSeq
+    assert(full === flat)
+    val low = Similarity.sqIvfTopK(corpus, queries, k = 5,
+        numLists = 6, nprobe = 3)
+      .select("query_id", "neighbor_id")
+    val truth = Similarity.sqTopK(codes, ranges, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = low.join(truth, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    assert(hits >= 24, s"recall@5 at nprobe=3/6 = $hits/40")
+  }
+
   test("zero-norm corpus rows and queries are excluded") {
     val corpus = df(vecs(20, 4, seed = 3) :+
       SqVec(99L, Array(0f, 0f, 0f, 0f)))
