@@ -899,6 +899,38 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // CUBE: all four grouping sets of (returnflag, linestatus) in one
+    // pass (Spark's Expand), the rollup's full-lattice sibling
+    "q_x_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.moneySum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Efraimidis–Spirakis weighted sampling: 100 docs ∝ n_chars under
+    // the md5 exponential race — the oracle replays the exact key
+    // arithmetic, so selection (not just shape) is pinned
+    "q_x_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", n = 100,
+          hash = (salt, id) =>
+            TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .orderBy("doc_id")),
+
+    // blocked edit-distance join: q-gram inverted index + length
+    // buckets for short strings, refined by levenshtein — the oracle
+    // is the BRUTE-FORCE cartesian semantics, so the hash proves the
+    // blocking is complete, not just self-consistent
+    "q_x_fuzzy_join" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+          t(s, dir, "part").select("p_partkey", "p_name"),
+          "p_partkey", "p_name", maxDist = 3)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")),
+
     "q_x_pivot" -> ((s, dir) => {
       val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
       t(s, dir, "orders")
@@ -2213,6 +2245,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_x_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // same exponential-race key arithmetic as Sampling.weightedSample
+    // under the md5 hash: u = (h % 1e6 + 0.5)/1e6, key = -ln(u)/w,
+    // 100 smallest keys win (ties on doc_id)
+    "q_x_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    -ln(((${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")}
+         |      % 1000000) + 0.5) / 1000000)
+         |      / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents WHERE n_chars > 0
+         |  ORDER BY k, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
+
+    // brute-force cartesian semantics — the completeness gate for the
+    // blocked plan
+    "q_x_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_x_pivot" ->
       """SELECT o_orderstatus,

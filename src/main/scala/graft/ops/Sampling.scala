@@ -133,6 +133,59 @@ object Sampling {
     df.withColumn(outCol, label)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws the deterministic uniform
+    * `u = (hash_bucket + 0.5) / buckets ∈ (0,1)` from its id, and the
+    * `n` rows with the SMALLEST `key = -ln(u) / weight` win — an
+    * exponential race where rate = weight, so inclusion odds are
+    * proportional to weight (the classic k-item weighted reservoir
+    * semantics), yet fully reproducible across runs, retries,
+    * partitionings, and engines. The top-n is Spark's
+    * TakeOrderedAndProject (per-partition heads, driver merges n
+    * rows) — never a one-partition window, so it holds at any corpus
+    * size as long as `n` fits on the driver. This is the
+    * quality-weighted selection step of a data recipe ("sample 10M
+    * docs ∝ quality score") as a one-pass deterministic operator.
+    *
+    * Rows with non-positive weight are excluded (their inclusion odds
+    * are zero in the limit; excluding beats emitting NaN keys). Ties
+    * (astronomically unlikely on real weights) break on id ascending.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, salt: String = "graft",
+                     hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (pmod(hash(lit(salt), col(idCol)), lit(Buckets)).cast("double")
+      + 0.5) / Buckets
+    val kc = graft.util.Cols.fresh(df, "__esk")
+    Windows.globalTopK(
+        df.filter(col(weightCol) > 0)
+          .withColumn(kc, -log(u) / col(weightCol).cast("double")),
+        Seq(col(kc).asc, col(idCol).asc), n)
+      .drop(kc)
+  }
+
+  /** Per-group weighted sample: at most `k` rows per group under the
+    * same exponential-race key — one shuffle by the group keys (the
+    * [[perGroupSample]] shape, weights added).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String, k: Int,
+                             salt: String = "graft",
+                             hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (pmod(hash(lit(salt), col(idCol)), lit(Buckets)).cast("double")
+      + 0.5) / Buckets
+    val kc = graft.util.Cols.fresh(df, "__esk")
+    val rk = graft.util.Cols.fresh(df, "__rk")
+    Windows.topKPerGroup(
+        df.filter(col(weightCol) > 0)
+          .withColumn(kc, -log(u) / col(weightCol).cast("double")),
+        groupCols.map(col), Seq(col(kc).asc, col(idCol).asc), k,
+        rankCol = rk)
+      .drop(kc, rk)
+  }
+
   /** Stratified fractions per group: `fractions` maps group value (of a
     * single stratum column) to its keep-fraction; groups not in the map
     * keep `defaultFraction`. Decision is per-id hash as in
