@@ -80,7 +80,7 @@ object ScaleBench {
     * silently wrong in ways that read as operator regressions.
     * "v3" = token-level text salt + embedding sign-mask decorrelation.
     */
-  val SynthesisVersion = "v3"
+  val SynthesisVersion = "v4"
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -205,7 +205,17 @@ object ScaleBench {
     write("nation", rd("nation"))
     write("customer", scaled("customer", Map("c_custkey" -> cSpan)))
     write("supplier", scaled("supplier", Map("s_suppkey" -> sSpan)))
-    write("part", scaled("part", Map("p_partkey" -> pSpan)))
+    // per-copy name tag with pairwise edit distance 4 (" iiii"; copy 0
+    // untagged): without it every p_name exists verbatim in all copies
+    // and the edit-distance join's pair count grows copies² BY
+    // SEMANTICS (the fuzzy-join analog of the text/embedding cliques
+    // fixed below). A shared suffix leaves WITHIN-copy Levenshtein
+    // distances exactly unchanged, so the ladder measures the engine.
+    write("part", scaled("part", Map("p_partkey" -> pSpan),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("p_name",
+          concat(col("p_name"), lit(" " + i.toString * 4)))))
     write("orders", scaled("orders",
       Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)))
     write("lineitem", scaled("lineitem",

@@ -1479,6 +1479,13 @@ object SparkEntry {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("wstart", "event_type")),
 
+    // fixed-step resample + forward fill: one row per user per hour of
+    // the user's active span; empty hours carry the last value forward
+    "q_x_resample" -> ((s, dir) =>
+      EventWindows.resampleFfill(t(s, dir, "events"), "ts", 3600L,
+          Seq("user_id"), "value", "event_id")
+        .orderBy("user_id", "bucket")),
+
     "q_x_events_sliding" -> ((s, dir) =>
       EventWindows.sliding(t(s, dir, "events"), "ts", "10 minutes", "5 minutes",
           Seq("event_type"),
@@ -3297,6 +3304,33 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+
+    // Mirrors resampleFfill(step=3600): same floor-epoch bucketing,
+    // same (ts, event_id)-desc per-bucket election, same per-key grid
+    // and IGNORE NULLS forward fill
+    "q_x_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+        |    ts, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |obs AS (SELECT user_id, b, n, v FROM (
+        |  SELECT user_id, b, v,
+        |    COUNT(*) OVER (PARTITION BY user_id, b) AS n,
+        |    row_number() OVER (PARTITION BY user_id, b
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+        |         FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, lo + i AS b FROM span
+        |         CROSS JOIN unnest(range(0, hi - lo + 1)) t(i)),
+        |j AS (SELECT g.user_id, g.b, coalesce(o.n, 0) AS n_events, o.v
+        |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id
+        |        AND g.b = o.b)
+        |SELECT user_id, b AS bucket, CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_ffill
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "q_x_events_sliding" ->
       """WITH w AS (

@@ -48,6 +48,61 @@ object EventWindows {
     flattenWindow(g, "session_window")
   }
 
+  /** Fixed-step resample with FORWARD FILL — the time-series
+    * "regularize" step (pandas `resample().ffill()`, Flink's gap
+    * filling) as a distributed plan: per key, one output row per
+    * `stepSeconds` bucket between that key's FIRST and LAST event;
+    * buckets with no events carry the last observed value forward and
+    * report `n_events = 0`. The per-bucket representative is the
+    * latest event by (`tsCol`, `tieCol`) — fully deterministic under
+    * timestamp ties.
+    *
+    * Scale shape: bucketing is a narrow epoch computation; the
+    * per-bucket election and the span aggregation shuffle ONCE each on
+    * the keys; the grid explode materializes span/step rows per key
+    * (data-proportional for event streams whose span grows with data —
+    * a single key idle for years inflates its own grid only); the fill
+    * is a per-key ordered window (one more shuffle by key, state = one
+    * row). No global sort, no driver loop.
+    *
+    * Output: keys..., `bucket` (epoch seconds / stepSeconds, long),
+    * `n_events` (long), `value_ffill` (double; null only if the key's
+    * FIRST bucket value itself was null).
+    */
+  def resampleFfill(df: DataFrame, tsCol: String, stepSeconds: Long,
+                    keys: Seq[String], valueCol: String,
+                    tieCol: String): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    require(keys.nonEmpty, "need at least one key column")
+    val b = expr(s"unix_timestamp($tsCol) div $stepSeconds")
+    val e = df.select((keys.map(col) :+ b.as("bucket") :+
+      col(tsCol).as("__ts") :+ col(tieCol).as("__tie") :+
+      col(valueCol).cast("double").as("__v")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "bucket").map(col): _*)
+      .orderBy(col("__ts").desc, col("__tie").desc)
+    val obs = e
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((keys :+ "bucket").map(col): _*)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col("bucket") :+ col("__n") :+
+        col("__v")): _*)
+    val grid = e.groupBy(keys.map(col): _*)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select((keys.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket")): _*)
+    val fill = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(obs, keys :+ "bucket", "left")
+      .select((keys.map(col) :+ col("bucket") :+
+        coalesce(col("__n"), lit(0L)).as("n_events") :+
+        last(col("__v"), ignoreNulls = true).over(fill)
+          .as("value_ffill")): _*)
+  }
+
   /** Replace the window struct with flat wstart/wend columns (stable,
     * oracle-friendly output schema). Shared with the streaming lifts —
     * one implementation of the flattening, not two drifting copies.
