@@ -985,6 +985,17 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .orderBy("doc_id")),
 
+    // corpus drift monitor: smoothed unigram divergence (TV/Hellinger/
+    // chi2 — the transcendental-free measures, so the fold is IEEE-
+    // deterministic) between the en and de sub-corpora over a bounded
+    // shared vocab; the oracle replays the exact sorted-order fold
+    "q_x_corpus_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.CorpusDivergence.divergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text", topK = 256)
+    }),
+
     // span-level exact dedup at ARBITRARY alignment (Lee et al.'s
     // substring dedup as a sliding-fingerprint plan): duplicated
     // >=8-token spans are stripped wherever they start, not just on
@@ -2684,6 +2695,55 @@ object SparkEntry {
          |  coalesce(g.n_kept, 0) AS n_kept,
          |  coalesce(g.text_dedup, '') AS text_dedup
          |FROM c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    // Mirrors CorpusDivergence.divergence(topK=256): same union-count
+    // vocab election, same <oov> pool, same token-sorted single-array
+    // fold with identical IEEE expression shapes (divide/subtract/
+    // sqrt only — no transcendentals)
+    "q_x_corpus_divergence" ->
+      s"""WITH tp AS (SELECT unnest($sqlToks) AS token FROM documents
+         |            WHERE lang = 'en'),
+         |tq AS (SELECT unnest($sqlToks) AS token FROM documents
+         |       WHERE lang = 'de'),
+         |cpc AS (SELECT token, COUNT(*) AS c FROM tp GROUP BY 1),
+         |cqc AS (SELECT token, COUNT(*) AS c FROM tq GROUP BY 1),
+         |u AS (SELECT coalesce(cpc.token, cqc.token) AS token,
+         |        coalesce(cpc.c, 0) + coalesce(cqc.c, 0) AS ct,
+         |        coalesce(cpc.c, 0) AS cp, coalesce(cqc.c, 0) AS cq
+         |      FROM cpc FULL OUTER JOIN cqc ON cpc.token = cqc.token),
+         |v AS (SELECT token, cp, cq FROM u
+         |      ORDER BY ct DESC, token LIMIT 256),
+         |oov AS (SELECT '<oov>' AS token,
+         |        coalesce(SUM(cp), 0) AS cp, coalesce(SUM(cq), 0) AS cq
+         |        FROM u ANTI JOIN v USING (token)),
+         |allv AS (SELECT * FROM v UNION ALL SELECT * FROM oov),
+         |arr AS (SELECT list(struct_pack(token := token, cp := cp,
+         |          cq := cq) ORDER BY token) AS a FROM allv),
+         |tot AS (SELECT a, CAST(len(a) AS BIGINT) AS vocab_size,
+         |  CAST(list_aggregate(list_transform(a, s -> s.cp), 'sum')
+         |    AS BIGINT) AS np,
+         |  CAST(list_aggregate(list_transform(a, s -> s.cq), 'sum')
+         |    AS BIGINT) AS nq FROM arr)
+         |SELECT vocab_size, np AS n_tokens_p, nq AS n_tokens_q,
+         |  list_aggregate(list_transform(a, s ->
+         |    abs(CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE)
+         |      - CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE))
+         |    ), 'sum') * 0.5 AS tv,
+         |  sqrt(list_aggregate(list_transform(a, s ->
+         |    (sqrt(CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE))
+         |     - sqrt(CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE)))
+         |    * (sqrt(CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE))
+         |     - sqrt(CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE)))
+         |    ), 'sum') * 0.5) AS hellinger,
+         |  list_aggregate(list_transform(a, s ->
+         |    (CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE)
+         |     - CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE))
+         |    * (CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE)
+         |     - CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE))
+         |    / (CAST(s.cp + 1 AS DOUBLE) / CAST(np + vocab_size AS DOUBLE)
+         |     + CAST(s.cq + 1 AS DOUBLE) / CAST(nq + vocab_size AS DOUBLE))
+         |    ), 'sum') AS chi2
+         |FROM tot""".stripMargin,
 
     // Mirrors SpanDedup.stripDuplicatedSpans(k=8): same sliding md5
     // windows, same (doc_id, pos) first-wins election, same distinct
