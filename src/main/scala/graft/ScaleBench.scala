@@ -80,7 +80,7 @@ object ScaleBench {
     * silently wrong in ways that read as operator regressions.
     * "v3" = token-level text salt + embedding sign-mask decorrelation.
     */
-  val SynthesisVersion = "v4"
+  val SynthesisVersion = "v5"
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -246,11 +246,19 @@ object ScaleBench {
     // innocent). Token-level salting zeroes cross-copy shingle overlap,
     // so near-dup pair counts scale linearly and the ladder measures
     // the ENGINE again. n_chars is recomputed to stay consistent.
+    // The tag is a PREFIX ("q3zstream"), not a suffix ("streamzq3"):
+    // a suffix leaves every token's FIRST 8+ chars identical across
+    // copies, so the edit-distance join's segment keys collided
+    // copies-wide (first-segment Σdf² read ×287 at 10 copies — the
+    // round-10 fuzzy ladder measured that, 13.5x) while the refine
+    // rejected every such pair. A prefix makes cross-copy keys differ
+    // from character 2 on; within-copy prefix-cluster density (the
+    // real workload) is preserved.
     write("documents", scaled("documents", Map("doc_id" -> dSpan),
       (d, i) =>
         if (i == 0) d
         else d.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", s"$$1zq$i"))
+            regexp_replace(col("text"), "(\\S+)", s"q${i}z$$1"))
           .withColumn("n_chars", length(col("text")))))
   }
 }

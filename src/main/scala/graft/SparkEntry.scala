@@ -920,14 +920,18 @@ object SparkEntry {
             TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
         .orderBy("doc_id")),
 
-    // blocked edit-distance join: q-gram inverted index + length
+    // blocked edit-distance join: rarity-prefix q-gram index + length
     // buckets for short strings, refined by levenshtein — the oracle
     // is the BRUTE-FORCE cartesian semantics, so the hash proves the
-    // blocking is complete, not just self-consistent
+    // blocking is complete, not just self-consistent. Document title
+    // prefixes, not p_name/c_name: those columns have a 64-value pool
+    // (every qualifying join on them is a clique — output quadratic BY
+    // DATA) resp. verbatim cross-copy duplicates in the ladder corpus
     "q_x_fuzzy_join" -> ((s, dir) =>
       graft.ops.FuzzyJoin.editDistancePairs(
-          t(s, dir, "part").select("p_partkey", "p_name"),
-          "p_partkey", "p_name", maxDist = 3)
+          t(s, dir, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 24).as("head")),
+          "doc_id", "head", maxDist = 2)
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")),
 
@@ -2288,10 +2292,12 @@ object SparkEntry {
     // brute-force cartesian semantics — the completeness gate for the
     // blocked plan
     "q_x_fuzzy_join" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS head
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_x_pivot" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance (Levenshtein) similarity join WITHOUT the cartesian
@@ -8,30 +8,38 @@ import org.apache.spark.sql.functions._
   * the entity-resolution primitive of a dedup pipeline: "these two
   * titles/names are the same thing up to d typos").
   *
-  * Scale shape — the inverted-index pattern the Jaccard dedup uses,
-  * with a COMPLETENESS proof instead of a similarity threshold:
-  *  1. each string explodes to its distinct positional q-grams (narrow,
-  *     data-proportional);
-  *  2. candidate pairs are an EQUI-JOIN on shared q-gram — never n²;
-  *  3. pairs refine with `levenshtein(a, b) <= maxDist` (codegen'd).
+  * Plan — the PassJoin segment scheme (Li, Deng, Feng 2011), as a pure
+  * equi-join pipeline:
+  *  1. every string of length l >= d+1 is partitioned into d+1
+  *     contiguous SEGMENTS (deterministic even-split scheme) and
+  *     indexes the d+1 keys `(l, segment#, segment text)`;
+  *  2. every string probes with each substring that could equal a
+  *     segment of a matching partner: for each candidate partner
+  *     length l' within ±d of its own, the scheme of l' gives each
+  *     segment's length and position, and the probe emits that-length
+  *     substrings starting within ±d of that position — a constant
+  *     ~(2d+1)·(d+1)·(2d+1) keys per string;
+  *  3. candidates are the index×probe EQUI-JOIN on the key, normalized
+  *     distinct pairs refine with `levenshtein <= maxDist` (codegen).
   *
-  * Count-filter completeness: one edit touches at most `q` of a
-  * string's `|s| - q + 1` q-grams, so `ed(s,t) <= d` implies s and t
-  * share at least `max(|s|,|t|) - q + 1 - q·d` q-grams — at least ONE
-  * whenever `max(|s|,|t|) >= q·(d+1)`. Pairs where BOTH strings are
-  * shorter than `q·(d+1)` may share no q-gram at distance <= d, so
-  * short strings ALSO emit length-bucket block keys `#L<len-d..len+d>`
-  * — two short strings within d length of each other always meet on a
-  * bucket (tiny fan-out: 2d+1 extra keys on rare short rows). Net: the
-  * candidate set provably contains every qualifying pair; the refine
-  * step makes the result EXACTLY the cartesian semantics, which is how
-  * the oracle checks it (brute-force DuckDB join ≡ this plan).
+  * Completeness (PassJoin Lemma 1): d edits cannot touch all d+1
+  * segments, and the untouched segment appears in the partner verbatim
+  * with its start shifted by at most d — exactly the probe window. A
+  * pair where EITHER side has length >= d+1 is caught through that
+  * side's index (the shorter side's probe includes the longer length);
+  * pairs where BOTH sides are shorter than d+1 block on shared
+  * `#L<len-d..len+d>` length buckets instead. The refine step then
+  * makes the result EXACTLY the cartesian semantics — which is how the
+  * oracle checks it (brute-force DuckDB join ≡ this plan).
   *
-  * Skew: a q-gram shared by f strings contributes f² candidate pairs —
-  * the same Σdf² profile as the shingle index; for corpora with a
-  * pathological hot gram, cap or salt as in
-  * [[graft.dedup.Dedup.jaccardPairsCapped]] (completeness then degrades
-  * to the capped contract).
+  * Why segments and not q-grams: gram blocking's candidate volume is
+  * Σ_g df_idx(g)·df_all(g), which is QUADRATIC in corpus size for
+  * short strings over a saturated gram space (measured: a rarity-
+  * prefix 2-gram variant of this operator read 13.6× at 10× data on
+  * 24-char document heads — every "rare" gram's df still scaled with
+  * n). Segments are ~l/(d+1) chars of EXACT match — long enough that
+  * a key's frequency tracks actual near-duplicate density, so
+  * candidates grow with the true result size, not with n².
   */
 object FuzzyJoin {
 
@@ -39,30 +47,74 @@ object FuzzyJoin {
     * and `levenshtein <= maxDist` within one table.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int = 2): DataFrame = {
+                        maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    require(q >= 1, "q must be >= 1")
-    val c = col(strCol)
-    val grams = array_distinct(
-      transform(sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
-        i => c.substr(i, lit(q))))
-    val lenKeys =
-      when(length(c) < q * (maxDist + 1),
-        transform(
-          sequence(greatest(length(c) - maxDist, lit(0)),
-            length(c) + maxDist),
-          l => concat(lit("#L"), l)))
-        .otherwise(array().cast("array<string>"))
-    val idx = df
-      .select(col(idCol).as("__id"), c.as("__s"),
-        explode(concat(grams, lenKeys)).as("__block"))
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.__block") === col("b.__block") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__s").as("str_a"), col("b.__s").as("str_b"))
+    val d = maxDist
+    val k = d + 1
+
+    // the even-split scheme of a source length l: per segment
+    // (i, len, start): first k - (l mod k) segments get floor(l/k)
+    // chars, the rest one more; starts are the running sum
+    def scheme(l: Column): Column =
+      transform(sequence(lit(0), lit(k - 1)), i => {
+        val rem = pmod(l, lit(k))
+        val b = ((l - rem) / lit(k)).cast("int")
+        struct(i.cast("int").as("i"),
+          (b + when(i >= lit(k) - rem, 1).otherwise(0)).cast("int")
+            .as("len"),
+          (i * b + greatest(i - (lit(k) - rem), lit(0))).cast("int")
+            .as("p"))
+      })
+
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__l"))
+
+    val bucketKeys = transform(
+      sequence(greatest(col("__l") - d, lit(0)), col("__l") + d),
+      b => concat(lit("#L"), b))
+
+    val idxKeys =
+      when(col("__l") >= k,
+        transform(scheme(col("__l")), s =>
+          concat_ws("|", lit("S"), col("__l"), s.getField("i"),
+            col("__s").substr(s.getField("p") + 1, s.getField("len")))))
+        .otherwise(bucketKeys)
+
+    val emptyArr = array().cast("array<string>")
+    val probeKeys = flatten(transform(
+      sequence(col("__l") - d, col("__l") + d), lp =>
+        when(lp >= k, flatten(transform(scheme(lp), s => {
+          val aLo = greatest(s.getField("p") - d, lit(0))
+          val aHi = least(s.getField("p") + d,
+            col("__l") - s.getField("len"))
+          when(aHi >= aLo,
+            transform(sequence(aLo, aHi), a =>
+              concat_ws("|", lit("S"), lp, s.getField("i"),
+                col("__s").substr(a + 1, s.getField("len")))))
+            .otherwise(emptyArr)
+        }))).otherwise(emptyArr)))
+    val probeAll = concat(probeKeys,
+      when(col("__l") < k, bucketKeys).otherwise(emptyArr))
+
+    val idx = base.select(col("__id"), col("__s"),
+      explode(array_distinct(idxKeys)).as("__key"))
+    val probe = base.select(col("__id"), col("__s"),
+      explode(array_distinct(probeAll)).as("__key"))
+    // shuffle_hash: both sides want the same hashpartitioning(__key)
+    // exchange; a broadcast cannot hold a corpus-sized index
+    val cand = idx.as("a")
+      .join(probe.hint("shuffle_hash").as("b"),
+        col("a.__key") === col("b.__key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(
+        least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"),
+        when(col("a.__id") < col("b.__id"), col("a.__s"))
+          .otherwise(col("b.__s")).as("str_a"),
+        when(col("a.__id") < col("b.__id"), col("b.__s"))
+          .otherwise(col("a.__s")).as("str_b"))
       .distinct()
-    pairs
+    cand
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= maxDist)
   }

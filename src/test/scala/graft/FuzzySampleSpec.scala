@@ -34,7 +34,7 @@ class FuzzySampleSpec extends SparkSpec {
   }
 
   test("blocked join equals brute force on random strings (short strings included)") {
-    for (seed <- Seq(1L, 2L, 3L); maxDist <- Seq(1, 2)) {
+    for (seed <- Seq(1L, 2L, 3L); maxDist <- Seq(0, 1, 2)) {
       val rows = randomStrings(40, seed)
       val expected = (for {
         a <- rows; b <- rows if a.id < b.id
