@@ -86,32 +86,45 @@ object SpanDedup {
         explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__tp"))
       .distinct()
 
-    // maximal spans = islands of consecutive covered positions
+    // maximal spans = islands of consecutive covered positions,
+    // materialized as ONE sorted (start, end) array per doc — the
+    // per-doc state all three outputs derive from. Reassembly then
+    // SLICES the original token array between islands (narrow HOFs on
+    // the base row) instead of re-exploding every token into an
+    // (id, pos)-keyed anti-join — the tokens-wide shuffle this saves
+    // was the operator's single most expensive stage.
     val byDoc = Window.partitionBy(idCol).orderBy(col("__tp").asc)
-    val spanStats = covered
+    val islands = covered
       .withColumn("__brk",
         when(col("__tp") - lag(col("__tp"), 1).over(byDoc) === 1, 0)
           .otherwise(1))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__tp")).as("s"), max(col("__tp")).as("e"))
       .groupBy(idCol)
-      .agg(count(lit(1)).cast("int").as("n_dup_tokens"),
-        sum(col("__brk")).cast("int").as("n_spans"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
 
-    // reassembly: surviving tokens in position order (ChunkDedup shape)
-    val tokPos = base
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__tp", "__tok")))
-    val kept = tokPos
-      .join(covered, Seq(idCol, "__tp"), "left_anti")
-      .groupBy(idCol)
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__tp"), col("__tok")))),
-        s => s.getField("__tok"))).as("text_stripped"))
-
-    base.select(col(idCol), col("n_tokens"))
-      .join(spanStats, Seq(idCol), "left")
-      .join(kept, Seq(idCol), "left")
+    base.join(islands, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"),
-        coalesce(col("n_spans"), lit(0)).as("n_spans"),
-        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+        coalesce(aggregate(col("__spans"), lit(0),
+          (a, sp) => a + (sp.getField("e") - sp.getField("s") + 1)), lit(0))
+          .cast("int").as("n_dup_tokens"),
+        coalesce(size(col("__spans")), lit(0)).as("n_spans"),
+        when(col("__spans").isNull, concat_ws(" ", col("__toks")))
+          .otherwise {
+            // kept ranges are the complement of the islands: gap i runs
+            // from (end of island i-1) + 1 to (start of island i) - 1,
+            // plus the tail after the last island
+            val starts = concat(array(lit(0)),
+              transform(col("__spans"), sp => sp.getField("e") + 1))
+            val ends = concat(
+              transform(col("__spans"), sp => sp.getField("s")),
+              array(col("n_tokens")))
+            concat_ws(" ", flatten(zip_with(starts, ends,
+              (a, b) => when(b > a, slice(col("__toks"), a + 1, b - a))
+                .otherwise(array().cast("array<string>")))))
+          }.as("text_stripped"))
   }
 }
