@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggregations, Casting, Joins, Packing, Projections, Sampling, Sources, Windows}
+import graft.ops.{Aggregations, Casting, Harmonize, Joins, Packing, Prefix, Profile, Projections, Sampling, Sources, Windows}
 import graft.ann.Similarity
 import graft.dedup.Dedup
 import graft.events.EventWindows
@@ -948,6 +948,38 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // equal-frequency deciles by document length over the GLOBAL order
+    // — the distributed-prefix NTILE, never an all-to-one window; the
+    // oracle is the engine NTILE itself, so the integer boundary
+    // arithmetic is pinned exactly
+    "q_x_ntile" -> ((s, dir) =>
+      Prefix.ntile(t(s, dir, "documents").select("doc_id", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 10, "decile")
+        .orderBy("doc_id")),
+
+    // fixed-width histogram of document lengths: 8 data-bounded bins,
+    // empty bins materialized — bucket arithmetic is pure IEEE
+    // add/mul/div so bounds AND counts hash-match across engines
+    "q_x_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "documents"), "n_chars", 8)
+        .orderBy("bin")),
+
+    // schema-harmonizing union: two batches with DIFFERENT column sets
+    // (one lacks priority, one lacks price) merged by name with
+    // provenance, then audited — the null-fill is observable in the
+    // per-source non-null counts
+    "q_x_harmonize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Harmonize.unionWithSource(Seq(
+          "even" -> o.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority"),
+          "odd" -> o.filter(col("o_orderkey") % 2 === 1).drop("o_totalprice")))
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          count(col("o_orderpriority")).as("n_priority"))
+        .orderBy("src", "o_orderstatus")
+    }),
+
     // ---- scalar functions (F1-F11)
     "q_f1_dates" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1058,6 +1090,18 @@ object SparkEntry {
           Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
             n = 3, minJ = 0.2))
         .orderBy("id")),
+
+    // score-based canonical election over the near-dup clusters: keep
+    // the LONGEST copy per component (ties → min id), singletons
+    // always survive — one row per doc with the keep/drop verdict, the
+    // audit log of "which duplicate did we retain and why"
+    "q_x_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.electCanonical(docs, "doc_id", "n_chars",
+          Dedup.connectedComponents(
+            Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.2)))
+        .orderBy("doc_id")
+    }),
 
     // decontamination: every 10th doc plays the benchmark set; flag
     // corpus docs containing >= 40% of an eval doc's shingles
@@ -2300,6 +2344,43 @@ object SparkEntry {
         |WHERE levenshtein(a.head, b.head) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_x_ntile" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id ASC)
+        |       AS INTEGER) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_histogram" ->
+      """WITH b AS (SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+        |                  CAST(MAX(n_chars) AS DOUBLE) AS hi
+        |           FROM documents),
+        |c AS (SELECT LEAST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - b.lo)
+        |                              / ((b.hi - b.lo) / 8)) AS INTEGER), 7) AS bin,
+        |             COUNT(*) AS cnt
+        |      FROM documents, b GROUP BY 1),
+        |g AS (SELECT CAST(UNNEST(range(8)) AS INTEGER) AS bin)
+        |SELECT g.bin,
+        |  b.lo + g.bin * ((b.hi - b.lo) / 8) AS bin_lo,
+        |  b.lo + (g.bin + 1) * ((b.hi - b.lo) / 8) AS bin_hi,
+        |  COALESCE(c.cnt, 0) AS cnt
+        |FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
+        |ORDER BY g.bin""".stripMargin,
+
+    "q_x_harmonize" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, 'even' AS src
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+        |         o_orderpriority, 'odd' AS src
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT src, o_orderstatus, COUNT(*) AS n,
+        |  COUNT(o_totalprice) AS n_price,
+        |  COUNT(o_orderpriority) AS n_priority
+        |FROM u GROUP BY src, o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin,
+
     "q_x_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
@@ -2889,6 +2970,33 @@ object SparkEntry {
          |  UNION
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_x_canonical" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |idx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+         |        FROM d WHERE len(toks) >= 3),
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |lab AS (SELECT doc_id, COALESCE(c.comp, doc_id) AS comp, n_chars
+         |        FROM documents LEFT JOIN comps c ON c.id = doc_id)
+         |SELECT doc_id, comp,
+         |  (ROW_NUMBER() OVER (PARTITION BY comp
+         |     ORDER BY n_chars DESC, doc_id ASC) = 1) AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_x_minhash_candidates" ->
       s"""WITH $sqlMinhashSig,

@@ -406,6 +406,34 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Score-based canonical election: one row per input doc with its
+    * near-dup component and a `keep` verdict — the standard "which
+    * duplicate do we retain" step (keep the longest / highest-quality
+    * copy, not an arbitrary one). `clusters` is a `(id, comp)` labeling
+    * (e.g. [[connectedComponents]] over near-dup pairs); docs absent
+    * from it are singletons — their component is their own id and they
+    * always survive. Within a component the winner is the max
+    * `scoreCol`, ties broken by min id, so the election is a total
+    * order and reproducible run-to-run.
+    *
+    * Scale shape: one equi-join on the id plus a window PARTITIONED by
+    * component — components are many and small (they are near-dup
+    * clusters), so no single task ever sees more than one cluster.
+    * Returns (idCol, comp, keep); filter `keep` to materialize the
+    * deduplicated corpus, or keep the full frame as the audit log of
+    * what was dropped and why.
+    */
+  def electCanonical(docs: DataFrame, idCol: String, scoreCol: String,
+                     clusters: DataFrame): DataFrame = {
+    val lab = docs.select(col(idCol), col(scoreCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    lab.withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("comp"), col("keep"))
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** 64-bit SimHash over whitespace tokens: bit b of the hash is 1 iff

@@ -104,6 +104,39 @@ object Prefix {
                       partitions: Int = 0): DataFrame =
     runningSum(df, orderCols, lit(1L), outCol, partitions)
 
+  /** SQL `NTILE(n)` over a GLOBAL total order without the all-to-one
+    * exchange the naive `ntile(n).over(Window.orderBy(...))` plans:
+    * the global rank comes from the distributed prefix sum above, and
+    * the bucket is then pure integer arithmetic on (rank, rowCount) —
+    * with N rows, q = N/n and r = N%n, the first r buckets hold q+1
+    * rows and the rest q (exactly the SQL semantics, so the result is
+    * hash-comparable to any engine's NTILE). Equal-frequency quantile
+    * binning — "quality quartiles", "size deciles" — at any scale.
+    * Same contract as [[runningSum]]: orderCols must be a total order.
+    */
+  def ntile(df: DataFrame, orderCols: Seq[Column], n: Int,
+            outCol: String = "bucket", partitions: Int = 0): DataFrame = {
+    require(n > 0, "ntile needs a positive bucket count")
+    val rn = graft.util.Cols.fresh(df, "__rn")
+    val ranked = globalRowNumber(df, orderCols, rn, partitions)
+    // one count job over the ranked (already checkpointed) slice — the
+    // bucket boundary needs the exact total, and N is the only global
+    // statistic the prefix pass doesn't already hand back
+    val total = ranked.count()
+    val q = total / n
+    val r = total % n
+    val bigRows = r * (q + 1) // rows covered by the (q+1)-sized buckets
+    // `div`, not `/`: Spark's numeric `/` is DOUBLE division, which
+    // would round ranks above 2^53 — integer floor-division keeps the
+    // boundary arithmetic exact at any row count
+    val qSafe = if (q == 0) 1L else q // q=0 ⇒ the big region covers all rows
+    val bucket =
+      when(col(rn) <= bigRows,
+          expr(s"((`$rn` - 1) div ${q + 1}) + 1"))
+        .otherwise(expr(s"$r + ((`$rn` - 1 - $bigRows) div $qSafe) + 1"))
+    ranked.withColumn(outCol, bucket.cast("int")).drop(rn)
+  }
+
   /** Greedy token-budget corpus selection: walk documents from best to
     * worst `scoreCol` (ties broken by `idCol` — the required total
     * order) and keep every document while the running token total stays

@@ -81,6 +81,48 @@ object Profile {
     * real estimator defect, not variance. The exact pass exists only
     * in this check; production profiling runs the approx plan alone.
     */
+  /** Fixed-width histogram of a numeric column: `bins` equal-width
+    * buckets over `[lo, hi]` (taken from a one-row min/max aggregate
+    * when `bounds` is not given), each returned with its bucket index,
+    * numeric range and count — empty buckets included, so the output
+    * is always exactly `bins` rows and plot-ready.
+    *
+    * Scale shape: one optional min/max pass + one groupBy on the bucket
+    * index (at most `bins` groups) left-joined from a `spark.range`
+    * bucket frame — the join is bins-rows-tiny on both sides, so it
+    * broadcasts; no sort, no window, no row blowup. All bucket
+    * arithmetic is plain IEEE add/mul/div on doubles (no
+    * transcendentals), so counts AND bucket bounds are bit-comparable
+    * across engines. Values equal to `hi` land in the last bucket
+    * (the standard closed-top convention); with explicit `bounds`,
+    * rows outside `[lo, hi]` and nulls are excluded from the counts.
+    */
+  def histogram(df: DataFrame, column: String, bins: Int,
+                bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(bins > 0, "histogram needs a positive bin count")
+    val x = col(column).cast("double")
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(x), max(x)).head()
+      require(!r.isNullAt(0),
+        s"histogram over an empty/all-null column '$column' needs explicit bounds")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(hi >= lo, s"histogram bounds inverted: [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val bucket =
+      if (width == 0) lit(0) // degenerate single-value range
+      else least(floor((x - lit(lo)) / lit(width)), lit(bins - 1)).cast("int")
+    val counts = df.filter(x.isNotNull && x >= lo && x <= hi)
+      .groupBy(bucket.as("bin")).agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   def profileChecked(df: DataFrame, cols: Seq[String],
                      tol: Double = 0.2): DataFrame = {
     val ap = profile(df, cols, approxDistinct = true)

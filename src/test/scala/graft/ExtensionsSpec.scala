@@ -223,6 +223,29 @@ class DedupSpec extends SparkSpec {
       "cluster losers 2,3,8 dropped; untouched ids pass through")
   }
 
+  test("electCanonical keeps max score per cluster, min id on ties; singletons survive") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (7L, 8L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    // cluster {1,2,3}: 2 has the top score → 2 wins (NOT min id 1);
+    // cluster {7,8}: tied scores → min id 7 wins; 5 is a singleton
+    val scored = Seq((1L, 10L), (2L, 99L), (3L, 50L), (5L, 1L),
+        (7L, 42L), (8L, 42L))
+      .toDF("doc_id", "quality")
+    val got = Dedup.electCanonical(scored, "doc_id", "quality",
+        Dedup.connectedComponents(pairs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      5L -> ((5L, true)),
+      7L -> ((7L, true)), 8L -> ((7L, false))))
+    // exactly one keeper per component, every component represented
+    val keepers = got.collect { case (_, (comp, true)) => comp }.toSeq
+    assert(keepers.sorted == keepers.distinct.sorted &&
+      keepers.toSet == got.values.map(_._1).toSet)
+  }
+
   test("chunkDocs: overlap windows, no redundant tail, empty docs dropped") {
     val s = spark
     import s.implicits._

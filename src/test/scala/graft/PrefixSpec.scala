@@ -87,4 +87,44 @@ class PrefixSpec extends SparkSpec {
       Prefix.runningSum(rows(10), Seq(col("id").asc), col("score"), "rt")
     }
   }
+
+  // SQL NTILE reference: with N rows and n buckets, the first N%n
+  // buckets hold N/n+1 rows, the rest N/n — computed over the rank
+  private def naiveNtile(ranks: Map[Long, Long], n: Int): Map[Long, Int] = {
+    val total = ranks.size.toLong
+    val q = total / n; val r = total % n; val big = r * (q + 1)
+    ranks.map { case (id, rn) =>
+      id -> (if (rn <= big) ((rn - 1) / (q + 1) + 1)
+             else r + (rn - 1 - big) / (if (q == 0) 1 else q) + 1).toInt
+    }
+  }
+
+  test("ntile matches SQL semantics on an uneven split (503 rows, 10 buckets)") {
+    val got = Prefix.ntile(rows(503), Seq(col("score").desc, col("id").asc),
+        10, "b", partitions = 7)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ranks = Prefix.globalRowNumber(rows(503),
+        Seq(col("score").desc, col("id").asc), "rn")
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveNtile(ranks, 10))
+    // 503 = 10*50 + 3: three buckets of 51, seven of 50
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.count(_ == 51) == 3 && sizes.values.count(_ == 50) == 7)
+  }
+
+  test("ntile with more buckets than rows: each row its own bucket") {
+    val got = Prefix.ntile(rows(4), Seq(col("id").asc), 9, "b")
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("ntile is invariant to input partitioning") {
+    val a = Prefix.ntile(rows(200), Seq(col("score").desc, col("id").asc),
+        7, "b", partitions = 3)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Prefix.ntile(rows(200).repartition(13),
+        Seq(col("score").desc, col("id").asc), 7, "b", partitions = 11)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
 }

@@ -58,4 +58,43 @@ class ProfileSpec extends SparkSpec {
       Profile.profile(data, Seq("id", "nope"))
     }
   }
+
+  test("histogram: data-bounded bins, empty bins present, hi lands in last bin") {
+    import org.apache.spark.sql.functions._
+    // values 0..10 skipping 5-7: lo=0 hi=10, 5 bins of width 2
+    val v = spark.range(11).toDF().filter(!col("id").isin(5L, 6L, 7L))
+    val h = Profile.histogram(v, "id", 5).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(h.keySet === Set(0, 1, 2, 3, 4), "always exactly bins rows")
+    assert(h(0) === ((0.0, 2.0, 2L)))  // 0,1
+    assert(h(1) === ((2.0, 4.0, 2L)))  // 2,3
+    assert(h(2) === ((4.0, 6.0, 1L)))  // 4 (5,6 filtered out)
+    assert(h(3) === ((6.0, 8.0, 0L)), "empty bin materialized with cnt=0")
+    assert(h(4) === ((8.0, 10.0, 3L)), "hi value 10 closed into the last bin")
+  }
+
+  test("histogram with explicit bounds excludes out-of-range rows and nulls") {
+    val v = df(Seq(ProfRow(1L, "a"), ProfRow(5L, "b"), ProfRow(9L, "c"),
+      ProfRow(50L, "over"), ProfRow(null, "null")))
+    val h = Profile.histogram(v, "id", 2, bounds = Some((0.0, 10.0)))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // width 5: 1 → bin 0; 5 sits ON the boundary → bin 1; 9 → bin 1
+    assert(h === Map(0 -> 1L, 1 -> 2L), "50 and null contribute nowhere")
+  }
+
+  test("histogram degenerate single-value range puts everything in bin 0") {
+    val v = df(Seq(ProfRow(7L, "a"), ProfRow(7L, "b"), ProfRow(7L, "c")))
+    val h = Profile.histogram(v, "id", 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(h === Map(0 -> 3L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
+  }
+
+  test("histogram over an all-null column demands explicit bounds") {
+    val v = df(Seq(ProfRow(null, "a"), ProfRow(null, "b")))
+    intercept[IllegalArgumentException] { Profile.histogram(v, "id", 3) }
+    val h = Profile.histogram(v, "id", 3, bounds = Some((0.0, 3.0)))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(h === Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+  }
 }
