@@ -964,6 +964,17 @@ object SparkEntry {
       Profile.histogram(t(s, dir, "documents"), "n_chars", 8)
         .orderBy("bin")),
 
+    // robust per-group outlier flags: exact lower-median + MAD per
+    // language over the distributed group-rank (no single-task-per-
+    // group window), |x-med| > 3*MAD — medians are rank ELEMENTS so
+    // every value is engine-bit-identical
+    "q_x_outliers" -> ((s, dir) =>
+      graft.ops.Outliers.robustFlag(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", k = 3.0)
+        .select("doc_id", "lang", "med", "mad", "is_outlier")
+        .orderBy("doc_id")),
+
     // schema-harmonizing union: two batches with DIFFERENT column sets
     // (one lacks priority, one lacks price) merged by name with
     // provenance, then audited — the null-fill is observable in the
@@ -1408,6 +1419,25 @@ object SparkEntry {
       val budget = docs.agg(sum("n_tokens")).head().getLong(0) * 6 / 10
       graft.ops.Prefix.budgetSelect(docs, col("quality"), col("doc_id"),
           col("n_tokens"), budget)
+        .orderBy("doc_id")
+    }),
+
+    // per-LANGUAGE token budget: best-first within each language until
+    // half that language's tokens are kept — the grouped prefix sum
+    // (range partition spans big groups across tasks + per-(pid,group)
+    // window + broadcast offsets), never a language-partitioned window
+    // that funnels a whole language through one task
+    "q_x_budget_per_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budgets = docs.groupBy("lang")
+        .agg(expr("(sum(n_tokens) * 5) div 10").as("lang_budget"))
+      graft.ops.Prefix.budgetSelectPerGroup(
+          docs.join(broadcast(budgets), Seq("lang")), "lang",
+          col("quality"), col("doc_id"), col("n_tokens"), col("lang_budget"))
+        .select("doc_id", "lang", "quality", "n_tokens", "running_tokens")
         .orderBy("doc_id")
     }),
 
@@ -2366,6 +2396,28 @@ object SparkEntry {
         |FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
         |ORDER BY g.bin""".stripMargin,
 
+    "q_x_outliers" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (SELECT lang, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM d WHERE n_chars IS NOT NULL),
+        |med AS (SELECT lang, CAST(n_chars AS DOUBLE) AS med
+        |        FROM r WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT d.doc_id, d.lang, m.med,
+        |         ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+        |       FROM d LEFT JOIN med m ON d.lang = m.lang),
+        |r2 AS (SELECT lang, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev) AS rn2,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n2
+        |       FROM dv WHERE dev IS NOT NULL),
+        |mad AS (SELECT lang, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+        |SELECT v.doc_id, v.lang, v.med, a.mad,
+        |  CASE WHEN v.dev IS NULL THEN FALSE
+        |       ELSE v.dev > a.mad * 3.0 END AS is_outlier
+        |FROM dv v LEFT JOIN mad a ON v.lang = a.lang
+        |ORDER BY v.doc_id""".stripMargin,
+
     "q_x_harmonize" ->
       """WITH u AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -2721,6 +2773,29 @@ object SparkEntry {
          |FROM r
          |WHERE running_tokens <= (SELECT (CAST(SUM(n_tokens) AS BIGINT)*6)//10 FROM q)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_x_budget_per_group" ->
+      s"""WITH s AS (SELECT doc_id, lang, text,
+         |  CAST(len($sqlToks) AS BIGINT) AS n,
+         |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonsp
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  0.4*(CASE WHEN n = 0 THEN 0.0 ELSE CAST(sw AS DOUBLE)/CAST(n AS DOUBLE) END)
+         |  + 0.4*(CASE WHEN chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/CAST(chars AS DOUBLE) END)
+         |  + 0.2*least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(nonsp AS DOUBLE)/CAST(n AS DOUBLE) END)/8.0, 1.0) AS quality,
+         |  n AS n_tokens FROM s),
+         |b AS (SELECT lang, (CAST(SUM(n_tokens) AS BIGINT)*5)//10 AS lang_budget
+         |      FROM q GROUP BY lang),
+         |r AS (SELECT doc_id, lang, quality, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM q)
+         |SELECT r.doc_id, r.lang, r.quality, r.n_tokens, r.running_tokens
+         |FROM r JOIN b ON r.lang = b.lang
+         |WHERE r.running_tokens <= b.lang_budget
+         |ORDER BY r.doc_id""".stripMargin,
 
     // cuts are round(cum_fraction * 1e6): 0.8 → 800000, 0.9 → 900000
     "q_x_split" ->

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier flagging — the quality-filter step that
+  * drops documents whose length / score / token count is wildly out of
+  * line with their group (language, source), using median + MAD
+  * instead of mean + stddev so the gauge itself isn't dragged by the
+  * outliers it's hunting.
+  *
+  * Both medians are EXACT rank elements (the lower median: the value
+  * at rank (n+1)/2 in ascending order), never interpolated — rank
+  * selection is pure integer arithmetic and element lookup, so results
+  * are bit-identical across engines, partitionings, and runs; the
+  * |x − med| deviations and the k·MAD threshold are single IEEE
+  * sub/abs/mul ops, equally deterministic.
+  *
+  * Scale shape: groups here are FEW and HUGE (languages, sources), the
+  * exact regime [[Prefix.groupRowNumber]] exists for — each median is
+  * one range shuffle + a (partition, group)-local window + a broadcast
+  * offset join; the per-group medians/MADs themselves are tiny frames
+  * broadcast back onto the data. No group ever funnels through a
+  * single task, no approximation enters the pipeline.
+  */
+object Outliers {
+
+  /** Exact lower median of `valueCol` per `groupCol`: one row per
+    * group, `(groupCol, med)`. Null values are excluded (SQL aggregate
+    * convention); a group that is all-null simply has no row.
+    */
+  def groupMedianExact(df: DataFrame, groupCol: String, valueCol: String,
+                       outCol: String = "med",
+                       partitions: Int = 0): DataFrame = {
+    val data = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val rn = graft.util.Cols.fresh(data, "__rn")
+    val nn = graft.util.Cols.fresh(data.columns :+ rn, "__n")
+    val ranked = Prefix.groupRowNumber(data, groupCol,
+      Seq(col(valueCol).asc), rn, partitions)
+    val g2 = graft.util.Cols.fresh(data.columns :+ rn :+ nn, "__g2")
+    val counts = data.groupBy(col(groupCol)).agg(count(lit(1)).as(nn))
+      .withColumnRenamed(groupCol, g2)
+    // lower median = value at rank (n+1) div 2; deterministic under
+    // value ties (equal values are interchangeable at a rank).
+    // Null-safe group match: a null group is a legal group
+    ranked.join(counts, col(groupCol) <=> col(g2))
+      .filter(col(rn) === expr(s"(`$nn` + 1) div 2"))
+      .select(col(groupCol), col(valueCol).cast("double").as(outCol))
+  }
+
+  /** Flags rows whose |value − group median| exceeds `k` × the group's
+    * MAD (median absolute deviation). Appends `med`, `mad`, and the
+    * boolean `outCol`; rows with a null value are never outliers.
+    * A zero-MAD group (over half its values identical) flags every
+    * value not exactly at the median — the documented MAD edge; pick a
+    * different value column if that bites.
+    */
+  def robustFlag(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Double = 3.0, outCol: String = "is_outlier",
+                 partitions: Int = 0): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val gm = graft.util.Cols.fresh(df.columns :+ "med" :+ "mad", "__gm")
+    val med = groupMedianExact(df, groupCol, valueCol, "med", partitions)
+      .withColumnRenamed(groupCol, gm)
+    val dev = graft.util.Cols.fresh(df.columns :+ "med" :+ "mad" :+ gm, "__dev")
+    val withDev = df
+      .join(broadcast(med), col(groupCol) <=> col(gm), "left").drop(gm)
+      .withColumn(dev, abs(col(valueCol).cast("double") - col("med")))
+    val mad = groupMedianExact(
+      withDev.select(col(groupCol), col(dev)), groupCol, dev, "mad", partitions)
+      .withColumnRenamed(groupCol, gm)
+    withDev
+      .join(broadcast(mad), col(groupCol) <=> col(gm), "left").drop(gm)
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(false))
+          .otherwise(col(dev) > col("mad") * k))
+      .drop(dev)
+  }
+}

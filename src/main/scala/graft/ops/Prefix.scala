@@ -104,6 +104,106 @@ object Prefix {
                       partitions: Int = 0): DataFrame =
     runningSum(df, orderCols, lit(1L), outCol, partitions)
 
+  /** Per-GROUP 1-based row number for the few-huge-groups regime — the
+    * case `row_number().over(Window.partitionBy(group))` handles WRONG
+    * at scale: with a handful of giant groups (languages, sources,
+    * splits) a group-partitioned window funnels each whole group
+    * through one task. This ranges-partitions by (group, order) so a
+    * big group SPANS partitions, ranks locally per (partition, group),
+    * and stitches with driver-side offsets exactly like [[runningSum]].
+    *
+    * The driver exchange is one row per (partition, group-run): range
+    * partitioning keeps every partition to a contiguous slice of
+    * (group, order) space, so that's at most `partitions + G - 1` rows
+    * for G distinct groups — bounded precisely in the regime this
+    * operator is FOR. With millions of tiny groups use the plain
+    * group-partitioned window instead (each task then holds many whole
+    * groups and parallelism is free); `maxDriverRows` guards against
+    * invoking the wrong tool, loudly.
+    *
+    * As with [[runningSum]], orderCols should complete a total order
+    * within the group for the rank ASSIGNMENT to be deterministic;
+    * selecting the VALUE at a given rank (median-style use) is
+    * deterministic even under order ties, because equal values are
+    * interchangeable.
+    */
+  def groupRowNumber(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                     outCol: String = "group_rn", partitions: Int = 0,
+                     maxDriverRows: Int = 1 << 20): DataFrame =
+    groupRunningSum(df, groupCol, orderCols, lit(1L), outCol, partitions,
+      maxDriverRows)
+
+  /** Per-GROUP running sum under the same few-huge-groups contract as
+    * [[groupRowNumber]] (which is this with a value of 1). Integral
+    * value columns only, for the same exactness reason as
+    * [[runningSum]].
+    */
+  def groupRunningSum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                      valueCol: Column, outCol: String = "running_sum",
+                      partitions: Int = 0,
+                      maxDriverRows: Int = 1 << 20): DataFrame = {
+    require(orderCols.nonEmpty, "groupRunningSum needs at least one order column")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val pid = graft.util.Cols.fresh(df, "__pid")
+    val local = graft.util.Cols.fresh(df, "__local")
+
+    val ranged = df.repartitionByRange(n, (col(groupCol) +: orderCols): _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint() // pin sampled boundaries, as in runningSum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pid), col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val localRanked = ranged.withColumn(local, sum(valueCol).over(w))
+    require(localRanked.schema(local).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"groupRunningSum requires an int/long value column, got " +
+        s"${localRanked.schema(local).dataType.simpleString}")
+
+    // one row per (partition, group) — bounded by partitions + G - 1
+    val totals = localRanked.groupBy(col(pid), col(groupCol))
+      .agg(sum(valueCol).as(local))
+    val collected = totals.limit(maxDriverRows + 1).collect()
+    require(collected.length <= maxDriverRows,
+      s"groupRunningSum saw more than $maxDriverRows (partition, group) " +
+        "runs — this operator is for FEW huge groups; with many small " +
+        "groups use a plain group-partitioned window")
+    // per group: exclusive prefix of its per-partition totals in pid order
+    val offsets = collected
+      .map(r => (r.getInt(0), r.get(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .groupBy(_._2).iterator.flatMap { case (_, runs) =>
+        val sorted = runs.sortBy(_._1)
+        sorted.map(_._1).zip(sorted).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _).init)
+          .map { case ((p, (_, g, _)), off) => (p, g, off) }
+      }.toSeq
+
+    val pid2 = graft.util.Cols.fresh(df.columns :+ pid :+ local, "__pid2")
+    val grp2 = graft.util.Cols.fresh(df.columns :+ pid :+ local :+ pid2, "__grp2")
+    val off = graft.util.Cols.fresh(df.columns :+ pid :+ local :+ pid2 :+ grp2, "__off")
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(pid2,
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      df.schema(groupCol).copy(name = grp2),
+      org.apache.spark.sql.types.StructField(off,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.map { case (p, g, o) =>
+          org.apache.spark.sql.Row(p, g, o) }, 1), offSchema)
+
+    // null-safe group match: a null group is a legal group value and
+    // may span partitions — a plain equi-join would hand every one of
+    // its slices offset 0
+    localRanked
+      .join(broadcast(offDf),
+        col(pid) === col(pid2) && col(groupCol) <=> col(grp2), "left")
+      .withColumn(outCol, col(local) + coalesce(col(off), lit(0L)))
+      .drop(pid, local, pid2, grp2, off)
+  }
+
   /** SQL `NTILE(n)` over a GLOBAL total order without the all-to-one
     * exchange the naive `ntile(n).over(Window.orderBy(...))` plans:
     * the global rank comes from the distributed prefix sum above, and
@@ -151,4 +251,20 @@ object Prefix {
     runningSum(docs, Seq(scoreCol.desc, idCol.asc), tokenCol, outCol)
       .where(col(outCol) <= budget)
   }
+
+  /** Per-group [[budgetSelect]] — "the best B tokens PER LANGUAGE",
+    * the corpus-mix sibling of the global cut. `budget` is a per-row
+    * Column so each group can carry its own ceiling (a broadcast-joined
+    * per-group budget, or `lit(n)` for a uniform one). Runs on
+    * [[groupRunningSum]], so the few-huge-groups contract applies:
+    * languages/sources/splits, not high-cardinality keys.
+    */
+  def budgetSelectPerGroup(docs: DataFrame, groupCol: String,
+                           scoreCol: Column, idCol: Column,
+                           tokenCol: Column, budget: Column,
+                           outCol: String = "running_tokens",
+                           partitions: Int = 0): DataFrame =
+    groupRunningSum(docs, groupCol, Seq(scoreCol.desc, idCol.asc),
+      tokenCol, outCol, partitions)
+      .where(col(outCol) <= budget)
 }

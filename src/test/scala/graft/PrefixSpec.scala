@@ -118,6 +118,73 @@ class PrefixSpec extends SparkSpec {
     assert(got === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
   }
 
+  test("groupRowNumber equals the naive per-group window; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // 3 groups of very different sizes, interleaved
+    val data = (1 to 400).map(i => (i.toLong, s"g${i % 3}", (i * 31 % 97).toLong))
+      .toDF("id", "grp", "v")
+    def run(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Prefix.groupRowNumber(df, "grp", Seq(col("v").asc, col("id").asc),
+          "rn", partitions = parts)
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (1 to 400).map(i => (i.toLong, s"g${i % 3}", (i * 31 % 97).toLong))
+      .groupBy(_._2).values.flatMap { g =>
+        g.sortBy { case (id, _, v) => (v, id) }.zipWithIndex
+          .map { case ((id, _, _), r) => id -> (r + 1).toLong }
+      }.toMap
+    assert(run(data, 7) === naive)
+    assert(run(data.repartition(13), 3) === naive)
+  }
+
+  test("groupRowNumber: a null group is ranked like any other group") {
+    val s = spark
+    import s.implicits._
+    val data = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, null))
+      .toDF("id", "grp")
+    val got = Prefix.groupRowNumber(data, "grp", Seq(col("id").asc), "rn",
+        partitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 3L -> 2L, 2L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("groupRunningSum equals naive per-group running totals; budget cut maximal") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 31 % 97).toLong, (i % 7 + 1).toLong))
+      .toDF("id", "grp", "score", "toks")
+    val got = Prefix.groupRunningSum(data, "grp",
+        Seq(col("score").desc, col("id").asc), col("toks"), "rt",
+        partitions = 5)
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (1 to 300).map(i =>
+        (i.toLong, s"g${i % 3}", (i * 31 % 97).toLong, (i % 7 + 1).toLong))
+      .groupBy(_._2).values.flatMap { g =>
+        g.sortBy { case (id, _, sc, _) => (-sc, id) }
+          .scanLeft((0L, 0L)) { case ((_, acc), (id, _, _, t)) => (id, acc + t) }
+          .drop(1)
+      }.toMap
+    assert(got === ref)
+
+    // per-group budget: each group keeps its maximal best-first prefix
+    val cut = Prefix.budgetSelectPerGroup(data, "grp", col("score"),
+        col("id"), col("toks"), lit(200L), "rt", partitions = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cut === ref.filter(_._2 <= 200L).keySet)
+    assert(cut.nonEmpty && cut.size < 300)
+  }
+
+  test("groupRowNumber refuses the many-tiny-groups regime loudly") {
+    val s = spark
+    import s.implicits._
+    val many = (1 to 200).map(i => (i.toLong, s"g$i")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Prefix.groupRowNumber(many, "grp", Seq(col("id").asc), "rn",
+        maxDriverRows = 50)
+    }
+  }
+
   test("ntile is invariant to input partitioning") {
     val a = Prefix.ntile(rows(200), Seq(col("score").desc, col("id").asc),
         7, "b", partitions = 3)
