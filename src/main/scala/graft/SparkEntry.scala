@@ -355,6 +355,25 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // file-level bloom skipping: land documents as four residue-
+    // interleaved files (every file's doc_id [min,max] overlaps — stats
+    // pruning is blind), declare a bloom on doc_id, point-probe through
+    // readWhere. The oracle is the plain filter: the hash proves the
+    // bloom path loses nothing; the ≤-one-file-per-residue skipping
+    // itself is plan-asserted in TxBloomSpec
+    "q_x_bloom_prune" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_bloomq") + "/docs_tx"
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.TxTable.append(s, tmp,
+        docs.filter(col("doc_id") % 4 === 0).coalesce(1))
+      graft.ops.TxTable.setBloomFilters(s, tmp, Seq("doc_id"))
+      (1 until 4).foreach(j => graft.ops.TxTable.append(s, tmp,
+        docs.filter(col("doc_id") % 4 === j).coalesce(1)))
+      graft.ops.TxTable.readWhere(s, tmp,
+          col("doc_id").isin(17L, 118L, 211L, 304L))
+        .orderBy("doc_id")
+    }),
+
     // metadata-only aggregates: land orders (with injected nulls so
     // COUNT(col) differs from COUNT(*)), DELETE a slice (rewritten
     // files carry fresh stats), then answer COUNT(*), COUNT(col),
@@ -2008,6 +2027,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact LEFT JOIN dim USING (k)
         |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_x_bloom_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (17, 118, 211, 304)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_x_data_skipping" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

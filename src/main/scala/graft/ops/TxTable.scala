@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, collect_set, explode, expr, input_file_name, lit, not, pmod, sequence, sum, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -609,6 +609,228 @@ object TxTable {
     java.util.Arrays.compareUnsigned(
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
+  // ---- file-level bloom filters -----------------------------------
+  // Equality skipping for HIGH-CARDINALITY columns, where min/max
+  // windows cannot prune: an id scattered uniformly across every file
+  // intersects every [min,max], so a point lookup scans the table.
+  // A small per-file bloom answers "definitely absent" for = / IN,
+  // the Delta/Iceberg bloom-index story reduced to the manifest line.
+
+  /** Carried meta key holding the bloom configuration as URL-encoded
+    * `col1,col2:bits:hashes`. Set by [[setBloomFilters]]; every later
+    * data commit (append/overwrite/DML rewrite/compaction/streaming/
+    * COPY INTO — they all share [[statsLines]]) computes one bloom per
+    * configured column per NEW file. Files written before the config
+    * (or under an older one) simply lack the token — conservative
+    * keep, never a wrong prune; OPTIMIZE/compact regenerates.
+    */
+  private[graft] val BloomMetaKey = "graft.bloom"
+  private val BloomStatPrefix = "bloom:"
+  private val BloomTag = "b"
+
+  private def bloomConfigOf(meta: Map[String, String])
+      : Option[(Seq[String], Int, Int)] =
+    meta.get(BloomMetaKey).map(dec).filter(_.nonEmpty).flatMap { s =>
+      s.split(':') match {
+        case Array(cols, bits, k) => scala.util.Try(
+          (cols.split(',').toSeq.filter(_.nonEmpty), bits.toInt, k.toInt))
+          .toOption.filter(_._1.nonEmpty)
+        case _ => None
+      }
+    }
+
+  /** Declare bloom filters on `cols` (integral or string data columns).
+    * Metadata-only commit; takes effect for files written AFTER it.
+    * `bits` is the filter size per file per column (8192 bits = 1 KiB
+    * in the manifest before base64; at ~10 bits/distinct-value that
+    * holds ~800 distinct values per file under 1% false positives —
+    * size it to files' expected distinct counts, the classic
+    * m ≈ 1.44·n·log2(1/fp)).
+    */
+  def setBloomFilters(spark: SparkSession, path: String, cols: Seq[String],
+                      bits: Int = 8192, hashes: Int = 6): Long = {
+    require(cols.nonEmpty, "setBloomFilters needs at least one column")
+    require(bits >= 64 && bits <= (1 << 24) && bits % 64 == 0,
+      s"bits must be in [64, 2^24] and a multiple of 64, got $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes must be in [1,16], got $hashes")
+    require(versions(spark, path).nonEmpty,
+      s"$path is not a TxTable (no $LogDir manifests)")
+    val schema = read(spark, path, mergeSchema = true).schema
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        sys.error(s"setBloomFilters: no column '$c' in $path"))
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+          StringType).contains(f.dataType),
+        s"bloom filters support integral and string columns; '$c' is " +
+          f.dataType.simpleString)
+    }
+    val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
+    require(cols.intersect(parts).isEmpty,
+      s"bloom on partition columns is pointless — partition-value " +
+        s"pseudo-stats already prune them exactly: ${cols.intersect(parts)}")
+    commitLines(spark, path, "setbloom", Seq.empty, (base, _) => base,
+      Map(BloomMetaKey -> enc(s"${cols.mkString(",")}:$bits:$hashes")))
+  }
+
+  /** Remove the bloom configuration (tombstoned empty, like a dropped
+    * constraint). Existing per-file tokens stay in the manifest and
+    * keep pruning — they are still TRUE statements about their files.
+    */
+  def dropBloomFilters(spark: SparkSession, path: String): Long =
+    commitLines(spark, path, "setbloom", Seq.empty, (base, _) => base,
+      Map(BloomMetaKey -> ""))
+
+  /** The double-hashing position columns: pos_i = (h1 + i·h2) mod m
+    * with h1 = xxhash64(v) mod m and h2 = xxhash64(v, 1) mod (m−1) + 1
+    * (step nonzero, and bounded so i·h2 stays far from 2^63 under ANSI
+    * arithmetic). The PROBE side replays the identical Catalyst
+    * expressions driver-side, so write and probe can never drift.
+    */
+  private def bloomPositions(v: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
+                             bits: Int): org.apache.spark.sql.Column =
+    pmod(pmod(xxhash64(v), lit(bits.toLong)) +
+      i * (pmod(xxhash64(v, lit(1)), lit((bits - 1).toLong)) + lit(1L)),
+      lit(bits.toLong))
+
+  private def bloomProbePositions(s: String, bits: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    val lit0 = Literal.create(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    val x1 = XxHash64(Seq(lit0), 42L).eval(null).asInstanceOf[Long]
+    val x2 = XxHash64(Seq(lit0, Literal(1)), 42L).eval(null).asInstanceOf[Long]
+    def pm(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+    val h1 = pm(x1, bits)
+    val h2 = pm(x2, bits - 1) + 1
+    (0 until k).map(i => pm(h1 + i * h2, bits).toInt)
+  }
+
+  /** Per-file bloom tokens for `cols` over freshly written `relFiles`:
+    * one distributed pass per column (cheap: the files were just
+    * written and are few), collecting ≤ `bits` set positions per file
+    * — bounded regardless of row count. Token format rides the
+    * existing 4-field stats grammar: `bloom:<col>, b, <base64 bits>,
+    * <k:bits>` — older parsers see an extra pseudo-column whose name
+    * can never collide with a real attribute.
+    */
+  private def bloomTokens(spark: SparkSession, fs: FileSystem, p: Path,
+                          relFiles: Seq[String], cols: Seq[String],
+                          bits: Int, k: Int): Map[String, String] =
+    if (relFiles.isEmpty) Map.empty
+    else try {
+      val qualOf = relFiles.map { r =>
+        fs.makeQualified(new Path(p, r)).toUri.getPath -> r
+      }.toMap
+      val df = spark.read.parquet(
+        relFiles.map(r => fs.makeQualified(new Path(p, r)).toString): _*)
+      val present = cols.filter(df.columns.contains)
+      val perFile = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      present.foreach { c =>
+        val rows = df
+          .select(input_file_name().as("__f"), col(c).cast("string").as("__v"))
+          .filter(col("__v").isNotNull)
+          // generator first (explode must be top-level), arithmetic after
+          .select(col("__f"), col("__v"),
+            explode(sequence(lit(0L), lit((k - 1).toLong))).as("__i"))
+          .select(col("__f"),
+            bloomPositions(col("__v"), col("__i"), bits).as("__p"))
+          .groupBy(col("__f")).agg(collect_set(col("__p")).as("__ps"))
+          .collect()
+        rows.foreach { r =>
+          // input_file_name is a URI string; canonicalize to a decoded
+          // filesystem path before matching the manifest-relative name
+          val fp = scala.util.Try(
+            new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+            .getOrElse(r.getString(0))
+          qualOf.get(fp).foreach { rel =>
+            val bs = new java.util.BitSet(bits)
+            r.getSeq[Long](1).foreach(x => bs.set(x.toInt))
+            val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+            perFile.getOrElseUpdate(rel,
+              scala.collection.mutable.ArrayBuffer.empty[String]) +=
+              Seq(enc(BloomStatPrefix + c), BloomTag, enc(b64),
+                enc(s"$k:$bits")).mkString(",")
+          }
+        }
+      }
+      perFile.view.mapValues(_.mkString(";")).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Could a file whose stats carry bloom tokens contain a row matching
+    * `conjunct`? Only = and IN probe; everything else — and any file
+    * without a token for the column — keeps the file. An absent bit is
+    * PROOF of absence (every write since the config computed the
+    * token), so skipping is exact; false positives only cost a read.
+    */
+  private def bloomMayMatch(stats: Map[String, ColStats],
+                            conjunct: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    if (!stats.keysIterator.exists(_.startsWith(BloomStatPrefix))) return true
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal → the exact string CAST(col AS STRING) yields at write
+    def render(e: Expression): Option[String] = e match {
+      case Literal(v, dt) if v != null =>
+        import org.apache.spark.sql.types._
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType | StringType =>
+            Some(v.toString)
+          case _ => None
+        }
+      case _ => None
+    }
+    def maybeHas(attr: Expression, lits: Seq[Expression]): Boolean =
+      (for {
+        n <- nameOf(attr)
+        cs <- stats.get(BloomStatPrefix + n) if cs.tag == BloomTag
+        r <- scala.util.Try {
+          val bs = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(cs.min))
+          val Array(k, bits) = cs.max.split(':').map(_.toInt)
+          lits.exists { l =>
+            render(l) match {
+              case None => true // un-renderable literal: keep
+              case Some(s) =>
+                bloomProbePositions(s, bits, k).forall(bs.get)
+            }
+          }
+        }.toOption
+      } yield r).getOrElse(true)
+
+    conjunct match {
+      case EqualTo(a, l: Literal) if nameOf(a).isDefined => maybeHas(a, Seq(l))
+      case EqualTo(l: Literal, a) if nameOf(a).isDefined => maybeHas(a, Seq(l))
+      case In(a, vs) if nameOf(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+        maybeHas(a, vs)
+      case _ => true
+    }
+  }
+
+  /** Stats-bearing manifest lines for freshly written files: footer
+    * min/max plus (when the table declares them) per-column bloom
+    * tokens — the single formatting path every data commit shares.
+    */
+  private def statsLines(spark: SparkSession, fs: FileSystem, p: Path,
+                         path: String, relFiles: Seq[String]): Seq[String] = {
+    val stats = footerStats(fs, p, relFiles)
+    val blooms = versions(spark, path).lastOption
+      .map(v => parseMeta(readManifest(fs, p, v)._1))
+      .flatMap(bloomConfigOf)
+      .map { case (cols, bits, k) =>
+        bloomTokens(spark, fs, p, relFiles, cols, bits, k) }
+      .getOrElse(Map.empty[String, String])
+    relFiles.map { f =>
+      val toks = Seq(stats.get(f), blooms.get(f)).flatten
+      if (toks.isEmpty) f else s"$f\t${toks.mkString(";")}"
+    }
+  }
+
   /** Read min/max per column from the parquet footers of `relFiles`
     * (merged across row groups). Columns typed beyond the supported
     * comparable set — or whose chunks lack stats — are simply absent:
@@ -857,9 +1079,10 @@ object TxTable {
       else resolveConjuncts(spark, p, lines, predicate, mergeSchema, pinned)
     val kept = lines.filter { l =>
       // footer stats + partition-value pseudo-stats: a partition-column
-      // predicate prunes from the manifest path alone (no footer I/O)
+      // predicate prunes from the manifest path alone (no footer I/O);
+      // bloom tokens additionally prune = / IN on high-cardinality cols
       val st = statsOf(l) ++ partitionStats(pathOf(l))
-      cs.forall(mayMatch(st, _))
+      cs.forall(c => mayMatch(st, c) && bloomMayMatch(st, c))
     }
     if (lines.isEmpty) pinned match {
       case Some(s) => spark.createDataFrame(
@@ -1351,7 +1574,7 @@ object TxTable {
     // files — pruned from the manifest alone, same as readWhere
     val (candidates, _) = lines.partition { l =>
       val st = statsOf(l) ++ partitionStats(pathOf(l))
-      cs.forall(mayMatch(st, _))
+      cs.forall(c => mayMatch(st, c) && bloomMayMatch(st, c))
     }
     if (candidates.isEmpty) return None
     // drop exactly the files being rewritten; everything else survives —
@@ -2012,9 +2235,7 @@ object TxTable {
       val activeConstraints = headConstraints(spark, path)
       enforceConstraints(spark, path, fs, p, relFiles, None,
         activeConstraints)
-      val stats = footerStats(fs, p, relFiles)
-      val newLines = relFiles.map(f =>
-        stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+      val newLines = statsLines(spark, fs, p, path, relFiles)
       val layoutMeta =
         if (partitionCols.isEmpty) Map.empty[String, String]
         else Map(PartitionsMetaKey -> enc(partitionCols.mkString(",")))
@@ -2357,9 +2578,7 @@ object TxTable {
       freshRels.foreach(r => fs.delete(new Path(p, r).getParent, true))
       throw t
     }
-    val stats = footerStats(fs, p, freshRels)
-    val newLines = freshRels.map(f =>
-      stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+    val newLines = statsLines(spark, fs, p, path, freshRels)
     val freshSet = freshRels.toSet
     val v = commitLines(spark, path, "copyinto", newLines,
       (base, _) => base.filterNot(b => freshSet.contains(pathOf(b))),
@@ -2465,11 +2684,9 @@ object TxTable {
     val activeConstraints = headConstraints(spark, path)
     enforceConstraints(spark, path, fs, p, newFiles, Some(dataDir),
       activeConstraints)
-    // footer min/max per new file ride in the manifest line (see
-    // "file stats" above); failures degrade to stats-less lines
-    val stats = footerStats(fs, p, newFiles)
-    val newLines = newFiles.map(f =>
-      stats.get(f).map(s => s"$f\t$s").getOrElse(f))
+    // footer min/max (+ declared blooms) per new file ride in the
+    // manifest line; failures degrade to stats-less lines
+    val newLines = statsLines(spark, fs, p, path, newFiles)
     // declare the layout in the manifest: partitioned commits state
     // their columns; overwrites own the WHOLE layout, so they also
     // clear a stale declaration when the new snapshot is flat. A flat

@@ -105,6 +105,13 @@ object GraftSql {
   private val DropConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z]\w*)\s*""").r
+  private val AddBloomRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+ADD\s+BLOOM\s*FILTER\s*\(([^)]+)\)""" +
+      """\s*(?:WITH\s*\(\s*bits\s*=\s*(\d+)\s*(?:,\s*hashes\s*=\s*(\d+)\s*)?\)\s*)?""").r
+  private val DropBloomRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+BLOOM\s*FILTER\s*""").r
 
   /** Some(command) when `sqlText` is a graft statement; None → the
     * delegate parser owns it. The `graft.` backtick marker gates the
@@ -183,6 +190,12 @@ object GraftSql {
         Some(GraftAddConstraintCommand(path, name, check.trim))
       case DropConstraintRe(path, name) =>
         Some(GraftDropConstraintCommand(path, name))
+      case AddBloomRe(path, cols, bits, hashes) =>
+        Some(GraftAddBloomCommand(path, splitNames(cols),
+          Option(bits).map(_.toInt).getOrElse(8192),
+          Option(hashes).map(_.toInt).getOrElse(6)))
+      case DropBloomRe(path) =>
+        Some(GraftDropBloomCommand(path))
       case _ => None
     }
   }
@@ -818,6 +831,28 @@ case class GraftDropConstraintCommand(path: String, name: String)
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.dropConstraint(spark, path, name)))
+}
+
+/** `ALTER TABLE graft.`p` ADD BLOOM FILTER (c1, c2) [WITH (bits=N[,
+  * hashes=K])]` → [[TxTable.setBloomFilters]]: metadata-only commit;
+  * every later data commit writes per-file blooms for the columns and
+  * point lookups skip files that provably lack the value.
+  */
+case class GraftAddBloomCommand(path: String, cols: Seq[String],
+                                bits: Int, hashes: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.setBloomFilters(spark, path, cols, bits, hashes)))
+}
+
+/** `ALTER TABLE graft.`p` DROP BLOOM FILTER` →
+  * [[TxTable.dropBloomFilters]].
+  */
+case class GraftDropBloomCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.dropBloomFilters(spark, path)))
 }
 
 /** `DESCRIBE HISTORY graft.`p`` → one row per retained commit, with
