@@ -849,6 +849,24 @@ object SparkEntry {
            |FROM graft.`$tmp`""".stripMargin)
     }),
 
+    // partition-grouped metadata aggregates: GROUP BY the partition
+    // column over a partitioned graft table collapses to a manifest-
+    // only LocalRelation (per-partition row/null counts + path
+    // pseudo-stats and footer min/max) — the scanless plan itself is
+    // asserted in MetadataAggSpec; the oracle proves the values
+    "q_x_meta_by_part" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_metapart") + "/orders_tx"
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+        .createOrReplaceTempView("meta_part_orders")
+      s.sql(s"CREATE TABLE graft.`$tmp` PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM meta_part_orders")
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+           |  MAX(o_orderkey) AS max_key, COUNT(o_custkey) AS n_cust
+           |FROM graft.`$tmp`
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     "q_x_sql_select" -> ((s, dir) => {
       val tmp = tmpQueryDir("graft_sqlsel") + "/li_tx"
       t(s, dir, "lineitem")
@@ -2341,6 +2359,14 @@ object SparkEntry {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
         |  CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
+
+    "q_x_meta_by_part" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_cust
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_x_sql_select" ->
       """SELECT l_returnflag, COUNT(*) AS n,

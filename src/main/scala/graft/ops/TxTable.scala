@@ -1181,8 +1181,11 @@ object TxTable {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v of $path does not exist")
-    val per = readManifest(fs, p, v)._2
-      .map(l => statsOf(l).values.flatMap(_.rows).headOption)
+    metaRowCountOfLines(readManifest(fs, p, v)._2)
+  }
+
+  private[graft] def metaRowCountOfLines(lines: Seq[String]): Option[Long] = {
+    val per = lines.map(l => statsOf(l).values.flatMap(_.rows).headOption)
     if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
   }
 
@@ -1199,7 +1202,12 @@ object TxTable {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v of $path does not exist")
-    val per = readManifest(fs, p, v)._2.map { l =>
+    metaColumnCountOfLines(readManifest(fs, p, v)._2, column)
+  }
+
+  private[graft] def metaColumnCountOfLines(lines: Seq[String],
+                                            column: String): Option[Long] = {
+    val per = lines.map { l =>
       val st = statsOf(l)
       val cs = st.get(column).orElse(partitionStats(pathOf(l)).get(column))
       for {
@@ -1237,10 +1245,16 @@ object TxTable {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v of $path does not exist")
+    metaMinMaxOfLines(readManifest(fs, p, v)._2, column, stringOrdered)
+  }
+
+  private[graft] def metaMinMaxOfLines(lines: Seq[String], column: String,
+                                       stringOrdered: Boolean)
+      : Option[(String, String)] = {
     // per live file: None = provably no values (all-null; skip),
     // Some((min, max)) otherwise — bail the moment a file can't prove
     // exact extremes under the declared ordering
-    val contrib = readManifest(fs, p, v)._2.map { l =>
+    val contrib = lines.map { l =>
       val pstats = partitionStats(pathOf(l))
       val fromPath = pstats.get(column)
       fromPath.orElse(statsOf(l).get(column)) match {
@@ -1260,6 +1274,37 @@ object TxTable {
       else (a, b) => BigDecimal(a).compare(BigDecimal(b))
     Some((vals.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
       vals.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+  }
+
+  /** The head (or `v`) snapshot's manifest lines grouped by partition
+    * directory, with each group's partition values parsed from its
+    * `k=v` path segments (`None` = the hive null partition). The
+    * backing for PARTITION-GROUPED metadata aggregates: declines
+    * (None) when the table declares no partition columns, or any live
+    * file's path does not carry exactly the declared columns (mixed
+    * or legacy layouts) — the scan path owns those.
+    */
+  private[graft] def metaPartitionLines(spark: SparkSession, path: String,
+                                        v: Long)
+      : Option[Seq[(Map[String, Option[String]], Seq[String])]] = {
+    val (fs, p) = fsFor(spark, path)
+    val vs = versions(spark, path)
+    if (!vs.contains(v)) return None
+    val partCols = declaredPartitionColsAt(fs, p, v).getOrElse(Nil)
+    if (partCols.isEmpty) return None
+    val lines = readManifest(fs, p, v)._2
+    val grouped = lines.groupBy(l => partitionDirOf(pathOf(l))).toSeq
+    val parsed = grouped.map { case (dir, ls) =>
+      val segs = dir.split('/').filter(_.contains('=')).map { seg =>
+        val i = seg.indexOf('=')
+        val raw = seg.substring(i + 1)
+        seg.substring(0, i) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") None
+           else Some(unescapePartition(raw)))
+      }.toMap
+      if (segs.keySet == partCols.toSet) Some((segs, ls)) else None
+    }
+    if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
   }
 
   /** Absolute paths of a commit's row-level change-data parquet files

@@ -126,9 +126,8 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate
-        if agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.exists(
-            _.exists(_.isInstanceOf[AggregateExpression])) =>
+        if agg.aggregateExpressions.exists(
+          _.exists(_.isInstanceOf[AggregateExpression])) =>
       val (bottom, resolve) = dig(agg.child)
       bottom match {
         case rel: DataSourceV2Relation
@@ -147,7 +146,11 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
                 ne -> ne.collect { case ae: AggregateExpression => ae }
                   .map(ae => ae -> classify(ae, toRelCol)))
               if (classified.exists(_._2.exists(_._2.isEmpty))) agg
-              else serve(agg, classified, path, v).getOrElse(agg)
+              else if (agg.groupingExpressions.isEmpty)
+                serve(agg, classified, path, v).getOrElse(agg)
+              else
+                serveGrouped(agg, classified, toRelCol, path, v)
+                  .getOrElse(agg)
             case _ => agg
           }
         case _ => agg
@@ -191,5 +194,80 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
       }.asInstanceOf[NamedExpression]
     }
     Some(Project(rewritten, OneRowRelation()))
+  }
+
+  /** The PARTITION-GROUPED extension: `GROUP BY <partition columns>`
+    * with the same metadata-servable aggregates collapses to a
+    * LocalRelation with one row per live partition — group values come
+    * from the `k=v` path segments (exact by construction), aggregates
+    * from each partition's own manifest lines. Declines — plan
+    * untouched — unless EVERY grouping expression is a bare partition
+    * column of the relation, every live file's path carries exactly
+    * the declared partition columns, and every (partition, aggregate)
+    * cell is manifest-provable. The hive null partition groups as SQL
+    * does: a real group with a NULL key.
+    */
+  private def serveGrouped(agg: Aggregate,
+                           classified: Seq[(NamedExpression,
+                             Seq[(AggregateExpression, Option[MetaAgg])])],
+                           toRelCol: Attribute => Option[Attribute],
+                           path: String, v: Long): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val partCols = TxTable.declaredPartitionCols(spark, path, v)
+      .getOrElse(Nil)
+    if (partCols.isEmpty) return None
+    // every grouping expr must be a bare attribute over a partition col
+    val groupOk = agg.groupingExpressions.forall {
+      case a: Attribute => toRelCol(a).exists(r => partCols.contains(r.name))
+      case _ => false
+    }
+    if (!groupOk) return None
+    TxTable.metaPartitionLines(spark, path, v).flatMap { groups =>
+      val rows = groups.map { case (pvals, lines) =>
+        def valueOf(m: MetaAgg): Option[Literal] = m match {
+          case RowCount =>
+            TxTable.metaRowCountOfLines(lines).map(Literal(_))
+          case ColCount(c) =>
+            TxTable.metaColumnCountOfLines(lines, c).map(Literal(_))
+          case ColMin(c, dt) =>
+            TxTable.metaMinMaxOfLines(lines, c,
+              stringOrdered = dt == StringType).flatMap(mm =>
+              scala.util.Try(literalOf(mm._1, dt)).toOption)
+          case ColMax(c, dt) =>
+            TxTable.metaMinMaxOfLines(lines, c,
+              stringOrdered = dt == StringType).flatMap(mm =>
+              scala.util.Try(literalOf(mm._2, dt)).toOption)
+        }
+        def groupLit(a: Attribute): Option[Literal] =
+          toRelCol(a).filter(r => pvals.contains(r.name)).flatMap { r =>
+            pvals(r.name) match {
+              case None => Some(Literal(null, r.dataType))
+              case Some(s) =>
+                scala.util.Try(literalOf(s, r.dataType)).toOption
+            }
+          }
+        val cells = classified.map { case (ne, aes) =>
+          val lits = aes.map { case (ae, m) => m.flatMap(valueOf).map(ae -> _) }
+          if (lits.exists(_.isEmpty)) None
+          else {
+            val byAe = lits.flatten.toMap
+            val substituted = ne.transform {
+              case ae: AggregateExpression if byAe.contains(ae) => byAe(ae)
+              case a: Attribute if groupLit(a).isDefined => groupLit(a).get
+            }
+            // anything left unresolved (a non-partition attribute
+            // outside an aggregate) → decline
+            if (substituted.references.nonEmpty) None
+            else scala.util.Try(substituted.eval(null)).toOption
+          }
+        }
+        if (cells.exists(_.isEmpty)) None
+        else Some(org.apache.spark.sql.catalyst.InternalRow
+          .fromSeq(cells.map(_.get)))
+      }
+      if (rows.exists(_.isEmpty)) None
+      else Some(org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        agg.aggregateExpressions.map(_.toAttribute), rows.map(_.get)))
+    }
   }
 }

@@ -138,6 +138,92 @@ class MetadataAggSpec extends SparkSpec {
     assert(scansFiles(cdf))
   }
 
+  test("GROUP BY partition column collapses to a scanless per-partition plan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // two appends → multiple files per partition; v has nulls so
+    // COUNT(v) differs from COUNT(*)
+    TxTable.append(spark, dir,
+      Seq((1L, 10L, Some(5L)), (2L, 40L, None), (3L, 10L, Some(7L)))
+        .toDF("id", "day", "v"), partitionCols = Seq("day"))
+    TxTable.append(spark, dir,
+      Seq((4L, 40L, Some(1L)), (5L, 10L, None))
+        .toDF("id", "day", "v"), partitionCols = Seq("day"))
+    val served = spark.read.format("graft").load(dir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"), count(col("v")).as("n_v"))
+    assert(!scansFiles(served), served.queryExecution.executedPlan.toString)
+    val got = served.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === Map(10 -> ((3L, 1L, 5L, 2L)), 40 -> ((2L, 2L, 4L, 1L))))
+    // SQL catalog spelling rides the same rule
+    val sqlGot = spark.sql(
+      s"SELECT day, COUNT(*) AS n FROM graft.`$dir` GROUP BY day")
+    assert(!scansFiles(sqlGot))
+    assert(sqlGot.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(10 -> 3L, 40 -> 2L))
+  }
+
+  test("grouped: the hive null partition is a real group with a NULL key") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, Some(10L)), (2L, None), (3L, None))
+        .toDF("id", "day"), partitionCols = Seq("day"))
+    val served = spark.read.format("graft").load(dir)
+      .groupBy("day").agg(count(lit(1)).as("n"), count(col("day")).as("n_day"))
+    assert(!scansFiles(served), served.queryExecution.executedPlan.toString)
+    val got = served.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(Some(10) -> ((1L, 1L)), None -> ((2L, 0L))))
+  }
+
+  test("grouped declines: data-column keys, computed keys, string data extremes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, 10L, "a"), (2L, 40L, "b")).toDF("id", "day", "name"),
+      partitionCols = Seq("day"))
+    def t = spark.read.format("graft").load(dir)
+    // grouping by a DATA column → scan
+    val byData = t.groupBy("id").agg(count(lit(1)))
+    assert(scansFiles(byData))
+    // grouping by an EXPRESSION of the partition column → scan
+    val byExpr = t.groupBy((col("day") + 1).as("d2")).agg(count(lit(1)))
+    assert(scansFiles(byExpr))
+    // string DATA extreme inside a grouped agg → scan, results exact
+    val strMin = t.groupBy("day").agg(min("name").as("m"))
+    assert(scansFiles(strMin))
+    assert(strMin.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ===
+      Map(10 -> "a", 40 -> "b"))
+    // but partition-column extremes within the group ARE served
+    val ownMin = t.groupBy("day").agg(min("day").as("m"), count(lit(1)).as("n"))
+    assert(!scansFiles(ownMin))
+    assert(ownMin.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ===
+      Map(10 -> 10, 40 -> 40))
+  }
+
+  test("grouped time travel serves the PINNED version's partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, 10L)).toDF("id", "day"), partitionCols = Seq("day"))
+    TxTable.append(spark, dir,
+      Seq((2L, 40L), (3L, 40L)).toDF("id", "day"), partitionCols = Seq("day"))
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(dir)
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    assert(!scansFiles(v1))
+    assert(v1.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(10 -> 1L))
+  }
+
   test("a manifest line without row stats falls back to the scan") {
     val dir = tmp()
     build(dir)
