@@ -1386,6 +1386,17 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
 
+    // the 100 TB quantile mode, oracled: mergeable KLL sketches per
+    // group, envelope-checked in-plan against exact rank-element
+    // quantiles (computed on the distributed group rank, no
+    // single-task groups). The oracle pins kll_ok TRUE and recomputes
+    // exact_q — an out-of-envelope sketch hash-mismatches
+    "q_x_quantiles_approx" -> ((s, dir) =>
+      graft.ops.Sketches.approxQuantilesChecked(
+          t(s, dir, "orders"), "o_orderstatus", col("o_totalprice"),
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("o_orderstatus", "prob")),
+
     // SemDeDup: cluster-then-dedup over embeddings. Centroids here are
     // the 8 lowest-id embeddings (deterministic seed rule the oracle
     // reproduces); production passes buildIvfIndex's k-means lists
@@ -2714,6 +2725,18 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_x_quantiles_approx" ->
+      """WITH d AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT o_orderstatus, v,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_orderstatus) AS n FROM d),
+        |p AS (SELECT CAST(prob AS DOUBLE) AS prob
+        |      FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(prob))
+        |SELECT r.o_orderstatus, p.prob, r.v AS exact_q, TRUE AS kll_ok
+        |FROM r JOIN p ON r.rn = GREATEST(1, CAST(CEIL(p.prob * r.n) AS BIGINT))
+        |ORDER BY o_orderstatus, prob""".stripMargin,
 
     // same shapes as the operator: norms once per row, cos =
     // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule

@@ -95,6 +95,69 @@ object Sketches {
       .withColumn("quantiles", kllQuantiles(col("kll"), probs))
       .drop("kll")
 
+  /** The correctness bridge for KLL quantiles, mirroring
+    * [[Profile.profileChecked]]'s posture: production runs the
+    * mergeable sketch plan alone; this check runs BOTH the sketch and
+    * an exact rank-element pass and emits, per (group, prob):
+    *
+    *  - `exact_q` — the value at rank max(1, ceil(prob·n)) in the
+    *    group's ascending order (the lower empirical quantile — a rank
+    *    ELEMENT, never interpolated, so it is bit-identical across
+    *    engines and the hashable payload);
+    *  - `kll_ok` — whether the sketch's estimate is plausible: its
+    *    achieved rank interval [count(v < est)/n, count(v ≤ est)/n]
+    *    must intersect [prob − tol, prob + tol]. Default tol 0.02 ≈
+    *    2.5× KLL's k=200 normalized rank error — far outside honest
+    *    sketch noise, so a false flag is an estimator defect.
+    *
+    * Exact ranks ride [[Prefix.groupRowNumber]] (few-huge-groups
+    * distributed rank), so even the check side never funnels a group
+    * through one task.
+    */
+  def approxQuantilesChecked(df: DataFrame, groupCol: String, value: Column,
+                             probs: Seq[Double], k: Int = 200,
+                             tol: Double = 0.02): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must lie strictly inside (0, 1)")
+    require(tol > 0, "tol must be positive")
+    val spark = df.sparkSession
+    val data = df.select(col(groupCol), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+
+    val est = approxQuantiles(data, Seq(col(groupCol)), col("__v"), probs, k)
+      .select(col(groupCol), posexplode(col("quantiles")).as(Seq("__i", "__est")))
+
+    import org.apache.spark.sql.types._
+    val probsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probs.zipWithIndex.map { case (p, i) =>
+        org.apache.spark.sql.Row(i, p) }, 1),
+      StructType(Seq(StructField("__i", IntegerType, nullable = false),
+        StructField("__p", DoubleType, nullable = false))))
+
+    val ranked = Prefix.groupRowNumber(data, groupCol,
+      Seq(col("__v").asc), "__rn")
+    val counts = data.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val exact = counts.crossJoin(broadcast(probsDf))
+      .withColumn("__target",
+        greatest(lit(1L), ceil(col("__p") * col("__n"))))
+      .join(ranked, Seq(groupCol))
+      .filter(col("__rn") === col("__target"))
+      .select(col(groupCol), col("__i"), col("__p"), col("__n"),
+        col("__v").as("exact_q"))
+
+    // achieved rank interval of each estimate within its group
+    val achieved = data.join(broadcast(est), Seq(groupCol))
+      .groupBy(col(groupCol), col("__i"))
+      .agg(sum(when(col("__v") < col("__est"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("__v") <= col("__est"), 1L).otherwise(0L)).as("__le"))
+
+    exact.join(achieved, Seq(groupCol, "__i"))
+      .select(col(groupCol), col("__p").as("prob"), col("exact_q"),
+        ((col("__lt").cast("double") / col("__n") <= col("__p") + tol) &&
+          (col("__le").cast("double") / col("__n") >= col("__p") - tol))
+          .as("kll_ok"))
+  }
+
   // ---- mergeable heavy hitters (Datasketches frequent items) ----------
 
   /** Per-group frequent-items sketch of string `item` — binary column

@@ -113,6 +113,39 @@ class SketchesSpec extends SparkSpec {
       "true count inside [lower, upper]")
   }
 
+  test("approxQuantilesChecked: exact_q is the rank element, envelope holds") {
+    val s = spark
+    import s.implicits._
+    // two groups with different spreads; values shuffled by hash order
+    val raw = (1 to 500).map(i =>
+      (s"g${i % 2}", ((i * 131) % 997).toDouble))
+    val got = Sketches.approxQuantilesChecked(
+        raw.toDF("grp", "v"), "grp", col("v"), Seq(0.25, 0.5, 0.9))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size === 6)
+    val byGrp = raw.groupBy(_._1)
+    got.foreach { case ((g, p), (exactQ, ok)) =>
+      val vs = byGrp(g).map(_._2).sorted
+      val ref = vs(math.max(1, math.ceil(p * vs.size).toLong).toInt - 1)
+      assert(exactQ === ref, s"exact_q for ($g, $p)")
+      assert(ok, s"KLL estimate outside envelope for ($g, $p)")
+    }
+  }
+
+  test("approxQuantilesChecked refuses degenerate probs and tolerance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.approxQuantilesChecked(df, "grp", col("v"), Seq(0.0, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.approxQuantilesChecked(df, "grp", col("v"), Seq(0.5), tol = 0)
+    }
+  }
+
   test("sketches survive a persistence round-trip through a TxTable") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hll").toString + "/sketches"
