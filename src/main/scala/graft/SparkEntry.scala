@@ -849,6 +849,18 @@ object SparkEntry {
            |FROM graft.`$tmp`""".stripMargin)
     }),
 
+    // column rename (copy-on-write DDL): land, ALTER ... RENAME COLUMN
+    // through SQL, query under the NEW name — the oracle recomputes
+    // from the source with an alias, so the rewrite must lose nothing
+    "q_x_rename" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_ren") + "/cust_tx"
+      graft.ops.TxTable.append(s, tmp,
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"))
+      s.sql(s"ALTER TABLE graft.`$tmp` RENAME COLUMN c_acctbal TO balance")
+      s.sql(s"SELECT c_custkey, c_name, balance FROM graft.`$tmp` " +
+        "ORDER BY c_custkey")
+    }),
+
     // partition-grouped metadata aggregates: GROUP BY the partition
     // column over a partitioned graft table collapses to a manifest-
     // only LocalRelation (per-partition row/null counts + path
@@ -2370,6 +2382,10 @@ object SparkEntry {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
         |  CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
+
+    "q_x_rename" ->
+      """SELECT c_custkey, c_name, c_acctbal AS balance
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_x_meta_by_part" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -242,6 +242,59 @@ object TxTable {
       Map(SchemaMetaKey -> enc(newSchema.json)))
   }
 
+  /** Rename a data column — the honest no-column-mapping semantics:
+    * one copy-on-write overwrite commit carrying the rewritten files
+    * and the renamed declared schema, atomic under the same slot
+    * claim as any commit. (Delta without column mapping requires the
+    * same rewrite; a metadata-only rename would need logical→physical
+    * name indirection through every read, stats, and DML path — cost
+    * moved, not removed.) The commit declares `cdf=0`: no ROW changed,
+    * exactly like a compaction. Time travel still reads old versions
+    * under the old name (each version pins its own declared schema).
+    *
+    * Refuses: partition columns (that rewrite is a relayout — do it
+    * explicitly), a `to` that already exists, and a rename out from
+    * under a CHECK constraint that references the column (drop it
+    * first — silently rewriting constraint SQL is how wrong data gets
+    * committed). A bloom config naming the column is renamed FIRST as
+    * its own metadata commit — crash-safe, since a config naming a
+    * column no file carries is simply inert.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    require(from != to, "rename to the same name is a no-op — refusing")
+    val snapshot = read(spark, path, mergeSchema = true)
+    val schema = declaredSchema(spark, path).getOrElse(snapshot.schema)
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' in $path (has ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists in $path")
+    val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
+    require(!parts.contains(from),
+      s"'$from' is a partition column — renaming it relayouts every " +
+        "file path; do that as an explicit overwrite")
+    constraints(spark, path).foreach { case (n, e) =>
+      require(("""(?i)(?<![A-Za-z0-9_`])""" +
+          java.util.regex.Pattern.quote(from) +
+          """(?![A-Za-z0-9_`])""").r.findFirstIn(e).isEmpty,
+        s"CHECK constraint $n references '$from' — drop it before renaming")
+    }
+    bloomConfigOf(commitMeta(spark, path, vs.last))
+      .filter(_._1.contains(from)).foreach { case (cols, bits, k) =>
+        commitLines(spark, path, "setbloom", Seq.empty, (base, _) => base,
+          Map(BloomMetaKey -> enc(
+            s"${cols.map(c => if (c == from) to else c).mkString(",")}:$bits:$k")))
+      }
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commit(spark, path, snapshot.withColumnRenamed(from, to), "rename",
+      (_, _) => Seq.empty, parts,
+      meta = Map(SchemaMetaKey -> enc(newSchema.json),
+        ChangeDataMetaKey -> "0"))
+  }
+
   // ------------------------------------------------------ CHECK constraints
   //
   // Table-level CHECK constraints, Delta-style: declared once as

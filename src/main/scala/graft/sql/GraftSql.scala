@@ -112,6 +112,9 @@ object GraftSql {
   private val DropBloomRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+DROP\s+BLOOM\s*FILTER\s*""").r
+  private val RenameColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*""").r
 
   /** Some(command) when `sqlText` is a graft statement; None → the
     * delegate parser owns it. The `graft.` backtick marker gates the
@@ -196,6 +199,8 @@ object GraftSql {
           Option(hashes).map(_.toInt).getOrElse(6)))
       case DropBloomRe(path) =>
         Some(GraftDropBloomCommand(path))
+      case RenameColRe(path, from, to) =>
+        Some(GraftRenameColumnCommand(path, from, to))
       case _ => None
     }
   }
@@ -853,6 +858,16 @@ case class GraftDropBloomCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.dropBloomFilters(spark, path)))
+}
+
+/** `ALTER TABLE graft.`p` RENAME COLUMN a TO b` →
+  * [[TxTable.renameColumn]] (copy-on-write rewrite commit).
+  */
+case class GraftRenameColumnCommand(path: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.renameColumn(spark, path, from, to)))
 }
 
 /** `DESCRIBE HISTORY graft.`p`` → one row per retained commit, with
