@@ -430,6 +430,39 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // the same retraction-view cycle maintaining MIN/MAX: the merge
+    // and delete increments dirty their groups (update preimages +
+    // deletes are retractions), forcing the pinned-snapshot
+    // re-aggregation path; the first fold is insert-only and takes
+    // the monotone fold path — both must land exactly the from-scratch
+    // extrema the oracle recomputes
+    "q_x_agg_view_minmax" -> ((s, dir) => {
+      val root = tmpQueryDir("graft_aggvmm")
+      val srcT = root + "/orders_tx"
+      val dstT = root + "/view_tx"
+      def fold(): Unit = {
+        graft.streaming.TxFollower.processAggregateChanges(s, srcT, dstT,
+          "aggvmm", Seq("o_orderstatus"), Nil, Seq("o_orderkey")); ()
+      }
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.ops.TxTable.append(s, srcT,
+        o.repartitionByRange(4, col("o_orderkey")))
+      fold()
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(s.range(1, 4)
+          .select((-col("id")).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      graft.ops.TxTable.merge(s, srcT, updates, Seq("o_orderkey"))
+      fold()
+      graft.ops.TxTable.delete(s, srcT, col("o_orderkey") % 7 === 3)
+      fold()
+      graft.ops.TxTable.read(s, dstT)
+        .select("o_orderstatus", "n_rows", "min_o_orderkey",
+          "max_o_orderkey")
+        .orderBy("o_orderstatus")
+    }),
+
     // CHECK constraints end-to-end: declare (validating existing rows),
     // have a violating append REJECTED (caught and witnessed in the
     // output — the oracle pins rejected=TRUE), then land a valid
@@ -2093,6 +2126,21 @@ object SparkEntry {
         |    t(o_orderkey, o_orderstatus))
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
+        |FROM merged WHERE NOT (o_orderkey % 7 = 3)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_agg_view_minmax" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'N'), (-2, 'N'), (-3, 'N'))
+        |    t(o_orderkey, o_orderstatus))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_o_orderkey,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_o_orderkey
         |FROM merged WHERE NOT (o_orderkey % 7 = 3)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

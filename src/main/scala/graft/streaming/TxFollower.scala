@@ -212,17 +212,21 @@ object TxFollower {
     * tracks the source under MERGE/UPDATE/DELETE without ever
     * re-aggregating it. (File-granular fallback commits are signed
     * the same way: a whole-file delete+insert is a valid retraction +
-    * re-addition, so even overwrites fold exactly.) Only RETRACTABLE
-    * aggregates work this way — counts, sums, and anything derived
-    * from them (averages = sum/count at read time); min/max need the
-    * surviving group re-scanned after a delete, which is what
-    * [[processAggregate]]'s re-aggregating `combine` is for on
-    * append-only sources.
+    * re-addition, so even overwrites fold exactly.) Counts, sums, and
+    * anything derived from them (averages = sum/count at read time)
+    * fold purely from the feed. MIN/MAX (`extremaCols`) are NOT
+    * retractable — the removed row may have been the extremum — so
+    * insert-only groups fold monotonically while retraction-touched
+    * groups re-aggregate from the source snapshot PINNED at the
+    * consumed offset (one semi-joined scan bounded to the dirty
+    * groups, only on increments that actually retracted).
     *
     * View schema: groupCols ++ `n_rows` ++ per sum column `c`:
     * `sum_<c>` (NULL iff the group holds no non-null values — exact
     * SQL SUM semantics) and `nn_<c>` (its non-null count, the state
-    * that makes that NULL decidable under retraction). Groups whose
+    * that makes that NULL decidable under retraction) ++ per extrema
+    * column `min_<c>`/`max_<c>` (SQL semantics: nulls ignored, NULL
+    * when the group holds no non-null values). Groups whose
     * row count reaches zero are DELETED (a group exists iff it has
     * rows). Exact for integral sums; floating-point sums accumulate
     * retraction round-off vs a from-scratch re-aggregate, so prefer
@@ -236,8 +240,9 @@ object TxFollower {
     */
   def processAggregateChanges(spark: SparkSession, src: String, dst: String,
                               app: String, groupCols: Seq[String],
-                              sumCols: Seq[String] = Nil): Option[Long] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+                              sumCols: Seq[String] = Nil,
+                              extremaCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, least, greatest, lit, max, min, sum, when}
     require(groupCols.nonEmpty, "aggregate view needs group columns")
     requireTokenSafe(app)
     val srcVersions = TxTable.versions(spark, src)
@@ -246,35 +251,90 @@ object TxFollower {
     if (head <= from) return None
     checkRetention(srcVersions, from, src)
     val changes = TxTable.readChanges(spark, src, fromV = from, toV = head)
-    val w = when(col(TxTable.ChangeTypeCol)
-      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val isAdd = col(TxTable.ChangeTypeCol).isin("insert", "update_postimage")
+    val w = when(isAdd, 1L).otherwise(-1L)
     val deltas = changes.withColumn("__w", w)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__w")).as("__dn"),
-        sumCols.flatMap(c => Seq(
+        (sumCols.flatMap(c => Seq(
           sum(col(c) * col("__w")).as(s"__ds_$c"),
           sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
-            .as(s"__dnn_$c"))): _*)
+            .as(s"__dnn_$c"))) ++
+        extremaCols.flatMap(c => Seq(
+          min(when(isAdd, col(c))).as(s"__dmin_$c"),
+          max(when(isAdd, col(c))).as(s"__dmax_$c"))) :+
+        sum(when(isAdd, 0L).otherwise(1L)).as("__dret")): _*)
+    // RETRACTIONS make extrema non-foldable (the removed row may have
+    // BEEN the extremum), so retraction-touched groups re-aggregate
+    // from the source — PINNED at the consumed offset `head`, never
+    // the live head (a racing commit would leak future state into
+    // this increment) — while insert-only groups fold monotonically.
+    // Cost: one semi-joined scan bounded to the dirty groups, only on
+    // increments that actually retracted.
+    val recomputed =
+      if (extremaCols.isEmpty) None
+      else {
+        val dirty0 = deltas.where(col("__dret") > 0)
+          .select(groupCols.map(k => col(k).as(s"__d_$k")): _*)
+        val srcAt = TxTable.readVersion(spark, src, head)
+        Some(srcAt.join(dirty0,
+            groupCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
+            "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(extremaCols.map(c => min(col(c)).as(s"min_$c")).head,
+            (extremaCols.map(c => min(col(c)).as(s"min_$c")).tail ++
+              extremaCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+          .toDF((groupCols.map(k => s"__r_$k") ++
+            extremaCols.map(c => s"__rmin_$c") ++
+            extremaCols.map(c => s"__rmax_$c")): _*))
+      }
+    // SQL-null-ignoring fold of two candidate extrema
+    def nmin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(least(a, b))
+    def nmax(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
     def project(n: org.apache.spark.sql.Column,
                 sumOf: String => org.apache.spark.sql.Column,
                 nnOf: String => org.apache.spark.sql.Column,
+                minOf: String => org.apache.spark.sql.Column,
+                maxOf: String => org.apache.spark.sql.Column,
                 from: DataFrame) =
       from.select(groupCols.map(col) ++ Seq(n.as("n_rows")) ++
         sumCols.flatMap(c => Seq(
           when(nnOf(c) > 0, sumOf(c)).as(s"sum_$c"),
-          nnOf(c).as(s"nn_$c"))): _*)
+          nnOf(c).as(s"nn_$c"))) ++
+        extremaCols.flatMap(c => Seq(
+          minOf(c).as(s"min_$c"), maxOf(c).as(s"max_$c"))): _*)
+    // one row per dirty group — small on normal increments, but a mass
+    // delete can dirty every group: no forced broadcast, AQE decides
+    def withRecompute(df: DataFrame): DataFrame = recomputed match {
+      case None => df
+      case Some(r) => df.join(r,
+        groupCols.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _),
+        "left")
+    }
+    // dirty groups take the recomputed extrema VERBATIM (the pinned
+    // snapshot is the truth); clean groups fold old-state/delta minima
+    def finalMin(old: String => org.apache.spark.sql.Column)(c: String) =
+      when(col("__dret") > 0, col(s"__rmin_$c"))
+        .otherwise(nmin(old(c), col(s"__dmin_$c")))
+    def finalMax(old: String => org.apache.spark.sql.Column)(c: String) =
+      when(col("__dret") > 0, col(s"__rmax_$c"))
+        .otherwise(nmax(old(c), col(s"__dmax_$c")))
     val meta = Map(srcKey(app) -> head.toString)
     val guard = Map(srcKey(app) -> head)
     if (!TxTable.exists(spark, dst)) {
       TxTable.append(spark, dst,
         project(col("__dn"), c => coalesce(col(s"__ds_$c"), lit(0L)),
-          c => col(s"__dnn_$c"), deltas.where(col("__dn") > 0)),
+          c => col(s"__dnn_$c"),
+          finalMin(_ => lit(null))(_), finalMax(_ => lit(null))(_),
+          withRecompute(deltas).where(col("__dn") > 0)),
         meta = meta, guard = guard)
     } else {
       // null-safe key join: a null group key is a real group
       val s0 = TxTable.read(spark, dst)
       val state = s0.toDF(s0.columns.map(c => s"__s_$c"): _*)
-      val joined = deltas.join(state,
+      val joined = withRecompute(deltas).join(state,
         groupCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _),
         "left")
       val newN = coalesce(col("__s_n_rows"), lit(0L)) + col("__dn")
@@ -282,6 +342,8 @@ object TxFollower {
         c => coalesce(col(s"__s_sum_$c"), lit(0L)) +
           coalesce(col(s"__ds_$c"), lit(0L)),
         c => coalesce(col(s"__s_nn_$c"), lit(0L)) + col(s"__dnn_$c"),
+        finalMin(c => col(s"__s_min_$c"))(_),
+        finalMax(c => col(s"__s_max_$c"))(_),
         joined)
       val upserts = folded.where(col("n_rows") > 0)
       val deletes = folded.where(col("n_rows") <= 0)
@@ -343,14 +405,16 @@ object TxFollower {
   def followAggregateChanges(spark: SparkSession, src: String, dst: String,
                              app: String, groupCols: Seq[String],
                              sumCols: Seq[String], checkpoint: String,
-                             ticksPerSecond: Int = 1): StreamingQuery =
+                             ticksPerSecond: Int = 1,
+                             extremaCols: Seq[String] = Nil): StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", ticksPerSecond.toString)
       .load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        processAggregateChanges(spark, src, dst, app, groupCols, sumCols)
+        processAggregateChanges(spark, src, dst, app, groupCols, sumCols,
+          extremaCols)
         ()
       }
       .start()

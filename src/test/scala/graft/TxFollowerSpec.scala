@@ -316,6 +316,53 @@ class TxFollowerSpec extends SparkSpec {
     assert(TxTable.versions(spark, dst) == versions)
   }
 
+  test("retraction view maintains MIN/MAX: monotone folds + dirty-group recompute") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    def fold() = TxFollower.processAggregateChanges(spark, src, dst, "rvmm",
+      Seq("k"), Nil, extremaCols = Seq("x"))
+    def check(): Unit = {
+      val batch = TxTable.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("n"), min("x"), max("x"))
+        .collect().map(r => Option(r.get(0)).map(_.toString) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+      val view = TxTable.read(spark, dst)
+        .select("k", "n_rows", "min_x", "max_x").collect()
+        .map(r => Option(r.get(0)).map(_.toString) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+      assert(view == batch, s"view $view != recompute $batch")
+    }
+    // insert-only bootstrap: monotone fold path; b is all-null
+    TxTable.append(spark, src,
+      Seq(("a", 1L, Some(10L)), ("a", 2L, Some(20L)), ("a", 3L, Some(30L)),
+        ("b", 4L, Option.empty[Long]))
+        .toDF("k", "id", "x"))
+    assert(fold().contains(1L)); check()
+    // delete the MAX of a: only a recompute can know the new max
+    TxTable.delete(spark, src, col("x") === 30L)
+    assert(fold().contains(2L)); check()
+    // merge moves the MIN (update preimage retraction) and inserts a
+    // fresh group in the same increment
+    TxTable.merge(spark, src,
+      Seq(("a", 1L, Some(500L)), ("c", 9L, Some(7L))).toDF("k", "id", "x"),
+      Seq("id"))
+    assert(fold().contains(3L)); check()
+    // insert-only increment on an existing group: fold, no recompute
+    TxTable.append(spark, src,
+      Seq(("c", 10L, Some(1L)), ("c", 11L, Option.empty[Long]))
+        .toDF("k", "id", "x"))
+    assert(fold().contains(4L)); check()
+    // group death removes the row; survivors keep exact extrema
+    TxTable.delete(spark, src, col("k") === "a")
+    assert(fold().contains(5L)); check()
+    assert(TxTable.read(spark, dst).where(col("k") === "a").count() == 0L)
+    // all-null group's extrema stay NULL through it all
+    assert(TxTable.read(spark, dst).where(col("k") === "b")
+      .select("min_x", "max_x").collect().head.toSeq == Seq(null, null))
+  }
+
   test("retraction view treats a NULL group key as one real group") {
     val s = spark
     import s.implicits._
