@@ -1030,6 +1030,20 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // per-group top-k WITHOUT a window: the bounded-heap aggregate
+    // reduces each map slice to <=k rows per group BEFORE the shuffle
+    // (O(groups*k) exchanged, no whole-group sort) — price desc via
+    // negated key, unique o_orderkey tiebreak pins determinism
+    "q_x_topk_agg" -> ((s, dir) =>
+      Windows.topKPerGroupAgg(
+          t(s, dir, "orders"), Seq(col("o_orderstatus")),
+          Seq((-col("o_totalprice")).as("neg_price"),
+            col("o_orderkey").as("o_orderkey"),
+            col("o_totalprice").as("o_totalprice")),
+          k = 3)
+        .select("o_orderstatus", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rank")),
+
     // equal-frequency deciles by document length over the GLOBAL order
     // — the distributed-prefix NTILE, never an all-to-one window; the
     // oracle is the engine NTILE itself, so the integer boundary
@@ -2498,6 +2512,14 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_topk_agg" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders)
+        |SELECT o_orderstatus, rank, o_orderkey, o_totalprice FROM r
+        |WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
 
     "q_x_ntile" ->
       """SELECT doc_id, n_chars,

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, posexplode, row_number, struct}
 
 /** Window functions (SURVEY §2.5 W1).
   *
@@ -50,4 +50,35 @@ object Windows {
     */
   def globalTopK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k WITHOUT a window — the scale spelling of
+    * [[topKPerGroup]] for when groups are huge: a bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]) reduces every map task's
+    * slice to ≤ k rows per group BEFORE the exchange, so the shuffle
+    * carries O(groups·k) rows instead of every row, and no task ever
+    * sorts a whole group. `fields` are NAMED columns compared in the
+    * given order (sort keys first, a unique tiebreaker before any
+    * payload — then the result is deterministic); `reverse` keeps the
+    * largest instead of the smallest, and mixed per-key directions are
+    * encoded by negating a numeric key. Output: partitionCols ++
+    * `rankCol` (1 = best) ++ the fields, one row per kept element.
+    */
+  def topKPerGroupAgg(df: DataFrame, partitionCols: Seq[Column],
+                      fields: Seq[Column], k: Int,
+                      reverse: Boolean = false,
+                      rankCol: String = "rank"): DataFrame = {
+    val stc = struct(fields: _*)
+    val tk = org.apache.spark.sql.GraftShim.toColumn(
+      graft.functions.TopKAgg(
+        org.apache.spark.sql.GraftShim.toExpression(
+          df.sparkSession, stc), k, reverse).toAggregateExpression())
+    val agg = df.groupBy(partitionCols: _*).agg(tk.as("__topk"))
+    val st = agg.schema("__topk").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    agg.select((partitionCols :+ posexplode(col("__topk"))): _*)
+      .select((partitionCols :+
+        (col("pos") + 1).cast("int").as(rankCol)) ++
+        st.fieldNames.toSeq.map(f => col(s"col.`$f`").as(f)): _*)
+  }
 }
