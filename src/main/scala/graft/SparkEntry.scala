@@ -1221,6 +1221,26 @@ object SparkEntry {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Gopher line/paragraph duplication rules over injected structure:
+    // every doc gets its 40-char head pasted as a second line (plus a
+    // third duplicate for doc_id%3==0) and a duplicated paragraph for
+    // doc_id%2==0 — count- AND char-weighted fractions, all narrow
+    // codegen'd HOFs, mirrored exactly in the oracle
+    "q_x_text_replines" -> ((s, dir) => {
+      val head40 = substring(col("text"), 1, 40)
+      val next40 = substring(col("text"), 41, 40)
+      val lined = concat_ws("\n", col("text"), head40,
+        when(col("doc_id") % 3 === 0, head40).otherwise(next40))
+      val paraed = concat_ws("\n\n", col("text"),
+        when(col("doc_id") % 2 === 0, col("text")).otherwise(head40))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.dupLineFraction(lined).as("dup_line_frac"),
+          TextAnalysis.dupLineCharFraction(lined).as("dup_line_char_frac"),
+          TextAnalysis.dupParagraphFraction(paraed).as("dup_para_frac"),
+          TextAnalysis.dupParagraphCharFraction(paraed).as("dup_para_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_x_text_redact" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -3175,6 +3195,41 @@ object SparkEntry {
          |FROM inter i JOIN esizes s ON i.eval_id = s.id
          |WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) >= 0.4
          |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "q_x_text_replines" ->
+      raw"""WITH base AS (SELECT doc_id, text,
+           |  substr(text, 1, 40) AS h40, substr(text, 41, 40) AS n40
+           |  FROM documents),
+           |built AS (SELECT doc_id,
+           |  concat_ws(chr(10), text, h40,
+           |    CASE WHEN doc_id % 3 = 0 THEN h40 ELSE n40 END) AS lined,
+           |  concat_ws(chr(10) || chr(10), text,
+           |    CASE WHEN doc_id % 2 = 0 THEN text ELSE h40 END) AS paraed
+           |  FROM base),
+           |segs AS (SELECT doc_id,
+           |  list_filter(list_transform(string_split_regex(lined, '\n'),
+           |    s -> trim(s)), s -> length(s) > 0) AS lines,
+           |  list_filter(list_transform(string_split_regex(paraed, '\n{2,}'),
+           |    s -> trim(s)), s -> length(s) > 0) AS paras
+           |  FROM built),
+           |sums AS (SELECT doc_id, lines, paras,
+           |  COALESCE(list_aggregate(list_transform(lines, s -> length(s)), 'sum'), 0) AS lt,
+           |  COALESCE(list_aggregate(list_transform(list_distinct(lines), s -> length(s)), 'sum'), 0) AS ld,
+           |  COALESCE(list_aggregate(list_transform(paras, s -> length(s)), 'sum'), 0) AS pt,
+           |  COALESCE(list_aggregate(list_transform(list_distinct(paras), s -> length(s)), 'sum'), 0) AS pd
+           |  FROM segs)
+           |SELECT doc_id,
+           |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+           |    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END
+           |    AS dup_line_frac,
+           |  CASE WHEN lt = 0 THEN 0.0 ELSE
+           |    CAST(lt - ld AS DOUBLE) / CAST(lt AS DOUBLE) END AS dup_line_char_frac,
+           |  CASE WHEN len(paras) = 0 THEN 0.0 ELSE
+           |    1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / CAST(len(paras) AS DOUBLE) END
+           |    AS dup_para_frac,
+           |  CASE WHEN pt = 0 THEN 0.0 ELSE
+           |    CAST(pt - pd AS DOUBLE) / CAST(pt AS DOUBLE) END AS dup_para_char_frac
+           |FROM sums ORDER BY doc_id""".stripMargin,
 
     "q_x_text_redact" ->
       raw"""SELECT doc_id,

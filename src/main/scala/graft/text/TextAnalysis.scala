@@ -242,6 +242,47 @@ object TextAnalysis {
         size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
   }
 
+  /** Non-empty trimmed segments of `text` under a regex separator —
+    * the shared base of the LINE (`\n`) and PARAGRAPH (`\n{2,}`)
+    * repetition rules below.
+    */
+  def segmentsOf(text: Column, sepRegex: String): Column =
+    filter(transform(split(text, sepRegex), s => trim(s)),
+      s => length(s) > 0)
+
+  /** Gopher's line/paragraph duplication rules (Rae et al. 2021 §A1.1):
+    * fraction of segments that are duplicates of an earlier segment;
+    * 0.0 for docs with no segments.
+    */
+  def dupSegmentFraction(segs: Column): Column =
+    when(size(segs) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(segs)).cast("double") / size(segs).cast("double"))
+
+  /** Fraction of CHARACTERS contained in duplicate segment instances
+    * (total segment chars minus one copy of each distinct segment);
+    * 0.0 for docs with no segment characters. The char-weighted form
+    * catches the "one giant paragraph pasted twice" doc that the
+    * count-weighted form underweights.
+    */
+  def dupSegmentCharFraction(segs: Column): Column = {
+    val total = aggregate(transform(segs, s => length(s)), lit(0),
+      (a, x) => a + x)
+    val dist = aggregate(transform(array_distinct(segs), s => length(s)),
+      lit(0), (a, x) => a + x)
+    when(total === 0, lit(0.0)).otherwise(
+      (total - dist).cast("double") / total.cast("double"))
+  }
+
+  def dupLineFraction(text: Column): Column =
+    dupSegmentFraction(segmentsOf(text, "\n"))
+  def dupLineCharFraction(text: Column): Column =
+    dupSegmentCharFraction(segmentsOf(text, "\n"))
+  def dupParagraphFraction(text: Column): Column =
+    dupSegmentFraction(segmentsOf(text, "\n{2,}"))
+  def dupParagraphCharFraction(text: Column): Column =
+    dupSegmentCharFraction(segmentsOf(text, "\n{2,}"))
+
   /** Scale form: all three repetition signals in one pass, tokenizing
     * each row exactly once in its own projection.
     */

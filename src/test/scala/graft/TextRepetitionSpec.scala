@@ -42,4 +42,36 @@ class TextRepetitionSpec extends SparkSpec {
       .head()
     assert(row.getInt(0) == 3 && row.getInt(1) == 2) // "x y","y x","x y"
   }
+
+  private def lineSignals(text: String): (Double, Double, Double, Double) = {
+    val r = df(Seq(Tuple1(text))).toDF("text").select(
+      TextAnalysis.dupLineFraction(col("text")),
+      TextAnalysis.dupLineCharFraction(col("text")),
+      TextAnalysis.dupParagraphFraction(col("text")),
+      TextAnalysis.dupParagraphCharFraction(col("text"))).head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  test("line/paragraph duplication: count- and char-weighted fractions") {
+    // 3 lines, "aa" twice: 1/3 dup lines; chars 2+2+4=8, dup chars 2
+    assert(lineSignals("aa\naa\nbbbb") ==
+      ((1.0 - 2.0 / 3.0, 2.0 / 8.0, 0.0, 0.0)))
+    // the char-weighted rule catches the giant paragraph pasted twice:
+    // 3 paragraphs (long, long, x) — count says 1/3, chars say 8/17
+    assert(lineSignals("longpara\n\nlongpara\n\nx") ==
+      ((1.0 - 2.0 / 3.0, 8.0 / 17.0, 1.0 - 2.0 / 3.0, 8.0 / 17.0)))
+    // single-newline breaks are LINES but one paragraph
+    val (dl, _, dp, _) = {
+      val t4 = lineSignals("p q\np q")
+      (t4._1, t4._2, t4._3, t4._4)
+    }
+    assert(dl == 0.5 && dp == 0.0)
+  }
+
+  test("line rules: empty docs and whitespace-only lines hit the 0.0 guards") {
+    assert(lineSignals("") == ((0.0, 0.0, 0.0, 0.0)))
+    assert(lineSignals("\n\n  \n") == ((0.0, 0.0, 0.0, 0.0)))
+    // blank-ish lines are dropped before counting: "a", "a" remain
+    assert(lineSignals("a\n   \na")._1 == 0.5)
+  }
 }
