@@ -166,8 +166,13 @@ object Sampling {
   }
 
   /** Per-group weighted sample: at most `k` rows per group under the
-    * same exponential-race key — one shuffle by the group keys (the
-    * [[perGroupSample]] shape, weights added).
+    * same exponential-race key. Rides the bounded-heap aggregate
+    * ([[Windows.topKPerGroupAgg]]), NOT a group-partitioned window: the
+    * shuffle carries at most k race keys per group per map task, and no
+    * task ever sorts a whole group — "sample 1000 docs per language
+    * ∝ quality" stays one cheap aggregate even when a language holds
+    * billions of rows. Selection is identical to the window spelling
+    * (same key, same id tiebreak), just cheaper.
     */
   def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
                              idCol: String, weightCol: String, k: Int,
@@ -177,13 +182,15 @@ object Sampling {
     val u = (pmod(hash(lit(salt), col(idCol)), lit(Buckets)).cast("double")
       + 0.5) / Buckets
     val kc = graft.util.Cols.fresh(df, "__esk")
-    val rk = graft.util.Cols.fresh(df, "__rk")
-    Windows.topKPerGroup(
+    val payload = df.columns.filterNot(c => c == idCol || groupCols.contains(c))
+    Windows.topKPerGroupAgg(
         df.filter(col(weightCol) > 0)
           .withColumn(kc, -log(u) / col(weightCol).cast("double")),
-        groupCols.map(col), Seq(col(kc).asc, col(idCol).asc), k,
-        rankCol = rk)
-      .drop(kc, rk)
+        groupCols.map(col),
+        Seq(col(kc).as(kc), col(idCol).as(idCol)) ++
+          payload.map(c => col(c).as(c)),
+        k, rankCol = graft.util.Cols.fresh(df.columns :+ kc, "__rk"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Stratified fractions per group: `fractions` maps group value (of a

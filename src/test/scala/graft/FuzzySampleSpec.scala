@@ -96,4 +96,23 @@ class FuzzySampleSpec extends SparkSpec {
     assert(byGrp("e").length === 4 && byGrp("o").length === 4)
     assert(!out.collect().map(_.getLong(0)).exists(_ % 10 == 0))
   }
+
+  test("per-group sample: heap-agg spelling selects EXACTLY like the window") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 200L).map(i =>
+      WRow(i, s"g${i % 3}", (i * 37 % 23 + 1).toDouble))
+    val got = Sampling.weightedSamplePerGroup(df(rows), Seq("grp"), "id",
+        "w", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the window spelling with the identical race-key arithmetic
+    val u = (pmod(xxhash64(lit("graft"), col("id")), lit(1000000))
+      .cast("double") + 0.5) / 1000000
+    val ref = df(rows)
+      .withColumn("k", -log(u) / col("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("k").asc, col("id").asc)))
+      .filter(col("rn") <= 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ref)
+  }
 }
