@@ -882,6 +882,23 @@ object SparkEntry {
            |FROM graft.`$tmp`""".stripMargin)
     }),
 
+    // liquid-style clustering: land interleaved, declare CLUSTER BY,
+    // bare SQL OPTIMIZE re-clusters on the declaration, and a pruned
+    // read must still equal the plain filter — the oracle proves the
+    // rewrite loses nothing; pruning itself is plan-asserted in
+    // ZOrderSpec
+    "q_x_cluster_by" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_clst") + "/li_tx"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      (0 until 3).foreach(j => graft.ops.TxTable.append(s, tmp,
+        li.filter(col("l_orderkey") % 3 === j).coalesce(1)))
+      s.sql(s"ALTER TABLE graft.`$tmp` CLUSTER BY (l_orderkey, l_partkey)")
+      s.sql(s"OPTIMIZE graft.`$tmp`")
+      graft.ops.TxTable.readWhere(s, tmp, col("l_orderkey") <= 100)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+    }),
+
     // column rename (copy-on-write DDL): land, ALTER ... RENAME COLUMN
     // through SQL, query under the NEW name — the oracle recomputes
     // from the source with an alias, so the rewrite must lose nothing
@@ -2464,6 +2481,11 @@ object SparkEntry {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
         |  CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
+
+    "q_x_cluster_by" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
 
     "q_x_rename" ->
       """SELECT c_custkey, c_name, c_acctbal AS balance

@@ -287,6 +287,12 @@ object TxTable {
           Map(BloomMetaKey -> enc(
             s"${cols.map(c => if (c == from) to else c).mkString(",")}:$bits:$k")))
       }
+    // same crash-safe pre-rename for a clustering declaration
+    val cl = clusteringColumns(spark, path)
+    if (cl.contains(from))
+      commitLines(spark, path, "cluster", Seq.empty, (base, _) => base,
+        Map(ClusterMetaKey -> enc(
+          cl.map(c => if (c == from) to else c).mkString(","))))
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commit(spark, path, snapshot.withColumnRenamed(from, to), "rename",
@@ -2258,6 +2264,46 @@ object TxTable {
     finally if (changeFeed && cached != null) cached.unpersist(blocking = false)
   }
 
+  /** Carried meta key declaring the table's standing CLUSTERING intent
+    * (Delta liquid clustering reduced to carried meta + the z-order
+    * rewrite): once set, [[optimize]] with no explicit columns — and
+    * the SQL bare `OPTIMIZE graft.`t`` — re-clusters on the declared
+    * columns instead of erroring / merely bin-packing.
+    */
+  private[graft] val ClusterMetaKey = "graft.cluster"
+
+  /** The declared clustering columns (empty when none). */
+  def clusteringColumns(spark: SparkSession, path: String): Seq[String] =
+    versions(spark, path).lastOption
+      .map(v => commitMeta(spark, path, v)).toSeq
+      .flatMap(_.get(ClusterMetaKey)).map(dec).filter(_.nonEmpty)
+      .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+
+  /** Declare clustering columns (metadata-only commit; carried
+    * forward). Data columns only — partition columns are already
+    * path-separated and clustering them is a no-op the declaration
+    * would dress up as progress.
+    */
+  def setClusteringColumns(spark: SparkSession, path: String,
+                           cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "setClusteringColumns needs at least one column")
+    require(versions(spark, path).nonEmpty,
+      s"$path is not a TxTable (no $LogDir manifests)")
+    val schema = read(spark, path, mergeSchema = true).schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"setClusteringColumns: no column '$c' in $path"))
+    val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
+    require(cols.intersect(parts).isEmpty,
+      s"clustering on partition columns is redundant: ${cols.intersect(parts)}")
+    commitLines(spark, path, "cluster", Seq.empty, (base, _) => base,
+      Map(ClusterMetaKey -> enc(cols.mkString(","))))
+  }
+
+  /** Remove the clustering declaration (tombstoned empty). */
+  def dropClusteringColumns(spark: SparkSession, path: String): Long =
+    commitLines(spark, path, "cluster", Seq.empty, (base, _) => base,
+      Map(ClusterMetaKey -> ""))
+
   /** Rewrite the head snapshot Z-order-clustered on `zorderCols`
     * (Delta's `OPTIMIZE ... ZORDER BY`, as a log commit): rows with
     * nearby values across ALL the given columns land in the same files,
@@ -2286,7 +2332,13 @@ object TxTable {
                partitionCols: Seq[String] = Nil,
                mergeSchema: Boolean = false,
                where: Option[org.apache.spark.sql.Column] = None): Long = {
-    require(zorderCols.nonEmpty, "optimize needs at least one z-order column")
+    // explicit columns win; otherwise the table's declared clustering
+    // intent (CLUSTER BY) is the standing default
+    val zc =
+      if (zorderCols.nonEmpty) zorderCols
+      else clusteringColumns(spark, path)
+    require(zc.nonEmpty, "optimize needs z-order columns — pass them " +
+      "explicitly or declare them with setClusteringColumns/CLUSTER BY")
     val layout =
       if (partitionCols.nonEmpty) partitionCols
       else declaredPartitionCols(spark, path).getOrElse(Nil)
@@ -2296,7 +2348,7 @@ object TxTable {
       math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     rewriteFiles(spark, path, files, layout, mergeSchema,
       None) { snapshot =>
-      ZOrder.cluster(snapshot, zorderCols, numFiles, bitsPerCol,
+      ZOrder.cluster(snapshot, zc, numFiles, bitsPerCol,
         leadCols = layout)
     }
   }

@@ -112,6 +112,12 @@ object GraftSql {
   private val DropBloomRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+DROP\s+BLOOM\s*FILTER\s*""").r
+  private val ClusterByRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*""").r
+  private val ClusterNoneRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+CLUSTER\s+BY\s+NONE\s*""").r
   private val RenameColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*""").r
@@ -201,6 +207,10 @@ object GraftSql {
         Some(GraftDropBloomCommand(path))
       case RenameColRe(path, from, to) =>
         Some(GraftRenameColumnCommand(path, from, to))
+      case ClusterNoneRe(path) =>
+        Some(GraftClusterByCommand(path, Nil))
+      case ClusterByRe(path, cols) =>
+        Some(GraftClusterByCommand(path, splitNames(cols)))
       case _ => None
     }
   }
@@ -723,7 +733,12 @@ case class GraftCompactCommand(path: String,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxTable.compact(spark, path, where = where)))
+    // liquid-style: a declared CLUSTER BY makes bare OPTIMIZE
+    // re-cluster; without one it stays the bin-packing compaction
+    Seq(Row(
+      if (TxTable.clusteringColumns(spark, path).nonEmpty)
+        TxTable.optimize(spark, path, Nil, where = where)
+      else TxTable.compact(spark, path, where = where)))
 }
 
 /** `VACUUM graft.`p` [RETAIN n VERSIONS] [DRY RUN]` →
@@ -858,6 +873,20 @@ case class GraftDropBloomCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.dropBloomFilters(spark, path)))
+}
+
+/** `ALTER TABLE graft.`p` CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` →
+  * [[TxTable.setClusteringColumns]] / [[TxTable.dropClusteringColumns]]
+  * — the standing OPTIMIZE intent; a bare `OPTIMIZE graft.`p`` then
+  * re-clusters instead of merely bin-packing.
+  */
+case class GraftClusterByCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (cols.isEmpty) TxTable.dropClusteringColumns(spark, path)
+      else TxTable.setClusteringColumns(spark, path, cols)))
 }
 
 /** `ALTER TABLE graft.`p` RENAME COLUMN a TO b` →

@@ -123,6 +123,57 @@ class ZOrderSpec extends SparkSpec {
     assert(mon.count() == 50, "old mon rows replaced, not duplicated")
   }
 
+  test("CLUSTER BY declaration: bare OPTIMIZE re-clusters; dropped, it compacts") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cluster").toString + "/t"
+    // ids interleaved across 3 files: a probe scans all of them
+    (0 until 3).foreach { j =>
+      TxTable.append(spark, dir,
+        (0 until 100).map(i => (i * 3L + j, s"n$i")).toDF("id", "name")
+          .coalesce(1))
+    }
+    assert(TxTable.readWhere(spark, dir, col("id") === 150L)
+      .inputFiles.length == 3, "interleaved: stats can't prune")
+    // no explicit cols and no declaration → loud refusal
+    intercept[IllegalArgumentException] {
+      TxTable.optimize(spark, dir, Nil, targetBytes = 4096)
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY (id)")
+    assert(TxTable.clusteringColumns(spark, dir) === Seq("id"))
+    // bare SQL OPTIMIZE now re-clusters on the declared column: files
+    // hold contiguous id ranges and the same probe scans ONE file
+    spark.sql(s"OPTIMIZE graft.`$dir`")
+    val pruned = TxTable.readWhere(spark, dir, col("id") === 150L)
+    assert(pruned.count() == 1)
+    val files = TxTable.read(spark, dir).inputFiles.length
+    assert(files == 1 ||
+      pruned.inputFiles.length < files,
+      s"declared clustering must make the probe prune: " +
+        s"${pruned.inputFiles.length} of $files")
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY NONE")
+    assert(TxTable.clusteringColumns(spark, dir).isEmpty)
+    intercept[IllegalArgumentException] {
+      TxTable.optimize(spark, dir, Nil)
+    }
+  }
+
+  test("renameColumn carries a clustering declaration to the new name") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cluster").toString + "/t"
+    TxTable.append(spark, dir,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1))
+    TxTable.setClusteringColumns(spark, dir, Seq("id"))
+    TxTable.renameColumn(spark, dir, "id", "doc_id")
+    assert(TxTable.clusteringColumns(spark, dir) === Seq("doc_id"))
+    // and the declaration still drives a bare optimize
+    TxTable.optimize(spark, dir, Nil)
+    assert(TxTable.read(spark, dir).count() == 10L)
+  }
+
   test("cluster() preserves rows exactly and tolerates nulls/constants") {
     val s = spark
     import s.implicits._
