@@ -1482,6 +1482,15 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
 
+    // the 100 TB distinct-count mode, grouped and oracled: mergeable
+    // HLL per customer-nation group, envelope-checked in-plan against
+    // exact countDistinct — the oracle pins hll_ok TRUE and recomputes
+    // the exact counts (the hashable payload)
+    "q_x_distinct_approx" -> ((s, dir) =>
+      graft.ops.Sketches.approxDistinctChecked(
+          t(s, dir, "customer"), "c_nationkey", col("c_custkey"))
+        .orderBy("c_nationkey")),
+
     // the 100 TB quantile mode, oracled: mergeable KLL sketches per
     // group, envelope-checked in-plan against exact rank-element
     // quantiles (computed on the distributed group rank, no
@@ -2853,6 +2862,13 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_x_distinct_approx" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |  TRUE AS hll_ok
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_x_quantiles_approx" ->
       """WITH d AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v

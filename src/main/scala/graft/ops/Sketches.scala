@@ -52,6 +52,31 @@ object Sketches {
       .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
       .drop("hll")
 
+  /** Grouped correctness bridge for the HLL path (the per-group
+    * sibling of [[Profile.profileChecked]]): runs the sketch AND an
+    * exact countDistinct per group and emits `(group, n_distinct,
+    * hll_ok)` — the exact count is the hashable payload, `hll_ok`
+    * asserts the estimate sits within ±tol relative (floored at ±1
+    * absolute, so tiny groups aren't held to a fraction). Default tol
+    * 0.2 ≈ 4× the lgK=12 rsd — outside honest HLL noise, so a false
+    * flag is an estimator defect. Production runs [[approxDistinct]]
+    * alone (plain partial-aggregable HLL, no Expand); the exact pass
+    * exists only in this check.
+    */
+  def approxDistinctChecked(df: DataFrame, groupCol: String, value: Column,
+                            lgK: Int = 12, tol: Double = 0.2): DataFrame = {
+    require(tol > 0, "tol must be positive")
+    val ap = approxDistinct(df, Seq(col(groupCol)), value, lgK)
+    val g2 = graft.util.Cols.fresh(df.columns :+ "approx_distinct", "__g2")
+    val ex = df.groupBy(col(groupCol))
+      .agg(countDistinct(value).as("n_distinct"))
+      .withColumnRenamed(groupCol, g2)
+    ap.join(ex, col(groupCol) <=> col(g2))
+      .select(col(groupCol), col("n_distinct"),
+        (abs(col("approx_distinct") - col("n_distinct")) <=
+          greatest(lit(1.0), col("n_distinct") * tol)).as("hll_ok"))
+  }
+
   // ---- mergeable quantiles (Datasketches KLL) -------------------------
   // Same shard → union → query decomposition as the HLL family, for
   // order statistics: exact per-group quantiles are a full sort that

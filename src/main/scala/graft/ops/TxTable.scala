@@ -1063,6 +1063,40 @@ object TxTable {
               keep(cmp(cs.tag, cs.min, v), cmp(cs.tag, cs.max, v))).toOption
           } yield r2
       } yield r).getOrElse(true)
+    // prefix predicates (c LIKE 'p%' / startsWith): every matching
+    // string lies in [p, nextAfterPrefix(p)) under unsigned UTF-8
+    // order, so a file whose [min,max] window misses that range is
+    // skipped. nextAfterPrefix increments the last non-0xFF byte (an
+    // all-0xFF prefix has no upper bound — lower test only).
+    def prefixUpper(p: String): Option[Array[Byte]] = {
+      val b = p.getBytes(StandardCharsets.UTF_8)
+      var i = b.length - 1
+      while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val c = java.util.Arrays.copyOf(b, i + 1)
+        c(i) = (c(i) + 1).toByte
+        Some(c)
+      }
+    }
+    def testPrefix(attr: Expression, p: String): Boolean =
+      (for { n <- nameOf(attr); cs <- stats.get(n) } yield {
+        if (cs.allNull) false
+        else if (cs.tag != "s") true // non-string stats: conservative keep
+        else utf8Cmp(cs.max, p) >= 0 && (prefixUpper(p) match {
+          case None => true
+          case Some(u) => java.util.Arrays.compareUnsigned(
+            cs.min.getBytes(StandardCharsets.UTF_8), u) < 0
+        })
+      }).getOrElse(true)
+    // a LIKE whose pattern is a plain prefix (trailing %, no other
+    // wildcards/escapes) prunes like startsWith; anything else keeps
+    def likePrefix(pattern: String): Option[String] =
+      if (pattern.nonEmpty && pattern.endsWith("%") &&
+          !pattern.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\'))
+        Some(pattern.dropRight(1))
+      else None
+
     // nulls known to be zero → `c IS NULL` cannot match
     def mayHaveNull(attr: Expression): Boolean =
       (for { n <- nameOf(attr); cs <- stats.get(n); nu <- cs.nulls }
@@ -1086,6 +1120,12 @@ object TxTable {
       case LessThanOrEqual(l, a) if nameOf(a).isDefined => test(a, l, (_, mx) => mx >= 0)
       case In(a, vs) if nameOf(a).isDefined =>
         vs.exists(v => test(a, v, (mn, mx) => mn <= 0 && mx >= 0))
+      case StartsWith(a, Literal(p, org.apache.spark.sql.types.StringType))
+          if nameOf(a).isDefined && p != null =>
+        testPrefix(a, p.toString)
+      case Like(a, Literal(p, org.apache.spark.sql.types.StringType), esc)
+          if nameOf(a).isDefined && p != null && esc == '\\' =>
+        likePrefix(p.toString).forall(testPrefix(a, _))
       case _ => true
     }
   }

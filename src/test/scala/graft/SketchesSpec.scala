@@ -134,6 +134,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approxDistinctChecked: exact counts exposed, envelope holds per group") {
+    val s = spark
+    import s.implicits._
+    // groups spanning HLL regimes: ~3000, ~300, 3 distinct values
+    val data = (1 to 6000).map { i =>
+      val g = if (i <= 3000) "big" else if (i <= 5700) "mid" else "tiny"
+      val v = g match {
+        case "big" => i.toLong // all distinct
+        case "mid" => (i % 300).toLong
+        case _ => (i % 3).toLong
+      }
+      (g, v)
+    }
+    val got = Sketches.approxDistinctChecked(data.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got("big")._1 === 3000L && got("mid")._1 === 300L &&
+      got("tiny")._1 === 3L)
+    assert(got.values.forall(_._2), s"estimate out of envelope: $got")
+  }
+
   test("approxQuantilesChecked refuses degenerate probs and tolerance") {
     val s = spark
     import s.implicits._

@@ -56,6 +56,26 @@ class TxStatsSpec extends SparkSpec {
       col("id").isin(5L, 25L)).inputFiles.length == 2)
   }
 
+  test("prefix predicates prune: startsWith and LIKE 'p%', all spellings") {
+    val dir = tmp()
+    threeCommits(dir) // name bands: a0..a9, m10..m19, x20..x29
+    assert(TxTable.readWhere(spark, dir,
+      col("name").startsWith("m")).inputFiles.length == 1)
+    assert(TxTable.readWhere(spark, dir,
+      col("name").startsWith("m")).count() == 10)
+    assert(TxTable.readWhere(spark, dir,
+      col("name").like("x%")).inputFiles.length == 1)
+    // a prefix BETWEEN the bands matches nothing and scans nothing
+    val none = TxTable.readWhere(spark, dir, col("name").startsWith("q"))
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+    // non-prefix patterns keep every file but still filter exactly
+    val inner = TxTable.readWhere(spark, dir, col("name").like("%15%"))
+    assert(inner.inputFiles.length == 3 && inner.count() == 1)
+    // prefix longer than the band: only the matching file
+    assert(TxTable.readWhere(spark, dir,
+      col("name").startsWith("m1")).inputFiles.length == 1)
+  }
+
   test("no file can match → empty result, nothing scanned") {
     val dir = tmp()
     threeCommits(dir)
