@@ -732,6 +732,13 @@ object TxTable {
       Map(BloomMetaKey -> enc(s"${cols.mkString(",")}:$bits:$hashes")))
   }
 
+  /** The table's bloom configuration — (columns, bits, hashes) — if
+    * declared. */
+  def bloomFilterConfig(spark: SparkSession,
+                        path: String): Option[(Seq[String], Int, Int)] =
+    versions(spark, path).lastOption
+      .flatMap(v => bloomConfigOf(commitMeta(spark, path, v)))
+
   /** Remove the bloom configuration (tombstoned empty, like a dropped
     * constraint). Existing per-file tokens stay in the manifest and
     * keep pruning — they are still TRUE statements about their files.
@@ -1120,6 +1127,23 @@ object TxTable {
       case LessThanOrEqual(l, a) if nameOf(a).isDefined => test(a, l, (_, mx) => mx >= 0)
       case In(a, vs) if nameOf(a).isDefined =>
         vs.exists(v => test(a, v, (mn, mx) => mn <= 0 && mx >= 0))
+      // null-safe equality: `<=> null` matches only nulls; `<=> v`
+      // matches exactly like `= v` (nulls never equal a value)
+      case EqualNullSafe(a, Literal(null, _)) if nameOf(a).isDefined =>
+        mayHaveNull(a)
+      case EqualNullSafe(Literal(null, _), a) if nameOf(a).isDefined =>
+        mayHaveNull(a)
+      case EqualNullSafe(a, l: Literal) if nameOf(a).isDefined =>
+        test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
+      case EqualNullSafe(l: Literal, a) if nameOf(a).isDefined =>
+        test(a, l, (mn, mx) => mn <= 0 && mx >= 0)
+      // `!= v` can only prune a file whose every non-null value IS v
+      // (min = max = v): value rows fail the inequality and null rows
+      // evaluate it to NULL — neither matches
+      case Not(EqualTo(a, l)) if nameOf(a).isDefined =>
+        test(a, l, (mn, mx) => !(mn == 0 && mx == 0))
+      case Not(EqualTo(l, a)) if nameOf(a).isDefined =>
+        test(a, l, (mn, mx) => !(mn == 0 && mx == 0))
       case StartsWith(a, Literal(p, org.apache.spark.sql.types.StringType))
           if nameOf(a).isDefined && p != null =>
         testPrefix(a, p.toString)

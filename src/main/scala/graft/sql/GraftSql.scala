@@ -764,10 +764,19 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
-    AttributeReference("schema", StringType, nullable = false)())
+    AttributeReference("schema", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("bloom_filter", StringType, nullable = false)(),
+    AttributeReference("clustering", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n, bytes, parts, schema) = TxTable.detail(spark, path)
-    Seq(Row(v, n, bytes, parts.mkString(","), schema.simpleString))
+    val cons = TxTable.constraints(spark, path).toSeq.sorted
+      .map { case (name, e) => s"$name CHECK ($e)" }.mkString("; ")
+    val bloom = TxTable.bloomFilterConfig(spark, path)
+      .map { case (cols, bits, k) =>
+        s"${cols.mkString(",")} (bits=$bits, hashes=$k)" }.getOrElse("")
+    Seq(Row(v, n, bytes, parts.mkString(","), schema.simpleString,
+      cons, bloom, TxTable.clusteringColumns(spark, path).mkString(",")))
   }
 }
 

@@ -348,6 +348,9 @@ class GraftSqlSpec extends SparkSpec {
     assert(d.getLong(1) >= 1L, "file count")
     assert(d.getLong(2) > 0L, "data bytes")
     assert(d.getString(4).contains("id"), "schema surfaced")
+    // the declared configs surface too (empty before declaration)
+    assert(d.getString(5) == "" && d.getString(6) == "" &&
+      d.getString(7) == "")
     // DRY RUN lists the reclaimable paths without touching anything
     val wouldRemove = spark.sql(
       s"VACUUM graft.`$table` RETAIN 1 VERSIONS DRY RUN")
@@ -363,6 +366,14 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(removed.toSet == wouldRemove.toSet)
     assert(TxTable.versions(spark, table) == Seq(2L))
+    // declared configs surface in DETAIL once set
+    spark.sql(s"ALTER TABLE graft.`$table` ADD CONSTRAINT idp CHECK (id > 0)")
+    spark.sql(s"ALTER TABLE graft.`$table` ADD BLOOM FILTER (id)")
+    spark.sql(s"ALTER TABLE graft.`$table` CLUSTER BY (id)")
+    val d2 = spark.sql(s"DESCRIBE DETAIL graft.`$table`").head()
+    assert(d2.getString(5) == "idp CHECK (id > 0)", d2.getString(5))
+    assert(d2.getString(6) == "id (bits=8192, hashes=6)", d2.getString(6))
+    assert(d2.getString(7) == "id", d2.getString(7))
   }
 
   test("OPTIMIZE ... WHERE compacts only the matching partition's files") {

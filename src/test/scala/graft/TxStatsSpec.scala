@@ -76,6 +76,33 @@ class TxStatsSpec extends SparkSpec {
       col("name").startsWith("m1")).inputFiles.length == 1)
   }
 
+  test("null-safe equality and != prune: constant files and zero-null files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    threeCommits(dir)
+    // <=> value prunes exactly like = value
+    assert(TxTable.readWhere(spark, dir,
+      col("id") <=> 15L).inputFiles.length == 1)
+    // <=> null matches only nulls, and every file proves zero nulls
+    val nulls = TxTable.readWhere(spark, dir, col("name") <=> lit(null))
+    assert(nulls.count() == 0 && nulls.inputFiles.isEmpty)
+
+    // constant-valued files: != that constant skips them entirely
+    val dir2 = tmp()
+    Seq("a", "a", "b").zipWithIndex.foreach { case (tag, i) =>
+      TxTable.append(spark, dir2,
+        (1 to 10).map(j => (i * 10L + j, tag)).toDF("id", "tag").coalesce(1))
+    }
+    val ne = TxTable.readWhere(spark, dir2, col("tag") =!= "a")
+    assert(ne.count() == 10)
+    assert(ne.inputFiles.length == 1,
+      s"both all-'a' files must skip, scanned ${ne.inputFiles.length}")
+    // a mixed-value file never prunes on !=
+    assert(TxTable.readWhere(spark, dir2, col("id") =!= 5L)
+      .inputFiles.length == 3)
+  }
+
   test("no file can match → empty result, nothing scanned") {
     val dir = tmp()
     threeCommits(dir)
