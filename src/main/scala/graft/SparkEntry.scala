@@ -1133,6 +1133,17 @@ object SparkEntry {
     "q_flagship_gold_customer" -> ((s, dir) => flagship(s, dir)),
 
     // ---- LLM-pipeline: dedup over documents
+    // referential integrity: delete every 50th order, then find the
+    // lineitems that lost their parent — distinct keys + left-anti
+    // equi-join, SQL MATCH SIMPLE null exemption
+    "q_x_fk_orphans" -> ((s, dir) =>
+      graft.ops.Validation.orphans(
+          t(s, dir, "lineitem"),
+          t(s, dir, "orders").filter(col("o_orderkey") % 50 =!= 0),
+          Seq("l_orderkey" -> "o_orderkey"))
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")),
+
     "q_x_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "source", "n_chars")
@@ -2862,6 +2873,14 @@ object SparkEntry {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_x_fk_orphans" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber
+        |FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 50 <> 0)
+        |ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber""".stripMargin,
 
     "q_x_distinct_approx" ->
       """SELECT c_nationkey,

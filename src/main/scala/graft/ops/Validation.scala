@@ -38,6 +38,48 @@ object Validation {
       .select(col("r.rule"), col("r.violations"), col("r.total"))
   }
 
+  /** Referential integrity: the child rows whose key tuple has no
+    * match in `parent` — the cross-table check [[check]]'s row-local
+    * rules cannot express. `keys` maps child column → parent column.
+    * SQL FK semantics (MATCH SIMPLE): a child key containing any NULL
+    * is EXEMPT, not an orphan. Scale shape: distinct parent keys +
+    * one left-anti equi-join — Catalyst broadcasts a small dimension
+    * side and AQE splits a skewed one; never a cartesian.
+    */
+  def orphans(child: DataFrame, parent: DataFrame,
+              keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "at least one key pair")
+    val pcols = keys.map { case (c, p) =>
+      parent(p).as(s"__fk_$c")
+    }
+    val pk = parent.select(pcols: _*).distinct()
+    val cond = keys.map { case (c, _) =>
+      child(c) === pk(s"__fk_$c") }.reduce(_ && _)
+    child
+      .filter(keys.map { case (c, _) => child(c).isNotNull }.reduce(_ && _))
+      .join(pk, cond, "left_anti")
+  }
+
+  /** One-row summary of [[orphans]]: (n_child, n_exempt_null,
+    * n_orphans) — the dashboardable FK health gauge.
+    */
+  def foreignKeyCheck(child: DataFrame, parent: DataFrame,
+                      keys: Seq[(String, String)]): DataFrame = {
+    val anyNull = keys.map { case (c, _) => child(c).isNull }.reduce(_ || _)
+    val nulls = child.filter(anyNull).count()
+    val total = child.count()
+    val orph = orphans(child, parent, keys).count()
+    val spark = child.sparkSession
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(total, nulls, orph)), 1),
+      StructType(Seq(
+        StructField("n_child", LongType, nullable = false),
+        StructField("n_exempt_null", LongType, nullable = false),
+        StructField("n_orphans", LongType, nullable = false))))
+  }
+
   /** Split into (passing, failing) row sets for quarantine flows —
     * two filters over one definition, so Catalyst can reuse the scan.
     */

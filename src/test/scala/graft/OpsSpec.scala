@@ -494,6 +494,40 @@ class ValidationSpec extends SparkSpec {
     val (pass, fail) = Validation.partitionByRules(in, Seq("pos" -> (col("price") > 0)))
     assert(pass.count() == 1 && fail.count() == 2)
   }
+
+  test("orphans: FK anti-join with SQL MATCH SIMPLE null exemption") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pid", "pv")
+    val child = Seq(
+      (10L, Option(1L)), // matched
+      (11L, Option(2L)), // matched
+      (12L, Option(9L)), // ORPHAN
+      (13L, Option.empty[Long])) // null key: exempt, NOT an orphan
+      .toDF("cid", "fk")
+    val got = Validation.orphans(child, parent, Seq("fk" -> "pid"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(12L))
+    val summary = Validation.foreignKeyCheck(child, parent,
+      Seq("fk" -> "pid")).collect().head
+    assert(summary.getLong(0) == 4 && summary.getLong(1) == 1 &&
+      summary.getLong(2) == 1)
+  }
+
+  test("orphans: composite keys match as tuples, any-null exempts") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("pk1", "pk2")
+    val child = Seq(
+      (10L, Option(1L), Option("x")), // matched
+      (11L, Option(1L), Option("y")), // ORPHAN (cross pairing)
+      (12L, Option(2L), Option.empty[String])) // exempt
+      .toDF("cid", "k1", "k2")
+    val got = Validation.orphans(child, parent,
+        Seq("k1" -> "pk1", "k2" -> "pk2"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(11L))
+  }
 }
 
 class SourcesSpec extends SparkSpec {
