@@ -1614,6 +1614,20 @@ object SparkEntry {
           hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
         .orderBy("doc_id")),
 
+    // deterministic training shards: a salted-hash global shuffle
+    // order, then shard = (rank-1) div 64 on the distributed prefix
+    // rank — every shard but the last exactly 64 docs, reproducible
+    // across runs/partitionings/engines (writeShards lands one FILE
+    // per shard; the on-disk contract is spec-asserted)
+    "q_x_shards" -> ((s, dir) =>
+      Packing.assignShards(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          Seq(TextAnalysis.md5Hash60(
+            concat_ws(":", lit("shard"), col("doc_id"))).asc,
+            col("doc_id").asc),
+          rowsPerShard = 64)
+        .orderBy("doc_id")),
+
     "q_x_mix_corpora" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val weights = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
@@ -3032,6 +3046,15 @@ object SparkEntry {
          |FROM r JOIN b ON r.lang = b.lang
          |WHERE r.running_tokens <= b.lang_budget
          |ORDER BY r.doc_id""".stripMargin,
+
+    "q_x_shards" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${sqlH60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rn FROM h)
+         |SELECT doc_id, lang, CAST((rn - 1) // 64 AS INTEGER) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // cuts are round(cum_fraction * 1e6): 0.8 → 800000, 0.9 → 900000
     "q_x_split" ->

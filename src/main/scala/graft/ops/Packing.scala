@@ -69,4 +69,43 @@ object Packing {
         sum(col(tokenCol).cast("long")).as("tokens_started"),
         min("pack_offset").as("first_offset"),
         max("pack_offset").as("last_offset"))
+
+  /** Deterministic training-shard ASSIGNMENT: shard i holds rows of
+    * global rank (i·rowsPerShard, (i+1)·rowsPerShard] under the total
+    * order — every shard except the last holds exactly `rowsPerShard`
+    * rows, reproducibly across runs, partitionings, and engines
+    * (integer arithmetic on the distributed prefix rank; no
+    * single-task window). Ordering by a salted hash of the id is the
+    * standard "deterministic global shuffle" for training data.
+    */
+  def assignShards(df: DataFrame, orderCols: Seq[Column],
+                   rowsPerShard: Long,
+                   shardCol: String = "shard"): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val rn = graft.util.Cols.fresh(df, "__rn")
+    Prefix.globalRowNumber(df, orderCols, rn)
+      .withColumn(shardCol,
+        expr(s"((`$rn` - 1) div $rowsPerShard)").cast("int"))
+      .drop(rn)
+  }
+
+  /** [[assignShards]] + export: one parquet FILE per shard on disk
+    * (`<dir>/shard=<i>/`), rows within each file in the shard's order.
+    * One hash exchange on the shard id (collisions co-locate whole
+    * shards, never split one), a per-partition sort, and the
+    * partitioned writer fans rows into per-shard files. Returns the
+    * shard count.
+    */
+  def writeShards(df: DataFrame, dir: String, orderCols: Seq[Column],
+                  rowsPerShard: Long,
+                  shardCol: String = "shard"): Int = {
+    val assigned = assignShards(df, orderCols, rowsPerShard, shardCol)
+      .localCheckpoint() // one rank computation for both count and write
+    val nShards = assigned.agg(max(col(shardCol))).head().getInt(0) + 1
+    assigned
+      .repartition(math.max(1, nShards), col(shardCol))
+      .sortWithinPartitions(col(shardCol) +: orderCols: _*)
+      .write.partitionBy(shardCol).mode("overwrite").parquet(dir)
+    nShards
+  }
 }

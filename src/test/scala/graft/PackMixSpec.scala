@@ -69,6 +69,45 @@ class PackingSpec extends SparkSpec {
       (1 to 80).map(i => (i % 7 + 1) * 10L).sum)
     summary.foreach(r => assert(r.getAs[Long]("docs") >= 1L))
   }
+
+  test("assignShards: exact-size shards, partitioning-invariant, dense ids") {
+    val in = docs(230)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.assignShards(d, Seq(col("toks").desc, col("id").asc), 50)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val a = run(in)
+    assert(a === run(in.repartition(13)))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes === Map(0 -> 50, 1 -> 50, 2 -> 50, 3 -> 50, 4 -> 30),
+      "4 full shards of 50 + a 30-row tail")
+  }
+
+  test("writeShards lands ONE ordered file per shard on disk") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/out"
+    val n = Packing.writeShards(docs(170), dir,
+      Seq(col("toks").desc, col("id").asc), 64)
+    assert(n === 3) // 64 + 64 + 42
+    val root = new java.io.File(dir)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.map(_.getName).sorted.toSeq ===
+      Seq("shard=0", "shard=1", "shard=2"))
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getName}: one file per shard")
+    }
+    // round-trip: all rows, right sizes, each file in shard order
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 170)
+    val sizes = back.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(0 -> 64L, 1 -> 64L, 2 -> 42L))
+    val shard0 = spark.read
+      .parquet(dir + "/shard=0").collect()
+      .map(r => (r.getAs[Long]("toks"), r.getAs[Long]("id")))
+    assert(shard0.toSeq === shard0.sortBy { case (t, id) => (-t, id) }.toSeq,
+      "rows within a shard file follow the declared order")
+  }
 }
 
 class MixCorporaSpec extends SparkSpec {
