@@ -374,6 +374,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ANALYZE backfill: land residue-interleaved files BEFORE any
+    // bloom config, declare, ANALYZE TABLE via SQL (metadata-only
+    // commit enriches the manifest lines), then point-probe — the
+    // oracle is the plain filter, so a WRONG backfilled bloom (false
+    // absence) would drop rows and hash-mismatch
+    "q_x_analyze" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_anlz") + "/docs_tx"
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      (0 until 4).foreach(j => graft.ops.TxTable.append(s, tmp,
+        docs.filter(col("doc_id") % 4 === j).coalesce(1)))
+      graft.ops.TxTable.setBloomFilters(s, tmp, Seq("doc_id"))
+      s.sql(s"ANALYZE TABLE graft.`$tmp` COMPUTE STATISTICS")
+      graft.ops.TxTable.readWhere(s, tmp,
+          col("doc_id").isin(17L, 118L, 211L, 304L))
+        .orderBy("doc_id")
+    }),
+
     // metadata-only aggregates: land orders (with injected nulls so
     // COUNT(col) differs from COUNT(*)), DELETE a slice (rewritten
     // files carry fresh stats), then answer COUNT(*), COUNT(col),
@@ -2186,6 +2203,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact LEFT JOIN dim USING (k)
         |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_x_analyze" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (17, 118, 211, 304)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_x_bloom_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents

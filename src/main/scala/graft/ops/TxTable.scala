@@ -2328,6 +2328,51 @@ object TxTable {
     finally if (changeFeed && cached != null) cached.unpersist(blocking = false)
   }
 
+  /** `ANALYZE TABLE`: refresh the head manifest's per-file statistics
+    * WITHOUT touching any data file — recompute footer min/max (and,
+    * under a declared bloom config, the bloom tokens) for every live
+    * file whose manifest line is missing them, and commit the
+    * enriched lines as one metadata-only "analyze" version. The two
+    * backfill cases this closes:
+    *
+    *  - legacy/statless manifests (pre-stats history, stripped lines):
+    *    metadata-only aggregates and skipping start working without a
+    *    rewrite;
+    *  - files written BEFORE a bloom declaration: they were
+    *    conservatively kept on every point probe — after ANALYZE they
+    *    prune like post-config files.
+    *
+    * Concurrency: `requirePresent` pins every refreshed file into the
+    * claim, so a racing DML that removed one aborts this commit
+    * instead of letting it resurrect dead rows. Already-complete
+    * tables are a no-op (head version returned, no commit). Cost: one
+    * footer read per incomplete file + (blooms only) one bounded scan
+    * of those files.
+    */
+  def analyze(spark: SparkSession, path: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val lines = readManifest(fs, p, vs.last)._2
+    val bloomCfg = bloomConfigOf(parseMeta(readManifest(fs, p, vs.last)._1))
+    def complete(l: String): Boolean = {
+      val st = statsOf(l)
+      val hasStats = st.exists(_._2.rows.isDefined)
+      val hasBlooms = bloomCfg.forall { case (cols, _, _) =>
+        cols.forall(c => st.contains(BloomStatPrefix + c))
+      }
+      hasStats && hasBlooms
+    }
+    val todo = lines.filterNot(complete)
+    if (todo.isEmpty) return vs.last
+    val refreshed = statsLines(spark, fs, p, path, todo.map(pathOf))
+    if (refreshed.sorted == todo.sorted) return vs.last // nothing computable
+    val todoPaths = todo.map(pathOf).toSet
+    commitLines(spark, path, "analyze", refreshed,
+      (base, _) => base.filterNot(l => todoPaths.contains(pathOf(l))),
+      requirePresent = todoPaths)
+  }
+
   /** Carried meta key declaring the table's standing CLUSTERING intent
     * (Delta liquid clustering reduced to carried meta + the z-order
     * rewrite): once set, [[optimize]] with no explicit columns — and

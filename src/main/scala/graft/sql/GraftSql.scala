@@ -112,6 +112,9 @@ object GraftSql {
   private val DropBloomRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+DROP\s+BLOOM\s*FILTER\s*""").r
+  private val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+""" + Tbl +
+      """\s*(?:COMPUTE\s+STATISTICS\s*)?""").r
   private val ClusterByRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*""").r
@@ -207,6 +210,8 @@ object GraftSql {
         Some(GraftDropBloomCommand(path))
       case RenameColRe(path, from, to) =>
         Some(GraftRenameColumnCommand(path, from, to))
+      case AnalyzeRe(path) =>
+        Some(GraftAnalyzeCommand(path))
       case ClusterNoneRe(path) =>
         Some(GraftClusterByCommand(path, Nil))
       case ClusterByRe(path, cols) =>
@@ -882,6 +887,16 @@ case class GraftDropBloomCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.dropBloomFilters(spark, path)))
+}
+
+/** `ANALYZE TABLE graft.`p` [COMPUTE STATISTICS]` →
+  * [[TxTable.analyze]]: backfill missing per-file stats and bloom
+  * tokens as one metadata-only commit — no data file touched.
+  */
+case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.analyze(spark, path)))
 }
 
 /** `ALTER TABLE graft.`p` CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` →
