@@ -351,4 +351,84 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom skipping never loses a row: readWhere ≡ read().where on random probes") {
+    val s = spark
+    import s.implicits._
+    // random multi-file tables with colliding, clustered, and sparse
+    // ids; every probe — present or absent — must return exactly the
+    // plain filter's rows (blooms may only skip PROVABLY absent files)
+    val tableGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 400L)).map(_.take(40)))
+      .map(_.take(4))
+    samples(tableGen, 4).zipWithIndex.foreach { case (batches, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bloomprop").toString + "/t"
+      TxTable.append(spark, dir,
+        Seq((0L, "seed")).toDF("id", "name").coalesce(1))
+      TxTable.setBloomFilters(spark, dir, Seq("id"), bits = 1024, hashes = 4)
+      batches.foreach(b => TxTable.append(spark, dir,
+        b.map(v => (v, s"v$v")).toDF("id", "name").coalesce(1)))
+      val present = batches.flatten.distinct
+      val absent = (0L to 400L).filterNot(present.contains).take(10)
+      (present.take(10) ++ absent).foreach { probe =>
+        val got = TxTable.readWhere(spark, dir, col("id") === probe)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+        val want = TxTable.read(spark, dir).where(col("id") === probe)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+        assert(got == want, s"table $i probe $probe lost rows")
+      }
+    }
+  }
+
+  test("heap top-k equals the window spelling on random colliding groups") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dataGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 20L))).map(_.take(120))
+    samples(dataGen, 5).zipWithIndex.foreach { case (rows, i) =>
+      // unique tiebreaker id makes the order total → results comparable
+      val data = rows.zipWithIndex
+        .map { case ((g, v), id) => (g, v, id.toLong) }
+        .toDF("g", "v", "id")
+      val got = Windows.topKPerGroupAgg(data.repartition(7), Seq(col("g")),
+          Seq(col("v").as("v"), col("id").as("id")), k = 5)
+        .select("g", "rank", "v", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      val want = data
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)))
+        .filter(col("rank") <= 5)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(3)) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == want, s"sample $i diverged")
+    }
+  }
+
+  test("grouped running sum is partitioning-invariant and equals the window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dataGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("x", "y"), Gen.chooseNum(1L, 9L))).map(_.take(80))
+    samples(dataGen, 4).zipWithIndex.foreach { case (rows, i) =>
+      val data = rows.zipWithIndex
+        .map { case ((g, t), id) => (g, id.toLong, t) }
+        .toDF("g", "id", "toks")
+      val got = Prefix.groupRunningSum(data.repartition(5), "g",
+          Seq(col("id").asc), col("toks"), "rt", partitions = 3)
+        .select("id", "rt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = data
+        .withColumn("rt", sum("toks").over(
+          Window.partitionBy("g").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "rt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"sample $i diverged")
+    }
+  }
 }
