@@ -67,6 +67,45 @@ class TxAnalyzeSpec extends SparkSpec {
       .inputFiles.isEmpty)
   }
 
+  test("config lifecycle end-to-end: constrain, bloom, cluster, analyze, rename, DML") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // land interleaved (stats-blind) data, then declare everything
+    (0 until 3).foreach { j =>
+      TxTable.append(spark, dir,
+        (0 until 60).map(i => (i * 3L + j, (i % 9 + 1).toLong))
+          .toDF("id", "qty").coalesce(1))
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD BLOOM FILTER (id)")
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY (id)")
+    spark.sql(s"ANALYZE TABLE graft.`$dir`")
+    // backfilled blooms prune the pre-config files
+    assert(TxTable.readWhere(spark, dir, col("id") === 90L)
+      .inputFiles.length == 1)
+    // rename carries ALL THREE configs (constraint refuses — the guard)
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, dir, "qty", "amount")
+    }
+    TxTable.renameColumn(spark, dir, "id", "doc_id")
+    assert(TxTable.clusteringColumns(spark, dir) === Seq("doc_id"))
+    assert(TxTable.bloomFilterConfig(spark, dir).map(_._1) === Some(Seq("doc_id")))
+    assert(TxTable.constraints(spark, dir) === Map("qty_pos" -> "qty > 0"))
+    // the constraint still rejects after the rename-rewrite
+    intercept[Exception] {
+      TxTable.append(spark, dir, Seq((999L, 0L)).toDF("doc_id", "qty"))
+    }
+    // DML under the renamed schema; bare OPTIMIZE re-clusters; probes
+    // stay exact through it all
+    TxTable.delete(spark, dir, col("doc_id") === 90L)
+    spark.sql(s"OPTIMIZE graft.`$dir`")
+    assert(TxTable.read(spark, dir).count() === 179L)
+    assert(TxTable.readWhere(spark, dir, col("doc_id") === 90L).count() === 0L)
+    val probe = TxTable.readWhere(spark, dir, col("doc_id") === 93L)
+    assert(probe.count() === 1L)
+  }
+
   test("time travel still reads the pre-analyze version") {
     val s = spark
     import s.implicits._
