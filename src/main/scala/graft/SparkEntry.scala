@@ -1266,6 +1266,20 @@ object SparkEntry {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // same contamination semantics through the 100 TB scale path: a
+    // broadcast bloom over the (small) eval side's shingles drops
+    // corpus shingles before the shuffle; the exact join removes the
+    // bloom's false positives, so the oracle is shared verbatim with
+    // q_x_decontaminate
+    "q_x_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairsBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minContainment = 0.4)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // Gopher line/paragraph duplication rules over injected structure:
     // every doc gets its 40-char head pasted as a second line (plus a
     // third duplicate for doc_id%3==0) and a duplicated paragraph for
@@ -1463,6 +1477,17 @@ object SparkEntry {
           graft.pipeline.TrainingData.run(t(s, dir, "documents"),
             graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = false)))
         .orderBy("lang_pred")),
+
+    // per-stage survival funnel of the FULL pipeline config (near-dup
+    // on, 80% sample) — oracle-reproducible hashes as in _full
+    "q_x_funnel" -> ((s, dir) =>
+      graft.pipeline.TrainingData.funnel(t(s, dir, "documents"),
+          graft.pipeline.TrainingDataConfig(minQuality = 0.3, nearDup = true,
+            minJaccard = 0.5, sampleFraction = 0.8,
+            minhashHash = TextAnalysis.md5Hash60,
+            sampleHash = (salt, id) =>
+              TextAnalysis.md5Hash60(concat_ws(":", salt, id))))
+        .orderBy("stage_idx")),
 
     // ---- LLM-pipeline: sequence packing + corpus mixing
     "q_x_pack_sequences" -> ((s, dir) =>
@@ -1981,6 +2006,25 @@ object SparkEntry {
   /** Annotation CTEs shared by every training-pipeline oracle: m0 =
     * per-doc raw counts, m = derived annotations (lang, quality).
     */
+  /** Shared by q_x_decontaminate and q_x_decontaminate_bloom — the
+    * bloom path changes the plan, not the result.
+    */
+  private lazy val decontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |cidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+       |         FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 3),
+       |eidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
+       |         FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 3),
+       |esizes AS (SELECT id, COUNT(*) AS n_e FROM eidx GROUP BY id),
+       |inter AS (SELECT c.id AS corpus_id, e.id AS eval_id, COUNT(*) AS inter
+       |          FROM cidx c JOIN eidx e ON c.shingle = e.shingle
+       |          GROUP BY c.id, e.id)
+       |SELECT i.corpus_id, i.eval_id,
+       |  CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) AS containment
+       |FROM inter i JOIN esizes s ON i.eval_id = s.id
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) >= 0.4
+       |ORDER BY corpus_id, eval_id""".stripMargin
+
   private lazy val trainingAnnotateCtes: String =
     s"""m0 AS (SELECT doc_id, text, source,
        |  CAST(len($sqlToks) AS BIGINT) AS n,
@@ -2771,6 +2815,52 @@ object SparkEntry {
          |  AND ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 800000
          |ORDER BY doc_id""".stripMargin,
 
+    // funnel mirror: the exact q_x_training_pipeline_full CTE chain,
+    // aggregated per stage instead of projected per doc
+    "q_x_funnel" ->
+      s"""WITH RECURSIVE $trainingAnnotateCtes,
+         |ex AS (SELECT doc_id, text, source, n_tokens, n_bpe_tokens,
+         |         fingerprint, lang_pred, quality
+         |  FROM m WHERE quality >= 0.3
+         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+         |${sqlMinhashSigFrom("ex", 128)},
+         |${sqlMinhashBandRowsOf(32, 4)},
+         |$sqlMinhashCand,
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN idx a ON a.id = c.id_a
+         |  JOIN idx b ON b.id = c.id_b AND a.shingle = b.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |losers AS (SELECT id FROM
+         |  (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) WHERE id <> comp),
+         |kept AS (SELECT doc_id, n_tokens FROM ex
+         |  WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |fin AS (SELECT doc_id, n_tokens FROM kept
+         |  WHERE ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 800000)
+         |SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS n_docs,
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM m
+         |UNION ALL SELECT 1, 'quality', COUNT(*),
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM m WHERE quality >= 0.3
+         |UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM ex
+         |UNION ALL SELECT 3, 'near_dedup', COUNT(*),
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
+         |UNION ALL SELECT 4, 'sample', COUNT(*),
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM fin
+         |ORDER BY stage_idx""".stripMargin,
+
     // mirror of IncrementalDedup.init + ingest: two signature chains
     // (corpus = doc_id % 3 <> 0, batch = % 3 = 0), LSH band join batch
     // vs corpus → dupold, band self-join among the remainder →
@@ -3282,21 +3372,10 @@ object SparkEntry {
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_x_decontaminate" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |cidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
-         |         FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 3),
-         |eidx AS (SELECT doc_id AS id, unnest(${sqlShingles("toks")}) AS shingle
-         |         FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 3),
-         |esizes AS (SELECT id, COUNT(*) AS n_e FROM eidx GROUP BY id),
-         |inter AS (SELECT c.id AS corpus_id, e.id AS eval_id, COUNT(*) AS inter
-         |          FROM cidx c JOIN eidx e ON c.shingle = e.shingle
-         |          GROUP BY c.id, e.id)
-         |SELECT i.corpus_id, i.eval_id,
-         |  CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) AS containment
-         |FROM inter i JOIN esizes s ON i.eval_id = s.id
-         |WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) >= 0.4
-         |ORDER BY corpus_id, eval_id""".stripMargin,
+    "q_x_decontaminate" -> decontaminateSql,
+    // the bloom prefilter is false-negative-free and the exact join
+    // removes false positives — output is bit-identical, oracle shared
+    "q_x_decontaminate_bloom" -> decontaminateSql,
 
     "q_x_text_replines" ->
       raw"""WITH base AS (SELECT doc_id, text,

@@ -142,6 +142,46 @@ object Dedup {
     val cIdx = maxShingleDf.fold(shingleIndex(corpus, idCol, textCol, n))(
       cappedShingleIndex(corpus, idCol, textCol, n, _))
     val eIdx = shingleIndex(evalSet, idCol, textCol, n)
+    containmentFromIndexes(cIdx, eIdx, minContainment)
+  }
+
+  /** [[containmentPairs]] with a broadcast bloom prefilter on the CORPUS
+    * side: a bloom filter over the eval set's shingles (one agg over the
+    * small side, megabytes on the driver) drops corpus shingles that
+    * cannot possibly intersect BEFORE the shuffle. The eval set is
+    * typically a few benchmarks — thousands of docs — while the corpus
+    * is the 100 TB crawl, so near-all corpus shingles miss the bloom and
+    * the containment join's left side collapses from |corpus shingles|
+    * to roughly |matching shingles| shuffle rows. The bloom is
+    * false-negative-free and the exact equi-join removes its false
+    * positives, so the output is bit-identical to [[containmentPairs]].
+    *
+    * Size `expectedShingles`/`numBits` to the EVAL side (defaults fit
+    * ~1M shingles at ~2% fp); an undersized bloom only raises the fp
+    * rate — wasted shuffle rows, never wrong answers.
+    */
+  def containmentPairsBloom(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            minContainment: Double,
+                            maxShingleDf: Option[Int] = None,
+                            expectedShingles: Long = 1000000L,
+                            numBits: Long = 8388608L): DataFrame = {
+    val eIdx = shingleIndex(evalSet, idCol, textCol, n)
+    val bloom = graft.ops.Joins.bloomFilterFor(eIdx, "shingle",
+      expectedShingles, numBits)
+    val cIdx0 = maxShingleDf.fold(shingleIndex(corpus, idCol, textCol, n))(
+      cappedShingleIndex(corpus, idCol, textCol, n, _))
+    val cIdx = cIdx0.filter(graft.ops.Joins.mightContain(
+      bloom, col("shingle"), corpus.sparkSession))
+    containmentFromIndexes(cIdx, eIdx, minContainment)
+  }
+
+  /** Shared exact-containment tail: inverted-index equi-join on the
+    * shingle, per-pair intersection count, normalize by the eval doc's
+    * shingle count.
+    */
+  private def containmentFromIndexes(cIdx: DataFrame, eIdx: DataFrame,
+                                     minContainment: Double): DataFrame = {
     val eSizes = eIdx.groupBy(col("id").as("eval_id"))
       .agg(count(lit(1)).as("n_e"))
     val inter = cIdx.as("c").join(eIdx.as("e").hint("shuffle_hash"),

@@ -28,11 +28,20 @@ object Sampling {
     */
   def consistentSample(df: DataFrame, idCol: String, fraction: Double,
                        salt: String = "graft",
-                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
+                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame =
+    df.filter(keepPredicate(col(idCol), fraction, salt, hash))
+
+  /** The keep decision of [[consistentSample]] as a standalone boolean
+    * Column — for callers that need the VERDICT rather than the filtered
+    * frame (funnel reports, audit columns).
+    */
+  def keepPredicate(idCol: Column, fraction: Double,
+                    salt: String = "graft",
+                    hash: (Column, Column) => Column = xxhash64(_, _)): Column = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
     // round, not truncate: (0.000249 * 1e6).toLong == 248
     val cut = math.round(fraction * Buckets)
-    df.filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < cut)
+    pmod(hash(lit(salt), idCol), lit(Buckets)) < cut
   }
 
   /** At most `k` rows per group, chosen as the k smallest id-hashes —
@@ -202,13 +211,23 @@ object Sampling {
                        fractions: Map[String, Double],
                        defaultFraction: Double = 0.0,
                        salt: String = "graft",
-                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame = {
+                       hash: (Column, Column) => Column = xxhash64(_, _)): DataFrame =
+    df.filter(stratifiedKeepPredicate(col(stratumCol), col(idCol),
+      fractions, defaultFraction, salt, hash))
+
+  /** [[keepPredicate]] with the per-stratum cut of [[stratifiedSample]]. */
+  def stratifiedKeepPredicate(stratumCol: Column, idCol: Column,
+                              fractions: Map[String, Double],
+                              defaultFraction: Double = 0.0,
+                              salt: String = "graft",
+                              hash: (Column, Column) => Column =
+                                xxhash64(_, _)): Column = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
     val cutExpr = fractions.foldLeft(lit(math.round(defaultFraction * Buckets))) {
       case (acc, (value, f)) =>
-        when(col(stratumCol) === value, lit(math.round(f * Buckets))).otherwise(acc)
+        when(stratumCol === value, lit(math.round(f * Buckets))).otherwise(acc)
     }
-    df.filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < cutExpr)
+    pmod(hash(lit(salt), idCol), lit(Buckets)) < cutExpr
   }
 }

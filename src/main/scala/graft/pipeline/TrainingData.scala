@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -90,6 +91,91 @@ object TrainingData {
       TextAnalysis.fingerprintMd5(text).as("fingerprint"),
       TextAnalysis.langId(text).as("lang_pred"),
       TextAnalysis.qualityScore(text).as("quality"))
+  }
+
+  /** Stage-by-stage survival funnel for [[run]] — the "where did my
+    * data go" report: one row per pipeline stage (input → quality →
+    * exact dedup → near-dup canonical → sample) with the documents and
+    * whitespace tokens surviving through it. The standard artifact for
+    * tuning a filtering recipe: a stage that silently eats 40% of the
+    * tokens shows up here, not three training runs later.
+    *
+    * Computed as FLAGS, not five pipeline re-runs: one narrow annotate
+    * pass feeds a conditional aggregation for the input+quality totals;
+    * the fingerprint window marks the exact-dedup survivors (identical
+    * semantics to [[Dedup.exactDedup]] — min id per fingerprint among
+    * quality passers); the near-dup loser set (same MinHash pair
+    * machinery as [[run]]) joins back as a flag; the sampling verdict
+    * is a pure hash predicate. One conditional aggregation over the
+    * (checkpointed) survivor frame then yields ALL downstream stage
+    * totals at once — the corpus is scanned twice regardless of stage
+    * count. Final assembly cross-joins two SINGLE-ROW aggregate frames
+    * and explodes a 5-element literal array: size-bounded by
+    * construction, never data×data.
+    */
+  def funnel(docs: DataFrame,
+             cfg: TrainingDataConfig = TrainingDataConfig()): DataFrame = {
+    val id = col(cfg.idCol)
+    val text = col(cfg.textCol)
+    val tok = col("n_tokens").cast("long")
+    val ann = docs.select(id.as("doc_id"), text.as("__text"),
+      col(cfg.sourceCol).as("__source"),
+      TextAnalysis.tokenCount(text).as("n_tokens"),
+      TextAnalysis.qualityScore(text).as("quality"))
+    val passQ = col("quality") >= cfg.minQuality
+    val in01 = ann.agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(tok), lit(0L)).as("t0"),
+      count(when(passQ, 1)).as("n1"),
+      coalesce(sum(when(passQ, tok)), lit(0L)).as("t1"))
+    val w = Window.partitionBy(TextAnalysis.fingerprintMd5(col("__text")))
+      .orderBy("doc_id")
+    val exact0 = ann.filter(passQ)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    val flagged =
+      if (!cfg.nearDup) exact0.withColumn("__lost", lit(false))
+      else {
+        // checkpoint: the exact-survivor frame feeds the signature pass,
+        // the pair verify, AND the final count — without a pin the
+        // annotate+window subplan re-executes per reference
+        val exact = exact0.localCheckpoint()
+        val losers = Dedup.connectedComponents(
+            Dedup.minhashDedupPairs(exact, "doc_id", "__text",
+              minJ = cfg.minJaccard, hash = cfg.minhashHash))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"), lit(true).as("__lost0"))
+        exact.join(losers, Seq("doc_id"), "left")
+          .withColumn("__lost", coalesce(col("__lost0"), lit(false)))
+      }
+    val sampleKeep =
+      if (cfg.sourceFractions.nonEmpty)
+        Sampling.stratifiedKeepPredicate(col("__source"), col("doc_id"),
+          cfg.sourceFractions, cfg.sampleFraction, hash = cfg.sampleHash)
+      else if (cfg.sampleFraction >= 1.0) lit(true)
+      else Sampling.keepPredicate(col("doc_id"), cfg.sampleFraction,
+        hash = cfg.sampleHash)
+    val keep3 = !col("__lost")
+    val keep4 = keep3 && sampleKeep
+    val row234 = flagged.agg(
+      count(lit(1)).as("n2"),
+      coalesce(sum(tok), lit(0L)).as("t2"),
+      count(when(keep3, 1)).as("n3"),
+      coalesce(sum(when(keep3, tok)), lit(0L)).as("t3"),
+      count(when(keep4, 1)).as("n4"),
+      coalesce(sum(when(keep4, tok)), lit(0L)).as("t4"))
+    def stage(i: Int, name: String, n: String, t: String) =
+      struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+        col(n).as("n_docs"), col(t).as("n_tokens"))
+    in01.crossJoin(row234)
+      .select(explode(array(
+        stage(0, "input", "n0", "t0"),
+        stage(1, "quality", "n1", "t1"),
+        stage(2, "exact_dedup", "n2", "t2"),
+        stage(3, "near_dedup", "n3", "t3"),
+        stage(4, "sample", "n4", "t4"))).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"),
+        col("s.n_tokens"))
   }
 
   /** Corpus-level report over a pipeline output: per predicted language,

@@ -307,6 +307,71 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 == 1.0, "verbatim inclusion must score containment 1.0")
   }
 
+  test("containmentPairsBloom is bit-identical to containmentPairs, even undersized") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sent() = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = (1L to 60L).map(i => Doc(i, sent(), "s"))
+    val corpus = df(docs.filter(_.doc_id % 10 != 0))
+    val evalSet = df(docs.filter(_.doc_id % 10 == 0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Dedup.containmentPairs(corpus, evalSet,
+      "doc_id", "text", n = 3, minContainment = 0.2).collect().map(key).toSet
+    // deliberately undersized bloom: a high fp rate must only cost
+    // wasted candidate rows — the exact join erases it from the output
+    val viaBloom = Dedup.containmentPairsBloom(corpus, evalSet,
+      "doc_id", "text", n = 3, minContainment = 0.2,
+      expectedShingles = 4L, numBits = 64L).collect().map(key).toSet
+    assert(exact.nonEmpty, "fixture must produce contaminated pairs")
+    assert(viaBloom == exact)
+  }
+
+  test("funnel stage totals equal the independently-composed pipeline stages") {
+    val base = "the cat sat on the mat and then the dog ran to the park " +
+      "while a bird flew over the quiet green field near the old stone wall"
+    val docs =
+      // near-dup cluster: one token differs
+      Seq(Doc(1L, base, "a"), Doc(2L, base.replace("quiet", "silent"), "a"),
+        // exact-dup pair
+        Doc(3L, "the sun rose over the hills and the valley was bright " +
+          "with morning light on the river", "b"),
+        Doc(4L, "the sun rose over the hills and the valley was bright " +
+          "with morning light on the river", "b"),
+        // low quality: no alpha characters at all
+        Doc(5L, "!!! ### 123 $$$ %%% 456 &&& *** 789 @@@", "b")) ++
+        (6L to 25L).map(i => Doc(i, s"unique document number $i about " +
+          s"topic${i} with enough distinct words to stand alone", "c"))
+    val cfg = graft.pipeline.TrainingDataConfig(minQuality = 0.3,
+      nearDup = true, minJaccard = 0.5, sampleFraction = 0.6)
+    val got = graft.pipeline.TrainingData.funnel(df(docs), cfg)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      Seq((0, "input"), (1, "quality"), (2, "exact_dedup"),
+        (3, "near_dedup"), (4, "sample")))
+    // recompute every stage with the public operators the funnel mirrors
+    def tot(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val input = df(docs)
+    val q = input.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val ex = Dedup.exactDedup(q, "text", "doc_id").localCheckpoint()
+    val kept = Dedup.keepCanonical(ex, "doc_id",
+      Dedup.minhashDedupPairs(ex, "doc_id", "text", minJ = 0.5))
+    val fin = graft.ops.Sampling.consistentSample(kept, "doc_id", 0.6)
+    val want = Seq(tot(input), tot(q), tot(ex), tot(kept), tot(fin))
+    assert(got.map(g => (g._3, g._4)).toSeq == want)
+    // and each stage genuinely dropped something in this fixture
+    val ns = got.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b < a },
+      s"every stage must strictly shrink here: ${ns.toSeq}")
+  }
+
   test("redactPii replaces emails and phone runs, leaves clean text alone") {
     val s = spark
     import s.implicits._
