@@ -1300,6 +1300,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-document boilerplate strip over injected structure: every
+    // doc of a source carries "NAV <source>" (100% doc-frequency →
+    // stripped everywhere) and doc_id%3==0 docs carry
+    // "PROMO <source>" (~33% df → kept at maxDocFrac=0.5); the head/
+    // next slices of the unique text stay unique → kept
+    "q_x_boilerplate" -> ((s, dir) => {
+      val head40 = substring(col("text"), 1, 40)
+      val next40 = substring(col("text"), 41, 40)
+      val lined = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat_ws("\n", concat(lit("NAV "), col("source")), head40,
+          when(col("doc_id") % 3 === 0,
+            concat(lit("PROMO "), col("source"))).otherwise(next40),
+          col("text")).as("ltext"))
+      graft.text.Boilerplate.stripCommonSegments(lined, "doc_id", "ltext",
+          "source", maxDocFrac = 0.5, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_x_text_redact" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -3376,6 +3394,36 @@ object SparkEntry {
     // the bloom prefilter is false-negative-free and the exact join
     // removes false positives — output is bit-identical, oracle shared
     "q_x_decontaminate_bloom" -> decontaminateSql,
+
+    // mirrors Boilerplate.stripCommonSegments: group-scoped segment
+    // doc-frequency, >= minDocs AND > maxDocFrac of group size →
+    // removed everywhere; oracle groups on the raw segment where the
+    // engine groups on md5 (same equivalence classes)
+    "q_x_boilerplate" ->
+      """WITH lined AS (SELECT doc_id, source,
+        |  concat_ws(chr(10), 'NAV ' || source, substr(text, 1, 40),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'PROMO ' || source
+        |         ELSE substr(text, 41, 40) END, text) AS ltext
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS l
+        |  FROM lined),
+        |e AS (SELECT doc_id, source, u.i AS pos, u.s AS seg FROM
+        |  (SELECT doc_id, source, unnest(list_transform(range(1, len(l) + 1),
+        |     i -> {'i': i, 's': l[i]})) AS u FROM c)),
+        |gsz AS (SELECT source, COUNT(*) AS gdocs FROM lined GROUP BY 1),
+        |dfreq AS (SELECT source, seg, COUNT(DISTINCT doc_id) AS docs
+        |  FROM e WHERE trim(seg) <> '' GROUP BY 1, 2),
+        |boiler AS (SELECT d.source, d.seg FROM dfreq d JOIN gsz g USING (source)
+        |  WHERE d.docs >= 3 AND d.docs > g.gdocs * 0.5),
+        |kept AS (SELECT e.doc_id, e.pos, e.seg FROM e
+        |  ANTI JOIN boiler b ON e.source = b.source AND e.seg = b.seg),
+        |re AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+        |  string_agg(seg, chr(10) ORDER BY pos) AS txt
+        |  FROM kept GROUP BY 1)
+        |SELECT c.doc_id, CAST(len(c.l) AS INTEGER) AS n_segments,
+        |  coalesce(re.n_kept, 0) AS n_kept,
+        |  coalesce(re.txt, '') AS text_stripped
+        |FROM c LEFT JOIN re USING (doc_id) ORDER BY c.doc_id""".stripMargin,
 
     "q_x_text_replines" ->
       raw"""WITH base AS (SELECT doc_id, text,

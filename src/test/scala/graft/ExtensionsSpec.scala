@@ -121,6 +121,50 @@ class TextAnalysisSpec extends SparkSpec {
     // "la de" scores es=2 fr=2 en=0 de=0 -> es (earlier than fr)
     assert(one(TextAnalysis.langId(col("text")), "la de") == "es")
   }
+
+  test("stripCommonSegments: group-scoped df threshold, minDocs guard, empties kept") {
+    val docs = df(Seq(
+      // group a, 5 docs: NAV df=5 (stripped), THREE df=3 (stripped),
+      // TWO df=2 (< minDocs, kept), alphas unique (kept)
+      Doc(1, "NAV home\nTWO\nTHREE\n\nalpha one", "a"),
+      Doc(2, "NAV home\nTWO\nTHREE\nalpha two", "a"),
+      Doc(3, "NAV home\nTHREE\nalpha three", "a"),
+      Doc(4, "NAV home\nalpha four", "a"),
+      Doc(5, "NAV home", "a"),
+      // group b, 5 docs: the SAME "NAV home" appears in only 2 -> kept
+      // (the rule is group-scoped, not corpus-global)
+      Doc(6, "NAV home\nbeta one", "b"),
+      Doc(7, "NAV home\nbeta two", "b"),
+      Doc(8, "beta three", "b"),
+      Doc(9, "beta four", "b"),
+      Doc(10, "beta five", "b")))
+    val out = graft.text.Boilerplate.stripCommonSegments(
+        docs, "doc_id", "text", "source", maxDocFrac = 0.2, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1L, 5, 3, "TWO\n\nalpha one")),
+      "boiler stripped everywhere incl. first doc; blank line survives")
+    assert(out(1) == ((2L, 4, 2, "TWO\nalpha two")))
+    assert(out(2) == ((3L, 3, 1, "alpha three")))
+    assert(out(3) == ((4L, 2, 1, "alpha four")))
+    assert(out(4) == ((5L, 1, 0, "")), "all-boilerplate doc -> empty, still one row")
+    assert(out(5) == ((6L, 2, 2, "NAV home\nbeta one")),
+      "df=2 in group b: below minDocs -> kept there while stripped in group a")
+    assert(out(6) == ((7L, 2, 2, "NAV home\nbeta two")))
+    assert(out(7) == ((8L, 1, 1, "beta three")))
+  }
+
+  test("stripCommonSegments: maxDocFrac=1.0 disables removal (strict >)") {
+    val docs = df(Seq(Doc(1, "x\ny", "a"), Doc(2, "x\nz", "a"),
+      Doc(3, "x", "a")))
+    val out = graft.text.Boilerplate.stripCommonSegments(
+        docs, "doc_id", "text", "source", maxDocFrac = 1.0, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // df("x") = 3 = group size, but 3 > 3*1.0 is false -> nothing removed
+    assert(out.toSeq == Seq((1L, 2, 2, "x\ny"), (2L, 2, 2, "x\nz"),
+      (3L, 1, 1, "x")))
+  }
 }
 
 class DedupSpec extends SparkSpec {
