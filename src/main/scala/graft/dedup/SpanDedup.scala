@@ -56,19 +56,7 @@ object SpanDedup {
                            windowTokens: Int): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     val k = windowTokens
-    val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"),
-      size(toks).cast("int").as("n_tokens"))
-
-    // one k-token window per start position 0..n-k (none when n < k)
-    val wins = base.select(col(idCol),
-      when(col("n_tokens") < k, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), col("n_tokens") - k),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
-        .as("__wins"))
-    val occ = wins
-      .select(col(idCol), posexplode(col("__wins")).as(Seq("__pos", "__w")))
-      .select(col(idCol), col("__pos"), md5(col("__w")).as("__fp"))
+    val (base, occ) = windowOcc(df, idCol, textCol, k)
 
     // corpus-wide first occurrence per fingerprint wins; every later
     // occurrence (including repeats WITHIN a document) is a duplicate
@@ -79,6 +67,67 @@ object SpanDedup {
       .filter(col("__rn") > 1)
       .select(col(idCol), col("__pos"))
 
+    maskTail(base, dupStarts, idCol, k)
+  }
+
+  /** Span-level DECONTAMINATION: mask from `corpus` every
+    * `windowTokens`-token span that also occurs anywhere in `evalSet` —
+    * surgical eval-overlap removal (strip the quoted benchmark
+    * passage, keep the document) instead of [[Dedup.containmentPairs]]'
+    * drop-the-whole-document verdict. Spans are matched at ARBITRARY
+    * alignment, exactly as in [[stripDuplicatedSpans]].
+    *
+    * Unlike span dedup there is no first-occurrence election: ANY
+    * overlap with the eval side is contamination, including the
+    * "first" one. The candidate stage is a semi-join of corpus window
+    * fingerprints against the eval side's DISTINCT fingerprint set —
+    * one bucketed equi-join on a 128-bit digest; the eval set is
+    * typically a few benchmarks, so AQE broadcasts it and the corpus
+    * side never reshuffles. Coverage/merge/reassembly shuffle on the
+    * doc id only, shared with span dedup.
+    *
+    * Output: one row per corpus row —
+    * (idCol, n_tokens, n_masked_tokens, n_spans, text_clean).
+    */
+  def maskContaminatedSpans(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String,
+                            windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val k = windowTokens
+    val (base, occ) = windowOcc(corpus, idCol, textCol, k)
+    val evalFps = windowOcc(evalSet, idCol, textCol, k)._2
+      .select("__fp").distinct()
+    val hitStarts = occ.join(evalFps, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    maskTail(base, hitStarts, idCol, k)
+      .withColumnRenamed("n_dup_tokens", "n_masked_tokens")
+      .withColumnRenamed("text_stripped", "text_clean")
+  }
+
+  /** Tokenized base frame + one (id, pos, md5-fingerprint) row per
+    * k-token window at every start position 0..n-k (none when n < k).
+    */
+  private def windowOcc(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): (DataFrame, DataFrame) = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("int").as("n_tokens"))
+    val wins = base.select(col(idCol),
+      when(col("n_tokens") < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), col("n_tokens") - k),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
+        .as("__wins"))
+    val occ = wins
+      .select(col(idCol), posexplode(col("__wins")).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos"), md5(col("__w")).as("__fp"))
+    (base, occ)
+  }
+
+  /** Shared coverage→islands→reassembly tail: mask every token covered
+    * by a window starting at one of `starts` (idCol, __pos).
+    */
+  private def maskTail(base: DataFrame, dupStarts: DataFrame,
+                       idCol: String, k: Int): DataFrame = {
     // token positions covered by any duplicated window (distinct:
     // overlapping windows cover shared positions)
     val covered = dupStarts

@@ -351,6 +351,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 == 1.0, "verbatim inclusion must score containment 1.0")
   }
 
+  test("maskContaminatedSpans masks eval overlap incl. first occurrence; short docs whole") {
+    val evalText = "one two three four five six seven eight"
+    val evalSet = df(Seq(Doc(100L, evalText, "e")))
+    val corpus = df(Seq(
+      Doc(1L, s"prefix aa bb $evalText suffix cc", "c"),
+      Doc(2L, "totally different words with no overlap at all here", "c"),
+      // identical to the eval doc: span DEDUP would keep this "first"
+      // occurrence — decontamination must mask it too
+      Doc(3L, evalText, "c"),
+      Doc(4L, "short doc", "c")))
+    val out = graft.dedup.SpanDedup.maskContaminatedSpans(
+        corpus, evalSet, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(out(0) == ((1L, 13, 8, 1, "prefix aa bb suffix cc")),
+      "the embedded eval sentence is masked, surroundings kept")
+    assert(out(1) == ((2L, 9, 0, 0,
+      "totally different words with no overlap at all here")))
+    assert(out(2) == ((3L, 8, 8, 1, "")),
+      "no first-occurrence exemption: any eval overlap is contamination")
+    assert(out(3) == ((4L, 2, 0, 0, "short doc")),
+      "docs shorter than the window have no windows and survive whole")
+  }
+
   test("containmentPairsBloom is bit-identical to containmentPairs, even undersized") {
     val rnd = new scala.util.Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
