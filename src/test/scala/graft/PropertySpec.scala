@@ -431,4 +431,82 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"sample $i diverged")
     }
   }
+
+  test("boilerplate strip matches a brute-force reference on random line corpora") {
+    // small line pool -> guaranteed df collisions; blank/whitespace
+    // lines exercise the "structure, never counted" rule
+    val linePool = Seq("nav bar", "footer text", "promo box", "", "  ")
+    val lineGen = Gen.oneOf(Gen.oneOf(linePool),
+      Gen.chooseNum(0, 999).map(n => s"unique line $n"))
+    val docGen = Gen.zip(Gen.nonEmptyListOf(lineGen).map(_.take(4)),
+      Gen.oneOf("g1", "g2"))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(12))
+    val (maxDocFrac, minDocs) = (0.3, 2)
+    samples(corpusGen, 4).zipWithIndex.foreach { case (docs0, i) =>
+      val docs = docs0.zipWithIndex.map { case ((ls, g), id) =>
+        Doc(id.toLong, ls.mkString("\n"), g)
+      }
+      val boiler: Map[String, Set[String]] = docs.groupBy(_.source).map {
+        case (g, ds) =>
+          val dfreq = ds
+            .flatMap(_.text.split("\n", -1).filter(_.trim.nonEmpty).distinct)
+            .groupBy(identity).view.mapValues(_.size)
+          g -> dfreq.collect {
+            case (seg, c) if c >= minDocs && c > ds.size * maxDocFrac => seg
+          }.toSet
+      }
+      val want = docs.map { d =>
+        val segs = d.text.split("\n", -1)
+        val kept = segs.filter(s => s.trim.isEmpty || !boiler(d.source)(s))
+        d.doc_id -> ((segs.length, kept.length, kept.mkString("\n")))
+      }.toMap
+      val got = graft.text.Boilerplate.stripCommonSegments(
+          df(docs), "doc_id", "text", "source", maxDocFrac, minDocs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      assert(got == want, s"sample $i diverged")
+    }
+  }
+
+  test("span decontamination matches a brute-force reference on random corpora") {
+    // 4-token vocab, short docs, k=3 -> dense span collisions
+    val k = 3
+    val textGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.take(12).mkString(" "))
+    val worldGen = Gen.zip(Gen.nonEmptyListOf(textGen).map(_.take(10)),
+      Gen.nonEmptyListOf(textGen).map(_.take(3)))
+    samples(worldGen, 4).zipWithIndex.foreach { case ((cTexts, eTexts), i) =>
+      val corpus = cTexts.zipWithIndex.map { case (t, id) =>
+        Doc(id.toLong, t, "c")
+      }
+      val evalSet = eTexts.zipWithIndex.map { case (t, id) =>
+        Doc(1000L + id, t, "e")
+      }
+      def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val evalWins = evalSet.flatMap(d =>
+        toks(d.text).sliding(k).filter(_.size == k).map(_.mkString(" "))).toSet
+      val want = corpus.map { d =>
+        val ts = toks(d.text)
+        val starts = (0 to ts.length - k)
+          .filter(s => evalWins(ts.slice(s, s + k).mkString(" ")))
+        val covered = starts.flatMap(s => s until s + k).toSet
+        val spans = covered.toSeq.sorted
+          .foldLeft((0, Int.MinValue)) { case ((c, prev), p) =>
+            (if (p == prev + 1) c else c + 1, p)
+          }._1
+        val kept = ts.zipWithIndex.collect {
+          case (t, p) if !covered(p) => t
+        }
+        d.doc_id -> ((ts.length, covered.size, spans, kept.mkString(" ")))
+      }.toMap
+      val got = graft.dedup.SpanDedup.maskContaminatedSpans(
+          df(corpus), df(evalSet), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+        .toMap
+      assert(got == want, s"sample $i diverged")
+    }
+  }
 }
