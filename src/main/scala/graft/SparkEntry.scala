@@ -1722,6 +1722,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaled mixing over a deliberately SKEWED fixture
+    // (source src<k> keeps only doc_id%4 <= k%4, so group sizes span
+    // ~28-100%): sqrt weights over-sample small sources and the
+    // smallest hit the f=1 cap at targetFraction=0.8
+    "q_x_mix_temperature" -> ((s, dir) => {
+      val skewed = t(s, dir, "documents")
+        .filter(col("doc_id") % 4 <=
+          substring(col("source"), 4, 10).cast("int") % 4)
+        .select("doc_id", "source")
+      Sampling.temperatureMix(skewed, "source", "doc_id",
+          targetFraction = 0.8,
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .orderBy("doc_id")
+    }),
+
     // incremental dedup: bootstrap an index from 2/3 of the corpus,
     // ingest the other 1/3 against it — survivors are the batch docs
     // that are novel vs the index AND canonical within the batch
@@ -3238,6 +3253,30 @@ object SparkEntry {
          |FROM documents d JOIN cuts ON cuts.lang = d.lang
          |WHERE ${sqlH60("'graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
          |  % 1000000 < cut
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.temperatureMix: Σ sqrt(n) via the SAME
+    // source-sorted in-order list fold the Spark plan uses (a bare
+    // SUM of doubles is accumulation-order-dependent), identical
+    // left-associated double expression for the per-group cut
+    "q_x_mix_temperature" ->
+      s"""WITH sk AS (SELECT doc_id, source FROM documents
+         |  WHERE doc_id % 4 <= CAST(substr(source, 4) AS INTEGER) % 4),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM sk GROUP BY 1),
+         |arr AS (SELECT list(struct_pack(g := source, n := n)
+         |          ORDER BY source, n) AS a FROM sz),
+         |tot AS (SELECT (SELECT SUM(n) FROM sz) AS nn,
+         |  list_aggregate(list_transform(a,
+         |    s -> sqrt(CAST(s.n AS DOUBLE))), 'sum') AS w FROM arr),
+         |cuts AS (SELECT sz.source,
+         |  CAST(round(least(CAST(1.0 AS DOUBLE),
+         |    sqrt(CAST(sz.n AS DOUBLE)) / t.w * 0.8
+         |      * CAST(t.nn AS DOUBLE) / CAST(sz.n AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS cut
+         |  FROM sz CROSS JOIN tot t)
+         |SELECT sk.doc_id, sk.source FROM sk JOIN cuts USING (source)
+         |WHERE ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")} % 1000000 < cut
          |ORDER BY doc_id""".stripMargin,
 
     "q_x_dedup_exact" ->

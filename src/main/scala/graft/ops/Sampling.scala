@@ -230,4 +230,57 @@ object Sampling {
     }
     pmod(hash(lit(salt), idCol), lit(Buckets)) < cutExpr
   }
+
+  /** Temperature-scaled corpus mixing (the T5/mT5 recipe, public):
+    * sample each group at a rate proportional to `weight(n_g)` instead
+    * of its raw size, flattening the head so small corpora
+    * (low-resource languages, rare domains) are over-represented
+    * relative to their byte share. With the default `sqrt` weight this
+    * is temperature α = 0.5; `identity` degrades to plain uniform
+    * sampling at `targetFraction`.
+    *
+    * Per group g of size n_g: share s_g = weight(n_g) / Σ weight(n),
+    * desired count c_g = s_g · targetFraction · N, keep fraction
+    * f_g = min(1, c_g / n_g) — capped, since hash sampling is
+    * without-replacement. Selection is [[consistentSample]]'s hash
+    * predicate with the per-group cut.
+    *
+    * Scale shape: one count aggregate (rows = groups), ONE sorted
+    * in-order fold over the per-group weights for Σ weight — double
+    * summation order pinned so the totals are bit-identical in any
+    * engine (the [[graft.text.CorpusDivergence]] pattern; a plain
+    * `sum` of doubles is partial-aggregation-order-dependent) — then a
+    * broadcast join of the tiny cuts frame and a narrow filter. The
+    * corpus is scanned twice (sizes + filter), shuffled never.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     targetFraction: Double,
+                     weight: Column => Column = sqrt(_),
+                     salt: String = "graft",
+                     hash: (Column, Column) => Column =
+                       xxhash64(_, _)): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1,
+      "targetFraction must be in [0,1]")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val totals = sizes.agg(
+      sum(col("__n")).as("__N"),
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"),
+          col("__n").as("n")))),
+        lit(0.0),
+        (acc, x) => acc + weight(x.getField("n").cast("double"))).as("__W"))
+    // alias both sides: totals descends from sizes, so an unqualified
+    // __n resolves ambiguously through the self-join lineage
+    val cuts = sizes.alias("s").crossJoin(broadcast(totals).alias("t"))
+      .withColumn("__f", least(lit(1.0),
+        weight(col("s.__n").cast("double")) / col("t.__W") *
+          lit(targetFraction) * col("t.__N").cast("double") /
+          col("s.__n").cast("double")))
+      .select(col(s"s.$groupCol"),
+        round(col("__f") * Buckets).cast("long").as("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < col("__cut"))
+      .drop("__cut")
+      .select(df.columns.map(col).toSeq: _*)
+  }
 }

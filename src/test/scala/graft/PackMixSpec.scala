@@ -193,4 +193,46 @@ class MixCorporaSpec extends SparkSpec {
         Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("temperatureMix flattens the head: small groups keep a larger fraction") {
+    // sizes 800 / 200 / 50: sqrt weights boost the tail
+    val docs = df((1L to 800L).map(MixDoc(_, "big")) ++
+      (1001L to 1200L).map(MixDoc(_, "mid")) ++
+      (2001L to 2050L).map(MixDoc(_, "small")))
+    val out = Sampling.temperatureMix(docs, "payload", "id",
+      targetFraction = 0.5)
+    val kept = out.groupBy("payload").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frac = Map("big" -> kept.getOrElse("big", 0L) / 800.0,
+      "mid" -> kept.getOrElse("mid", 0L) / 200.0,
+      "small" -> kept.getOrElse("small", 0L) / 50.0)
+    // expected f: big .394, mid .787, small 1.0 (capped) at tf=0.5
+    assert(frac("big") < frac("mid") && frac("mid") < frac("small"),
+      s"temperature must invert size order: $frac")
+    assert(kept("small") === 50L, "smallest group hits the f=1 cap, kept whole")
+    // hash sampling around the expected cuts, loose bands
+    assert(frac("big") > 0.30 && frac("big") < 0.50, frac.toString)
+    assert(frac("mid") > 0.65 && frac("mid") < 0.92, frac.toString)
+    // uniform sizes degrade to plain targetFraction sampling: cuts equal
+    val uni = df((1L to 300L).map(i =>
+      MixDoc(i, if (i <= 100) "a" else if (i <= 200) "b" else "c")))
+    val uniKept = Sampling.temperatureMix(uni, "payload", "id",
+        targetFraction = 0.4)
+      .groupBy("payload").count().collect()
+      .map(r => r.getLong(1)).toSeq
+    val plain = Sampling.consistentSample(uni, "id", 0.4)
+      .groupBy("payload").count().collect().map(r => r.getLong(1)).toSeq
+    assert(uniKept.sorted == plain.sorted,
+      "equal sizes => every cut equals round(tf * buckets) => same selection")
+  }
+
+  test("temperatureMix is deterministic and repartition-invariant") {
+    val docs = df((1L to 400L).map(MixDoc(_, "a")) ++
+      (5001L to 5100L).map(MixDoc(_, "b")))
+    val m1 = Sampling.temperatureMix(docs, "payload", "id", 0.6)
+      .select("id", "payload")
+    val m2 = Sampling.temperatureMix(docs.repartition(7), "payload", "id", 0.6)
+      .select("id", "payload")
+    assert(m1.except(m2).count() === 0 && m2.except(m1).count() === 0)
+  }
 }
