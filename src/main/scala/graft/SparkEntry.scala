@@ -1722,6 +1722,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-domain cap (RefinedWeb): at most 10 docs per source, the 10
+    // smallest salted id-hashes — rides the bounded-heap aggregate, so
+    // the shuffle is O(sources*10) however hot a source is
+    "q_x_domain_cap" -> ((s, dir) =>
+      Sampling.perGroupSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          Seq("source"), "doc_id", k = 10,
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .orderBy("doc_id")),
+
     // temperature-scaled mixing over a deliberately SKEWED fixture
     // (source src<k> keeps only doc_id%4 <= k%4, so group sizes span
     // ~28-100%): sqrt weights over-sample small sources and the
@@ -3254,6 +3264,15 @@ object SparkEntry {
          |WHERE ${sqlH60("'graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
          |  % 1000000 < cut
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors perGroupSample's heap order exactly: (hash asc, id asc)
+    "q_x_domain_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS rk
+         |  FROM documents)
+         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // mirrors Sampling.temperatureMix: Σ sqrt(n) via the SAME
     // source-sorted in-order list fold the Spark plan uses (a bare

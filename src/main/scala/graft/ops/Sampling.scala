@@ -45,21 +45,30 @@ object Sampling {
   }
 
   /** At most `k` rows per group, chosen as the k smallest id-hashes —
-    * a uniform without-replacement per-group sample that is fully
-    * deterministic (ties impossible while xxhash64 is injective on the
-    * observed ids; a hash tie would still be broken by row_number's
-    * order on the hash value plus nothing else — acceptable for
-    * sampling). One shuffle by the group keys.
+    * a uniform without-replacement per-group sample (the
+    * RefinedWeb-style per-domain cap) that is fully deterministic:
+    * sorted by (hash, id), so even a hash collision breaks the same
+    * way everywhere. Rides the bounded-heap aggregate
+    * ([[Windows.topKPerGroupAgg]]): every map task reduces its slice
+    * to ≤ k rows per group BEFORE the exchange, so the shuffle carries
+    * O(groups·k) rows no matter how hot a domain is — no window, no
+    * whole-group sort, no skew hazard.
     */
   def perGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
-                     k: Int, salt: String = "graft"): DataFrame = {
+                     k: Int, salt: String = "graft",
+                     hash: (Column, Column) => Column =
+                       xxhash64(_, _)): DataFrame = {
     require(k > 0, "k must be positive")
-    // Collision-proof rank name: the default "rank" would silently
-    // replace (and then drop) a user column of that name.
-    val rk = graft.util.Cols.fresh(df, "__rk")
-    Windows.topKPerGroup(df, groupCols.map(col),
-        Seq(xxhash64(lit(salt), col(idCol)).asc), k, rankCol = rk)
-      .drop(rk)
+    val h = graft.util.Cols.fresh(df, "__h")
+    // (hash, id) lead the heap's comparison struct: id is the unique
+    // tiebreaker, the remaining payload never influences selection
+    val payload = idCol +: df.columns.filterNot(c =>
+      groupCols.contains(c) || c == idCol).toSeq
+    Windows.topKPerGroupAgg(
+        df.withColumn(h, hash(lit(salt), col(idCol))),
+        groupCols.map(col), (h +: payload).map(col), k,
+        rankCol = graft.util.Cols.fresh(df, "__rk"))
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Deterministic weighted corpus mixing: sample each named source so
