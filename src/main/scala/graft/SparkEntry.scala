@@ -1087,6 +1087,16 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), 10, "decile")
         .orderBy("doc_id")),
 
+    // per-language percentile calibration of document length: exact
+    // SQL percent_rank (ties share rank) computed on the DISTINCT
+    // (lang, n_chars) frame + the grouped running sum — never a
+    // whole-group window over raw rows
+    "q_x_pct_rank" -> ((s, dir) =>
+      Prefix.groupPercentRank(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // fixed-width histogram of document lengths: 8 data-bounded bins,
     // empty bins materialized — bucket arithmetic is pure IEEE
     // add/mul/div so bounds AND counts hash-match across engines
@@ -2732,6 +2742,14 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id ASC)
         |       AS INTEGER) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the engine computes rank via distinct-value counts + running sum;
+    // (rank-1)/(n-1) is the same bigint->double division both ways
+    "q_x_pct_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |    AS pct_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_x_histogram" ->

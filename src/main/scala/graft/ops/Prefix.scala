@@ -267,4 +267,41 @@ object Prefix {
     groupRunningSum(docs, groupCol, Seq(scoreCol.desc, idCol.asc),
       tokenCol, outCol, partitions)
       .where(col(outCol) <= budget)
+
+  /** Per-group percent_rank with exact SQL semantics — rank =
+    * 1 + count of strictly-smaller values (ties share), pct =
+    * (rank − 1) / (n − 1), single-row groups 0.0 — WITHOUT a window
+    * over the data. The standard calibration step before per-language
+    * quality thresholds: a 0.6 quality score means different things in
+    * different languages; its within-language percentile does not.
+    *
+    * Scale shape: ranks are computed on the DISTINCT (group, value)
+    * frame — one aggregate, then [[groupRunningSum]] over the per-value
+    * counts (so the few-huge-groups contract applies to the distinct
+    * frame, which is |values| per group, not |rows|) — and equi-joined
+    * back; group sizes broadcast. No task ever sorts a whole group of
+    * raw rows.
+    */
+  def groupPercentRank(df: DataFrame, groupCol: String, valueCol: String,
+                       outCol: String = "pct_rank",
+                       partitions: Int = 0): DataFrame = {
+    val c = graft.util.Cols.fresh(df, "__c")
+    val cum = graft.util.Cols.fresh(df, "__cum")
+    val rk = graft.util.Cols.fresh(df, "__rank")
+    val nn = graft.util.Cols.fresh(df, "__n")
+    val perValue = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as(c))
+    val ranked = groupRunningSum(perValue, groupCol,
+        Seq(col(valueCol).asc), col(c), cum, partitions)
+      .withColumn(rk, col(cum) - col(c) + 1)
+      .select(col(groupCol), col(valueCol), col(rk))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nn))
+    df.join(ranked, Seq(groupCol, valueCol))
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn(outCol, when(col(nn) === 1, lit(0.0))
+        .otherwise((col(rk) - 1).cast("double") /
+          (col(nn) - 1).cast("double")))
+      .drop(rk, nn)
+      .select((df.columns.map(col) :+ col(outCol)).toSeq: _*)
+  }
 }

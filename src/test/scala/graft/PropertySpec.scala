@@ -432,6 +432,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("groupPercentRank equals the window percent_rank on random colliding inputs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // tiny value domain -> guaranteed ties; "z" often a 1-row group
+    val dataGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.frequency(5 -> Gen.oneOf("x", "y"), 1 -> Gen.const("z")),
+      Gen.chooseNum(0L, 5L))).map(_.take(60))
+    samples(dataGen, 4).zipWithIndex.foreach { case (rows, i) =>
+      val data = rows.zipWithIndex
+        .map { case ((g, v), id) => (id.toLong, g, v) }.toDF("id", "g", "v")
+      val got = Prefix.groupPercentRank(data.repartition(5), "g", "v")
+        .select("id", "pct_rank").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = data.withColumn("p", percent_rank().over(
+          Window.partitionBy("g").orderBy("v")))
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"sample $i diverged")
+    }
+  }
+
   test("boilerplate strip matches a brute-force reference on random line corpora") {
     // small line pool -> guaranteed df collisions; blank/whitespace
     // lines exercise the "structure, never counted" rule
