@@ -1115,6 +1115,15 @@ object SparkEntry {
         .select("doc_id", "lang", "med", "mad", "is_outlier")
         .orderBy("doc_id")),
 
+    // per-language z-score of document length: exact long sums make
+    // mean/variance accumulation-order-proof, then one fixed IEEE
+    // expression — bit-identical in any engine
+    "q_x_zscore" -> ((s, dir) =>
+      graft.ops.Outliers.zscore(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // schema-harmonizing union: two batches with DIFFERENT column sets
     // (one lacks priority, one lacks price) merged by name with
     // provenance, then audited — the null-fill is observable in the
@@ -2767,6 +2776,29 @@ object SparkEntry {
         |  COALESCE(c.cnt, 0) AS cnt
         |FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
         |ORDER BY g.bin""".stripMargin,
+
+    // mirrors Outliers.zscore verbatim: exact BIGINT sums, then the
+    // SAME left-associated double expression (s2 - s1*s1/n)/n etc.
+    "q_x_zscore" ->
+      """WITH st AS (SELECT lang, CAST(COUNT(n_chars) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+        |    AS BIGINT) AS s2
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN d.n_chars IS NULL OR st.n <= 1
+        |         OR (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |             * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            / CAST(n AS DOUBLE) <= 0.0
+        |       THEN 0.0
+        |       ELSE (CAST(d.n_chars AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                   / CAST(n AS DOUBLE))
+        |  END AS z
+        |FROM documents d JOIN st USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_x_outliers" ->
       """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

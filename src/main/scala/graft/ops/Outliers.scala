@@ -77,4 +77,46 @@ object Outliers {
           .otherwise(col(dev) > col("mad") * k))
       .drop(dev)
   }
+
+  /** Per-group z-score of an INTEGRAL column — the classical
+    * mean/stddev standardization (use [[robustFlag]] when the gauge
+    * must not be dragged by the outliers themselves). Restricting to
+    * integral inputs is what makes this bit-deterministic at any
+    * scale: Σv and Σv² are EXACT long sums (associative, so partial
+    * aggregation order cannot change them), and every double op after
+    * that is one fixed IEEE expression — no accumulation-order hazard
+    * like a naive double variance. Population variance (ddof = 0);
+    * zero-variance and single-row groups yield z = 0.0.
+    *
+    * Scale shape: one partial-aggregable stats pass (one row per
+    * group), stats broadcast back, narrow arithmetic. Overflow note:
+    * Σv² stays within long while n · max(v)² < 2⁶³ — lengths/token
+    * counts at any corpus size qualify; pre-scale first if values run
+    * to 10⁹.
+    */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String,
+             outCol: String = "z"): DataFrame = {
+    val v = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"zscore needs an integral column for exact sums, got ${dt.simpleString}")
+    val gm = graft.util.Cols.fresh(df, "__g")
+    val stats = df.groupBy(col(groupCol).as(gm)).agg(
+      count(v).as("__n"),
+      coalesce(sum(v.cast("long")), lit(0L)).as("__s1"),
+      coalesce(sum(v.cast("long") * v.cast("long")), lit(0L)).as("__s2"))
+    // fixed IEEE op sequence, mirrored verbatim in the oracle:
+    // mean = s1/n; var = (s2 - s1*s1/n) / n; z = (v - mean)/sqrt(var)
+    val n = col("__n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val variance = (s2 - s1 * s1 / n) / n
+    df.join(broadcast(stats), col(groupCol) <=> col(gm), "left").drop(gm)
+      .withColumn(outCol,
+        when(v.isNull || col("__n") <= 1 || variance <= 0.0, lit(0.0))
+          .otherwise((v.cast("double") - s1 / n) / sqrt(variance)))
+      .drop("__n", "__s1", "__s2")
+  }
 }

@@ -88,4 +88,30 @@ class OutliersSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
+
+  test("zscore: known values, zero-variance and singleton groups give 0.0") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      // group a: values 2,4,6 -> mean 4, pop var 8/3, sd sqrt(8/3)
+      (1L, "a", 2L), (2L, "a", 4L), (3L, "a", 6L),
+      // group b: constant -> zero variance -> all 0.0
+      (4L, "b", 7L), (5L, "b", 7L),
+      // group c: singleton -> 0.0
+      (6L, "c", 9L)).toDF("id", "grp", "v")
+    val got = Outliers.zscore(data, "grp", "v").select("id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sd = math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
+    assert(got(1L) === (2.0 - 4.0) / sd)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === (6.0 - 4.0) / sd)
+    assert(got(4L) === 0.0 && got(5L) === 0.0, "zero variance -> 0.0")
+    assert(got(6L) === 0.0, "singleton group -> 0.0")
+    // standardized: group a's z-scores sum to ~0
+    assert(math.abs(got(1L) + got(2L) + got(3L)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Outliers.zscore(data.withColumn("v", col("v").cast("double")),
+        "grp", "v")
+    }
+  }
 }
