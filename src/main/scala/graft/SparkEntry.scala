@@ -1741,6 +1741,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exactly-n deterministic sample: the 120 globally smallest salted
+    // id-hashes, planned as TakeOrderedAndProject (per-partition heaps,
+    // no global sort)
+    "q_x_sample_exact" -> ((s, dir) =>
+      Sampling.sampleExact(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", n = 120,
+          hash = (salt, id) => TextAnalysis.md5Hash60(concat_ws(":", salt, id)))
+        .orderBy("doc_id")),
+
     // per-domain cap (RefinedWeb): at most 10 docs per source, the 10
     // smallest salted id-hashes — rides the bounded-heap aggregate, so
     // the shuffle is O(sources*10) however hot a source is
@@ -3313,6 +3323,14 @@ object SparkEntry {
          |FROM documents d JOIN cuts ON cuts.lang = d.lang
          |WHERE ${sqlH60("'graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)")}
          |  % 1000000 < cut
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors sampleExact's global heap order: (hash asc, id asc), n=120
+    "q_x_sample_exact" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source FROM documents
+         |  ORDER BY ${sqlH60("'graft:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT 120)
          |ORDER BY doc_id""".stripMargin,
 
     // mirrors perGroupSample's heap order exactly: (hash asc, id asc)

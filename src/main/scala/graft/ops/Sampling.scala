@@ -71,6 +71,28 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** EXACTLY `n` rows (or all, if fewer), chosen as the n globally
+    * smallest (hash, id) pairs — the deterministic spelling of "give
+    * me a 10k-doc eval subset": [[consistentSample]] only hits a
+    * fraction in expectation, this hits the count. Plans as
+    * TakeOrderedAndProject ([[Windows.globalTopK]]): every partition
+    * keeps an n-row heap and only n rows per partition reach the
+    * driver-side merge — no global sort, no shuffle of the corpus.
+    * Same-id rows keep the same fate under any partitioning, and a
+    * larger n is a SUPERSET of a smaller one (nested samples, like
+    * [[consistentSample]]'s nested fractions).
+    */
+  def sampleExact(df: DataFrame, idCol: String, n: Int,
+                  salt: String = "graft",
+                  hash: (Column, Column) => Column =
+                    xxhash64(_, _)): DataFrame = {
+    require(n > 0, "n must be positive")
+    val h = graft.util.Cols.fresh(df, "__h")
+    Windows.globalTopK(df.withColumn(h, hash(lit(salt), col(idCol))),
+        Seq(col(h).asc, col(idCol).asc), n)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Deterministic weighted corpus mixing: sample each named source so
     * the union realizes the given RELATIVE weights, keeping as much data
     * as the weights allow. The bottleneck source (smallest count/weight

@@ -348,6 +348,19 @@ class SamplingSpec extends SparkSpec {
     assert(out.length == 500, "all code docs, no web docs")
     assert(out.forall(_.getString(1) == "code"))
   }
+
+  test("sampleExact hits the count exactly, nests, and is partition-invariant") {
+    val a = Sampling.sampleExact(docs, "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleExact(docs.repartition(13), "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 50 && a == b)
+    val small = Sampling.sampleExact(docs, "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a), "larger n is a superset — samples nest")
+    // n beyond the data returns everything, once
+    assert(Sampling.sampleExact(docs, "id", 5000).count() == 2000)
+  }
 }
 
 case class Doc2(id: Long, src: String)
