@@ -1508,6 +1508,25 @@ object SparkEntry {
         .select("doc_id", "lm_score").orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail: per-language percent_rank over the LM
+    // score (best-first via the negated score — ties share rank), cut
+    // at thirds; the standard perplexity-bucket recipe, composed from
+    // two oracled primitives (LmScore, groupPercentRank)
+    "q_x_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val model = LmScore.fit(docs.select("doc_id", "text"), "text")
+      val scored = LmScore.scoreDocs(docs.select("doc_id", "text"),
+          "doc_id", "text", model)
+        .select("doc_id", "lm_score").filter(col("lm_score").isNotNull)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("__neg", -col("lm_score"))
+      graft.ops.Prefix.groupPercentRank(scored, "lang", "__neg", "pr")
+        .withColumn("bucket", when(col("pr") < 1.0 / 3, "head")
+          .when(col("pr") < 2.0 / 3, "middle").otherwise("tail"))
+        .select("doc_id", "lang", "lm_score", "bucket")
+        .orderBy("doc_id")
+    }),
+
     "q_x_events_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
@@ -2118,6 +2137,32 @@ object SparkEntry {
        |FROM inter i JOIN esizes s ON i.eval_id = s.id
        |WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) >= 0.4
        |ORDER BY corpus_id, eval_id""".stripMargin
+
+  /** Shared by q_x_lm_score and q_x_ccnet_buckets: the bigram-LM CTE
+    * chain ending in `sc(doc_id, lm_score)` (docs with >= 2 tokens).
+    */
+  private lazy val lmScoreCtes: String =
+    s"""d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |u AS (SELECT t AS token, COUNT(*) AS c
+       |      FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+       |nv AS (SELECT SUM(c) + COUNT(*) AS nv FROM u),
+       |p AS (SELECT doc_id, i, toks[i] AS prev, toks[i+1] AS cur
+       |      FROM d, unnest(generate_series(1, len(toks)-1)) AS g(i)
+       |      WHERE len(toks) >= 2),
+       |b AS (SELECT prev, cur, COUNT(*) AS c_bi FROM p GROUP BY 1, 2),
+       |s AS (SELECT p.doc_id, p.i,
+       |  ln(CASE WHEN u1.c > 0
+       |       THEN 0.75*(CAST(COALESCE(b.c_bi, 0) AS DOUBLE)/CAST(u1.c AS DOUBLE))
+       |       ELSE 0.0 END
+       |     + 0.25*(CAST(COALESCE(u2.c, 0)+1 AS DOUBLE)/CAST(nv.nv AS DOUBLE))) AS logp
+       |  FROM p
+       |  LEFT JOIN b ON b.prev = p.prev AND b.cur = p.cur
+       |  LEFT JOIN u u1 ON u1.token = p.prev
+       |  LEFT JOIN u u2 ON u2.token = p.cur, nv),
+       |sc AS (SELECT doc_id,
+       |  round(list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
+       |        / CAST(COUNT(*) AS DOUBLE), 6) AS lm_score
+       |  FROM s GROUP BY doc_id)""".stripMargin
 
   private lazy val trainingAnnotateCtes: String =
     s"""m0 AS (SELECT doc_id, text, source,
@@ -4036,29 +4081,26 @@ object SparkEntry {
     // aggregate; a bare SUM would be order-dependent), round(…,6) to
     // absorb the two engines' last-ulp ln differences.
     "q_x_lm_score" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         |u AS (SELECT t AS token, COUNT(*) AS c
-         |      FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
-         |nv AS (SELECT SUM(c) + COUNT(*) AS nv FROM u),
-         |p AS (SELECT doc_id, i, toks[i] AS prev, toks[i+1] AS cur
-         |      FROM d, unnest(generate_series(1, len(toks)-1)) AS g(i)
-         |      WHERE len(toks) >= 2),
-         |b AS (SELECT prev, cur, COUNT(*) AS c_bi FROM p GROUP BY 1, 2),
-         |s AS (SELECT p.doc_id, p.i,
-         |  ln(CASE WHEN u1.c > 0
-         |       THEN 0.75*(CAST(COALESCE(b.c_bi, 0) AS DOUBLE)/CAST(u1.c AS DOUBLE))
-         |       ELSE 0.0 END
-         |     + 0.25*(CAST(COALESCE(u2.c, 0)+1 AS DOUBLE)/CAST(nv.nv AS DOUBLE))) AS logp
-         |  FROM p
-         |  LEFT JOIN b ON b.prev = p.prev AND b.cur = p.cur
-         |  LEFT JOIN u u1 ON u1.token = p.prev
-         |  LEFT JOIN u u2 ON u2.token = p.cur, nv),
-         |sc AS (SELECT doc_id,
-         |  round(list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
-         |        / CAST(COUNT(*) AS DOUBLE), 6) AS lm_score
-         |  FROM s GROUP BY doc_id)
+      s"""WITH $lmScoreCtes
          |SELECT d.doc_id, sc.lm_score FROM d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style perplexity buckets: per-language percent_rank of the
+    // LM score (DESC ties-share ≡ the engine's groupPercentRank over
+    // the negated score), thirds -> head/middle/tail; docs too short
+    // to score (< 2 tokens, no sc row) are excluded on both sides
+    "q_x_ccnet_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |j AS (SELECT sc.doc_id, doc.lang, sc.lm_score
+         |      FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id),
+         |pct AS (SELECT doc_id, lang, lm_score,
+         |  percent_rank() OVER (PARTITION BY lang ORDER BY lm_score DESC)
+         |    AS pr FROM j)
+         |SELECT doc_id, lang, lm_score,
+         |  CASE WHEN pr < 1.0/3 THEN 'head'
+         |       WHEN pr < 2.0/3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM pct ORDER BY doc_id""".stripMargin,
 
     "q_x_events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
