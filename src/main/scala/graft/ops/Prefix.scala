@@ -294,10 +294,17 @@ object Prefix {
     val ranked = groupRunningSum(perValue, groupCol,
         Seq(col(valueCol).asc), col(c), cum, partitions)
       .withColumn(rk, col(cum) - col(c) + 1)
-      .select(col(groupCol), col(valueCol), col(rk))
+      .select(col(groupCol).as("__rg"), col(valueCol).as("__rv"), col(rk))
     val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nn))
-    df.join(ranked, Seq(groupCol, valueCol))
-      .join(broadcast(sizes), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__sg")
+    // null-safe joins: null groups/values are grouped and ranked like
+    // any other key (nulls first under the ascending range order) — a
+    // plain equi-join would silently DROP those rows
+    df.join(ranked,
+        col(groupCol) <=> col("__rg") && col(valueCol) <=> col("__rv"))
+      .drop("__rg", "__rv")
+      .join(broadcast(sizes), col(groupCol) <=> col("__sg"))
+      .drop("__sg")
       .withColumn(outCol, when(col(nn) === 1, lit(0.0))
         .otherwise((col(rk) - 1).cast("double") /
           (col(nn) - 1).cast("double")))

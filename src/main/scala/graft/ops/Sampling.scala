@@ -307,11 +307,13 @@ object Sampling {
         weight(col("s.__n").cast("double")) / col("t.__W") *
           lit(targetFraction) * col("t.__N").cast("double") /
           col("s.__n").cast("double")))
-      .select(col(s"s.$groupCol"),
+      .select(col(s"s.$groupCol").as("__cg"),
         round(col("__f") * Buckets).cast("long").as("__cut"))
-    df.join(broadcast(cuts), Seq(groupCol))
+    // null-safe join: a null group is a group like any other (sizes
+    // and cuts frames carry its row) — a plain equi-join would silently
+    // DROP null-group rows instead of sampling them
+    df.join(broadcast(cuts), col(groupCol) <=> col("__cg"))
       .filter(pmod(hash(lit(salt), col(idCol)), lit(Buckets)) < col("__cut"))
-      .drop("__cut")
       .select(df.columns.map(col).toSeq: _*)
   }
 }

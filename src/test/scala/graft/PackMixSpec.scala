@@ -226,6 +226,20 @@ class MixCorporaSpec extends SparkSpec {
       "equal sizes => every cut equals round(tf * buckets) => same selection")
   }
 
+  test("temperatureMix samples null groups instead of dropping them") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1L to 100L).map(i => (i, Some("a"))) ++
+      (201L to 300L).map(i => (i, Option.empty[String])))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureMix(docs, "grp", "id", 1.0)
+    // tf=1 with equal group sizes -> every cut is the full bucket
+    // range -> everything kept, INCLUDING the null group
+    assert(out.count() === 200L,
+      "null-group rows must be sampled, not silently dropped")
+    assert(out.filter(col("grp").isNull).count() === 100L)
+  }
+
   test("temperatureMix is deterministic and repartition-invariant") {
     val docs = df((1L to 400L).map(MixDoc(_, "a")) ++
       (5001L to 5100L).map(MixDoc(_, "b")))

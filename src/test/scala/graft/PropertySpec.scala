@@ -454,6 +454,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("groupPercentRank preserves null-group rows (null-safe joins)") {
+    val s = spark
+    import s.implicits._
+    val data = Seq((1L, Some("a"), 10L), (2L, Some("a"), 20L),
+      (3L, Option.empty[String], 5L), (4L, Option.empty[String], 7L))
+      .toDF("id", "g", "v")
+    val out = Prefix.groupPercentRank(data, "g", "v")
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L),
+      "null-group rows must rank within their own group, not vanish")
+    assert(out(3L) === 0.0 && out(4L) === 1.0)
+    assert(out(1L) === 0.0 && out(2L) === 1.0)
+  }
+
   test("boilerplate strip matches a brute-force reference on random line corpora") {
     // small line pool -> guaranteed df collisions; blank/whitespace
     // lines exercise the "structure, never counted" rule
