@@ -1051,6 +1051,19 @@ object SparkEntry {
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")),
 
+    // UNPIVOT/melt (wide -> long): the inverse relational shape of
+    // pivot — Spark's Dataset.unpivot plans as a single Expand over
+    // one scan, never N self-unions
+    "q_x_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     "q_x_pivot" -> ((s, dir) => {
       val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
       t(s, dir, "orders")
@@ -2891,6 +2904,21 @@ object SparkEntry {
         |  COUNT(o_orderpriority) AS n_priority
         |FROM u GROUP BY src, o_orderstatus
         |ORDER BY src, o_orderstatus""".stripMargin,
+
+    // mirrors Dataset.unpivot's row order source (UNION ALL of the
+    // four measures; metric names = source column names)
+    "q_x_unpivot" ->
+      """WITH base AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS metric, l_quantity AS value FROM base
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM base
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM base
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_tax', l_tax FROM base)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q_x_pivot" ->
       """SELECT o_orderstatus,
