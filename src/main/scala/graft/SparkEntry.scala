@@ -1015,6 +1015,22 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // arbitrary GROUPING SETS (not the rollup/cube lattices): the
+    // (status), (priority), and grand-total sets in ONE Expand pass —
+    // the ANSI SQL spelling on both engines, with GROUPING() ids to
+    // disambiguate real NULL keys from set placeholders
+    "q_x_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+              |  COUNT(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""
+          .stripMargin)
+    }),
+
     // CUBE: all four grouping sets of (returnflag, linestatus) in one
     // pass (Spark's Expand), the rollup's full-lattice sibling
     "q_x_cube" -> ((s, dir) =>
@@ -2768,6 +2784,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // same ANSI spelling in DuckDB; GROUPING() disambiguates set
+    // placeholders from real NULL keys, so the hash compare is total
+    "q_x_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_x_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
