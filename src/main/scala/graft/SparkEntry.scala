@@ -1144,6 +1144,17 @@ object SparkEntry {
         .select("doc_id", "lang", "med", "mad", "is_outlier")
         .orderBy("doc_id")),
 
+    // per-language Pearson correlation of length vs token count: all
+    // five moments are exact long sums (accumulation-order-proof), the
+    // final r one fixed IEEE expression
+    "q_x_corr" -> ((s, dir) =>
+      graft.ops.Outliers.groupCorr(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).cast("int").as("n_toks")),
+          "lang", "n_chars", "n_toks")
+        .orderBy("lang")),
+
     // per-language z-score of document length: exact long sums make
     // mean/variance accumulation-order-proof, then one fixed IEEE
     // expression — bit-identical in any engine
@@ -2871,6 +2882,33 @@ object SparkEntry {
         |  COALESCE(c.cnt, 0) AS cnt
         |FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
         |ORDER BY g.bin""".stripMargin,
+
+    // mirrors Outliers.groupCorr verbatim: exact BIGINT moments, same
+    // left-associated (n*sxy - sx*sy) / (sqrt(...) * sqrt(...))
+    "q_x_corr" ->
+      s"""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         |    CAST(len($sqlToks) AS BIGINT) AS y
+         |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(x*y) AS BIGINT) AS sxy,
+         |  CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |  CAST(SUM(y*y) AS BIGINT) AS syy FROM d GROUP BY 1)
+         |SELECT lang, n,
+         |  CASE WHEN n < 2
+         |    OR CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <= 0.0
+         |    OR CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) <= 0.0
+         |  THEN NULL
+         |  ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |       * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+         |  END AS corr
+         |FROM st ORDER BY lang""".stripMargin,
 
     // mirrors Outliers.zscore verbatim: exact BIGINT sums, then the
     // SAME left-associated double expression (s2 - s1*s1/n)/n etc.

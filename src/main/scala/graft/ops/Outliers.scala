@@ -94,6 +94,53 @@ object Outliers {
     * counts at any corpus size qualify; pre-scale first if values run
     * to 10⁹.
     */
+  /** Per-group Pearson correlation of two INTEGRAL columns — one row
+    * per group, `(groupCol, n, corr)`. The zscore trick squared: all
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT long sums, so the
+    * result is bit-identical regardless of partial-aggregation order —
+    * `corr()` built on double accumulators is not. Rows where either
+    * value is null are excluded pairwise (SQL convention); groups with
+    * n < 2 or zero variance on either side yield NULL (undefined).
+    *
+    * One partial-aggregable pass, one row per group out. Overflow: the
+    * long moments hold while rows · max(x·y) < 2⁶³ — fine for
+    * length/token-count magnitudes at any realistic corpus; pre-scale
+    * first for 10⁹-sized values.
+    */
+  def groupCorr(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String, outCol: String = "corr"): DataFrame = {
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.ShortType,
+        s"groupCorr needs integral columns for exact sums, got " +
+          s"${dt.simpleString} for $c")
+    }
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(when(both, 1)).as("__n"),
+      coalesce(sum(when(both, x)), lit(0L)).as("__sx"),
+      coalesce(sum(when(both, y)), lit(0L)).as("__sy"),
+      coalesce(sum(when(both, x * y)), lit(0L)).as("__sxy"),
+      coalesce(sum(when(both, x * x)), lit(0L)).as("__sxx"),
+      coalesce(sum(when(both, y * y)), lit(0L)).as("__syy"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    // fixed IEEE sequence mirrored in the oracle: cov = n*sxy - sx*sy;
+    // varx = n*sxx - sx*sx; r = cov / (sqrt(varx) * sqrt(vary))
+    val cov = n * col("__sxy").cast("double") - sx * sy
+    val varx = n * col("__sxx").cast("double") - sx * sx
+    val vary = n * col("__syy").cast("double") - sy * sy
+    stats.select(col(groupCol), col("__n").as("n"),
+      when(col("__n") < 2 || varx <= 0.0 || vary <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(cov / (sqrt(varx) * sqrt(vary))).as(outCol))
+  }
+
   def zscore(df: DataFrame, groupCol: String, valueCol: String,
              outCol: String = "z"): DataFrame = {
     val v = col(valueCol)

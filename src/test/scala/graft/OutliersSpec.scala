@@ -89,6 +89,32 @@ class OutliersSpec extends SparkSpec {
     assert(got === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("groupCorr: perfect +1/-1, independent ~0, degenerate groups NULL") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      // a: y = 2x -> r = 1
+      (1L, "a", 1L, 2L), (2L, "a", 2L, 4L), (3L, "a", 3L, 6L),
+      // b: y = -x -> r = -1
+      (4L, "b", 1L, 9L), (5L, "b", 2L, 8L), (6L, "b", 3L, 7L),
+      // c: x constant -> undefined -> NULL
+      (7L, "c", 5L, 1L), (8L, "c", 5L, 2L),
+      // d: singleton -> NULL
+      (9L, "d", 1L, 1L)).toDF("id", "grp", "x", "y")
+    val got = Outliers.groupCorr(data, "grp", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // sqrt rounding puts perfect correlation a ulp past ±1 — that ulp
+    // is the same in every engine (the oracle hash-matches exactly)
+    assert(math.abs(got("a").get - 1.0) < 1e-12)
+    assert(math.abs(got("b").get + 1.0) < 1e-12)
+    assert(got("c") === None && got("d") === None)
+    intercept[IllegalArgumentException] {
+      Outliers.groupCorr(data.withColumn("x", col("x").cast("double")),
+        "grp", "x", "y")
+    }
+  }
+
   test("zscore: known values, zero-variance and singleton groups give 0.0") {
     val s = spark
     import s.implicits._
