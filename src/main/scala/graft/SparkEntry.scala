@@ -1399,6 +1399,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // concordance (KWIC): every occurrence of "window" with ±4 tokens
+    // of context — narrow tokenize+explode+slice, match-proportional
+    "q_x_concordance" -> ((s, dir) =>
+      TextAnalysis.concordance(t(s, dir, "documents"), "doc_id", "text",
+          term = "window", window = 4)
+        .orderBy("doc_id", "pos")),
+
     "q_x_text_redact" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -3725,6 +3732,19 @@ object SparkEntry {
     // the bloom prefilter is false-negative-free and the exact join
     // removes false positives — output is bit-identical, oracle shared
     "q_x_decontaminate_bloom" -> decontaminateSql,
+
+    // mirrors TextAnalysis.concordance: same 0-based pos, same clamped
+    // 1-based inclusive slice (DuckDB list slicing clamps like Spark's)
+    "q_x_concordance" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, i - 1 AS pos
+         |      FROM d CROSS JOIN unnest(range(1, len(toks) + 1)) t(i)
+         |      WHERE toks[i] = 'window')
+         |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |  array_to_string(
+         |    toks[greatest(1, pos + 1 - 4) : least(pos + 1 + 4, len(toks))],
+         |    ' ') AS context
+         |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     // mirrors Boilerplate.stripCommonSegments: group-scoped segment
     // doc-frequency, >= minDocs AND > maxDocFrac of group size →

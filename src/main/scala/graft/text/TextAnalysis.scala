@@ -388,4 +388,32 @@ object TextAnalysis {
       .withColumn(outCol, shinglesFromTokens(col(tokCol), n))
       .drop(tokCol)
   }
+
+  /** Concordance (KWIC): one row per occurrence of `term` —
+    * (idCol, pos, context) with `pos` the 0-based token index and
+    * `context` the occurrence's ±`window` tokens rejoined (clamped at
+    * document edges). The corpus-linguistics inspection tool: "show me
+    * every use of X in context" without shipping whole documents.
+    *
+    * Scale shape: tokenize + posexplode + equality filter + slice —
+    * one narrow codegen pass, output proportional to match count, no
+    * shuffle at all.
+    */
+  def concordance(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, term: String,
+                  window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val toks = graft.util.Cols.fresh(df, "__toks")
+    df.select(col(idCol), tokens(col(textCol)).as(toks))
+      .select(col(idCol), col(toks),
+        posexplode(col(toks)).as(Seq("pos", "__tok")))
+      .filter(col("__tok") === term)
+      .select(col(idCol), col("pos"), {
+        // 1-based inclusive slice, clamped: [max(1, pos+1-w), min(pos+1+w, n)]
+        val start = greatest(lit(1), col("pos") + 1 - window)
+        val end = least(col("pos") + 1 + window, size(col(toks)))
+        array_join(slice(col(toks), start, end - start + 1), " ")
+          .as("context")
+      })
+  }
 }
