@@ -1399,6 +1399,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // collocations: PMI over a 2-token lookahead window, pairs seen
+    // >= 20 times — marginals from the pair table itself, ln rounded
+    // to 6 per the cross-engine convention
+    "q_x_pmi" -> ((s, dir) =>
+      graft.text.Collocations.pmi(t(s, dir, "documents"), "text",
+          window = 2, minCount = 20L)
+        .orderBy("tok_a", "tok_b")),
+
     // concordance (KWIC): every occurrence of "window" with ±4 tokens
     // of context — narrow tokenize+explode+slice, match-proportional
     "q_x_concordance" -> ((s, dir) =>
@@ -3732,6 +3740,26 @@ object SparkEntry {
     // the bloom prefilter is false-negative-free and the exact join
     // removes false positives — output is bit-identical, oracle shared
     "q_x_decontaminate_bloom" -> decontaminateSql,
+
+    // mirrors Collocations.pmi: 1-based list_transform index i pairs
+    // with toks[i+1 : i+window]; identical marginal joins and the same
+    // (n*N)/(na*nb) order under round(ln(...), 6)
+    "q_x_pmi" ->
+      s"""WITH d AS (SELECT $sqlToks AS toks FROM documents),
+         |p AS (SELECT u.a AS a, u.b AS b FROM
+         |  (SELECT unnest(flatten(list_transform(toks, (t, i) ->
+         |     list_transform(toks[i+1 : least(i+2, len(toks))],
+         |       v -> {'a': t, 'b': v})))) AS u FROM d)),
+         |pc AS (SELECT a, b, COUNT(*) AS n_pair FROM p GROUP BY 1, 2),
+         |la AS (SELECT a, SUM(n_pair) AS na FROM pc GROUP BY 1),
+         |rb AS (SELECT b, SUM(n_pair) AS nb FROM pc GROUP BY 1),
+         |tot AS (SELECT SUM(n_pair) AS np FROM pc)
+         |SELECT pc.a AS tok_a, pc.b AS tok_b,
+         |  CAST(pc.n_pair AS BIGINT) AS n_pair,
+         |  round(ln(CAST(pc.n_pair AS DOUBLE) * CAST(tot.np AS DOUBLE)
+         |    / (CAST(la.na AS DOUBLE) * CAST(rb.nb AS DOUBLE))), 6) AS pmi
+         |FROM pc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+         |WHERE pc.n_pair >= 20 ORDER BY tok_a, tok_b""".stripMargin,
 
     // mirrors TextAnalysis.concordance: same 0-based pos, same clamped
     // 1-based inclusive slice (DuckDB list slicing clamps like Spark's)
