@@ -154,6 +154,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(7) == ((8L, 1, 1, "beta three")))
   }
 
+  test("concordance: positions, edge clamping, multiple occurrences") {
+    val docs = df(Seq(Doc(1L, "x a b x c", "s"), Doc(2L, "x", "s"),
+      Doc(3L, "no match here", "s")))
+    val out = graft.text.TextAnalysis.concordance(docs, "doc_id", "text",
+        term = "x", window = 1)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "x a"),        // left edge clamps
+      (1L, 3, "b x c"),      // interior: both sides
+      (2L, 0, "x")),         // single-token doc
+      s"got ${out.toSeq}")
+  }
+
+  test("pmi: counts, marginal math, minCount filter on a known corpus") {
+    // pairs at window=1 (adjacent only): "a b" x3, "b a" x2, "b c" x1
+    val docs = df(Seq(Doc(1L, "a b a b a b c", "s")))
+    val out = graft.text.Collocations.pmi(docs, "text",
+        window = 1, minCount = 2L)
+      .orderBy("tok_a", "tok_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // N=6; ab: n=3, na(a->)=3, nb(->b)=3 -> ln(3*6/9)=ln 2
+    // ba: n=2, na(b->)=3, nb(->a)=2 -> ln(2*6/6)=ln 2; bc n=1 filtered
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", "b", 3L), ("b", "a", 2L)))
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.forall(t => math.abs(t._4 - ln2) < 1e-9))
+  }
+
   test("stripCommonSegments: maxDocFrac=1.0 disables removal (strict >)") {
     val docs = df(Seq(Doc(1, "x\ny", "a"), Doc(2, "x\nz", "a"),
       Doc(3, "x", "a")))
