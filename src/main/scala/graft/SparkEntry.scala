@@ -1155,6 +1155,14 @@ object SparkEntry {
           "lang", "n_chars", "n_toks")
         .orderBy("lang")),
 
+    // per-language min-max normalization of length to [0,1]: exact
+    // long extrema + one IEEE division — zscore's bounded sibling
+    "q_x_minmax_norm" -> ((s, dir) =>
+      graft.ops.Outliers.minMaxNorm(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // per-language z-score of document length: exact long sums make
     // mean/variance accumulation-order-proof, then one fixed IEEE
     // expression — bit-identical in any engine
@@ -2924,6 +2932,20 @@ object SparkEntry {
          |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
          |  END AS corr
          |FROM st ORDER BY lang""".stripMargin,
+
+    // mirrors Outliers.minMaxNorm: exact BIGINT extrema, one division
+    "q_x_minmax_norm" ->
+      """WITH st AS (SELECT lang,
+        |  CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |  CAST(MAX(n_chars) AS BIGINT) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN d.n_chars IS NULL OR st.hi = st.lo THEN 0.0
+        |       ELSE (CAST(d.n_chars AS DOUBLE) - CAST(st.lo AS DOUBLE))
+        |            / (CAST(st.hi AS DOUBLE) - CAST(st.lo AS DOUBLE))
+        |  END AS mm
+        |FROM documents d JOIN st USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors Outliers.zscore verbatim: exact BIGINT sums, then the
     // SAME left-associated double expression (s2 - s1*s1/n)/n etc.

@@ -141,6 +141,32 @@ object Outliers {
         .otherwise(cov / (sqrt(varx) * sqrt(vary))).as(outCol))
   }
 
+  /** Per-group min-max normalization of an INTEGRAL column to [0, 1]:
+    * (v − min) / (max − min), with degenerate groups (constant value,
+    * singleton) and nulls mapping to 0.0. Min/max of longs are exact
+    * under any aggregation order, and the one division is a fixed IEEE
+    * op — bit-identical cross-engine, same contract as [[zscore]].
+    * One partial-aggregable stats pass + broadcast, never a shuffle.
+    */
+  def minMaxNorm(df: DataFrame, groupCol: String, valueCol: String,
+                 outCol: String = "mm"): DataFrame = {
+    val v = col(valueCol)
+    val dt = df.schema(valueCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"minMaxNorm needs an integral column, got ${dt.simpleString}")
+    val gm = graft.util.Cols.fresh(df, "__g")
+    val stats = df.groupBy(col(groupCol).as(gm)).agg(
+      min(v.cast("long")).as("__lo"), max(v.cast("long")).as("__hi"))
+    df.join(broadcast(stats), col(groupCol) <=> col(gm), "left").drop(gm)
+      .withColumn(outCol,
+        when(v.isNull || col("__hi") <=> col("__lo"), lit(0.0))
+          .otherwise((v.cast("double") - col("__lo").cast("double")) /
+            (col("__hi").cast("double") - col("__lo").cast("double"))))
+      .drop("__lo", "__hi")
+  }
+
   def zscore(df: DataFrame, groupCol: String, valueCol: String,
              outCol: String = "z"): DataFrame = {
     val v = col(valueCol)

@@ -115,6 +115,17 @@ class OutliersSpec extends SparkSpec {
     }
   }
 
+  test("minMaxNorm: known values, constant and singleton groups give 0.0") {
+    val s = spark
+    import s.implicits._
+    val data = Seq((1L, "a", 10L), (2L, "a", 15L), (3L, "a", 20L),
+      (4L, "b", 7L), (5L, "b", 7L), (6L, "c", 9L)).toDF("id", "grp", "v")
+    val got = Outliers.minMaxNorm(data, "grp", "v").select("id", "mm")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0,
+      4L -> 0.0, 5L -> 0.0, 6L -> 0.0))
+  }
+
   test("zscore: known values, zero-variance and singleton groups give 0.0") {
     val s = spark
     import s.implicits._
