@@ -1407,6 +1407,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-similarity matrix: vocabulary Jaccard between every pair
+    // of languages — distinct (group, token) pass, group-bounded
+    // equi-join fan-out, exact-long division
+    "q_x_vocab_overlap" -> ((s, dir) =>
+      graft.text.CorpusDivergence.vocabOverlap(
+          t(s, dir, "documents"), "lang", "text")
+        .orderBy("g_a", "g_b")),
+
     // collocations: PMI over a 2-token lookahead window, pairs seen
     // >= 20 times — marginals from the pair table itself, ln rounded
     // to 6 per the cross-engine convention
@@ -3762,6 +3770,21 @@ object SparkEntry {
     // the bloom prefilter is false-negative-free and the exact join
     // removes false positives — output is bit-identical, oracle shared
     "q_x_decontaminate_bloom" -> decontaminateSql,
+
+    // mirrors CorpusDivergence.vocabOverlap: distinct (lang, token),
+    // a < b pair join, |A|+|B|-|inter| denominator
+    "q_x_vocab_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT lang AS g, unnest($sqlToks) AS tok
+         |           FROM documents),
+         |sz AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+         |i AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS n_inter
+         |      FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+         |      GROUP BY 1, 2)
+         |SELECT i.g_a, i.g_b, i.n_inter,
+         |  CAST(i.n_inter AS DOUBLE)
+         |    / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sz sa ON i.g_a = sa.g JOIN sz sb ON i.g_b = sb.g
+         |ORDER BY g_a, g_b""".stripMargin,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same

@@ -116,4 +116,38 @@ object CorpusDivergence {
       .agg(array_sort(collect_list(struct(col("token"), col("cp"),
         col("cq")))).as("arr"))
   }
+
+  /** Pairwise VOCABULARY Jaccard between every two groups in one frame
+    * — the corpus-similarity matrix ("how lexically close are these
+    * sources/languages?") that complements [[divergence]]'s
+    * distribution distance for a single pair: one call covers all
+    * n·(n−1)/2 pairs instead of n² calls.
+    *
+    * Scale shape: one distinct (group, token) pass (partial-aggregable
+    * distinct); the pair stage is a token equi-join whose per-key
+    * fan-out is bounded by the GROUP count (each token appears at most
+    * once per group after the distinct), never by corpus size; sizes
+    * broadcast back. Jaccard = |∩| / (|A| + |B| − |∩|) from exact
+    * longs — one IEEE division, bit-stable anywhere.
+    */
+  def vocabOverlap(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val sizes = v.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = v.alias("a").join(v.alias("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("g_a"), col("b.__g").as("g_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("__g", "__ga")
+        .withColumnRenamed("__n", "__na")), col("g_a") === col("__ga"))
+      .join(broadcast(sizes.withColumnRenamed("__g", "__gb")
+        .withColumnRenamed("__n", "__nb")), col("g_b") === col("__gb"))
+      .select(col("g_a"), col("g_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("__na") + col("__nb") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
 }
