@@ -276,9 +276,14 @@ object TxTable {
       s"'$from' is a partition column — renaming it relayouts every " +
         "file path; do that as an explicit overwrite")
     constraints(spark, path).foreach { case (n, e) =>
-      require(("""(?i)(?<![A-Za-z0-9_`])""" +
+      // NO backtick in the lookarounds: a quoted reference (`bal` > 0)
+      // must be caught too, else the rename strands the constraint
+      // over a nonexistent column and wedges every later data commit.
+      // Word chars alone still keep 'bal' from matching inside
+      // 'balance' (bare or quoted).
+      require(("""(?i)(?<![A-Za-z0-9_])""" +
           java.util.regex.Pattern.quote(from) +
-          """(?![A-Za-z0-9_`])""").r.findFirstIn(e).isEmpty,
+          """(?![A-Za-z0-9_])""").r.findFirstIn(e).isEmpty,
         s"CHECK constraint $n references '$from' — drop it before renaming")
     }
     bloomConfigOf(commitMeta(spark, path, vs.last))

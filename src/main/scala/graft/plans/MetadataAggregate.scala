@@ -222,7 +222,26 @@ object MetadataAggregateRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!groupOk) return None
-    TxTable.metaPartitionLines(spark, path, v).flatMap { groups =>
+    // the grouped SUBSET of the partition columns: metaPartitionLines
+    // groups by the FULL partition-directory tuple, so a GROUP BY over
+    // fewer columns (table partitioned by (a,b), query groups by a)
+    // must merge those fine-grained groups by the grouped subset first
+    // — row counts and null counts are additive across the merged
+    // manifest lines and min/max fold, so evaluating each metadata
+    // aggregate over the CONCATENATED lines of a merged group is exact.
+    // Without the merge the LocalRelation would emit one row per (a,b)
+    // combination: duplicate group keys with partial aggregates.
+    val groupedNames: Set[String] = agg.groupingExpressions.collect {
+      case a: Attribute => toRelCol(a).get.name
+    }.toSet
+    TxTable.metaPartitionLines(spark, path, v).flatMap { fullGroups =>
+      val groups: Seq[(Map[String, Option[String]], Seq[String])] =
+        fullGroups
+          .groupBy { case (pvals, _) =>
+            groupedNames.toSeq.sorted.map(n => n -> pvals.get(n).flatten)
+          }
+          .map { case (key, gs) => (key.toMap, gs.flatMap(_._2)) }
+          .toSeq
       val rows = groups.map { case (pvals, lines) =>
         def valueOf(m: MetaAgg): Option[Literal] = m match {
           case RowCount =>

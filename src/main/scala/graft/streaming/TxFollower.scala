@@ -333,6 +333,22 @@ object TxFollower {
     } else {
       // null-safe key join: a null group key is a real group
       val s0 = TxTable.read(spark, dst)
+      // the view's state columns are fixed at creation: asking for a
+      // sum/extrema column the existing view never tracked has no
+      // incremental answer (the history that built its state is gone),
+      // and silently proceeding would die in an unresolved-column
+      // AnalysisException deep in the fold — refuse loudly instead,
+      // with the migration path spelled out
+      val missingState = (Seq("n_rows") ++
+        sumCols.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+        extremaCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+        .filterNot(s0.columns.contains)
+      require(missingState.isEmpty,
+        s"aggregate view $dst lacks state column(s) " +
+          s"${missingState.mkString(", ")} — it was created with " +
+          "different sumCols/extremaCols. Recreate the view (drop the " +
+          "destination table and let the next increment rebuild it with " +
+          "the new column set) or keep the original sumCols/extremaCols.")
       val state = s0.toDF(s0.columns.map(c => s"__s_$c"): _*)
       val joined = withRecompute(deltas).join(state,
         groupCols.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _),

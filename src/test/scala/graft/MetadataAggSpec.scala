@@ -209,6 +209,42 @@ class MetadataAggSpec extends SparkSpec {
       Map(10 -> 10, 40 -> 40))
   }
 
+  test("grouped over a SUBSET of multi-column partitioning merges groups") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // partitioned by (day, region): a GROUP BY day must MERGE the
+    // per-(day, region) manifest groups — one output row per day with
+    // summed counts and folded extremes, never one row per (day,
+    // region) combination with duplicate keys / partial aggregates
+    TxTable.append(spark, dir,
+      Seq((1L, 10L, 1L, Some(5L)), (2L, 10L, 2L, None),
+        (3L, 40L, 1L, Some(7L)), (4L, 40L, 2L, Some(2L)),
+        (5L, 10L, 2L, Some(9L)))
+        .toDF("id", "day", "region", "v"),
+      partitionCols = Seq("day", "region"))
+    def t = spark.read.format("graft").load(dir)
+    val byDay = t.groupBy("day")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"), count(col("v")).as("n_v"))
+    assert(!scansFiles(byDay), byDay.queryExecution.executedPlan.toString)
+    val got = byDay.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === Map(10 -> ((3L, 1L, 5L, 2L)), 40 -> ((2L, 3L, 4L, 2L))))
+    // grouping by the SECOND partition column alone merges across days
+    val byRegion = t.groupBy("region").agg(count(lit(1)).as("n"))
+    assert(!scansFiles(byRegion))
+    assert(byRegion.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(1 -> 2L, 2 -> 3L))
+    // grouping by BOTH stays exact and scanless
+    val byBoth = t.groupBy("day", "region").agg(count(lit(1)).as("n"))
+    assert(!scansFiles(byBoth))
+    assert(byBoth.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap ===
+      Map((10, 1) -> 1L, (10, 2) -> 2L, (40, 1) -> 1L, (40, 2) -> 1L))
+  }
+
   test("grouped time travel serves the PINNED version's partitions") {
     val s = spark
     import s.implicits._

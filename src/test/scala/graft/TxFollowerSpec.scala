@@ -316,6 +316,37 @@ class TxFollowerSpec extends SparkSpec {
     assert(TxTable.versions(spark, dst) == versions)
   }
 
+  test("asking an existing view for NEW sum/extrema columns refuses loudly") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_f") + "/src"
+    val dst = tmp("graft_f") + "/rv"
+    TxTable.append(spark, src,
+      Seq(("a", 1L, Some(10L))).toDF("k", "id", "x"))
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(1L))
+    TxTable.append(spark, src, Seq(("a", 2L, Some(20L))).toDF("k", "id", "x"))
+    // extrema state (min_x/max_x) was never tracked by this view — the
+    // history that built it is consumed, so an incremental answer does
+    // not exist; the error must say so and name the migration path
+    val e1 = intercept[IllegalArgumentException] {
+      TxFollower.processAggregateChanges(spark, src, dst, "rv",
+        Seq("k"), Seq("x"), extremaCols = Seq("x"))
+    }
+    assert(e1.getMessage.contains("min_x") &&
+      e1.getMessage.contains("Recreate the view"))
+    // a NEW sum column is the same hole
+    val e2 = intercept[IllegalArgumentException] {
+      TxFollower.processAggregateChanges(spark, src, dst, "rv",
+        Seq("k"), Seq("x", "id"))
+    }
+    assert(e2.getMessage.contains("sum_id"))
+    // the original column set still folds fine afterwards
+    assert(TxFollower.processAggregateChanges(spark, src, dst, "rv",
+      Seq("k"), Seq("x")).contains(2L))
+    aggViewEqualsRecompute(src, dst)
+  }
+
   test("retraction view maintains MIN/MAX: monotone folds + dirty-group recompute") {
     val s = spark
     import s.implicits._

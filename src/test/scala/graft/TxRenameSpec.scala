@@ -53,6 +53,16 @@ class TxRenameSpec extends SparkSpec {
       TxTable.renameColumn(spark, dir, "qty", "amount")
     }
     TxTable.dropConstraint(spark, dir, "qty_pos")
+    // a BACKTICK-QUOTED reference must be caught too — missing it
+    // would strand the constraint over a nonexistent column and wedge
+    // every later data commit
+    TxTable.addConstraint(spark, dir, "qty_pos_q", "`qty` > 0")
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, dir, "qty", "amount")
+    }
+    TxTable.dropConstraint(spark, dir, "qty_pos_q")
+    // a quoted constraint over a DIFFERENT column must NOT block
+    TxTable.addConstraint(spark, dir, "id_pos", "`id` > 0")
     TxTable.renameColumn(spark, dir, "qty", "amount")
     assert(TxTable.read(spark, dir).columns.toSet === Set("id", "amount", "day"))
   }
