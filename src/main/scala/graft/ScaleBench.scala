@@ -59,7 +59,21 @@ object ScaleBench {
       graft.ops.Profile.statsPlan(
         graft.ops.Sources.table(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
-        approxDistinct = false)))
+        approxDistinct = false)),
+    // SemDedup the way production MUST run it at 100 TB: centroid
+    // count ∝ corpus size (target cluster size ~500 rows), so the
+    // within-cluster pair join's Σsize² grows LINEARLY with the corpus
+    // — vs the oracled q_x_semdedup fixture whose FIXED 8 seed
+    // centroids make Σsize² quadratic by construction (its ladder
+    // ratio measures that semantics, not the engine). The count() here
+    // is index-BUILD-time sizing (once per index, never per query).
+    "x_semdedup_scaled_k" -> ((s, dir) => {
+      val emb = graft.ops.Sources.table(s, dir, "embeddings")
+      val numLists = math.max(2L, emb.count() / 500L).toInt
+      val cents = graft.ann.Similarity.buildIvfIndex(emb, numLists)
+      graft.dedup.SemDedup.semDedup(emb, cents, threshold = 0.42)
+        .select("vec_id")
+    }))
 
   /** The FULL query surface at both scales — every SparkEntry query
     * whose semantics are linear-in-data (see [[Excluded]]), so each

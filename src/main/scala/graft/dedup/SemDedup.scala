@@ -49,12 +49,41 @@ object SemDedup {
   /** Within-cluster near-duplicate pairs (id_a < id_b, cos >=
     * threshold). One equi-join on list_id; norms precomputed once per
     * row, so per-pair work is a single codegen'd dot product.
+    *
+    * GUARDED like [[Dedup.cosineDupPairs]]'s row ceiling: the join's
+    * work is Σ cluster_size², so ONE oversize cluster — a centroid
+    * count too small for the corpus, or a degenerate corpus where one
+    * centroid attracts everything — silently goes quadratic at 100 TB.
+    * `maxClusterRows` (default 1M ≈ 5·10¹¹ candidate pairs in one
+    * cluster, already days of compute) probes the assignment's cluster
+    * histogram first — an O(n) aggregate over two pruned columns vs
+    * the Σsize² join it protects — and refuses loudly, naming the
+    * oversize clusters and the fix (centroid count ∝ corpus size:
+    * `buildIvfIndex(corpus, numLists = rows / targetClusterSize)`).
+    * Pass `maxClusterRows <= 0` to skip the probe when cluster sizes
+    * are already known-bounded (e.g. a freshly validated index).
     */
   def semDedupPairs(corpus: DataFrame, centroids: DataFrame,
                     threshold: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxClusterRows: Long = 1000000L): DataFrame = {
     val assigned = assignClusters(corpus, centroids, idCol, vecCol)
+    if (maxClusterRows > 0) {
+      val oversize = assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") > maxClusterRows)
+        .limit(3).collect()
+      require(oversize.isEmpty,
+        s"semDedupPairs: cluster(s) over $maxClusterRows rows " +
+          oversize.map(r => s"list_id=${r.get(0)} rows=${r.get(1)}")
+            .mkString("[", ", ", "]") +
+          " — the within-cluster pair join is quadratic in cluster " +
+          "size. Build the centroid table with a corpus-proportional " +
+          "count (buildIvfIndex(corpus, numLists = rows / " +
+          "targetClusterSize)), or raise/disable maxClusterRows if " +
+          "you really mean it")
+    }
     val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = assigned.select(col("list_id"), col(idCol).as("id_b"),
@@ -72,8 +101,10 @@ object SemDedup {
     */
   def semDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val dropped = semDedupPairs(corpus, centroids, threshold, idCol, vecCol)
+               vecCol: String = "embedding",
+               maxClusterRows: Long = 1000000L): DataFrame = {
+    val dropped = semDedupPairs(corpus, centroids, threshold, idCol, vecCol,
+        maxClusterRows)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }

@@ -52,6 +52,47 @@ class SemDedupSpec extends SparkSpec {
     assert(got === Set(7L, 8L))
   }
 
+  test("an oversize cluster refuses loudly; the probe can be disabled") {
+    // cluster A holds ids 1, 2, 5 (3 rows) — a 2-row ceiling must trip
+    // and NAME the offender before any pair work runs
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semDedupPairs(corpus, cents, threshold = 0.9,
+        maxClusterRows = 2)
+    }
+    assert(e.getMessage.contains("quadratic") &&
+      e.getMessage.contains("list_id=0"))
+    // maxClusterRows <= 0 skips the probe: identical pair output
+    val pairs = SemDedup.semDedupPairs(corpus, cents, threshold = 0.9,
+        maxClusterRows = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((0L, 1L, 2L), (1L, 3L, 4L)))
+  }
+
+  test("fixed-k and corpus-proportional-k centroids find the SAME planted dups") {
+    // the scale posture (centroid count ∝ corpus size) must be a pure
+    // performance knob: exact duplicates score identically against
+    // EVERY centroid (ties → lowest list_id), so they co-cluster under
+    // any centroid table and the pair set is invariant to k
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = Seq(0, 7, 21, 33, 49)
+    val dups = planted.map(i => ((100 + i).toLong, base(i)._2))
+    val corpus2 = df(base ++ dups).toDF("vec_id", "embedding")
+    val expected = planted.map(i => (i.toLong, (100 + i).toLong)).toSet
+    def pairsWith(c: org.apache.spark.sql.DataFrame) =
+      SemDedup.semDedupPairs(corpus2, c, threshold = 0.999)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedK = corpus2.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("list_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .withColumn("cent_n", Similarity.norm(col("centroid")))
+    val scaledK = Similarity.buildIvfIndex(corpus2, numLists = 11)
+    assert(pairsWith(fixedK) === expected)
+    assert(pairsWith(scaledK) === expected)
+  }
+
   test("one centroid = plain pairwise dedup over the whole corpus") {
     val one = cents.filter(col("list_id") === 0L)
     val got = SemDedup.semDedup(corpus, one, threshold = 0.9)
