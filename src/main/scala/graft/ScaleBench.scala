@@ -93,8 +93,11 @@ object ScaleBench {
   /** Bump on ANY change to [[synthesize]] — stale cached corpora are
     * silently wrong in ways that read as operator regressions.
     * "v3" = token-level text salt + embedding sign-mask decorrelation.
+    * "v6" = per-copy substitution-cipher text decorrelation (replaces
+    * the per-token prefix tag, whose 3 shared chars per token inflated
+    * within-copy PassJoin segment df ×8 — a fuzzy-ladder artifact).
     */
-  val SynthesisVersion = "v5"
+  val SynthesisVersion = "v6"
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -251,28 +254,43 @@ object ScaleBench {
           transform(col("embedding"),
             (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, -x)
               .otherwise(x)))))
-    // EVERY TOKEN carries the copy tag, not just a document suffix: a
-    // suffix-only tag (rounds 7-8) kept cross-copy docs at jaccard ≈ 1
-    // — each base doc became a 10-copy near-dup CLIQUE, the edge set
-    // grew ~copies² and the dedup-cluster/jaccard ladder measured that
-    // SEMANTIC quadratic growth as if it were engine superlinearity
-    // (q_x_dedup_clusters read 11.7-15x at 10x data; the engine was
-    // innocent). Token-level salting zeroes cross-copy shingle overlap,
-    // so near-dup pair counts scale linearly and the ladder measures
-    // the ENGINE again. n_chars is recomputed to stay consistent.
-    // The tag is a PREFIX ("q3zstream"), not a suffix ("streamzq3"):
-    // a suffix leaves every token's FIRST 8+ chars identical across
-    // copies, so the edit-distance join's segment keys collided
-    // copies-wide (first-segment Σdf² read ×287 at 10 copies — the
-    // round-10 fuzzy ladder measured that, 13.5x) while the refine
-    // rejected every such pair. A prefix makes cross-copy keys differ
-    // from character 2 on; within-copy prefix-cluster density (the
-    // real workload) is preserved.
+    // Text decorrelates per copy via a SUBSTITUTION CIPHER — a
+    // per-copy bijective relabeling of letters (case-consistent) and
+    // digits, applied with codegen'd translate(). Equality patterns
+    // between symbols are invariant under a bijection, so EVERY
+    // within-copy relation is preserved EXACTLY: shingle sets relabel
+    // consistently (jaccard/minhash/span structure unchanged),
+    // Levenshtein distances are identical, token boundaries, lengths
+    // and n_chars never move — the edit-distance analog of the
+    // embeddings' orthogonal sign mask below. Cross-copy, the same
+    // document differs in essentially every character, so shingle
+    // overlap and edit-distance candidate keys both vanish and pair
+    // counts scale linearly with copies (the ladder measures the
+    // ENGINE, not a synthesis clique).
+    //
+    // History, because every earlier scheme was an artifact factory:
+    // a document-suffix tag (rounds 7-8) left cross-copy jaccard ≈ 1 —
+    // 10-copy near-dup cliques, edge sets ~copies², q_x_dedup_clusters
+    // read 11.7-15x with an innocent engine. A per-TOKEN suffix tag
+    // kept every token's first 8+ chars identical across copies, so
+    // PassJoin first-segment keys collided copies-wide (Σdf² ×287).
+    // The round-9/10 per-token PREFIX tag ("q3zstream") fixed the
+    // cross-copy collisions but CONSUMED 3 of the 8 segment chars
+    // within each copy — every copy-i head shared the same 3-char
+    // prefix, within-copy first-segment df inflated ~×8, and the
+    // round-10 fuzzy ladder read 5.8x measuring that. The cipher has
+    // no shared characters by construction, in either direction.
     write("documents", scaled("documents", Map("doc_id" -> dSpan),
       (d, i) =>
         if (i == 0) d
-        else d.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", s"q${i}z$$1"))
-          .withColumn("n_chars", length(col("text")))))
+        else {
+          val rnd = new scala.util.Random(0xC0FFEE + i)
+          val lo = rnd.shuffle(('a' to 'z').toList).mkString
+          val dg = rnd.shuffle(('0' to '9').toList).mkString
+          val src = ('a' to 'z').mkString + ('A' to 'Z').mkString +
+            ('0' to '9').mkString
+          d.withColumn("text",
+            translate(col("text"), src, lo + lo.toUpperCase + dg))
+        }))
   }
 }
