@@ -1961,6 +1961,16 @@ object SparkEntry {
           minCos = 0.42, numPlanes = 4)
         .orderBy("id_a", "id_b")),
 
+    // the 100 TB posture of the same operator: buckets over the row
+    // ceiling are dropped BEFORE the self-join, bounding per-key
+    // fan-out at cap²/2 however degenerate the embedding distribution
+    // gets (capped semantics — pairs in oversize buckets are missed,
+    // the recall trade LSH already makes; the oracle mirrors the cap)
+    "q_x_cosine_dups_lsh_capped" -> ((s, dir) =>
+      Dedup.cosineDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.42, numPlanes = 4, maxBucketRows = Some(35))
+        .orderBy("id_a", "id_b")),
+
     // ---- LLM-pipeline: event-time batch windows
     "q_x_events_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "ts", "10 minutes",
@@ -4366,6 +4376,23 @@ object SparkEntry {
          |    ${sqlLshBucket("embedding", planes)} AS bucket
          |  FROM embeddings
          |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0)
+         |SELECT a.id AS id_a, c.id AS id_b,
+         |  ${sqlDot("a.embedding", "c.embedding")} / (a.nm * c.nm) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+         |WHERE ${sqlDot("a.embedding", "c.embedding")} / (a.nm * c.nm) >= 0.42
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_x_cosine_dups_lsh_capped" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH b0 AS (SELECT vec_id AS id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nm,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |keep AS (SELECT bucket FROM b0 GROUP BY bucket
+         |  HAVING count(*) <= 35),
+         |b AS (SELECT b0.* FROM b0 JOIN keep USING (bucket))
          |SELECT a.id AS id_a, c.id AS id_b,
          |  ${sqlDot("a.embedding", "c.embedding")} / (a.nm * c.nm) AS cos
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id

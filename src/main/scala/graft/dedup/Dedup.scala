@@ -329,16 +329,35 @@ object Dedup {
     * verified by exact cosine. Recall < 1 by construction (tune
     * numPlanes down / multi-probe up for higher recall); the cartesian
     * never appears in the plan.
+    *
+    * `maxBucketRows` is the [[cappedShingleIndex]] of this operator: a
+    * bucket holding d rows contributes d·(d−1)/2 candidate pairs to
+    * ONE shuffle key, and a pathological corpus (near-constant or
+    * heavily clustered embeddings — every sign pattern identical)
+    * silently concentrates the whole join in one bucket. The cap drops
+    * buckets over the ceiling BEFORE the self-join — one aggregate
+    * over (bucket) then a left-anti join — bounding per-key fan-out at
+    * cap²/2. Capped SEMANTICS: pairs whose only shared bucket was
+    * oversize are missed, exactly the recall trade LSH already makes —
+    * an oversize bucket is one where this hash family has stopped
+    * discriminating, so its evidence is the least informative in the
+    * index. None (default) keeps the uncapped join.
     */
   def cosineDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         minCos: Double, numPlanes: Int = 8,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64,
+                        maxBucketRows: Option[Int] = None): DataFrame = {
     import graft.ann.Similarity.{dot, norm}
     val planes = graft.ann.Similarity.hyperplanes(numPlanes, dim)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val bucketed0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nm"),
         graft.ann.Similarity.lshBucket(col(vecCol), planes).as("bucket"))
       .filter(col("nm") > 0)
+    val bucketed = maxBucketRows.fold(bucketed0) { cap =>
+      val hot = bucketed0.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > cap).select("bucket")
+      bucketed0.join(hot, Seq("bucket"), "left_anti")
+    }
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")))

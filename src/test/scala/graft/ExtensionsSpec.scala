@@ -265,6 +265,33 @@ class DedupSpec extends SparkSpec {
       "LSH candidates verified by exact cosine can only be a subset")
   }
 
+  test("LSH bucket cap drops a planted hot bucket, keeps the cold ones") {
+    // 30 near-identical vectors — one LSH bucket holding all of them
+    // (the degenerate near-constant-embedding corpus) — plus one small
+    // genuine near-dup pair pointing elsewhere. Uncapped, the hot
+    // bucket contributes 435 candidate pairs on ONE join key; capped
+    // below 30 it vanishes entirely while the cold pair survives.
+    val hot = (1 to 30).map(i =>
+      Vec(i.toLong, Array(1f, 1e-4f * i, 0f)))
+    val cold = Seq(Vec(100L, Array(-1f, 0f, 0.01f)),
+      Vec(101L, Array(-1f, 0f, 0.02f)))
+    val vecs = df(hot ++ cold)
+    def pairs(cap: Option[Int]) =
+      Dedup.cosineDupPairsLsh(vecs, "vec_id", "embedding", 0.95,
+          numPlanes = 2, dim = 3, maxBucketRows = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.contains((100L, 101L)) &&
+      uncapped.count(p => p._1 <= 30 && p._2 <= 30) == 435)
+    val capped = pairs(Some(10))
+    assert(capped.contains((100L, 101L)),
+      "cold buckets must be untouched by the cap")
+    assert(!capped.exists(p => p._1 <= 30 && p._2 <= 30),
+      "the oversize bucket's pairs must be dropped, bounding fan-out")
+    // a cap the hot bucket fits under is a no-op
+    assert(pairs(Some(50)) === uncapped)
+  }
+
   test("cosineDupPairs refuses above the row ceiling unless forced") {
     val vecs = df(Seq(
       Vec(1, Array(1f, 0f, 0f)), Vec(2, Array(0.99f, 0.01f, 0f)),
