@@ -68,10 +68,21 @@ object EventWindows {
     * Output: keys..., `bucket` (epoch seconds / stepSeconds, long),
     * `n_events` (long), `value_ffill` (double; null only if the key's
     * FIRST bucket value itself was null).
+    *
+    * GUARDED against the sparse-grid blowup: the grid mints
+    * `(last − first) / step` rows per key whether or not events exist
+    * in between, so ONE key with a years-long gap at a seconds step
+    * silently explodes millions of rows into a single task.
+    * `maxGridRowsPerKey` (default 10M) probes the per-key span — the
+    * same groupBy min/max aggregate the grid needs anyway, small
+    * output — and refuses loudly, naming the widest keys and the
+    * fixes (coarser `stepSeconds`, splitting the key's history, or
+    * raising the ceiling). `maxGridRowsPerKey <= 0` skips the probe.
     */
   def resampleFfill(df: DataFrame, tsCol: String, stepSeconds: Long,
                     keys: Seq[String], valueCol: String,
-                    tieCol: String): DataFrame = {
+                    tieCol: String,
+                    maxGridRowsPerKey: Long = 10000000L): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     require(keys.nonEmpty, "need at least one key column")
     val b = expr(s"unix_timestamp($tsCol) div $stepSeconds")
@@ -89,8 +100,27 @@ object EventWindows {
       .filter(col("__rn") === 1)
       .select((keys.map(col) :+ col("bucket") :+ col("__n") :+
         col("__v")): _*)
-    val grid = e.groupBy(keys.map(col): _*)
+    val spans = e.groupBy(keys.map(col): _*)
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    if (maxGridRowsPerKey > 0) {
+      val wide = spans
+        .filter(col("__hi") - col("__lo") + 1 > maxGridRowsPerKey)
+        .select((keys.map(col) :+
+          (col("__hi") - col("__lo") + 1).as("__rows")): _*)
+        .limit(3).collect()
+      require(wide.isEmpty,
+        s"resampleFfill: key(s) whose grid exceeds $maxGridRowsPerKey " +
+          "rows " +
+          wide.map(r => keys.zipWithIndex
+              .map { case (k, i) => s"$k=${r.get(i)}" }.mkString("(", ",", ")") +
+              s" rows=${r.getLong(keys.size)}")
+            .mkString("[", ", ", "]") +
+          " — the grid mints (last-first)/step rows per key regardless " +
+          "of event density, all in that key's task. Use a coarser " +
+          "stepSeconds, split the key's history, or raise/disable " +
+          "maxGridRowsPerKey if you really mean it")
+    }
+    val grid = spans
       .select((keys.map(col) :+
         explode(sequence(col("__lo"), col("__hi"))).as("bucket")): _*)
     val fill = org.apache.spark.sql.expressions.Window

@@ -30,6 +30,33 @@ class ResampleSpec extends SparkSpec {
       (2L, base + 5, 1L, 99.0))) // per-key span: no rows before 05:00
   }
 
+  test("a planted long-gap key refuses loudly; the probe can be disabled") {
+    // user 1: two events three years apart at a 1-second step — a
+    // ~95M-row grid for ONE key's task; user 2 is narrow and innocent
+    val rows = Seq(
+      RsEvent(1L, t("2021-01-01 00:00:00"), 1L, 1.0),
+      RsEvent(1L, t("2024-01-01 00:00:00"), 2L, 2.0),
+      RsEvent(2L, t("2024-01-01 00:00:00"), 3L, 3.0))
+    val e = intercept[IllegalArgumentException] {
+      EventWindows.resampleFfill(df(rows), "ts", 1L,
+        Seq("user_id"), "value", "event_id").collect()
+    }
+    assert(e.getMessage.contains("user_id=1") &&
+      e.getMessage.contains("coarser"))
+    // a coarse step keeps the same data under the default ceiling
+    // 2021-01-01 → 2024-01-01 is 1095 days (winter-to-winter: no DST
+    // skew; the leap day is later in 2024): user 1 mints 1096 daily
+    // rows, user 2 one — under the cap
+    val ok = EventWindows.resampleFfill(df(rows), "ts", 86400L,
+      Seq("user_id"), "value", "event_id")
+    assert(ok.count() === 1097L)
+    // disabled probe: the caller owns the blowup decision
+    val forced = EventWindows.resampleFfill(df(rows), "ts", 3600L,
+      Seq("user_id"), "value", "event_id", maxGridRowsPerKey = 0L)
+    assert(forced.where(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .count() === 1095L * 24 + 1)
+  }
+
   test("timestamp ties break on the tie column (deterministic)") {
     val rows = Seq(
       RsEvent(1L, t("2024-01-01 00:10:00"), 7L, 1.0),
