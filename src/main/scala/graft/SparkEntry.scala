@@ -928,6 +928,17 @@ object SparkEntry {
         "ORDER BY c_custkey")
     }),
 
+    // column drop (copy-on-write DDL): land, ALTER ... DROP COLUMN
+    // through SQL, select * — the narrowed declared schema must be
+    // exactly the remaining columns with every row intact
+    "q_x_dropcol" -> ((s, dir) => {
+      val tmp = tmpQueryDir("graft_dropcol") + "/cust_tx"
+      graft.ops.TxTable.append(s, tmp,
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"))
+      s.sql(s"ALTER TABLE graft.`$tmp` DROP COLUMN c_name")
+      s.sql(s"SELECT * FROM graft.`$tmp` ORDER BY c_custkey")
+    }),
+
     // partition-grouped metadata aggregates: GROUP BY the partition
     // column over a partitioned graft table collapses to a manifest-
     // only LocalRelation (per-partition row/null counts + path
@@ -2809,6 +2820,10 @@ object SparkEntry {
 
     "q_x_rename" ->
       """SELECT c_custkey, c_name, c_acctbal AS balance
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_x_dropcol" ->
+      """SELECT c_custkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_x_meta_by_part" ->

@@ -306,6 +306,64 @@ object TxTable {
         ChangeDataMetaKey -> "0"))
   }
 
+  /** Drop a data column — [[renameColumn]]'s sibling with the same
+    * honest no-column-mapping semantics: one copy-on-write overwrite
+    * commit carrying the rewritten files and the narrowed declared
+    * schema, atomic under the same slot claim, `cdf=0` (no ROW
+    * changed). Time travel still reads old versions WITH the column
+    * (each version pins its own declared schema), so the drop is not
+    * an erasure — an overwrite + [[vacuum]] is the data-destruction
+    * path.
+    *
+    * Refuses: partition columns (relayout — do it as an explicit
+    * overwrite), the last remaining column, and a drop out from under
+    * a CHECK constraint referencing the column bare or backtick-quoted
+    * (the [[renameColumn]] guard). A bloom config naming the column
+    * loses it FIRST as its own metadata commit (an emptied set drops
+    * the config); a clustering declaration likewise — both crash-safe:
+    * a config over the remaining columns is valid at every
+    * intermediate state.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val snapshot = read(spark, path, mergeSchema = true)
+    val schema = declaredSchema(spark, path).getOrElse(snapshot.schema)
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in $path (has ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1, s"cannot drop the last column of $path")
+    val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
+    require(!parts.contains(name),
+      s"'$name' is a partition column — dropping it relayouts every " +
+        "file path; do that as an explicit overwrite")
+    constraints(spark, path).foreach { case (n, e) =>
+      require(("""(?i)(?<![A-Za-z0-9_])""" +
+          java.util.regex.Pattern.quote(name) +
+          """(?![A-Za-z0-9_])""").r.findFirstIn(e).isEmpty,
+        s"CHECK constraint $n references '$name' — drop it before " +
+          "dropping the column")
+    }
+    bloomConfigOf(commitMeta(spark, path, vs.last))
+      .filter(_._1.contains(name)).foreach { case (cols, bits, k) =>
+        val rest = cols.filterNot(_ == name)
+        commitLines(spark, path, "setbloom", Seq.empty, (base, _) => base,
+          Map(BloomMetaKey ->
+            (if (rest.isEmpty) "" else enc(s"${rest.mkString(",")}:$bits:$k"))))
+      }
+    val cl = clusteringColumns(spark, path)
+    if (cl.contains(name)) {
+      val rest = cl.filterNot(_ == name)
+      commitLines(spark, path, "cluster", Seq.empty, (base, _) => base,
+        Map(ClusterMetaKey ->
+          (if (rest.isEmpty) "" else enc(rest.mkString(",")))))
+    }
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    commit(spark, path, snapshot.drop(name), "dropcol",
+      (_, _) => Seq.empty, parts,
+      meta = Map(SchemaMetaKey -> enc(newSchema.json),
+        ChangeDataMetaKey -> "0"))
+  }
+
   // ------------------------------------------------------ CHECK constraints
   //
   // Table-level CHECK constraints, Delta-style: declared once as

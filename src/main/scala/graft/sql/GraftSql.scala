@@ -124,6 +124,9 @@ object GraftSql {
   private val RenameColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
       """\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*""").r
+  private val DropColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s*""").r
 
   /** Some(command) when `sqlText` is a graft statement; None → the
     * delegate parser owns it. The `graft.` backtick marker gates the
@@ -210,6 +213,8 @@ object GraftSql {
         Some(GraftDropBloomCommand(path))
       case RenameColRe(path, from, to) =>
         Some(GraftRenameColumnCommand(path, from, to))
+      case DropColRe(path, name) =>
+        Some(GraftDropColumnCommand(path, name))
       case AnalyzeRe(path) =>
         Some(GraftAnalyzeCommand(path))
       case ClusterNoneRe(path) =>
@@ -921,6 +926,16 @@ case class GraftRenameColumnCommand(path: String, from: String, to: String)
   override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.renameColumn(spark, path, from, to)))
+}
+
+/** `ALTER TABLE graft.`p` DROP COLUMN c` → [[TxTable.dropColumn]]
+  * (copy-on-write rewrite commit, cdf=0).
+  */
+case class GraftDropColumnCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.versionAttr(nullable = false)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.dropColumn(spark, path, name)))
 }
 
 /** `DESCRIBE HISTORY graft.`p`` → one row per retained commit, with

@@ -107,6 +107,81 @@ class TxRenameSpec extends SparkSpec {
       .inputFiles.length === 1)
   }
 
+  test("dropColumn narrows head; time travel keeps the column; cdf is empty") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "name", "v").coalesce(1))
+    val v = TxTable.dropColumn(spark, dir, "name")
+    val now = TxTable.read(spark, dir)
+    assert(now.columns.toSeq === Seq("id", "v"))
+    assert(now.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 5L, 2L -> 6L))
+    // the pre-drop version still reads WITH the column
+    val old = TxTable.readVersion(spark, dir, v - 1)
+    assert(old.columns.toSeq === Seq("id", "name", "v"))
+    assert(old.filter(col("id") === 1L).select("name")
+      .collect().head.getString(0) === "a")
+    // no row-level changes: the drop commit's change feed is empty
+    assert(TxTable.readChanges(spark, dir, v - 1, v).count() === 0)
+  }
+
+  test("dropColumn refusals: unknown, partition column, last column, constraint") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, 5L, "d1")).toDF("id", "qty", "day").coalesce(1),
+      partitionCols = Seq("day"))
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, dir, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, dir, "day")
+    }
+    TxTable.addConstraint(spark, dir, "qty_pos", "`qty` > 0")
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, dir, "qty")
+    }
+    TxTable.dropConstraint(spark, dir, "qty_pos")
+    TxTable.dropColumn(spark, dir, "qty")
+    assert(TxTable.read(spark, dir).columns.toSet === Set("id", "day"))
+    // one data column left (day is a partition column): refuse
+    intercept[IllegalArgumentException] {
+      val d2 = tmp()
+      TxTable.append(spark, d2, Seq(Tuple1(1L)).toDF("only").coalesce(1))
+      TxTable.dropColumn(spark, d2, "only")
+    }
+  }
+
+  test("a bloom/clustering config naming the dropped column loses it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.append(spark, dir,
+      Seq((1L, 2L, "x")).toDF("id", "aux", "name").coalesce(1))
+    TxTable.setBloomFilters(spark, dir, Seq("id", "aux"))
+    TxTable.setClusteringColumns(spark, dir, Seq("id", "aux"))
+    TxTable.dropColumn(spark, dir, "aux")
+    assert(TxTable.clusteringColumns(spark, dir) === Seq("id"))
+    // the surviving bloom column still prunes a fresh append
+    TxTable.append(spark, dir,
+      (0 until 50).map(i => (i * 2L + 10, s"n$i")).toDF("id", "name").coalesce(1))
+    val probe = TxTable.readWhere(spark, dir, col("id") === 11L)
+    assert(probe.collect().isEmpty && probe.inputFiles.isEmpty,
+      "bloom config must survive the drop under the remaining columns")
+    // dropping the LAST configured column drops both configs entirely
+    val dir2 = tmp()
+    TxTable.append(spark, dir2,
+      Seq((1L, "x")).toDF("id", "name").coalesce(1))
+    TxTable.setBloomFilters(spark, dir2, Seq("id"))
+    TxTable.setClusteringColumns(spark, dir2, Seq("id"))
+    TxTable.dropColumn(spark, dir2, "id")
+    assert(TxTable.clusteringColumns(spark, dir2).isEmpty)
+    assert(TxTable.read(spark, dir2).columns.toSeq === Seq("name"))
+  }
+
   test("SQL spelling routes to the same rewrite") {
     val s = spark
     import s.implicits._
