@@ -260,30 +260,37 @@ object TxTable {
     * its own metadata commit — crash-safe, since a config naming a
     * column no file carries is simply inert.
     */
+  /** Does a CHECK expression reference `colName`, bare or
+    * backtick-quoted? NO backtick in the lookarounds: a quoted
+    * reference (`` `bal` > 0 ``) must be caught too, else a
+    * rename/drop strands the constraint over a nonexistent column and
+    * wedges every later data commit. Word chars alone still keep
+    * 'bal' from matching inside 'balance' (bare or quoted). Shared by
+    * [[renameColumn]] and [[dropColumn]] so their refusal semantics
+    * can never drift.
+    */
+  private def constraintReferences(expr: String, colName: String): Boolean =
+    ("""(?i)(?<![A-Za-z0-9_])""" +
+      java.util.regex.Pattern.quote(colName) +
+      """(?![A-Za-z0-9_])""").r.findFirstIn(expr).nonEmpty
+
   def renameColumn(spark: SparkSession, path: String,
                    from: String, to: String): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     require(from != to, "rename to the same name is a no-op — refusing")
-    val snapshot = read(spark, path, mergeSchema = true)
-    val schema = declaredSchema(spark, path).getOrElse(snapshot.schema)
-    require(schema.fieldNames.contains(from),
-      s"no column '$from' in $path (has ${schema.fieldNames.mkString(", ")})")
-    require(!schema.fieldNames.contains(to),
+    val schema0 = declaredSchema(spark, path).getOrElse(
+      read(spark, path, mergeSchema = true).schema)
+    require(schema0.fieldNames.contains(from),
+      s"no column '$from' in $path (has ${schema0.fieldNames.mkString(", ")})")
+    require(!schema0.fieldNames.contains(to),
       s"column '$to' already exists in $path")
     val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
     require(!parts.contains(from),
       s"'$from' is a partition column — renaming it relayouts every " +
         "file path; do that as an explicit overwrite")
     constraints(spark, path).foreach { case (n, e) =>
-      // NO backtick in the lookarounds: a quoted reference (`bal` > 0)
-      // must be caught too, else the rename strands the constraint
-      // over a nonexistent column and wedges every later data commit.
-      // Word chars alone still keep 'bal' from matching inside
-      // 'balance' (bare or quoted).
-      require(("""(?i)(?<![A-Za-z0-9_])""" +
-          java.util.regex.Pattern.quote(from) +
-          """(?![A-Za-z0-9_])""").r.findFirstIn(e).isEmpty,
+      require(!constraintReferences(e, from),
         s"CHECK constraint $n references '$from' — drop it before renaming")
     }
     bloomConfigOf(commitMeta(spark, path, vs.last))
@@ -298,12 +305,28 @@ object TxTable {
       commitLines(spark, path, "cluster", Seq.empty, (base, _) => base,
         Map(ClusterMetaKey -> enc(
           cl.map(c => if (c == from) to else c).mkString(","))))
+    // HEAD-PINNED rewrite (the addConstraint pattern): the snapshot is
+    // read at an explicit version AFTER the config pre-commits, and the
+    // final commit requires the head still BE that version at claim
+    // time. Without the pin, a concurrent append landing between the
+    // snapshot read and the claim would be silently dropped — the
+    // rewrite's baseKeep discards every base line, and the claim-loop
+    // retry rebuilds from the stale snapshot. Schema facts are
+    // re-derived at the pinned version for the same reason (a
+    // concurrent evolve/rename would otherwise be erased).
+    val v0 = versions(spark, path).last
+    val snapshot = readVersion(spark, path, v0, mergeSchema = true)
+    val schema = declaredSchema(spark, path, v0).getOrElse(snapshot.schema)
+    require(schema.fieldNames.contains(from) &&
+        !schema.fieldNames.contains(to),
+      s"schema of $path changed concurrently — retry the rename")
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commit(spark, path, snapshot.withColumnRenamed(from, to), "rename",
       (_, _) => Seq.empty, parts,
       meta = Map(SchemaMetaKey -> enc(newSchema.json),
-        ChangeDataMetaKey -> "0"))
+        ChangeDataMetaKey -> "0"),
+      requireHeadVersion = Some(v0))
   }
 
   /** Drop a data column — [[renameColumn]]'s sibling with the same
@@ -327,19 +350,24 @@ object TxTable {
   def dropColumn(spark: SparkSession, path: String, name: String): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
-    val snapshot = read(spark, path, mergeSchema = true)
-    val schema = declaredSchema(spark, path).getOrElse(snapshot.schema)
-    require(schema.fieldNames.contains(name),
-      s"no column '$name' in $path (has ${schema.fieldNames.mkString(", ")})")
-    require(schema.fields.length > 1, s"cannot drop the last column of $path")
+    val schema0 = declaredSchema(spark, path).getOrElse(
+      read(spark, path, mergeSchema = true).schema)
+    require(schema0.fieldNames.contains(name),
+      s"no column '$name' in $path (has ${schema0.fieldNames.mkString(", ")})")
     val parts = declaredPartitionCols(spark, path).getOrElse(Nil)
     require(!parts.contains(name),
       s"'$name' is a partition column — dropping it relayouts every " +
         "file path; do that as an explicit overwrite")
+    // at least one NON-partition column must remain: partition values
+    // live in the path, so a table of only partition columns has no
+    // bytes to write (Spark refuses all-columns-as-partitions with an
+    // opaque error deep in the write — refuse here with the real one)
+    require(schema0.fields.exists(f =>
+        f.name != name && !parts.contains(f.name)),
+      s"cannot drop '$name' of $path: it is the last data " +
+        "(non-partition) column")
     constraints(spark, path).foreach { case (n, e) =>
-      require(("""(?i)(?<![A-Za-z0-9_])""" +
-          java.util.regex.Pattern.quote(name) +
-          """(?![A-Za-z0-9_])""").r.findFirstIn(e).isEmpty,
+      require(!constraintReferences(e, name),
         s"CHECK constraint $n references '$name' — drop it before " +
           "dropping the column")
     }
@@ -357,11 +385,19 @@ object TxTable {
         Map(ClusterMetaKey ->
           (if (rest.isEmpty) "" else enc(rest.mkString(",")))))
     }
+    // head-pinned rewrite — see [[renameColumn]] for the race this
+    // closes (concurrent appends silently erased by the full rewrite)
+    val v0 = versions(spark, path).last
+    val snapshot = readVersion(spark, path, v0, mergeSchema = true)
+    val schema = declaredSchema(spark, path, v0).getOrElse(snapshot.schema)
+    require(schema.fieldNames.contains(name),
+      s"schema of $path changed concurrently — retry the drop")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     commit(spark, path, snapshot.drop(name), "dropcol",
       (_, _) => Seq.empty, parts,
       meta = Map(SchemaMetaKey -> enc(newSchema.json),
-        ChangeDataMetaKey -> "0"))
+        ChangeDataMetaKey -> "0"),
+      requireHeadVersion = Some(v0))
   }
 
   // ------------------------------------------------------ CHECK constraints
@@ -2981,7 +3017,8 @@ object TxTable {
                      meta: Map[String, String] = Map.empty,
                      requirePresent: Set[String] = Set.empty,
                      guard: Map[String, Long] = Map.empty,
-                     requireUnchangedUnder: Option[(Set[String], Set[String])] = None): Long = {
+                     requireUnchangedUnder: Option[(Set[String], Set[String])] = None,
+                     requireHeadVersion: Option[Long] = None): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -3021,7 +3058,8 @@ object TxTable {
       else Map.empty[String, String]
     commitLines(spark, path, action, newLines, baseKeep, layoutMeta ++ meta,
       requirePresent, guard, requireUnchangedUnder,
-      requireConstraints = Some(constraintFingerprint(activeConstraints)))
+      requireConstraints = Some(constraintFingerprint(activeConstraints)),
+      requireHeadVersion = requireHeadVersion)
   }
 
   /** The claim loop of [[commit]], usable on its own for METADATA-ONLY
@@ -3127,13 +3165,15 @@ object TxTable {
             "concurrently (this write was validated against the old " +
             "set) — retry the operation")
       }
-      // head-version pin: ADD CONSTRAINT validated a specific
-      // snapshot; data committed since would escape that validation
+      // head-version pin: ADD CONSTRAINT validated — and the DDL
+      // rewrites (RENAME/DROP COLUMN) snapshotted — a specific
+      // version; anything committed since would escape that
+      // validation or be erased by the rewrite
       requireHeadVersion.foreach { v0 =>
         if (head.getOrElse(0L) != v0)
           throw new java.util.ConcurrentModificationException(
             s"conflicting commit on $path: head advanced past $v0 " +
-            "during constraint validation")
+            "while this operation was pinned to it (retry)")
       }
       val next = head.getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString

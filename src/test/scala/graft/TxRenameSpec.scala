@@ -147,7 +147,14 @@ class TxRenameSpec extends SparkSpec {
     TxTable.dropConstraint(spark, dir, "qty_pos")
     TxTable.dropColumn(spark, dir, "qty")
     assert(TxTable.read(spark, dir).columns.toSet === Set("id", "day"))
-    // one data column left (day is a partition column): refuse
+    // id is now the LAST DATA column of the day-partitioned table:
+    // dropping it would leave only path-borne partition values (no
+    // bytes to write) — must refuse with the real reason, up front
+    val e = intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, dir, "id")
+    }
+    assert(e.getMessage.contains("last data"))
+    // unpartitioned single-column table: same refusal
     intercept[IllegalArgumentException] {
       val d2 = tmp()
       TxTable.append(spark, d2, Seq(Tuple1(1L)).toDF("only").coalesce(1))
