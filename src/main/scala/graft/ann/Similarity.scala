@@ -121,7 +121,12 @@ object Similarity {
     val seeds = corpus
       .select(col(idCol), col(vecCol))
       .filter(norm(col(vecCol)) > 0)
-      .orderBy(xxhash64(col(idCol)).asc)
+      // id asc as the tiebreaker: under an xxhash64 collision at the
+      // limit boundary, seed choice (and thus every list_id) would
+      // otherwise depend on partition layout — breaking the no-RNG
+      // reproducibility contract. Same total order as ivfRecallReport's
+      // query sample.
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(numLists)
       .select(monotonically_increasing_id().as("list_id"),
         col(vecCol).cast("array<double>").as("centroid"),
@@ -175,9 +180,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val truthPairs = truth.count()
+    // the EXPENSIVE half — full-corpus centroid assignment — is pinned
+    // ONCE; each nprobe candidate only re-scores the tiny query sample.
+    // (Re-running ivfTopKWithIndex per nprobe re-paid the corpus
+    // assignment |nprobes| times, exactly what the docstring promises
+    // not to do.) The query sample is assigned once at the WIDEST
+    // nprobe; narrower candidates are a rank filter over the same
+    // deterministic (cos desc, list_id asc) order — identical to an
+    // independent keep=np assignment.
+    val lists = assignToLists(corpus, index, idCol, vecCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+        col("nrm").as("c_n"), col("list_id"))
+      .localCheckpoint()
+    val qNorm = queries.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    val qScored = qNorm.crossJoin(broadcast(index))
+      .withColumn("__cs",
+        dot(col(vecCol), col("centroid")) / (col("__n") * col("cent_n")))
+    val qProbes = graft.ops.Windows.topKPerGroup(qScored, Seq(col(idCol)),
+        Seq(col("__cs").desc, col("list_id").asc), nprobes.max,
+        rankCol = "__pr")
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        col("__n").as("q_n"), col("list_id"), col("__pr"))
+      .localCheckpoint()
     val rows = nprobes.map { np =>
-      val hits = ivfTopKWithIndex(corpus, queries, k, np, index,
-        idCol, vecCol)
+      val scored = lists.join(qProbes.filter(col("__pr") <= np),
+          Seq("list_id"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+          (dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("cos"))
+      val hits = graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+          Seq(col("cos").desc, col("neighbor_id").asc), k)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .count()
@@ -478,14 +511,6 @@ object Similarity {
       mn + (c.cast("double") + 128.0) * (mx - mn) / 255.0
     })
 
-  /** Asymmetric SQ8 top-k: full-precision queries scored against the
-    * DEQUANTIZED corpus codes — [[bruteForceTopK]]'s shape (broadcast
-    * query set, one corpus scan, per-query-key window) over a corpus
-    * that costs a quarter of the memory. Reconstruction error is
-    * bounded by half a quantization step per dimension, so ranking is
-    * approximate; recall floors are pinned in the spec. Deterministic:
-    * ties break on neighbor id, zero-norm rows (either side) excluded.
-    */
   /** SQ8 × IVF — the composed 100 TB serve path: the inverted lists
     * hold 8-bit CODES (a quarter of the float memory), queries stay
     * full precision, and each query scores only its `nprobe` lists'
@@ -535,6 +560,14 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Asymmetric SQ8 top-k: full-precision queries scored against the
+    * DEQUANTIZED corpus codes — [[bruteForceTopK]]'s shape (broadcast
+    * query set, one corpus scan, per-query-key window) over a corpus
+    * that costs a quarter of the memory. Reconstruction error is
+    * bounded by half a quantization step per dimension, so ranking is
+    * approximate; recall floors are pinned in the spec. Deterministic:
+    * ties break on neighbor id, zero-norm rows (either side) excluded.
+    */
   def sqTopK(codes: DataFrame, ranges: DataFrame, queries: DataFrame,
              k: Int, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {

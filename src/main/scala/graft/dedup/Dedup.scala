@@ -238,19 +238,34 @@ object Dedup {
     * aggregation subplan into every branch and compute MinHash `bands`
     * times (measured 16× slowdown at sf0.1).
     */
+  /** THE (id, band, bucket) derivation — one explode over `bands`
+    * structs, bucket = hash(concat_ws(",", the band's r signature
+    * components)) — shared by the batch candidate join
+    * ([[minhashCandidates]], components as s0..sN columns) and the
+    * persisted incremental index ([[IncrementalDedup]], components
+    * indexed out of the stored array). The formula lives ONCE so the
+    * two paths can never silently diverge: an incremental batch must
+    * land in exactly the buckets the batch-global path would probe.
+    */
+  private[dedup] def bandRowsOf(sig: DataFrame, numPerms: Int, bands: Int,
+                                hash: Column => Column,
+                                component: Int => Column): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val bandStructs = (0 until bands).map { bIdx =>
+      val cols = (bIdx * r until (bIdx + 1) * r).map(component)
+      struct(lit(bIdx).as("band"), hash(concat_ws(",", cols: _*)).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numPerms: Int = 128, bands: Int = 32,
                         hash: Column => Column = xxhash64(_)): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numPerms, hash)
-    val bandStructs = (0 until bands).map { bIdx =>
-      val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"s$i"))
-      struct(lit(bIdx).as("band"), hash(concat_ws(",", cols: _*)).as("bucket"))
-    }
-    val bandRows = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandRows = bandRowsOf(sig, numPerms, bands, hash, i => col(s"s$i"))
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -68,19 +68,13 @@ object IncrementalDedup {
 
   /** One (id, band, bucket) row per signature band — the LSH bucketing
     * recomputed from the stored array (storing buckets would double the
-    * index for a cheap hash; one explode, no shuffle).
+    * index for a cheap hash; one explode, no shuffle). The bucket
+    * formula is [[Dedup.bandRowsOf]] — shared with the batch path so
+    * incremental and batch-global decisions can never drift.
     */
-  private def bandRows(sigs: DataFrame, cfg: IncDedupConfig): DataFrame = {
-    val r = cfg.numPerms / cfg.bands
-    val bandStructs = (0 until cfg.bands).map { bIdx =>
-      val cols = (bIdx * r until (bIdx + 1) * r)
-        .map(i => col("sig").getItem(i))
-      struct(lit(bIdx).as("band"),
-        cfg.hash(concat_ws(",", cols: _*)).as("bucket"))
-    }
-    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  private def bandRows(sigs: DataFrame, cfg: IncDedupConfig): DataFrame =
+    Dedup.bandRowsOf(sigs, cfg.numPerms, cfg.bands, cfg.hash,
+      i => col("sig").getItem(i))
 
   /** Fraction of matching signature components (Jaccard estimate). */
   private def agreement(a: Column, b: Column, numPerms: Int): Column =

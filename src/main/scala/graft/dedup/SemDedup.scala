@@ -31,20 +31,17 @@ object SemDedup {
     * `centroids` = (list_id, centroid, cent_n) as built by
     * [[graft.ann.Similarity.buildIvfIndex]]; it is broadcast — the
     * model side stays small by construction.
+    *
+    * Delegates to [[graft.ann.Similarity.assignToLists]] — ONE
+    * implementation of the nearest-centroid election, so a tie-break
+    * or zero-norm fix there can never leave SemDedup assigning
+    * differently from the IVF index callers are told to build with.
     */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val withNorm = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("__n"))
-    val scored = withNorm.filter(col("__n") > 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cs",
-        dot(col(vecCol), col("centroid")) / (col("__n") * col("cent_n")))
-    graft.ops.Windows.topKPerGroup(scored, Seq(col(idCol)),
-        Seq(col("__cs").desc, col("list_id").asc), 1, rankCol = "__sr")
-      .select(col(idCol), col(vecCol), col("__n"), col("list_id"))
-  }
+                     vecCol: String = "embedding"): DataFrame =
+    graft.ann.Similarity.assignToLists(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed("nrm", "__n")
 
   /** Within-cluster near-duplicate pairs (id_a < id_b, cos >=
     * threshold). One equi-join on list_id; norms precomputed once per

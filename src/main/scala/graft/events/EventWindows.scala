@@ -100,8 +100,14 @@ object EventWindows {
       .filter(col("__rn") === 1)
       .select((keys.map(col) :+ col("bucket") :+ col("__n") :+
         col("__v")): _*)
-    val spans = e.groupBy(keys.map(col): _*)
+    val spans0 = e.groupBy(keys.map(col): _*)
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    // pin the tiny per-key frame (two longs per key) when the guard
+    // will probe it: otherwise the probe's collect() runs the full
+    // scan+aggregate once and the grid explode runs the identical
+    // aggregate AGAIN — the guard must be genuinely free
+    val spans = if (maxGridRowsPerKey > 0) spans0.localCheckpoint()
+                else spans0
     if (maxGridRowsPerKey > 0) {
       val wide = spans
         .filter(col("__hi") - col("__lo") + 1 > maxGridRowsPerKey)

@@ -128,10 +128,18 @@ object Sampling {
         "source instead of zero-weighting it)")
     }
     val counted = sources.map { case (name, df, w) => (name, df, w, df.count()) }
+    // an EMPTY source would make perUnit = min(count/weight) = 0 and
+    // silently zero the ENTIRE mix — the recipe must fail loudly, the
+    // same contract as the zero-weight refusal above
+    counted.foreach { case (name, _, _, c) =>
+      require(c > 0, s"source '$name' is empty — it would zero the " +
+        "whole mix (perUnit = min over sources); drop the source " +
+        "instead of passing an empty frame")
+    }
     // docs-per-unit-weight the bottleneck source can supply
     val perUnit = counted.map { case (_, _, w, c) => c / w }.min
     counted.map { case (name, df, w, c) =>
-      val fraction = if (c == 0L) 0.0 else math.min(w * perUnit / c, 1.0)
+      val fraction = math.min(w * perUnit / c, 1.0)
       consistentSample(df, idCol, fraction, s"$salt:$name", hash)
         .withColumn(tagCol, lit(name))
     }.reduce(_.unionByName(_))
