@@ -3797,19 +3797,24 @@ object SparkEntry {
     "q_x_decontaminate_bloom" -> decontaminateSql,
 
     // mirrors CorpusDivergence.vocabOverlap: distinct (lang, token),
-    // a < b pair join, |A|+|B|-|inter| denominator
+    // a < b pair join, |A|+|B|-|inter| denominator; the all-pairs
+    // frame left-joins the intersection so disjoint-vocab pairs
+    // surface as jaccard 0.0 instead of vanishing
     "q_x_vocab_overlap" ->
       s"""WITH v AS (SELECT DISTINCT lang AS g, unnest($sqlToks) AS tok
          |           FROM documents),
          |sz AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
          |i AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS n_inter
          |      FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
-         |      GROUP BY 1, 2)
-         |SELECT i.g_a, i.g_b, i.n_inter,
-         |  CAST(i.n_inter AS DOUBLE)
-         |    / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
-         |FROM i JOIN sz sa ON i.g_a = sa.g JOIN sz sb ON i.g_b = sb.g
-         |ORDER BY g_a, g_b""".stripMargin,
+         |      GROUP BY 1, 2),
+         |ap AS (SELECT sa.g AS g_a, sa.n AS na, sb.g AS g_b, sb.n AS nb
+         |       FROM sz sa JOIN sz sb ON sa.g < sb.g)
+         |SELECT ap.g_a, ap.g_b, COALESCE(i.n_inter, 0) AS n_inter,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(ap.na + ap.nb - COALESCE(i.n_inter, 0) AS DOUBLE)
+         |    AS jaccard
+         |FROM ap LEFT JOIN i ON ap.g_a = i.g_a AND ap.g_b = i.g_b
+         |ORDER BY 1, 2""".stripMargin,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same

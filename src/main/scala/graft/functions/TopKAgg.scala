@@ -91,11 +91,15 @@ case class TopKAgg(child: Expression, k: Int, reverse: Boolean = false,
   override def serialize(buf: scala.collection.mutable.PriorityQueue[InternalRow]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    // one scratch buffer for the whole group: serialize runs once per
+    // group per exchange, so a per-row allocation here churns
+    // groups×k 4KB arrays through the young gen for nothing
+    val scratch = new Array[Byte](4096)
     out.writeInt(buf.size)
     buf.foreach { r =>
       val u = proj(r)
       out.writeInt(u.getSizeInBytes)
-      u.writeToStream(out, new Array[Byte](4096))
+      u.writeToStream(out, scratch)
     }
     out.flush()
     bos.toByteArray

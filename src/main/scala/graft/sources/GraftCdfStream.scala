@@ -106,6 +106,19 @@ private[sources] object GraftCdf {
       s"fresh checkpoint or startingVersion ${vs.head}")
     val root = new org.apache.hadoop.fs.Path(path).toString
     val range = vs.filter(v => v > fromV && v <= toV)
+    // one manifest listing per version across the whole plan: the
+    // fallback arm needs both v-1 and v, and consecutive fallback
+    // commits reuse v's listing as v+1's baseline (the prev = cur
+    // pattern of filesBetween, GraftStreamSource.scala:279) — without
+    // the cache a long pre-CDF history lists every snapshot twice
+    var lastListed: (Long, Seq[String]) = (-1L, Nil)
+    def snap(v: Long): Seq[String] =
+      if (lastListed._1 == v) lastListed._2
+      else {
+        val s = TxTable.snapshotFiles(spark, path, v)
+        lastListed = (v, s)
+        s
+      }
     range.flatMap { v =>
       val ts = TxTable.commitTimestamp(spark, path, v)
       TxTable.commitMeta(spark, path, v)
@@ -127,8 +140,8 @@ private[sources] object GraftCdf {
               else sys.error(
                 s"version ${v - 1} of $path was vacuumed — file-granular " +
                 s"change capture for v$v has no baseline to diff against")
-            } else TxTable.snapshotFiles(spark, path, v - 1).toSet
-          val cur = TxTable.snapshotFiles(spark, path, v)
+            } else snap(v - 1).toSet
+          val cur = snap(v)
           val added = cur.filterNot(prev)
           val removed = (prev -- cur.toSet).toSeq.sorted
           def tagged(files: Seq[String], tag: String): Seq[InputPartition] =

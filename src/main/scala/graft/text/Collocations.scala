@@ -27,13 +27,21 @@ object Collocations {
   def pmi(df: DataFrame, textCol: String, window: Int,
           minCount: Long): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokens MATERIALIZED into a column first: referencing the
+    // tokens(text) EXPRESSION inside the lambda would re-inline the
+    // whole tokenization per token position (the slice(toks, ...)
+    // reference) — O(tokens²) re-tokenization per document, the
+    // anti-pattern TextAnalysis.winnowFingerprints documents and this
+    // file previously committed. A plain column reference inside the
+    // lambda is free.
+    val toked = df.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val toks = col("__tk")
     // element at 0-based i pairs with the next `window` tokens:
     // 1-based slice start i+2, clamped at the document edge
     val pairList = flatten(transform(toks, (t, i) =>
       transform(slice(toks, i + lit(2), lit(window)),
         u => struct(t.as("a"), u.as("b")))))
-    val pairs = df.select(explode(pairList).as("p"))
+    val pairs = toked.select(explode(pairList).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
     val la = pc.groupBy("a").agg(sum("n_pair").as("__na"))

@@ -31,9 +31,13 @@ object CorpusDivergence {
   /** One row:
     * (vocab_size, n_tokens_p, n_tokens_q, tv, hellinger, chi2).
     */
-  def divergence(p: DataFrame, q: DataFrame, textCol: String,
-                 topK: Int): DataFrame = {
-    val arr = vocabArray(p, q, textCol, topK)
+  /** The shared add-one-smoothing frame over a [[vocabArray]] row —
+    * ONE definition of the totals projection and the smoothed p/q
+    * estimators, so the hash-oracled measures ([[divergence]]) and the
+    * KL monitor ([[klDivergence]]) can never fork their smoothing.
+    */
+  private def smoothedTotals(arr: DataFrame)
+      : (DataFrame, Column => Column, Column => Column) = {
     val withTotals = arr.select(
       col("arr"),
       size(col("arr")).cast("long").as("vocab_size"),
@@ -45,6 +49,13 @@ object CorpusDivergence {
       (col("n_tokens_p") + col("vocab_size")).cast("double")
     def qOf(s: Column) = (s.getField("cq") + lit(1L)).cast("double") /
       (col("n_tokens_q") + col("vocab_size")).cast("double")
+    (withTotals, pOf, qOf)
+  }
+
+  def divergence(p: DataFrame, q: DataFrame, textCol: String,
+                 topK: Int): DataFrame = {
+    val (withTotals, pOf, qOf) =
+      smoothedTotals(vocabArray(p, q, textCol, topK))
     withTotals.select(
       col("vocab_size"), col("n_tokens_p"), col("n_tokens_q"),
       (aggregate(col("arr"), lit(0.0),
@@ -63,18 +74,8 @@ object CorpusDivergence {
     */
   def klDivergence(p: DataFrame, q: DataFrame, textCol: String,
                    topK: Int): DataFrame = {
-    val arr = vocabArray(p, q, textCol, topK)
-    val withTotals = arr.select(
-      col("arr"),
-      size(col("arr")).cast("long").as("vocab_size"),
-      aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("cp"))
-        .as("n_tokens_p"),
-      aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("cq"))
-        .as("n_tokens_q"))
-    def pOf(s: Column) = (s.getField("cp") + lit(1L)).cast("double") /
-      (col("n_tokens_p") + col("vocab_size")).cast("double")
-    def qOf(s: Column) = (s.getField("cq") + lit(1L)).cast("double") /
-      (col("n_tokens_q") + col("vocab_size")).cast("double")
+    val (withTotals, pOf, qOf) =
+      smoothedTotals(vocabArray(p, q, textCol, topK))
     withTotals.select(
       col("vocab_size"), col("n_tokens_p"), col("n_tokens_q"),
       aggregate(col("arr"), lit(0.0),
@@ -140,14 +141,21 @@ object CorpusDivergence {
         col("a.__tok") === col("b.__tok") && col("a.__g") < col("b.__g"))
       .groupBy(col("a.__g").as("g_a"), col("b.__g").as("g_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("__g", "__ga")
-        .withColumnRenamed("__n", "__na")), col("g_a") === col("__ga"))
-      .join(broadcast(sizes.withColumnRenamed("__g", "__gb")
-        .withColumnRenamed("__n", "__nb")), col("g_b") === col("__gb"))
-      .select(col("g_a"), col("g_b"), col("n_inter"),
-        (col("n_inter").cast("double") /
-          (col("__na") + col("__nb") - col("n_inter")).cast("double"))
-          .as("jaccard"))
+    // every a < b group pair exists in the output, even with an EMPTY
+    // vocabulary intersection (jaccard 0.0): the pair stage is an
+    // inner join, so disjoint-vocab pairs (e.g. different scripts)
+    // produce no row there — a left join from the all-pairs frame
+    // restores them. `sizes` has one row per GROUP, so the pair frame
+    // is groups² rows (driver-trivial); the non-equi `<` condition
+    // runs as a broadcast nested-loop over that constant-size frame.
+    val allPairs = sizes
+      .select(col("__g").as("g_a"), col("__n").as("__na"))
+      .join(broadcast(sizes.select(col("__g").as("g_b"),
+        col("__n").as("__nb"))), col("g_a") < col("g_b"))
+    val n = coalesce(col("n_inter"), lit(0L))
+    allPairs.join(inter, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), n.as("n_inter"),
+        (n.cast("double") /
+          (col("__na") + col("__nb") - n).cast("double")).as("jaccard"))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.CorpusDivergence
 
 case class DivDoc(doc_id: Long, text: String)
+case class GDoc(lang: String, text: String)
 
 class CorpusDivergenceSpec extends SparkSpec {
 
@@ -43,6 +44,24 @@ class CorpusDivergenceSpec extends SparkSpec {
     assert(out.getLong(0) === 3L) // x, y + <oov>
     // token totals are preserved through pooling
     assert(out.getLong(1) === 12L && out.getLong(2) === 6L)
+  }
+
+  test("vocabOverlap emits every group pair, including disjoint vocabularies at 0.0") {
+    val docs = df(Seq(
+      GDoc("en", "the cat sat"), GDoc("en", "the dog ran"),
+      GDoc("de", "der cat hund"),           // shares "cat" with en
+      GDoc("zh", "wo men ta men")))         // disjoint from both
+    val out = CorpusDivergence.vocabOverlap(docs, "lang", "text")
+      .orderBy("g_a", "g_b").collect()
+    // 3 groups -> exactly 3 ordered pairs, disjoint ones included
+    assert(out.length === 3)
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    // en vocab: the cat sat dog ran (5); de vocab: der cat hund (3)
+    assert(byPair(("de", "en")) === (1L, 1.0 / 7.0))
+    // zh shares nothing with either -> present with jaccard 0.0
+    assert(byPair(("de", "zh")) === (0L, 0.0))
+    assert(byPair(("en", "zh")) === (0L, 0.0))
   }
 
   test("divergence grows with distributional shift (sanity ordering)") {
