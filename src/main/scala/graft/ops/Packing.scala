@@ -54,8 +54,13 @@ object Packing {
     withStream
       .withColumn("pack_offset",
         coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      // integer `div`, not floor(/): Spark's numeric / is DOUBLE
+      // division, which rounds above 2^53 — a stream whose cumulative
+      // offset crosses that could assign the straddling doc to the
+      // wrong chunk and fork from an integer-division oracle
+      // (assignShards and Prefix.ntile already spell it this way)
       .withColumn("pack_chunk",
-        floor(col("pack_offset") / lit(budget)).cast("long"))
+        expr(s"pack_offset div $budget").cast("long"))
   }
 
   /** Per-chunk summary of a packed frame: docs and tokens landing in
@@ -101,7 +106,14 @@ object Packing {
                   shardCol: String = "shard"): Int = {
     val assigned = assignShards(df, orderCols, rowsPerShard, shardCol)
       .localCheckpoint() // one rank computation for both count and write
-    val nShards = assigned.agg(max(col(shardCol))).head().getInt(0) + 1
+    // max over zero rows is null — an empty input writes zero shards
+    // (an empty dir) instead of NPE-ing on getInt
+    val maxRow = assigned.agg(max(col(shardCol))).head()
+    if (maxRow.isNullAt(0)) {
+      assigned.write.partitionBy(shardCol).mode("overwrite").parquet(dir)
+      return 0
+    }
+    val nShards = maxRow.getInt(0) + 1
     assigned
       .repartition(math.max(1, nShards), col(shardCol))
       .sortWithinPartitions(col(shardCol) +: orderCols: _*)

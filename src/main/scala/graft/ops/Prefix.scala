@@ -289,22 +289,29 @@ object Prefix {
     val cum = graft.util.Cols.fresh(df, "__cum")
     val rk = graft.util.Cols.fresh(df, "__rank")
     val nn = graft.util.Cols.fresh(df, "__n")
+    // join-side key aliases go through Cols.fresh like every other
+    // scratch name — a user frame already carrying __rg/__rv/__sg
+    // would otherwise make the join conditions ambiguous or drop the
+    // user's column
+    val rg = graft.util.Cols.fresh(df, "__rg")
+    val rv = graft.util.Cols.fresh(df, "__rv")
+    val sg = graft.util.Cols.fresh(df, "__sg")
     val perValue = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as(c))
     val ranked = groupRunningSum(perValue, groupCol,
         Seq(col(valueCol).asc), col(c), cum, partitions)
       .withColumn(rk, col(cum) - col(c) + 1)
-      .select(col(groupCol).as("__rg"), col(valueCol).as("__rv"), col(rk))
+      .select(col(groupCol).as(rg), col(valueCol).as(rv), col(rk))
     val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nn))
-      .withColumnRenamed(groupCol, "__sg")
+      .withColumnRenamed(groupCol, sg)
     // null-safe joins: null groups/values are grouped and ranked like
     // any other key (nulls first under the ascending range order) — a
     // plain equi-join would silently DROP those rows
     df.join(ranked,
-        col(groupCol) <=> col("__rg") && col(valueCol) <=> col("__rv"))
-      .drop("__rg", "__rv")
-      .join(broadcast(sizes), col(groupCol) <=> col("__sg"))
-      .drop("__sg")
+        col(groupCol) <=> col(rg) && col(valueCol) <=> col(rv))
+      .drop(rg, rv)
+      .join(broadcast(sizes), col(groupCol) <=> col(sg))
+      .drop(sg)
       .withColumn(outCol, when(col(nn) === 1, lit(0.0))
         .otherwise((col(rk) - 1).cast("double") /
           (col(nn) - 1).cast("double")))

@@ -128,23 +128,39 @@ object Sinks {
     if (tx && !exists && fs.exists(p)) sys.error(
       s"tx upsert into $path: path exists but is not a TxTable " +
         "(no _txlog); migrate it with TxTable.overwrite first")
+    // one-row-per-key is the upsert contract in EVERY mode: the tx
+    // merge path rejects duplicate update keys (TxTable.merge), so the
+    // non-tx anti-join+union and the tx bootstrap overwrite must too —
+    // otherwise the same call silently lands several rows per key on
+    // one flag value and throws on the other. One cheap agg on the
+    // small (delta) side.
+    def requireKeyUnique(df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dup = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert updates have duplicate key ${dup.headOption}" +
+        " — aggregate the updates first so one row per key remains")
+    }
     if (tx) {
       // TxTable.merge IS this operation, race-safely: the rewrite is
       // stats-bounded, racing appends survive its baseKeep, and a
       // conflicting DML aborts. A read-merge-overwrite here would
       // silently drop files a concurrent writer commits between the
       // head read and the claim (overwrite's baseKeep keeps nothing).
-      if (!exists) TxTable.overwrite(spark, path, updates)
+      if (!exists) { requireKeyUnique(updates); TxTable.overwrite(spark, path, updates) }
       else TxTable.merge(spark, path, updates, keyCols, nullSafeKeys = true)
       return
     }
     val merged =
-      if (!exists) updates
+      if (!exists) { requireKeyUnique(updates); updates }
       else {
-        // updates feeds both the anti-join probe and the union —
-        // materialize once (broadcast anti-join sides get no
+        // updates feeds the dup check, the anti-join probe and the
+        // union — materialize once (broadcast anti-join sides get no
         // ReuseExchange)
         val up = updates.localCheckpoint()
+        requireKeyUnique(up)
         val keys = up.select(keyCols.map(
           org.apache.spark.sql.functions.col): _*).dropDuplicates()
         val existing = spark.read.parquet(path)
@@ -209,15 +225,30 @@ object Sinks {
     if (tx && !exists && fs.exists(p)) sys.error(
       s"tx upsert into $path: path exists but is not a TxTable " +
         "(no _txlog); migrate it with TxTable.overwrite first")
+    // same one-row-per-key contract as upsert(): neither the
+    // anti-join+union below nor replacePartitions rejects duplicate
+    // update keys, so enforce here — on the checkpointed frame for the
+    // merge paths, on the raw frame for the bootstrap
+    def requireKeyUnique(df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.count
+      val dup = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert updates have duplicate key ${dup.headOption}" +
+        " — aggregate the updates first so one row per key remains")
+    }
     if (!exists) {
+      requireKeyUnique(updates)
       if (tx) TxTable.overwrite(spark, path, updates, partitionCols)
       else writePartitioned(updates, path, partitionCols)
       return
     }
 
-    // updates feeds the partition listing, the anti-join probe and the
-    // union — materialize once
+    // updates feeds the dup check, the partition listing, the
+    // anti-join probe and the union — materialize once
     val up = updates.localCheckpoint()
+    requireKeyUnique(up)
     // capped collect: the limit bounds what can ever reach the driver,
     // and exceeding it fails LOUDLY — an upsert touching more than
     // `maxAffectedPartitions` partitions is a full-table rewrite in
@@ -247,6 +278,24 @@ object Sinks {
     // parse as the update's types — prune and anti-join compare
     // like-for-like. (Also skips the footer-sampling schema inference
     // pass entirely.)
+    // tx conflict scope, listed BEFORE the snapshot read: the files
+    // this merge reads in the affected partitions must be unchanged at
+    // the claim — a racing append into one of them would otherwise be
+    // silently dropped by the partition replace. The known set comes
+    // from the MANIFEST pruned by the same partition predicate, NOT
+    // from DataFrame.inputFiles: inputFiles surfaces the relation's
+    // whole FileIndex (the .filter below never reaches it), which
+    // would widen the conflict scope to the entire table and spuriously
+    // abort every partition-disjoint concurrent merge. Listing known
+    // FIRST makes the race window safe in the conservative direction —
+    // a commit landing between this listing and the read makes the
+    // claim-time compare fail (abort + retry), never a silent drop.
+    // (A racing append into a partition that had no files yet is the
+    // remaining corner — Delta closes it with full partition-level
+    // conflict detection.)
+    val knownRelTx =
+      if (tx) TxTable.headFilesMatching(spark, path, Some(prune)).toSet
+      else Set.empty[String]
     val existing =
       (if (tx) TxTable.read(spark, path, schema = Some(up.schema))
        else spark.read.option("basePath", path).schema(up.schema).parquet(path))
@@ -255,19 +304,9 @@ object Sinks {
     val merged = existing.join(keys, cond, "left_anti").unionByName(up)
 
     if (tx) {
-      // conflict scope: the files this merge READ in the affected
-      // partitions must be unchanged at the claim — a racing append
-      // into one of them would otherwise be silently dropped by the
-      // partition replace. (A racing append into a partition that had
-      // no files yet is the remaining corner — Delta closes it with
-      // full partition-level conflict detection.)
-      val rootQ = fs.makeQualified(p).toString
-      val knownRel = existing.inputFiles.map(f =>
-        fs.makeQualified(new Path(new java.net.URI(f))).toString
-          .stripPrefix(rootQ).stripPrefix("/")).toSet
-      val affectedDirs = knownRel.map(TxTable.partitionDirOf)
+      val affectedDirs = knownRelTx.map(TxTable.partitionDirOf)
       TxTable.replacePartitions(spark, path, merged, partitionCols,
-        expectUnchanged = Some((affectedDirs, knownRel)))
+        expectUnchanged = Some((affectedDirs, knownRelTx)))
       return
     }
     val tmp = new Path(p.getParent,

@@ -49,7 +49,15 @@ object Sources {
       // mode working for lakes missing some harness fixture: only the
       // table actually requested must resolve, same as direct mode.
       val dirMatches = spark.conf.getOption(CatalogDirConf).contains(dir)
-      if (!dirMatches || !spark.catalog.tableExists(name)) {
+      // the existence probe must see a TEMP VIEW specifically:
+      // tableExists alone is also true for a PERMANENT table of the
+      // same name (e.g. one writeBucketed registered), which would
+      // skip registration here and silently serve the wrong data —
+      // register the fixture view, which shadows permanent tables in
+      // single-name resolution
+      val tempViewExists = spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).isTemporary
+      if (!dirMatches || !tempViewExists) {
         if (!dirMatches) {
           tableNames.foreach(n => spark.catalog.dropTempView(n))
           spark.conf.set(CatalogDirConf, dir)

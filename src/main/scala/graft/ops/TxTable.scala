@@ -108,11 +108,19 @@ object TxTable {
     */
   def commitTimestamp(spark: SparkSession, path: String, v: Long): Long = {
     val (fs, p) = fsFor(spark, path)
-    parseMeta(readManifest(fs, p, v)._1).get(TimestampMetaKey)
+    commitTimestampOf(fs, p, v, parseMeta(readManifest(fs, p, v)._1))
+  }
+
+  /** [[commitTimestamp]] over ALREADY-PARSED meta — for loops that
+    * hold the manifest in hand (e.g. [[readChanges]]), so stamping a
+    * version doesn't re-read and re-parse the manifest it just read.
+    */
+  private def commitTimestampOf(fs: FileSystem, p: Path, v: Long,
+                                meta: Map[String, String]): Long =
+    meta.get(TimestampMetaKey)
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(fs.getFileStatus(
         new Path(new Path(p, LogDir), manifestName(v))).getModificationTime)
-  }
 
   /** `TIMESTAMP AS OF` resolution: the newest retained version whose
     * commit time is <= `tsMillis`. Errors when the timestamp predates
@@ -320,10 +328,20 @@ object TxTable {
     require(schema.fieldNames.contains(from) &&
         !schema.fieldNames.contains(to),
       s"schema of $path changed concurrently — retry the rename")
+    // the LAYOUT must be re-derived at the pin too: a concurrent
+    // layout-changing commit landing before v0 would otherwise have
+    // its declaration silently overwritten by the stale early read
+    // (flattening a hive layout — directory pruning and
+    // replacePartitions break) and could slip `from` past the
+    // partition-column refusal above
+    val (fs0, p0) = fsFor(spark, path)
+    val parts0 = declaredPartitionColsAt(fs0, p0, v0).getOrElse(Nil)
+    require(!parts0.contains(from),
+      s"'$from' became a partition column concurrently — retry")
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commit(spark, path, snapshot.withColumnRenamed(from, to), "rename",
-      (_, _) => Seq.empty, parts,
+      (_, _) => Seq.empty, parts0,
       meta = Map(SchemaMetaKey -> enc(newSchema.json),
         ChangeDataMetaKey -> "0"),
       requireHeadVersion = Some(v0))
@@ -392,9 +410,16 @@ object TxTable {
     val schema = declaredSchema(spark, path, v0).getOrElse(snapshot.schema)
     require(schema.fieldNames.contains(name),
       s"schema of $path changed concurrently — retry the drop")
+    // layout re-derived at the pin — see [[renameColumn]]: a stale
+    // early read would overwrite a concurrently declared layout and
+    // could slip `name` past the partition-column refusal
+    val (fs0, p0) = fsFor(spark, path)
+    val parts0 = declaredPartitionColsAt(fs0, p0, v0).getOrElse(Nil)
+    require(!parts0.contains(name),
+      s"'$name' became a partition column concurrently — retry")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     commit(spark, path, snapshot.drop(name), "dropcol",
-      (_, _) => Seq.empty, parts,
+      (_, _) => Seq.empty, parts0,
       meta = Map(SchemaMetaKey -> enc(newSchema.json),
         ChangeDataMetaKey -> "0"),
       requireHeadVersion = Some(v0))
@@ -550,11 +575,20 @@ object TxTable {
     * no data files touched.
     */
   def history(spark: SparkSession, path: String)
-      : Seq[(Long, String, Map[String, String])] = {
+      : Seq[(Long, String, Map[String, String])] =
+    historyDetailed(spark, path).map { case (v, _, a, m) => (v, a, m) }
+
+  /** [[history]] plus the commit timestamp, from the SAME manifest
+    * read — DESCRIBE HISTORY over a long log would otherwise pay a
+    * second read-and-parse per version just to stamp the row.
+    */
+  private[graft] def historyDetailed(spark: SparkSession, path: String)
+      : Seq[(Long, Long, String, Map[String, String])] = {
     val (fs, p) = fsFor(spark, path)
     versions(spark, path).map { v =>
       val head = readManifest(fs, p, v)._1
-      (v, head.split(' ').head, parseMeta(head))
+      val meta = parseMeta(head)
+      (v, commitTimestampOf(fs, p, v, meta), head.split(' ').head, meta)
     }
   }
 
@@ -594,6 +628,16 @@ object TxTable {
     * resolution source.
     */
   private[graft] val TimestampMetaKey = "ts"
+
+  /** Refuse a caller-supplied token that would break the manifest
+    * meta grammar (space-separated `k=v` pairs, one per line) — THE
+    * one definition every writer-facing API (streaming sinks,
+    * follower views) must call, so a grammar change can't strand a
+    * stale copy of the check at some call site.
+    */
+  private[graft] def requireTokenSafe(value: String, what: String): Unit =
+    require(!value.exists(c => c == ' ' || c == '=' || c == '\n'),
+      s"$what must be manifest-token-safe (no spaces, '=', or newlines)")
 
   /** Per-commit (NOT carried) meta token locating the commit's
     * row-level CHANGE DATA (Delta's Change Data Feed, reduced to the
@@ -1249,6 +1293,14 @@ object TxTable {
       case Like(a, Literal(p, org.apache.spark.sql.types.StringType), esc)
           if nameOf(a).isDefined && p != null && esc == '\\' =>
         likePrefix(p.toString).forall(testPrefix(a, _))
+      // boolean combinators: resolveConjuncts only splits TOP-LEVEL
+      // ANDs, so a disjunctive predicate (`day = 1 OR day = 2`, or the
+      // per-partition prune `(a=1 AND b=2) OR (a=3 AND b=4)`) arrives
+      // here whole — a file may match an OR iff SOME branch may match,
+      // an AND iff EVERY leg may (each recursion stays a conservative
+      // upper bound, so composition is too)
+      case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
       case _ => true
     }
   }
@@ -1675,17 +1727,19 @@ object TxTable {
       "incremental change reads cannot resume from it")
     val (fs, p) = fsFor(spark, path)
     val range = vs.filter(v => v > fromV && v <= hi)
-    def stamped(df: DataFrame, v: Long): DataFrame =
+    def stamped(df: DataFrame, v: Long, tsMs: Long): DataFrame =
       df.withColumn(CommitVersionCol, lit(v))
-        .withColumn(CommitTimestampCol,
-          lit(new java.sql.Timestamp(commitTimestamp(spark, path, v))))
+        .withColumn(CommitTimestampCol, lit(new java.sql.Timestamp(tsMs)))
     val frames = range.flatMap { v =>
+      // ONE manifest read per version: the ts stamp comes from the
+      // meta already in hand, not a second commitTimestamp read
       val meta = parseMeta(readManifest(fs, p, v)._1)
+      val tsMs = commitTimestampOf(fs, p, v, meta)
       meta.get(ChangeDataMetaKey) match {
         case Some("0") => None // row-change-free commit
         case Some(uuid) =>
           Some(stamped(spark.read.parquet(
-            new Path(p, s"$ChangesDir/$uuid").toString), v))
+            new Path(p, s"$ChangesDir/$uuid").toString), v, tsMs))
         case None =>
           // v-1 vacuumed (v is the earliest retained version): under a
           // full-history read (fromV=0) the cumulative snapshot IS the
@@ -1711,13 +1765,14 @@ object TxTable {
           (tagged(added, "insert") ++ tagged(removed, "delete"))
             .reduceOption(_.unionByName(_,
               allowMissingColumns = mergeSchema))
-            .map(stamped(_, v))
+            .map(stamped(_, v, tsMs))
       }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = mergeSchema))
       .getOrElse(stamped(
         readVersion(spark, path, hi, mergeSchema, schema)
-          .withColumn(ChangeTypeCol, lit("insert")), hi).where(lit(false)))
+          .withColumn(ChangeTypeCol, lit("insert")), hi,
+        commitTimestamp(spark, path, hi)).where(lit(false)))
   }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files whose
@@ -1779,6 +1834,17 @@ object TxTable {
              schema: Option[StructType] = None,
              changeFeed: Boolean = true): Option[Long] = {
     require(set.nonEmpty, "update needs at least one SET column")
+    // SET keys validated UP FRONT against the table schema — the
+    // per-column projection below silently keeps the old value for a
+    // key that matches no column, so a typo'd SET would otherwise
+    // no-op (or, when pruning removes every file, skip the rewrite's
+    // own check entirely) and the caller would believe the row changed
+    val tableCols = schema.map(_.fieldNames.toSeq)
+      .orElse(declaredSchema(spark, path).map(_.fieldNames.toSeq))
+      .getOrElse(read(spark, path, mergeSchema).columns.toSeq)
+    val unknownSet = set.keySet -- tableCols
+    require(unknownSet.isEmpty,
+      s"SET columns not in the table: ${unknownSet.mkString(", ")}")
     // the post-image projection: `set` applied unconditionally (callers
     // gate on the predicate) — one simultaneous select so every SET
     // expression reads the PRE-update row (SQL UPDATE semantics; a
@@ -1913,6 +1979,18 @@ object TxTable {
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val u = updates.localCheckpoint()
+    // duplicate update keys would land several rows per key in a
+    // table whose whole contract is one-row-per-key convergence (and
+    // make "which row wins" arbitrary for the rows a later merge
+    // replaces) — reject like mergeInto does, instead of silently
+    // corrupting the keyed table. One cheap agg job on the SMALL
+    // (delta) side, nothing touches the table's data.
+    val dupKey = u.groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"merge updates have duplicate key ${dupKey.headOption}" +
+      " — aggregate the updates first (or pass latestBy in the" +
+      " streaming sink) so exactly one row per key remains")
     if (lines.isEmpty) {
       // merge into an empty table: every update row is an insert
       val cdfMeta =
@@ -2148,6 +2226,23 @@ object TxTable {
       else commitLines(spark, path, "append", Seq.empty,
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
         guard = guard)
+
+    // SET keys validated against the TARGET's columns up front:
+    // applyClauses projects over existing.columns and silently skips a
+    // key that matches no target column, so a typo'd SET (through the
+    // SQL surface too) would commit a version that changed nothing
+    // and report success. Checked after the bootstrap path — an empty
+    // table has no target schema to validate against, and its commit
+    // never runs the clauses.
+    val setKeys = updateSet.keySet ++ updateBySourceSet.keySet
+    if (setKeys.nonEmpty) {
+      val targetCols = pinned.map(_.fieldNames.toSeq)
+        .getOrElse(read(spark, path, mergeSchema).columns.toSeq)
+      val unknownSet = setKeys -- targetCols
+      require(unknownSet.isEmpty,
+        s"mergeInto SET columns not in the target: " +
+        unknownSet.mkString(", "))
+    }
 
     // key-bounds pruning, as in merge (null source keys never match,
     // so they constrain nothing). A by-source clause DISABLES pruning:
@@ -2465,9 +2560,19 @@ object TxTable {
     val todo = lines.filterNot(complete)
     if (todo.isEmpty) return vs.last
     val refreshed = statsLines(spark, fs, p, path, todo.map(pathOf))
-    if (refreshed.sorted == todo.sorted) return vs.last // nothing computable
+    // a FAILED recompute (a transient footer read error makes
+    // footerStats yield nothing, so the refreshed line is a bare
+    // path) must never replace a line that already carries partial
+    // stats — that would regress existing skipping and metadata-only
+    // aggregates for the file until a rewrite. Keep the original.
+    val origByPath = todo.map(l => pathOf(l) -> l).toMap
+    val kept = refreshed.map { l =>
+      val orig = origByPath(pathOf(l))
+      if (!l.contains('\t') && orig.contains('\t')) orig else l
+    }
+    if (kept.sorted == todo.sorted) return vs.last // nothing computable
     val todoPaths = todo.map(pathOf).toSet
-    commitLines(spark, path, "analyze", refreshed,
+    commitLines(spark, path, "analyze", kept,
       (base, _) => base.filterNot(l => todoPaths.contains(pathOf(l))),
       requirePresent = todoPaths)
   }
@@ -2603,7 +2708,21 @@ object TxTable {
         guard = Map(key -> epochId),
         requireConstraints = Some(constraintFingerprint(activeConstraints))))
       catch {
-        case _: java.util.ConcurrentModificationException => None
+        case cme: java.util.ConcurrentModificationException =>
+          // a CME here is EITHER the claim-loop txn guard (a racing
+          // same-app committer landed this epoch first — a replay,
+          // discard ours) OR an unrelated conflict (the constraint
+          // set changed under us). Only the first maps to None:
+          // the caller deletes the epoch's data files on None, so
+          // answering None to a constraint-fingerprint CME would
+          // silently DROP the micro-batch. Re-check durability and
+          // rethrow anything that isn't actually a replay — the
+          // thrown error fails the batch and the checkpoint retries.
+          val durable = versions(spark, path).lastOption.exists(v =>
+            parseMeta(readManifest(fs, p, v)._1).get(key)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .exists(_ >= epochId))
+          if (durable) None else throw cme
       }
     }
   }
@@ -2646,6 +2765,21 @@ object TxTable {
   private def scopedHeadFiles(spark: SparkSession, path: String,
                               where: Option[org.apache.spark.sql.Column],
                               mergeSchema: Boolean): (Seq[String], Long) = {
+    val kept = headFilesMatching(spark, path, where, mergeSchema)
+    val (fs, p) = fsFor(spark, path)
+    val bytes = kept.map(f =>
+      fs.getFileStatus(new Path(p, f)).getLen).sum
+    (kept, bytes)
+  }
+
+  /** The head snapshot's manifest-relative files that may hold rows
+    * matching `where` (all of them when None) — stats + partition-path
+    * pruned, conservative. The manifest-only (no data I/O) way for a
+    * partition-bounded writer to learn its conflict scope.
+    */
+  private[ops] def headFilesMatching(spark: SparkSession, path: String,
+                                     where: Option[org.apache.spark.sql.Column],
+                                     mergeSchema: Boolean = false): Seq[String] = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
     val (fs, p) = fsFor(spark, path)
@@ -2666,9 +2800,7 @@ object TxTable {
           }
         }
     }
-    val bytes = kept.map(l =>
-      fs.getFileStatus(new Path(p, pathOf(l))).getLen).sum
-    (kept.map(pathOf), bytes)
+    kept.map(pathOf)
   }
 
   /** ceil(live snapshot bytes / targetBytes) — the file count a layout
@@ -2930,12 +3062,15 @@ object TxTable {
     }
     val freshRels = fresh.map(_._2)
     val activeConstraints = headConstraints(spark, path)
-    try enforceConstraints(spark, path, fs, p, freshRels, None,
+    // NO cleanup on failure, deliberately: the deterministic names are
+    // SHARED across racing loaders of the same source, so "my" fresh
+    // file may be exactly the file a racer just linked and committed —
+    // deleting it would dangle the racer's manifest and break every
+    // later read. Unreferenced files are invisible to readers, a retry
+    // REUSES them via the exists-check above (the failure cost is
+    // already paid), and vacuum's orphan grace collects genuine debris.
+    enforceConstraints(spark, path, fs, p, freshRels, None,
       activeConstraints)
-    catch { case t: Throwable =>
-      freshRels.foreach(r => fs.delete(new Path(p, r).getParent, true))
-      throw t
-    }
     val newLines = statsLines(spark, fs, p, path, freshRels)
     val freshSet = freshRels.toSet
     val v = commitLines(spark, path, "copyinto", newLines,

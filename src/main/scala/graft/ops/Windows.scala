@@ -67,18 +67,26 @@ object Windows {
                       fields: Seq[Column], k: Int,
                       reverse: Boolean = false,
                       rankCol: String = "rank"): DataFrame = {
+    // scratch names through Cols.fresh, like topKPerGroup's rankCol
+    // guard: a partition column named "pos"/"col"/"__topk" would
+    // otherwise make the post-explode select ambiguous (posexplode's
+    // default output names are exactly "pos" and "col")
+    val tkName = graft.util.Cols.fresh(df, "__topk")
+    val posName = graft.util.Cols.fresh(df, "__topk_pos")
+    val valName = graft.util.Cols.fresh(df, "__topk_val")
     val stc = struct(fields: _*)
     val tk = org.apache.spark.sql.GraftShim.toColumn(
       graft.functions.TopKAgg(
         org.apache.spark.sql.GraftShim.toExpression(
           df.sparkSession, stc), k, reverse).toAggregateExpression())
-    val agg = df.groupBy(partitionCols: _*).agg(tk.as("__topk"))
-    val st = agg.schema("__topk").dataType
+    val agg = df.groupBy(partitionCols: _*).agg(tk.as(tkName))
+    val st = agg.schema(tkName).dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    agg.select((partitionCols :+ posexplode(col("__topk"))): _*)
+    agg.select((partitionCols :+
+        posexplode(col(tkName)).as(Seq(posName, valName))): _*)
       .select((partitionCols :+
-        (col("pos") + 1).cast("int").as(rankCol)) ++
-        st.fieldNames.toSeq.map(f => col(s"col.`$f`").as(f)): _*)
+        (col(posName) + 1).cast("int").as(rankCol)) ++
+        st.fieldNames.toSeq.map(f => col(s"$valName.`$f`").as(f)): _*)
   }
 }

@@ -515,7 +515,14 @@ object GraftSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // inside '…'/"…" a backslash escapes the next char (Spark's
+        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
+        // scanner in sync — backticks escape by doubling, which the
+        // close-and-reopen below already handles
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
@@ -560,7 +567,14 @@ object GraftSql {
         }
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // inside '…'/"…" a backslash escapes the next char (Spark's
+        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
+        // scanner in sync — backticks escape by doubling, which the
+        // close-and-reopen below already handles
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' | '[' => depth += 1
@@ -599,7 +613,14 @@ object GraftSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // inside '…'/"…" a backslash escapes the next char (Spark's
+        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
+        // scanner in sync — backticks escape by doubling, which the
+        // close-and-reopen below already handles
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' | '[' => depth += 1
@@ -949,10 +970,10 @@ case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("meta", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    TxTable.history(spark, path).map { case (v, action, meta) =>
-      Row(v,
-        new java.sql.Timestamp(TxTable.commitTimestamp(spark, path, v)),
-        action,
+    // historyDetailed carries the ts from the same manifest read — a
+    // commitTimestamp call per row would re-read every manifest
+    TxTable.historyDetailed(spark, path).map { case (v, ts, action, meta) =>
+      Row(v, new java.sql.Timestamp(ts), action,
         meta.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(","))
     }
 }

@@ -59,8 +59,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
                           partitionCols: Seq[String] = Nil)
     extends StreamingWrite {
 
-  require(!queryId.exists(c => c == ' ' || c == '=' || c == '\n'),
-    "stream query id must be manifest-token-safe")
+  TxTable.requireTokenSafe(queryId, "stream query id")
   private val missing = partitionCols.filterNot(schema.fieldNames.contains)
   require(missing.isEmpty,
     s"partition columns ${missing.mkString(",")} not in the stream " +

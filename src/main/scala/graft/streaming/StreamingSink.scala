@@ -53,8 +53,7 @@ object StreamingSink {
   def appendBatch(path: String, txnApp: String,
                   partitionCols: Seq[String] = Nil)
                  (df: Dataset[Row], batchId: Long): Unit = {
-    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    TxTable.requireTokenSafe(txnApp, "txnApp")
     val spark = df.sparkSession
     val already = TxTable.exists(spark, path) &&
       lastTxnVersion(spark, path, txnApp).exists(_ >= batchId)
@@ -76,8 +75,7 @@ object StreamingSink {
   def toTxTable(stream: DataFrame, path: String, txnApp: String,
                 checkpoint: String,
                 partitionCols: Seq[String] = Nil): StreamingQuery = {
-    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    TxTable.requireTokenSafe(txnApp, "txnApp")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(appendBatch(path, txnApp, partitionCols) _)
@@ -103,8 +101,7 @@ object StreamingSink {
                  latestBy: Option[String] = None,
                  partitionCols: Seq[String] = Nil)
                 (df: Dataset[Row], batchId: Long): Unit = {
-    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    TxTable.requireTokenSafe(txnApp, "txnApp")
     val spark = df.sparkSession
     val exists = TxTable.exists(spark, path)
     val already = exists &&
@@ -116,12 +113,24 @@ object StreamingSink {
         case None => df.toDF()
       }
       // merge requires an existing table: the stream's FIRST batch
-      // bootstraps it with an append (already key-unique post-dedup),
-      // under the same txn meta/guard so a replay of batch 0 still skips
-      if (!exists)
+      // bootstraps it with an append under the same txn meta/guard so
+      // a replay of batch 0 still skips. The append path bypasses
+      // merge's duplicate-key rejection, so enforce it here too —
+      // otherwise a duplicate-key first batch (latestBy = None) plants
+      // several rows per key in a table whose contract is
+      // one-row-per-key, and every later merge inherits the mess.
+      if (!exists) {
+        import org.apache.spark.sql.functions.col
+        val dup = batch.groupBy(keyCols.map(col): _*)
+          .count().where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"mergeBatch bootstrap batch $batchId has duplicate key " +
+          s"${dup.headOption} — pass latestBy to pick a winner or " +
+          "aggregate upstream")
         TxTable.append(spark, path, batch, partitionCols,
           meta = Map(txnKey(txnApp) -> batchId.toString),
           guard = Map(txnKey(txnApp) -> batchId))
+      }
       else
         TxTable.merge(spark, path, batch, keyCols, partitionCols,
           meta = Map(txnKey(txnApp) -> batchId.toString),
@@ -139,8 +148,7 @@ object StreamingSink {
                      checkpoint: String, keyCols: Seq[String],
                      latestBy: Option[String] = None,
                      partitionCols: Seq[String] = Nil): StreamingQuery = {
-    require(!txnApp.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "txnApp must be manifest-token-safe (no spaces, '=', or newlines)")
+    TxTable.requireTokenSafe(txnApp, "txnApp")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(mergeBatch(path, txnApp, keyCols, latestBy,

@@ -136,6 +136,13 @@ object StreamingWindows {
       val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
       val minis = rows.map(e =>
         SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+      // merge on INCLUSIVE overlap (`<=`): Spark's session_window
+      // treats each event's window as the closed [ts, ts + gap] for
+      // merging — an event arriving EXACTLY gapMs after the previous
+      // one extends the session (verified empirically against the
+      // built-in operator on Spark 4.1.2; StreamingSpec pins this
+      // gap-aligned boundary). A strict `<` here would split
+      // gap-aligned heartbeat streams the built-in keeps together.
       val coalesced = (existing ++ minis).sortBy(s => (s.start, s.lastTs))
         .foldLeft(List.empty[SessionState]) {
           case (cur :: rest, s) if s.start <= cur.lastTs + gapMs =>

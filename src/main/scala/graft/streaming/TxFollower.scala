@@ -38,8 +38,7 @@ object TxFollower {
   private def srcKey(app: String) = s"txn.src.$app"
 
   private def requireTokenSafe(app: String): Unit =
-    require(!app.exists(c => c == ' ' || c == '=' || c == '\n'),
-      "app must be manifest-token-safe (no spaces, '=', or newlines)")
+    TxTable.requireTokenSafe(app, "app")
 
   /** Highest source version `app` has materialized into `dst`, if any. */
   def processedVersion(spark: SparkSession, dst: String,
@@ -271,6 +270,10 @@ object TxFollower {
     // this increment) — while insert-only groups fold monotonically.
     // Cost: one semi-joined scan bounded to the dirty groups, only on
     // increments that actually retracted.
+    // the aliases are renamed away by the toDF below — one list, mins
+    // then maxes, matching that positional rename
+    val recomputeAggs = extremaCols.map(c => min(col(c))) ++
+      extremaCols.map(c => max(col(c)))
     val recomputed =
       if (extremaCols.isEmpty) None
       else {
@@ -281,9 +284,7 @@ object TxFollower {
             groupCols.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
             "left_semi")
           .groupBy(groupCols.map(col): _*)
-          .agg(extremaCols.map(c => min(col(c)).as(s"min_$c")).head,
-            (extremaCols.map(c => min(col(c)).as(s"min_$c")).tail ++
-              extremaCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+          .agg(recomputeAggs.head, recomputeAggs.tail: _*)
           .toDF((groupCols.map(k => s"__r_$k") ++
             extremaCols.map(c => s"__rmin_$c") ++
             extremaCols.map(c => s"__rmax_$c")): _*))

@@ -110,6 +110,20 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class PackingEmptySpec extends SparkSpec {
+  test("writeShards on an empty frame writes zero shards, no NPE") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_empty").toString + "/out"
+    val empty = df(Seq.empty[MixDoc])
+    val n = graft.ops.Packing.writeShards(empty, dir,
+      Seq(org.apache.spark.sql.functions.col("id").asc), 64)
+    assert(n === 0)
+    val root = new java.io.File(dir)
+    assert(root.exists &&
+      !root.listFiles().exists(_.getName.startsWith("shard=")))
+  }
+}
+
 class MixCorporaSpec extends SparkSpec {
 
   private def corpus(n: Int, tag: String) =
@@ -150,11 +164,16 @@ class MixCorporaSpec extends SparkSpec {
     assert(m1.except(m2).count() === 0 && m2.except(m1).count() === 0)
   }
 
-  test("empty source empties the mix (no upsampling invented)") {
+  test("empty source is refused loudly (it would zero the whole mix)") {
+    // perUnit = min over sources, so an empty source silently empties
+    // EVERYTHING — refusing is the only honest answer (the caller
+    // drops the source or fixes the upstream filter)
     val a = corpus(100, "a")
     val b = corpus(0, "b")
-    val mixed = Sampling.mixCorpora(Seq(("a", a, 0.5), ("b", b, 0.5)), "id")
-    assert(mixed.count() === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", a, 0.5), ("b", b, 0.5)), "id")
+    }
+    assert(e.getMessage.contains("empty"))
   }
 
   test("duplicate source names are rejected") {

@@ -120,6 +120,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2, "user 1: one merged session; user 2: one session")
   }
 
+  test("stateful sessionizer merges at EXACTLY the gap, like session_window") {
+    // events spaced exactly gapMs apart: Spark's built-in operator
+    // merges on the INCLUSIVE boundary (windows are closed
+    // [t, t + gap] for merging), so all three events below form ONE
+    // session — this pins the stateful fold's `<=` against the
+    // built-in on the boundary gap-aligned heartbeat streams hit
+    // constantly (a strict `<` would split them)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapAligned = Seq(
+      SessionEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1, ts("2024-01-01 10:30:00"), 2.0),  // = first + gap
+      SessionEvent(1, ts("2024-01-01 10:59:59"), 3.0))  // < second + gap
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingWindows.sessionizeStateful(mem.toDS(),
+      gapMs = 30 * 60 * 1000, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_gap")
+      .outputMode("append").start()
+    mem.addData(gapAligned: _*)
+    q.processAllAvailable()
+    mem.addData(SessionEvent(99, ts("2024-01-03 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_gap")
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.sessionize(df(gapAligned), "ts", "30 minutes",
+        Seq("user_id"),
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
+      .select("user_id", "wstart", "wend", "n", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"gap-aligned events must merge like session_window: $streamed vs $batch")
+    assert(streamed.size == 1,
+      "exactly-at-gap extends the session (inclusive merge boundary)")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,43 @@ class TxDeleteSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).where(col("id") === 15L).count() == 0)
   }
 
+  test("an OR predicate prunes per branch: only the two matching files rewritten") {
+    // resolveConjuncts keeps a disjunction whole; the Or/And recursion
+    // in mayMatch must still skip the file neither branch can match
+    val dir = tmp()
+    threeCommits(dir) // three files: ids 0-9, 10-19, 20-29
+    val before = TxTable.read(spark, dir).inputFiles.toSet
+    val v = TxTable.delete(spark, dir,
+      col("id") === 5L || col("id") === 25L)
+    assert(v.nonEmpty)
+    val after = TxTable.read(spark, dir).inputFiles.toSet
+    // the middle file (10-19) matches neither branch and carries over
+    assert((before intersect after).size == 1,
+      s"expected 1 carried file, before=$before after=$after")
+    assert(TxTable.read(spark, dir).count() == 28)
+  }
+
+  test("update and mergeInto refuse SET columns missing from the table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.overwrite(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // a typo'd SET must error, not silently commit an unchanged table
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.update(spark, dir, col("id") === 1L,
+        Map("vv" -> lit("x")))
+    }
+    assert(e1.getMessage.contains("vv"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, dir, Seq((1L, "c")).toDF("id", "v"),
+        Seq("id"), updateSet = Map("vv" -> lit("x")))
+    }
+    assert(e2.getMessage.contains("vv"))
+    // the table is untouched either way
+    assert(TxTable.read(spark, dir).orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+  }
+
   test("a predicate that can match nothing commits nothing") {
     val dir = tmp()
     threeCommits(dir)

@@ -154,6 +154,62 @@ class TxSinksSpec extends SparkSpec {
       .map(r => r.getAs[String]("v")).toSet == Set("a", "b", "c", "d"))
   }
 
+  test("upsert refuses duplicate update keys in every mode") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    // tx bootstrap, tx merge, and the plain path all enforce the
+    // one-row-per-key contract — not just TxTable.merge
+    val txDir = tmpTable("graft_up_dup_tx")
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, txDir, dup, Seq("id"), tx = true)
+    }
+    Sinks.upsert(spark, txDir, Seq((1L, "x")).toDF("id", "v"),
+      Seq("id"), tx = true)
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, txDir, dup, Seq("id"), tx = true)
+    }
+    val plainDir = tmpTable("graft_up_dup_plain")
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, plainDir, dup, Seq("id"))
+    }
+    val partDir = tmpTable("graft_up_dup_part")
+    val dupPart = Seq((1L, 10, "x"), (1L, 10, "y")).toDF("id", "day", "v")
+    intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, partDir, dupPart,
+        Seq("id", "day"), Seq("day"), tx = true)
+    }
+  }
+
+  test("partition-disjoint tx upsertPartitioned merges run concurrently without spurious aborts") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpTable("graft_tx_uppart_conc")
+    Sinks.upsertPartitioned(spark, dir,
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "day", "v"),
+      Seq("id", "day"), Seq("day"), tx = true)
+    // two writers each merge ONLY their own partition, repeatedly and
+    // concurrently — the conflict scope is the affected partitions'
+    // files, so neither may ever abort on the other's commits (the
+    // whole-table scope this replaces did exactly that)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def writer(day: Int): Future[Unit] = Future {
+      (1 to 5).foreach { i =>
+        Sinks.upsertPartitioned(spark, dir,
+          Seq((day.toLong, day, s"v$i")).toDF("id", "day", "v"),
+          Seq("id", "day"), Seq("day"), tx = true)
+      }
+    }
+    Await.result(Future.sequence(Seq(writer(10), writer(20))), 120.seconds)
+    val out = TxTable.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b"),
+      (10L, "v5"), (20L, "v5")))
+  }
+
   test("tx compact shrinks the head snapshot; pinned readers keep the old version") {
     val s = spark
     import s.implicits._
