@@ -43,12 +43,7 @@ object Bench {
   }
 
   /** (1m, 5m, 15m) load averages; empty when /proc is unavailable. */
-  private def loadavg(): Seq[Double] =
-    try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      .split("\\s+").take(3).toSeq.map(_.toDouble)
-    catch { case _: Throwable => Nil }
+  private def loadavg(): Seq[Double] = graft.util.Host.loadavg()
 
   def main(args: Array[String]): Unit = {
     val only: Seq[String] = args.toSeq match {
@@ -119,7 +114,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""cpus":$cpus,"load_pre":${arr(loadPre)},"load_post":${arr(loadPost)},""" +
       s""""contended":$contended,"isolated":${only.nonEmpty},""" +
-      s""""queries":$qs,"min":$mins,"failed":$failed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"min":$mins,"failed":$failed,""" +
+      s""""sf":${graft.util.Host.jsonStr(sfDir)}}"""
     println(line)
     // the stdout line is what the driver parses, but tail-capture has
     // truncated it before (88 per-query entries ≈ several KB) — also

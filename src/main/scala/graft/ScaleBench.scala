@@ -106,19 +106,24 @@ object ScaleBench {
     val spark = graft.util.Sessions.local(graft.util.Sessions.cpus(
       Runtime.getRuntime.availableProcessors().toString))
 
-    // the cache marker carries the SYNTHESIS VERSION: a corpus built by
-    // an older synthesize() must be rebuilt, not reused — round 9's
-    // dedup ladder read 4-8x ratios off a cached pre-token-salt corpus
-    // and the artifact blamed the operators (the fresh corpus reads
-    // 1.4-2.6x on the same code)
+    // the cache marker carries the SYNTHESIS VERSION *and the exact
+    // synthesis inputs*: a corpus built by an older synthesize() must
+    // be rebuilt, not reused — round 9's dedup ladder read 4-8x ratios
+    // off a cached pre-token-salt corpus and the artifact blamed the
+    // operators (the fresh corpus reads 1.4-2.6x on the same code).
+    // base/copies in the marker close the sibling trap: re-running the
+    // same out dir with a different copy count (10-copy vs 100-copy
+    // spot ladders are both real modes) would otherwise time the OLD
+    // corpus while stamping the NEW copies into the artifact.
+    val markerValue = s"$SynthesisVersion:base=$base:copies=$copies"
     val marker = new java.io.File(s"$out/_SCALE_OK")
     val cachedVersion =
       try new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
       catch { case _: Throwable => "" }
-    if (cachedVersion != SynthesisVersion) {
+    if (cachedVersion != markerValue) {
       synthesize(spark, base, out, copies)
-      java.nio.file.Files.write(marker.toPath, SynthesisVersion.getBytes(
+      java.nio.file.Files.write(marker.toPath, markerValue.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     }
 
@@ -155,13 +160,11 @@ object ScaleBench {
     // same contention stamps as Bench: ratios are internal (base and
     // scaled inflate together) but absolute numbers are compared across
     // rounds, so the artifact says whether the host was quiet
-    val load = try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      .split("\\s+").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Seq.empty[Double] }
+    val load = graft.util.Host.loadavg()
     val loadJson = load.map(f).mkString("[", ",", "]")
-    val line = s"""{"metric":"scale_ladder","base":"$base","scaled":"$out",""" +
+    val line = s"""{"metric":"scale_ladder",""" +
+      s""""base":${graft.util.Host.jsonStr(base)},""" +
+      s""""scaled":${graft.util.Host.jsonStr(out)},""" +
       s""""copies":$copies,"load":$loadJson,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""queries":$qs,"sub_quadratic":$subQuadratic}"""

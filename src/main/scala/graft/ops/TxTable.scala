@@ -1433,6 +1433,19 @@ object TxTable {
     readManifest(fs, p, v)._2.map(l => new Path(p, pathOf(l)).toString)
   }
 
+  /** Version `v`'s parsed meta AND qualified snapshot files from ONE
+    * manifest read — for per-version loops (streaming sources) that
+    * would otherwise call [[commitMeta]] and [[snapshotFiles]]
+    * back-to-back and read every manifest twice.
+    */
+  private[graft] def snapshotWithMeta(spark: SparkSession, path: String,
+                                      v: Long)
+      : (Map[String, String], Seq[String]) = {
+    val (fs, p) = fsFor(spark, path)
+    val (head, lines) = readManifest(fs, p, v)
+    (parseMeta(head), lines.map(l => new Path(p, pathOf(l)).toString))
+  }
+
   // ----------------------------------------------- metadata-only aggregates
   //
   // COUNT(*) / COUNT(col) / MIN / MAX answered from the manifest's
@@ -1969,7 +1982,8 @@ object TxTable {
             meta: Map[String, String] = Map.empty,
             nullSafeKeys: Boolean = false,
             guard: Map[String, Long] = Map.empty,
-            changeFeed: Boolean = true): Long = {
+            changeFeed: Boolean = true,
+            checkUniqueKeys: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, path)
@@ -1979,18 +1993,39 @@ object TxTable {
     val pinned = schema.orElse(declaredSchemaAt(fs, p, vs.last))
     val layout = layoutOrDeclared(fs, p, vs.last, partitionCols)
     val u = updates.localCheckpoint()
-    // duplicate update keys would land several rows per key in a
-    // table whose whole contract is one-row-per-key convergence (and
-    // make "which row wins" arbitrary for the rows a later merge
-    // replaces) — reject like mergeInto does, instead of silently
-    // corrupting the keyed table. One cheap agg job on the SMALL
-    // (delta) side, nothing touches the table's data.
-    val dupKey = u.groupBy(keyCols.map(col): _*)
-      .count().where(col("count") > 1).limit(1).collect()
-    require(dupKey.isEmpty,
-      s"merge updates have duplicate key ${dupKey.headOption}" +
-      " — aggregate the updates first (or pass latestBy in the" +
-      " streaming sink) so exactly one row per key remains")
+    // key bounds + null-key flags layout shared by both probe shapes
+    val boundAggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k)))) ++
+      keyCols.map(k => max(col(k).isNull.cast("int")))
+    // With checkUniqueKeys (the default): ONE aggregate over the
+    // GROUPED update keys yields duplicate-key detection, emptiness,
+    // key bounds, and null-key flags together — duplicate update keys
+    // would land several rows per key in a table whose whole contract
+    // is one-row-per-key convergence, so reject like mergeInto does
+    // instead of silently corrupting the keyed table. A caller whose
+    // updates are key-unique BY CONSTRUCTION (a groupBy's output, a
+    // topOnePerGroup winner set) passes false and keeps the cheaper
+    // map-side global agg — the grouped probe pays one extra exchange,
+    // which matters on merge-per-microbatch hot paths.
+    val (uIsEmpty, row) =
+      if (checkUniqueKeys) {
+        val cnt = graft.util.Cols.fresh(u, "__cnt")
+        val g = u.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as(cnt))
+        val aggs = boundAggs ++
+          Seq(max(col(cnt)), org.apache.spark.sql.functions.sum(col(cnt)))
+        val r = g.agg(aggs.head, aggs.tail: _*).head()
+        val empty = r.isNullAt(aggs.size - 1)
+        // the offending key is looked up only on the failure path
+        if (!empty && r.getLong(aggs.size - 2) > 1) {
+          val dupKey = g.where(col(cnt) > 1).limit(1).collect()
+          throw new IllegalArgumentException(
+            s"merge updates have duplicate key ${dupKey.headOption}" +
+            " — aggregate the updates first (or pass latestBy in the" +
+            " streaming sink) so exactly one row per key remains")
+        }
+        (empty, r)
+      } else if (u.isEmpty) (true, null)
+      else (false, u.agg(boundAggs.head, boundAggs.tail: _*).head())
     if (lines.isEmpty) {
       // merge into an empty table: every update row is an insert
       val cdfMeta =
@@ -2000,7 +2035,7 @@ object TxTable {
       return commit(spark, path, u, "replace", (_, _) => Seq.empty,
         layout, meta ++ cdfMeta, guard = guard)
     }
-    if (u.isEmpty)
+    if (uIsEmpty)
       // nothing to rewrite, but meta (e.g. a consumer offset) must
       // still land durably: a metadata-only commit — silently dropping
       // it would stall incremental consumers on empty increments. A
@@ -2012,13 +2047,11 @@ object TxTable {
         (base, _) => base, meta + (ChangeDataMetaKey -> "0"),
         guard = guard)
 
-    // observed key bounds on the update side; a null bound (all-null
-    // keys) disables pruning for that column — conservative. Under
-    // null-safe matching a null key may match rows in ANY file, so
-    // pruning is disabled entirely when one is present.
-    val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k)))) ++
-      keyCols.map(k => max(col(k).isNull.cast("int")))
-    val row = u.agg(aggs.head, aggs.tail: _*).head()
+    // observed key bounds on the update side (from the same grouped
+    // row); a null bound (all-null keys) disables pruning for that
+    // column — conservative. Under null-safe matching a null key may
+    // match rows in ANY file, so pruning is disabled entirely when one
+    // is present.
     val anyNullKey =
       keyCols.indices.exists(i => row.getInt(2 * keyCols.size + i) == 1)
     val boundPreds = keyCols.zipWithIndex.flatMap { case (k, i) =>

@@ -57,7 +57,21 @@ object Layers {
       s"$dest is a TxTable (has a _txlog): publish with tx = true, or " +
       "remove the _txlog to demote it — a plain overwrite would leave " +
       "TxTable readers pinned to the stale manifest")
-    if (tx) { TxTable.overwrite(df.sparkSession, dest, df); () }
+    if (tx) {
+      TxTable.overwrite(df.sparkSession, dest, df)
+      // the mirror-image trap of the guard above: a tx publish onto a
+      // table previously published single-file would leave the stale
+      // `<table>.parquet` in place (the manifest commit never touches
+      // it), and readers on the single-file contract would silently
+      // serve the pre-tx snapshot forever — remove it AFTER the commit
+      // (a crash in between leaves both publish modes readable: the
+      // manifest serves the new data, the single file the old)
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val single = new org.apache.hadoop.fs.Path(s"$dest/$table.parquet")
+      val fs = org.apache.hadoop.fs.FileSystem.get(single.toUri, conf)
+      if (fs.exists(single)) fs.delete(single, false)
+      ()
+    }
     else write(df, lake, layer, table)
   }
 }

@@ -277,12 +277,31 @@ private[sources] class GraftMicroBatchStream(path: String, spark: SparkSession,
       if (fromV <= 0) Set.empty
       else TxTable.snapshotFiles(spark, path, fromV).toSet
     range.foreach { v =>
-      val cur = TxTable.snapshotFiles(spark, path, v).toSet
-      if (!TxTable.commitMeta(spark, path, v)
-            .get(graft.ops.TxTable.ChangeDataMetaKey).contains("0"))
+      // ONE manifest read per version: meta and file list together —
+      // separate commitMeta + snapshotFiles calls would read and
+      // parse every manifest in the window twice per micro-batch
+      val (meta, files) = TxTable.snapshotWithMeta(spark, path, v)
+      val cur = files.toSet
+      if (!meta.get(graft.ops.TxTable.ChangeDataMetaKey).contains("0"))
         (cur -- prev).foreach(out += _)
       prev = cur
     }
+    // a RENAME/DROP COLUMN inside the window is a silent-corruption
+    // trap: the stream's schema is pinned at start, and planning later
+    // commits' files with a pinned column their footers no longer
+    // carry fills it with NULLS for every subsequent row, no error.
+    // Detect it from the window head's declared schema (carried meta —
+    // already in hand) and fail the stream loudly, like Delta does.
+    if (range.nonEmpty)
+      TxTable.declaredSchema(spark, path, range.last).foreach { ds =>
+        val have = ds.fieldNames.toSet
+        val missing = pinned.fieldNames.filterNot(have)
+        require(missing.isEmpty,
+          s"column(s) ${missing.mkString(", ")} of $path were renamed " +
+          "or dropped mid-stream — the pinned stream schema cannot " +
+          "serve them; restart the stream from a fresh checkpoint " +
+          "against the new schema")
+      }
     out.toSeq.sorted
   }
 

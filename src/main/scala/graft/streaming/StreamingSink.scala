@@ -132,9 +132,14 @@ object StreamingSink {
           guard = Map(txnKey(txnApp) -> batchId))
       }
       else
+        // a latestBy batch is topOnePerGroup output — key-unique by
+        // construction, so merge's duplicate probe (an extra exchange
+        // per micro-batch) is skipped; without latestBy the caller's
+        // uniqueness claim is verified by the probe
         TxTable.merge(spark, path, batch, keyCols, partitionCols,
           meta = Map(txnKey(txnApp) -> batchId.toString),
-          guard = Map(txnKey(txnApp) -> batchId))
+          guard = Map(txnKey(txnApp) -> batchId),
+          checkUniqueKeys = latestBy.isEmpty)
     }
   }
 

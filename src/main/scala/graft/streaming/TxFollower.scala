@@ -198,8 +198,11 @@ object TxFollower {
       // guard aborts if a concurrent same-app run folded this
       // increment first — folding partial state twice would corrupt
       // the view permanently, not just duplicate rows.
+      // combined is a groupBy output — key-unique by construction, so
+      // skip merge's duplicate probe (the grouped-agg exchange it
+      // costs matters at one merge per trigger)
       TxTable.merge(spark, dst, combined, groupCols, meta = meta,
-        nullSafeKeys = true, guard = guard)
+        nullSafeKeys = true, guard = guard, checkUniqueKeys = false)
     }
     Some(head)
   }

@@ -45,6 +45,35 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(meta.keys.exists(_.startsWith("txn.")), meta.toString)
   }
 
+  test("a mid-stream RENAME COLUMN fails the stream loudly instead of nulling the column") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("gss_ren_src") + "/a"
+    val cp = tmp("gss_ren_cp")
+    val out = tmp("gss_ren_out") + "/o"
+    TxTable.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    // the corruption window is a RUNNING query: its schema was pinned
+    // at start, so a rename + append landing mid-stream would plan the
+    // new files with the stale pinned column and fill it with nulls —
+    // the source must fail the query instead (a RESTART re-pins the
+    // current schema and is fine)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .option("path", out).start()
+    try {
+      q.processAllAvailable()
+      TxTable.renameColumn(spark, src, "v", "w")
+      TxTable.append(spark, src, Seq((2L, "b")).toDF("id", "w"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("renamed") || m.contains("dropped")),
+        s"expected the rename guard, got: ${msgs(e).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("the streamed table is a regular TxTable: batch reads, history, downstream streams") {
     val s = spark
     import s.implicits._

@@ -218,4 +218,21 @@ class PipelineSpec extends SparkSpec {
       graft.pipeline.Layers.publish(df, lake2, "gold", "t", tx = false))
     assert(e.getMessage.contains("TxTable"))
   }
+
+  test("a tx publish onto a single-file gold table removes the stale single file") {
+    val s2 = spark
+    import s2.implicits._
+    val lake2 = java.nio.file.Files.createTempDirectory("graft_flip").toString
+    graft.pipeline.Layers.publish(
+      Seq((1L, "old")).toDF("id", "v"), lake2, "gold", "t", tx = false)
+    val single = new java.io.File(s"$lake2/gold/t/t.parquet")
+    assert(single.exists)
+    // flip to tx: the manifest commit alone would leave the old single
+    // file serving the pre-tx snapshot to single-file readers forever
+    graft.pipeline.Layers.publish(
+      Seq((2L, "new")).toDF("id", "v"), lake2, "gold", "t", tx = true)
+    assert(!single.exists, "stale single-file snapshot must be removed")
+    assert(graft.ops.TxTable.read(spark, s"$lake2/gold/t").collect()
+      .map(_.getString(1)).toSeq === Seq("new"))
+  }
 }
