@@ -69,6 +69,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats-pruned readWhere equals the unpruned filter for random And/Or predicates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prop_prune").toString + "/t"
+    // several files with disjoint id ranges + a partition column, so
+    // pruning has real decisions to make on both stats kinds
+    (0 until 4).foreach { b =>
+      TxTable.append(spark, dir,
+        (b * 10 until b * 10 + 10).map(i =>
+          (i.toLong, s"v$i", b % 2)).toDF("id", "v", "part")
+          .coalesce(1), partitionCols = Seq("part"))
+    }
+    val full = TxTable.read(spark, dir)
+    val leafGen: Gen[org.apache.spark.sql.Column] = for {
+      c <- Gen.oneOf("id", "part")
+      n <- Gen.choose(-5L, 45L)
+      op <- Gen.choose(0, 4)
+    } yield op match {
+      case 0 => col(c) === n
+      case 1 => col(c) < n
+      case 2 => col(c) >= n
+      case 3 => col(c) <=> n
+      case _ => col(c) =!= n
+    }
+    def predGen(depth: Int): Gen[org.apache.spark.sql.Column] =
+      if (depth == 0) leafGen
+      else Gen.oneOf(
+        leafGen,
+        for { a <- predGen(depth - 1); b <- predGen(depth - 1) } yield a || b,
+        for { a <- predGen(depth - 1); b <- predGen(depth - 1) } yield a && b)
+    samples(predGen(2), n = 12).foreach { pred =>
+      val pruned = TxTable.readWhere(spark, dir, pred)
+        .collect().map(_.toSeq).toSet
+      val scan = full.filter(pred).collect().map(_.toSeq).toSet
+      assert(pruned == scan,
+        s"pruned read diverged from the full filter under $pred")
+    }
+  }
+
   test("downcast never changes numeric values, only (sometimes) the type") {
     val rowsGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.chooseNum(Long.MinValue, Long.MaxValue),
