@@ -1573,6 +1573,17 @@ object SparkEntry {
       graft.text.TfIdf.keywords(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")),
 
+    // Okapi BM25 search: three fixed queries, top-10 docs each —
+    // broadcast query terms pick only their posting lists, idf is the
+    // one transcendental (rounded to 6 before use), and the
+    // per-(query, doc) sum folds the token-sorted term array in one
+    // defined order (cross-engine bit parity)
+    "q_x_bm25" -> ((s, dir) =>
+      graft.text.Bm25.search(t(s, dir, "documents"), "doc_id", "text",
+          Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+            ("q3", "stream window agg")), topK = 10)
+        .orderBy("query_id", "rank")),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -4279,6 +4290,44 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors Bm25.search: same rounded idf (round(ln, 6) before use),
+    // same parenthesization of the IEEE-exact tail, and the SAME
+    // token-sorted per-(query, doc) summation order (list ORDER BY
+    // token, then an in-order fold — the corpus_divergence pattern)
+    "q_x_bm25" ->
+      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
+         |            FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('q1', 'merge'), ('q1', 'join'), ('q1', 'table'),
+         |    ('q2', 'fast'), ('q2', 'scan'), ('q2', 'query'),
+         |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg'))
+         |  AS t(query_id, token)),
+         |qidf AS (SELECT query_id, f.token,
+         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
+         |  JOIN qt USING (token) CROSS JOIN st),
+         |m AS (SELECT query_id, tf.doc_id, tf.token,
+         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
+         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(token := token, s := s) ORDER BY token),
+         |      x -> x.s), 'sum') AS score
+         |  FROM m GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_x_vocab" ->
       s"""WITH c AS (
