@@ -37,14 +37,23 @@ object SparkEntry {
     * Without this every Bench/Verify round leaks a full table copy
     * into /tmp.
     */
+  // ONE statically-registered hook draining a queue — a hook Thread
+  // per call would accumulate unboundedly across Bench's repeated
+  // query invocations (ApplicationShutdownHooks retains every one
+  // until JVM exit)
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    var d = tmpDirs.poll()
+    while (d != null) { rm(d.toFile); d = tmpDirs.poll() }
+  }))
+
   private def tmpQueryDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
+    tmpDirs.add(d)
     d.toString
   }
 
@@ -818,11 +827,16 @@ object SparkEntry {
       val landing = root + "/landing"; val tbl = root + "/t"
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
       def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val stage = java.nio.file.Files.createTempDirectory("graft_land")
+        // staged under the hook-cleaned temp root (a bare
+        // createTempDirectory here leaked one table copy per call per
+        // round), and the directory stream is closed, not leaked
+        val stage = java.nio.file.Paths.get(tmpQueryDir("graft_land"))
         df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = java.nio.file.Files.list(stage).toArray
-          .map(_.asInstanceOf[java.nio.file.Path])
-          .find(_.toString.endsWith(".parquet")).get
+        val listing = java.nio.file.Files.list(stage)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(landing))
         java.nio.file.Files.copy(part,
@@ -4167,18 +4181,24 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the encoder mirrored ALGORITHMICALLY: per pre-token, seed a
-    // chr(31)-separated symbol string and apply the pinned merges as
-    // nested replaces in rank order (equivalent to the min-rank loop
-    // for a hierarchy-closed table — see the query comment); token
-    // count = separators left + 1
+    // BRACKETED symbol string chr(1)<sym>chr(2) — brackets on BOTH
+    // sides, exactly like the bpe_train oracle, so a merge replace can
+    // never match a longer symbol's SUFFIX against a pattern's left
+    // side (an unbracketed chr(31) form merged 'the'+'r' through the
+    // trailing 'e' of the SYMBOL 'the' on words like 'there') — and
+    // apply the pinned merges as nested replaces in rank order
+    // (equivalent to the min-rank loop for a hierarchy-closed table —
+    // see the query comment); token count = bracketed symbols left
     "q_x_text_bpe_tokens" -> {
-      val seed = "array_to_string(string_split(w, ''), chr(31))"
+      val seed = "array_to_string(list_transform(string_split(w, ''), " +
+        "c -> chr(1)||c||chr(2)), '')"
       val chain = PinnedBpeMerges.foldLeft(seed) { case (acc, (l, r)) =>
-        s"replace($acc, '$l'||chr(31)||'$r', '$l$r')"
+        s"replace($acc, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
+          s"chr(1)||'$l$r'||chr(2))"
       }
       s"""SELECT doc_id, CAST(coalesce(list_sum(list_transform(
          |    regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}'),
-         |    w -> len(string_split($chain, chr(31))))), 0) AS INTEGER)
+         |    w -> len(string_split($chain, chr(2)||chr(1))))), 0) AS INTEGER)
          |  AS n_bpe_sub
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -4216,7 +4236,7 @@ object SparkEntry {
          |    SELECT unnest(regexp_extract_all(text, '$pat')) AS w
          |    FROM documents)
          |  GROUP BY 1 ORDER BY c DESC, w ASC LIMIT 20000),
-         |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g') AS ws, c
+         |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS ws, c
          |  FROM h0),
          |$rounds
          |$union

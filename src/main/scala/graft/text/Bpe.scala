@@ -122,8 +122,7 @@ object Bpe {
     flatten(transform(TextAnalysis.tokensBpe(text), w =>
       org.apache.spark.sql.GraftShim.toColumn(
         graft.functions.BpeWordEncode(
-          org.apache.spark.sql.GraftShim.toExpression(
-            org.apache.spark.sql.SparkSession.active, w), coder))))
+          org.apache.spark.sql.GraftShim.toExpression(w), coder))))
   }
 
   /** Token count under a trained vocab — the budget-decision number. */

@@ -90,11 +90,9 @@ object TextAnalysis {
     * (digest bytes → long directly); [[md5Hash60Sql]] keeps the
     * original Column formulation both expressions must match.
     */
-  def md5Hash60(c: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def md5Hash60(c: Column): Column =
     org.apache.spark.sql.GraftShim.toColumn(graft.functions.Md5Hash60Expr(
-      org.apache.spark.sql.GraftShim.toExpression(spark, c.cast("string"))))
-  }
+      org.apache.spark.sql.GraftShim.toExpression(c.cast("string"))))
 
   /** Reference formulation of [[md5Hash60]] in plain Column functions —
     * the bit-equality yardstick for the native expression (pinned by
@@ -110,11 +108,9 @@ object TextAnalysis {
     * ([[graft.functions.UnicodeNormalizeNfc]]), already-NFC input (all
     * ASCII included) passes through without allocation.
     */
-  def normalizeNfc(c: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def normalizeNfc(c: Column): Column =
     org.apache.spark.sql.GraftShim.toColumn(graft.functions.UnicodeNormalizeNfc(
-      org.apache.spark.sql.GraftShim.toExpression(spark, c.cast("string"))))
-  }
+      org.apache.spark.sql.GraftShim.toExpression(c.cast("string"))))
 
   /** Per-language stopword lists used by [[langScores]]. Deliberately
     * tiny — this is the classic cheap n-gram/stopword heuristic, not a

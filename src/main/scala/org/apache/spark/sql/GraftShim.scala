@@ -54,7 +54,10 @@ object GraftShim {
       new org.apache.hadoop.mapreduce.TaskID(
         new org.apache.hadoop.mapreduce.JobID("graft-stream", 0),
         org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
-      taskId.toInt)
+      // mask to non-negative: a bare toInt wraps negative past 2^31
+      // task attempts, colliding attempts 2^32 apart and producing
+      // negative attempt ids in committer/temp-file naming
+      (taskId & 0x7fffffffL).toInt)
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, attempt)
     val w = factory
@@ -62,8 +65,18 @@ object GraftShim {
       .newInstance(path, schema, ctx)
     (w.write, () => w.close())
   }
-  def toExpression(spark: SparkSession, c: Column): Expression =
+  /** Column → Catalyst expression. Needs NO session —
+    * `ExpressionUtils.expression` is a pure node conversion, so pure
+    * Column-building code works before any session exists.
+    */
+  def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Legacy shape — the session was never used; kept so existing call
+    * sites compile, delegating to the session-free form.
+    */
+  def toExpression(spark: SparkSession, c: Column): Expression =
+    toExpression(c)
 
   /** `Dataset.ofRows` is `private[sql]`; the SQL command layer needs it
     * to turn a parsed sub-plan (a CTAS query, a MERGE source) back into
