@@ -1440,6 +1440,26 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "text")
         .orderBy("g_a", "g_b")),
 
+    // hybrid search: BM25 (lexical) + brute-force cosine (dense, over
+    // the id-aligned embeddings) fused by Reciprocal Rank Fusion —
+    // rank-only contributions 1/(60 + rank) summed per (query, doc)
+    // in src-tag order, top-10 per query. The upstream rankers carry
+    // the corpus-scale work; fusion sees queries × k rows.
+    "q_x_hybrid_search" -> ((s, dir) => {
+      val lex = graft.text.Bm25.search(t(s, dir, "documents"), "doc_id",
+          "text", Seq(("0", "merge join table"), ("1", "fast scan query"),
+            ("2", "stream window agg")), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.ann.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // collocations: PMI over a 2-token lookahead window, pairs seen
     // >= 20 times — marginals from the pair table itself, ln rounded
     // to 6 per the cross-engine convention
@@ -3840,6 +3860,74 @@ object SparkEntry {
          |    AS jaccard
          |FROM ap LEFT JOIN i ON ap.g_a = i.g_a AND ap.g_b = i.g_b
          |ORDER BY 1, 2""".stripMargin,
+
+    // mirrors HybridSearch.rrf over Bm25.search + bruteForceTopK: the
+    // same BM25 chain at top-20, the same cosine brute force over the
+    // id-aligned embeddings at top-20, contributions 1.0/(60.0 + rank)
+    // summed per (query, doc) in src-tag order — all doubles derive
+    // from integer ranks, so the fold is bit-exact cross-engine
+    "q_x_hybrid_search" ->
+      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
+         |            FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('0', 'merge'), ('0', 'join'), ('0', 'table'),
+         |    ('1', 'fast'), ('1', 'scan'), ('1', 'query'),
+         |    ('2', 'stream'), ('2', 'window'), ('2', 'agg'))
+         |  AS t(query_id, token)),
+         |qidf AS (SELECT query_id, f.token,
+         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
+         |  JOIN qt USING (token) CROSS JOIN st),
+         |bm AS (SELECT query_id, tf.doc_id, tf.token,
+         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
+         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
+         |bmsc AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(token := token, s := s) ORDER BY token),
+         |      x -> x.s), 'sum') AS score
+         |  FROM bm GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM bmsc QUALIFY rank <= 20),
+         |dsc AS (SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+         |    c.vec_id AS doc_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |denser AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
+         |  FROM dsc QUALIFY rank <= 20),
+         |contrib AS (
+         |  SELECT query_id, doc_id, 'r000' AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lexr
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 'r001' AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM denser),
+         |fused AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(src := src, c := c) ORDER BY src),
+         |      x -> x.c), 'sum') AS rrf_score,
+         |    CAST(COUNT(*) AS INTEGER) AS n_rankers
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, rrf_score, n_rankers,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf_score, n_rankers FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid-search fusion by Reciprocal Rank Fusion (Cormack et al.) —
+  * the standard way a retrieval pipeline combines a LEXICAL ranking
+  * ([[Bm25]]) with a DENSE one ([[graft.ann.Similarity]]): each ranker
+  * contributes 1/(k + rank) for every document it returned, summed per
+  * (query, document). RRF needs no score calibration between rankers
+  * (ranks only), which is exactly why it is the default fusion in
+  * production search stacks (north-star extension; the reference has
+  * no text ops, SURVEY.md §2.8).
+  *
+  * Scale shape: the inputs are already top-k-BOUNDED per query (each
+  * ranker's output is queries × k rows, however big the corpus), so
+  * fusion is one union + one partial-aggregable groupBy + a per-QUERY
+  * window — the corpus-scale work lives in the upstream rankers.
+  *
+  * Determinism, cross-engine: contributions are 1/(k + rank) from
+  * integer ranks (IEEE-exact in any engine), and the per-(query, doc)
+  * sum folds contributions sorted by a per-ranker tag in one defined
+  * order (the [[CorpusDivergence]] pattern), so the DuckDB oracle
+  * hash-matches bit-exactly.
+  */
+object HybridSearch {
+
+  /** Fuse `rankings` — each (queryCol, idCol, rankCol) with rank 1 =
+    * best — into (queryCol, rankCol, idCol, outCol, n_rankers), top
+    * `topK` per query, ties broken by document id. `k` is RRF's
+    * dampening constant (60 in the original paper: rank differences
+    * deep in the lists matter less than agreement near the top).
+    */
+  def rrf(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+          rankCol: String = "rank", k: Int = 60, topK: Int = 10,
+          outCol: String = "rrf_score"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 0, "k must be non-negative")
+    require(topK > 0, "topK must be positive")
+    // positional tags give the fold its defined order; zero-padded so
+    // lexicographic order == ranker order past 10 rankers
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(queryCol).as("__q"), col(idCol).as("__d"),
+        lit(f"r$i%03d").as("__src"),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")))
+          .as("__c"))
+    }.reduce(_.unionByName(_))
+    val fused = tagged.groupBy(col("__q"), col("__d"))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("__src"),
+            col("__c")))), lit(0.0), (a, x) => a + x.getField("__c"))
+          .as(outCol),
+        count(lit(1)).cast("int").as("n_rankers"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__q").orderBy(col(outCol).desc, col("__d").asc)
+    fused.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= topK)
+      .select(col("__q").as(queryCol), col(rankCol), col("__d").as(idCol),
+        col(outCol), col("n_rankers"))
+  }
+}

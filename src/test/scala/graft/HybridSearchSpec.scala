@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.HybridSearch
+
+case class Ranked(query_id: String, doc_id: Long, rank: Int)
+
+class HybridSearchSpec extends SparkSpec {
+
+  test("rrf equals the hand-computed fusion on a known fixture") {
+    val lex = df(Seq(
+      Ranked("q", 1L, 1), Ranked("q", 2L, 2), Ranked("q", 3L, 3)))
+    val dense = df(Seq(
+      Ranked("q", 2L, 1), Ranked("q", 4L, 2), Ranked("q", 1L, 3)))
+    val out = HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+      k = 60, topK = 10).orderBy("rank").collect()
+    def c(r: Int) = 1.0 / (60.0 + r)
+    val expected = Map(
+      1L -> (c(1) + c(3)), 2L -> (c(2) + c(1)),
+      3L -> c(3), 4L -> c(2))
+    val got = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got === expected)
+    // doc 2 (high in both) beats doc 1 (top in one, deep in the other)
+    val rankOf = out.map(r => r.getLong(2) -> r.getInt(1)).toMap
+    assert(rankOf(2L) === 1 && rankOf(1L) === 2)
+    // n_rankers says how many lists each doc appeared in
+    val n = out.map(r => r.getLong(2) -> r.getInt(4)).toMap
+    assert(n === Map(1L -> 2, 2L -> 2, 3L -> 1, 4L -> 1))
+  }
+
+  test("agreement beats a single high rank (the RRF property)") {
+    // doc 10: rank 3 in BOTH lists; doc 11: rank 1 in one list only.
+    // 2/(60+3) = 0.0317 > 1/(60+1) = 0.0164 — consensus wins.
+    val a = df(Seq(Ranked("q", 11L, 1), Ranked("q", 12L, 2),
+      Ranked("q", 10L, 3)))
+    val b = df(Seq(Ranked("q", 13L, 1), Ranked("q", 14L, 2),
+      Ranked("q", 10L, 3)))
+    val top = HybridSearch.rrf(Seq(a, b), "query_id", "doc_id",
+      topK = 1).collect()
+    assert(top.head.getLong(2) === 10L)
+  }
+
+  test("deterministic under repartitioning; per-query isolation") {
+    val a = df((1 to 30).map(i => Ranked(s"q${i % 3}", i.toLong, i / 3 + 1)))
+    val b = df((1 to 30).map(i => Ranked(s"q${i % 3}", (31 - i).toLong, i / 3 + 1)))
+    val r1 = HybridSearch.rrf(Seq(a, b), "query_id", "doc_id", topK = 5)
+      .collect().map(_.toSeq).toSet
+    val r2 = HybridSearch.rrf(Seq(a.repartition(7), b.repartition(5)),
+      "query_id", "doc_id", topK = 5).collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+    assert(r1.groupBy(_.head).forall(_._2.size == 5),
+      "each query gets its own top-5")
+  }
+}
