@@ -2000,6 +2000,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ranking metrics: recall@5 and MRR of single-probe LSH against
+    // the exact brute-force truth, per query — the measured cost of
+    // the bucketing, as an oracled frame (ints and two IEEE divisions)
+    "q_x_ranking_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, qs, k = 5)
+      val cand = Similarity.lshTopK(emb, qs, k = 5, numPlanes = 4)
+      graft.ann.RankingMetrics.compare(cand, truth, "query_id",
+          "neighbor_id", k = 5)
+        .orderBy("query_id")
+    }),
+
     "q_x_ann_lsh_mp" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4,
@@ -4513,6 +4526,56 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // mirrors RankingMetrics.compare(lshTopK, bruteForceTopK): both
+    // rankings replayed with their own proven CTE chains, then
+    // truth-side counts LEFT-join candidate hits — recall/mrr from
+    // integer counts and ranks, one IEEE division each
+    "q_x_ranking_metrics" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH cb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cb)
+         |  WHERE rnk <= 5),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |lq AS (SELECT vec_id AS query_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE vec_id < 8 AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |res AS (SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT lq.query_id, lc.neighbor_id,
+         |      row_number() OVER (PARTITION BY lq.query_id
+         |        ORDER BY ${sqlDot("lq.embedding", "lc.embedding")}
+         |          / (lq.qn * lc.cn) DESC, lc.neighbor_id) AS rnk
+         |    FROM lc JOIN lq ON lc.bucket = lq.bucket
+         |      AND lq.query_id <> lc.neighbor_id)
+         |  WHERE rnk <= 5),
+         |nt AS (SELECT query_id, COUNT(*) AS n_truth FROM tr GROUP BY 1),
+         |h AS (SELECT r.query_id, COUNT(*) AS n_hits,
+         |    MIN(r.rnk) AS first
+         |  FROM res r JOIN tr USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    AS recall,
+         |  COALESCE(1.0 / CAST(first AS DOUBLE), 0.0) AS mrr
+         |FROM nt LEFT JOIN h ON nt.query_id = h.query_id
+         |ORDER BY nt.query_id""".stripMargin
     },
 
     // multi-probe: each query also probes the 4 buckets at Hamming

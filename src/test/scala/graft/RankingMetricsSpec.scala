@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.RankingMetrics
+
+case class RmRow(query_id: Long, neighbor_id: Long, rank: Int)
+
+class RankingMetricsSpec extends SparkSpec {
+
+  test("recall and mrr match hand computation, including the total-miss query") {
+    val truth = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 11L, 2), RmRow(1L, 12L, 3),
+      RmRow(2L, 20L, 1), RmRow(2L, 21L, 2), RmRow(2L, 22L, 3)))
+    val cand = df(Seq(
+      // q1: hits 11 (rank 1) and 12 (rank 3) of 3 truths -> recall 2/3
+      RmRow(1L, 11L, 1), RmRow(1L, 99L, 2), RmRow(1L, 12L, 3),
+      // q2: no overlap at all -> recall 0, mrr 0, row still present
+      RmRow(2L, 90L, 1), RmRow(2L, 91L, 2), RmRow(2L, 92L, 3)))
+    val out = RankingMetrics.compare(cand, truth, "query_id",
+      "neighbor_id", k = 3).orderBy("query_id").collect()
+    assert(out.length === 2)
+    val q1 = out(0)
+    assert(q1.getLong(1) === 3L && q1.getLong(2) === 2L)
+    assert(q1.getDouble(3) === 2.0 / 3.0)
+    assert(q1.getDouble(4) === 1.0) // first truth member at rank 1
+    val q2 = out(1)
+    assert(q2.getLong(2) === 0L && q2.getDouble(3) === 0.0 &&
+      q2.getDouble(4) === 0.0)
+  }
+
+  test("k bounds both sides: deeper ranks do not count") {
+    val truth = df(Seq(RmRow(1L, 10L, 1), RmRow(1L, 11L, 2),
+      RmRow(1L, 12L, 3)))
+    val cand = df(Seq(RmRow(1L, 99L, 1), RmRow(1L, 10L, 2),
+      RmRow(1L, 11L, 3)))
+    val r2 = RankingMetrics.compare(cand, truth, "query_id",
+      "neighbor_id", k = 2).collect().head
+    // at k=2: truth {10,11}, candidate {99,10} -> 1 hit at rank 2
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 1L)
+    assert(r2.getDouble(3) === 0.5 && r2.getDouble(4) === 0.5)
+  }
+
+  test("identical rankings score perfect recall and mrr") {
+    val a = df((1 to 5).map(i => RmRow(7L, i.toLong, i)))
+    val out = RankingMetrics.compare(a, a, "query_id", "neighbor_id",
+      k = 5).collect().head
+    assert(out.getDouble(3) === 1.0 && out.getDouble(4) === 1.0)
+  }
+}
