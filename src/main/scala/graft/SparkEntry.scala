@@ -1460,6 +1460,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the 100 TB posture of the same fusion: the dense ranker is the
+    // IVF index, not the guarded brute-force baseline. Probed at
+    // nprobe = numLists here so the exhaustive-search oracle applies
+    // exactly (full probe ≡ bruteForceTopK, pinned by SqAnnSpec);
+    // production serves nprobe < numLists from the same code path —
+    // HybridSearchSpec quantifies that recall trade with
+    // RankingMetrics on real embeddings
+    "q_x_hybrid_search_ivf" -> ((s, dir) => {
+      val lex = graft.text.Bm25.search(t(s, dir, "documents"), "doc_id",
+          "text", Seq(("0", "merge join table"), ("1", "fast scan query"),
+            ("2", "stream window agg")), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.ann.Similarity.ivfTopK(emb,
+          emb.filter(col("vec_id") < 3), k = 20, numLists = 8, nprobe = 8)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // collocations: PMI over a 2-token lookahead window, pairs seen
     // >= 20 times — marginals from the pair table itself, ln rounded
     // to 6 per the cross-engine convention
@@ -2013,6 +2035,20 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // nDCG@5 of the same LSH-vs-brute pairing: graded relevance from
+    // truth rank (best truth doc worth k, k-th worth 1), log2 discount
+    // rounded to 6 before the division, per-query sums folded in rank
+    // order — the metric that ranks rankers, as an oracled frame
+    "q_x_ranking_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, qs, k = 5)
+      val cand = Similarity.lshTopK(emb, qs, k = 5, numPlanes = 4)
+      graft.ann.RankingMetrics.ndcg(cand, truth, "query_id",
+          "neighbor_id", k = 5)
+        .orderBy("query_id")
+    }),
+
     "q_x_ann_lsh_mp" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4,
@@ -2349,6 +2385,72 @@ object SparkEntry {
        |  lang_pred, quality
        |FROM m WHERE quality >= 0.3
        |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin
+
+  /** Shared by q_x_hybrid_search and q_x_hybrid_search_ivf: probing
+    * every IVF list IS exhaustive search (pinned by SqAnnSpec), so the
+    * brute-force dense CTE is the exact oracle for both fixtures. */
+  private lazy val hybridSearchOracle: String =
+      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
+         |            FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('0', 'merge'), ('0', 'join'), ('0', 'table'),
+         |    ('1', 'fast'), ('1', 'scan'), ('1', 'query'),
+         |    ('2', 'stream'), ('2', 'window'), ('2', 'agg'))
+         |  AS t(query_id, token)),
+         |qidf AS (SELECT query_id, f.token,
+         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
+         |  JOIN qt USING (token) CROSS JOIN st),
+         |bm AS (SELECT query_id, tf.doc_id, tf.token,
+         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
+         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
+         |bmsc AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(token := token, s := s) ORDER BY token),
+         |      x -> x.s), 'sum') AS score
+         |  FROM bm GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM bmsc QUALIFY rank <= 20),
+         |dsc AS (SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+         |    c.vec_id AS doc_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |denser AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
+         |  FROM dsc QUALIFY rank <= 20),
+         |contrib AS (
+         |  SELECT query_id, doc_id, 'r000' AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lexr
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 'r001' AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM denser),
+         |fused AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(src := src, c := c) ORDER BY src),
+         |      x -> x.c), 'sum') AS rrf_score,
+         |    CAST(COUNT(*) AS INTEGER) AS n_rankers
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, rrf_score, n_rankers,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf_score, n_rankers FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_s1_scan_filter" ->
@@ -3879,68 +3981,9 @@ object SparkEntry {
     // id-aligned embeddings at top-20, contributions 1.0/(60.0 + rank)
     // summed per (query, doc) in src-tag order — all doubles derive
     // from integer ranks, so the fold is bit-exact cross-engine
-    "q_x_hybrid_search" ->
-      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
-         |            FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
-         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
-         |qt AS (SELECT * FROM (VALUES
-         |    ('0', 'merge'), ('0', 'join'), ('0', 'table'),
-         |    ('1', 'fast'), ('1', 'scan'), ('1', 'query'),
-         |    ('2', 'stream'), ('2', 'window'), ('2', 'agg'))
-         |  AS t(query_id, token)),
-         |qidf AS (SELECT query_id, f.token,
-         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
-         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
-         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
-         |  JOIN qt USING (token) CROSS JOIN st),
-         |bm AS (SELECT query_id, tf.doc_id, tf.token,
-         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
-         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
-         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
-         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
-         |bmsc AS (SELECT query_id, doc_id,
-         |    list_aggregate(list_transform(
-         |      list(struct_pack(token := token, s := s) ORDER BY token),
-         |      x -> x.s), 'sum') AS score
-         |  FROM bm GROUP BY 1, 2),
-         |lexr AS (SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-         |  FROM bmsc QUALIFY rank <= 20),
-         |dsc AS (SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
-         |    c.vec_id AS doc_id,
-         |    ${sqlDot("q.embedding", "c.embedding")}
-         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
-         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
-         |  FROM embeddings q JOIN embeddings c
-         |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id
-         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
-         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
-         |denser AS (SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
-         |  FROM dsc QUALIFY rank <= 20),
-         |contrib AS (
-         |  SELECT query_id, doc_id, 'r000' AS src,
-         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lexr
-         |  UNION ALL
-         |  SELECT query_id, doc_id, 'r001' AS src,
-         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM denser),
-         |fused AS (SELECT query_id, doc_id,
-         |    list_aggregate(list_transform(
-         |      list(struct_pack(src := src, c := c) ORDER BY src),
-         |      x -> x.c), 'sum') AS rrf_score,
-         |    CAST(COUNT(*) AS INTEGER) AS n_rankers
-         |  FROM contrib GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, rrf_score, n_rankers,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
-         |  FROM fused)
-         |SELECT query_id, rank, doc_id, rrf_score, n_rankers FROM r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_x_hybrid_search" -> hybridSearchOracle,
+
+    "q_x_hybrid_search_ivf" -> hybridSearchOracle,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same
@@ -4576,6 +4619,65 @@ object SparkEntry {
          |  COALESCE(1.0 / CAST(first AS DOUBLE), 0.0) AS mrr
          |FROM nt LEFT JOIN h ON nt.query_id = h.query_id
          |ORDER BY nt.query_id""".stripMargin
+    },
+
+    // mirrors RankingMetrics.ndcg(lshTopK, bruteForceTopK): graded
+    // relevance rel = k + 1 - truth_rank, discount round(log2(r+1), 6)
+    // BEFORE the division (the repo's 6-decimal transcendental
+    // convention), per-query sums folded in rank order — bit parity
+    // with the sorted-struct aggregate on the Spark side
+    "q_x_ranking_ndcg" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH cb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |tr AS (SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cb)
+         |  WHERE rnk <= 5),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |lq AS (SELECT vec_id AS query_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE vec_id < 8 AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |res AS (SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT lq.query_id, lc.neighbor_id,
+         |      row_number() OVER (PARTITION BY lq.query_id
+         |        ORDER BY ${sqlDot("lq.embedding", "lc.embedding")}
+         |          / (lq.qn * lc.cn) DESC, lc.neighbor_id) AS rnk
+         |    FROM lc JOIN lq ON lc.bucket = lq.bucket
+         |      AND lq.query_id <> lc.neighbor_id)
+         |  WHERE rnk <= 5),
+         |it AS (SELECT query_id, COUNT(*) AS n_truth,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(r := rnk, g :=
+         |        (CAST(6 AS DOUBLE) - CAST(rnk AS DOUBLE))
+         |          / round(log2(CAST(rnk AS DOUBLE) + 1.0), 6))
+         |        ORDER BY rnk), x -> x.g), 'sum') AS idcg
+         |  FROM tr GROUP BY 1),
+         |h AS (SELECT r.query_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(r := r.rnk, g :=
+         |        (CAST(6 AS DOUBLE) - CAST(t.rnk AS DOUBLE))
+         |          / round(log2(CAST(r.rnk AS DOUBLE) + 1.0), 6))
+         |        ORDER BY r.rnk), x -> x.g), 'sum') AS dcg
+         |  FROM res r JOIN tr t USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT it.query_id, n_truth,
+         |  COALESCE(dcg, 0.0) AS dcg, idcg,
+         |  COALESCE(dcg, 0.0) / idcg AS ndcg
+         |FROM it LEFT JOIN h ON it.query_id = h.query_id
+         |ORDER BY it.query_id""".stripMargin
     },
 
     // multi-probe: each query also probes the 4 buckets at Hamming

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ranking-quality metrics between a CANDIDATE ranking and a TRUTH
@@ -27,11 +27,19 @@ object RankingMetrics {
               idCol: String, k: Int,
               rankCol: String = "rank"): DataFrame = {
     require(k > 0, "k must be positive")
+    // (query, doc) keys are forced unique here rather than assumed:
+    // a ranking that lists a document twice (a buggy upstream fusion,
+    // a union of shards) would otherwise inflate n_hits/n_truth and
+    // recall could exceed 1.0 silently. Keeping min(rank) preserves
+    // mrr's "first position the truth member appears at" meaning.
+    // Both frames are queries × k rows, so the extra combine is noise.
     val r = candidate.filter(col(rankCol) <= k)
       .select(col(queryCol).as("__q"), col(idCol).as("__d"),
         col(rankCol).as("__r"))
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
     val t = truth.filter(col(rankCol) <= k)
       .select(col(queryCol).as("__tq"), col(idCol).as("__td"))
+      .dropDuplicates("__tq", "__td")
     val nTruth = t.groupBy(col("__tq")).agg(count(lit(1)).as("n_truth"))
     val hits = r.join(t,
         col("__q") === col("__tq") && col("__d") === col("__td"))
@@ -48,5 +56,65 @@ object RankingMetrics {
           col("n_truth").cast("double")).as("recall"),
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
           .as("mrr"))
+  }
+
+  /** nDCG@k — the graded-relevance metric that actually RANKS rankers
+    * (recall@k treats position 1 and position k the same; MRR sees
+    * only the first hit). Relevance is graded by TRUTH rank:
+    * `rel(doc) = k + 1 − truth_rank`, so the truth's best document is
+    * worth k and its k-th is worth 1 — the standard way to get graded
+    * labels out of a ranking-only ground truth. Per query:
+    *
+    *   dcg  = Σ_{hits} rel(doc) / log2(candidate_rank + 1)
+    *   idcg = Σ_{i=1..n_truth} (k + 1 − i) / log2(i + 1)
+    *   ndcg = dcg / idcg   (1.0 ⟺ candidate reproduces the truth order)
+    *
+    * Scale shape: identical to [[compare]] — both inputs are already
+    * top-k-bounded per query, one equi-join + two partial-aggregable
+    * groupBys. Determinism, cross-engine: `log2` is the one
+    * transcendental, rounded to 6 decimals BEFORE the division (the
+    * repo's round(ln, 6) convention); each per-query sum folds the
+    * rank-sorted gain array in one defined order, so an independent
+    * engine reproduces the hash bit-exactly. Duplicate (query, doc)
+    * rows are collapsed to their best rank, as in [[compare]].
+    */
+  def ndcg(candidate: DataFrame, truth: DataFrame, queryCol: String,
+           idCol: String, k: Int,
+           rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val r = candidate.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(idCol).as("__d"),
+        col(rankCol).as("__r"))
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__tq"), col(idCol).as("__td"),
+        col(rankCol).as("__tr"))
+      .groupBy(col("__tq"), col("__td")).agg(min(col("__tr")).as("__tr"))
+    def gain(rel: Column, atRank: Column): Column =
+      rel / round(log2(atRank.cast("double") + lit(1.0)), 6)
+    val rel = lit(k + 1).cast("double") - col("__tr").cast("double")
+    // ideal order IS truth-rank order (relevance is monotone in it)
+    val ideal = t
+      .select(col("__tq"), col("__tr"), gain(rel, col("__tr")).as("__g"))
+      .groupBy(col("__tq"))
+      .agg(count(lit(1)).as("n_truth"),
+        aggregate(array_sort(collect_list(struct(col("__tr"),
+            col("__g")))), lit(0.0), (a, x) => a + x.getField("__g"))
+          .as("idcg"))
+    val hits = r.join(t,
+        col("__q") === col("__tq") && col("__d") === col("__td"))
+      .select(col("__q"), col("__r"), gain(rel, col("__r")).as("__g"))
+      .groupBy(col("__q"))
+      .agg(aggregate(array_sort(collect_list(struct(col("__r"),
+          col("__g")))), lit(0.0), (a, x) => a + x.getField("__g"))
+        .as("__dcg"))
+    // left from the TRUTH side, as in compare: a query whose candidate
+    // list misses the truth entirely reports dcg 0.0 / ndcg 0.0
+    ideal.join(hits, col("__tq") === col("__q"), "left")
+      .select(col("__tq").as(queryCol),
+        col("n_truth"),
+        coalesce(col("__dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("__dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
 }

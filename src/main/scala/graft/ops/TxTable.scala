@@ -417,6 +417,15 @@ object TxTable {
     val parts0 = declaredPartitionColsAt(fs0, p0, v0).getOrElse(Nil)
     require(!parts0.contains(name),
       s"'$name' became a partition column concurrently — retry")
+    // the last-data-column invariant re-asserted against the PINNED
+    // schema/layout: a concurrent drop landing between the early check
+    // and the pin could otherwise make this drop remove the final
+    // non-partition column, failing later with the opaque write error
+    // this guard exists to pre-empt
+    require(schema.fields.exists(f =>
+        f.name != name && !parts0.contains(f.name)),
+      s"cannot drop '$name' of $path: it is the last data " +
+        "(non-partition) column (a concurrent drop landed — retry)")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     commit(spark, path, snapshot.drop(name), "dropcol",
       (_, _) => Seq.empty, parts0,

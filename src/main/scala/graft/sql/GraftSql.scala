@@ -516,10 +516,15 @@ object GraftSql {
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
-        // inside '…'/"…" a backslash escapes the next char (Spark's
-        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
-        // scanner in sync — backticks escape by doubling, which the
-        // close-and-reopen below already handles
+        // inside '…'/"…" a backslash escapes the next char; skipping
+        // both keeps the scanner in sync with Spark's LEXER, which
+        // consumes \\' as an escaped quote under EVERY config —
+        // escapedStringLiterals=true only disables the post-lex
+        // unescaping ('it\\'s' stays one token whose value keeps the
+        // backslash; a literal ending in a lone backslash is a parse
+        // error in Spark itself), so this scan is config-independent.
+        // Backticks escape by doubling, which the close-and-reopen
+        // below already handles.
         if (c == '\\' && quote != '`') i += 1
         else if (c == quote) quote = 0
       }
@@ -568,10 +573,15 @@ object GraftSql {
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
-        // inside '…'/"…" a backslash escapes the next char (Spark's
-        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
-        // scanner in sync — backticks escape by doubling, which the
-        // close-and-reopen below already handles
+        // inside '…'/"…" a backslash escapes the next char; skipping
+        // both keeps the scanner in sync with Spark's LEXER, which
+        // consumes \\' as an escaped quote under EVERY config —
+        // escapedStringLiterals=true only disables the post-lex
+        // unescaping ('it\\'s' stays one token whose value keeps the
+        // backslash; a literal ending in a lone backslash is a parse
+        // error in Spark itself), so this scan is config-independent.
+        // Backticks escape by doubling, which the close-and-reopen
+        // below already handles.
         if (c == '\\' && quote != '`') i += 1
         else if (c == quote) quote = 0
       }
@@ -614,10 +624,15 @@ object GraftSql {
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
-        // inside '…'/"…" a backslash escapes the next char (Spark's
-        // non-ANSI literal grammar: 'it\\'s'); skipping both keeps the
-        // scanner in sync — backticks escape by doubling, which the
-        // close-and-reopen below already handles
+        // inside '…'/"…" a backslash escapes the next char; skipping
+        // both keeps the scanner in sync with Spark's LEXER, which
+        // consumes \\' as an escaped quote under EVERY config —
+        // escapedStringLiterals=true only disables the post-lex
+        // unescaping ('it\\'s' stays one token whose value keeps the
+        // backslash; a literal ending in a lone backslash is a parse
+        // error in Spark itself), so this scan is config-independent.
+        // Backticks escape by doubling, which the close-and-reopen
+        // below already handles.
         if (c == '\\' && quote != '`') i += 1
         else if (c == quote) quote = 0
       }

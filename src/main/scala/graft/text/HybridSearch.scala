@@ -38,12 +38,19 @@ object HybridSearch {
     require(k >= 0, "k must be non-negative")
     require(topK > 0, "topK must be positive")
     // positional tags give the fold its defined order; zero-padded so
-    // lexicographic order == ranker order past 10 rankers
+    // lexicographic order == ranker order past 10 rankers. Each
+    // ranker's (query, doc) keys are forced unique — best (lowest)
+    // rank wins — so a ranking carrying duplicate rows (a buggy
+    // upstream, a union of shards) cannot double-contribute to
+    // rrf_score or inflate n_rankers; after this, count(*) per
+    // (query, doc) IS the distinct-ranker count. Each input is
+    // queries × k rows, so the extra combine is noise.
     val tagged = rankings.zipWithIndex.map { case (df, i) =>
       df.select(col(queryCol).as("__q"), col(idCol).as("__d"),
-        lit(f"r$i%03d").as("__src"),
-        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")))
-          .as("__c"))
+          col(rankCol).cast("double").as("__r"))
+        .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+        .select(col("__q"), col("__d"), lit(f"r$i%03d").as("__src"),
+          (lit(1.0) / (lit(k.toDouble) + col("__r"))).as("__c"))
     }.reduce(_.unionByName(_))
     val fused = tagged.groupBy(col("__q"), col("__d"))
       .agg(

@@ -99,6 +99,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getInt(2) === 1)
   }
 
+  test("escapedStringLiterals=true: the scanner still mirrors Spark's lexer") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    Seq((3L, "old", 0)).toDF("id", "note", "flag")
+      .createOrReplaceTempView("esc_lit_base")
+    spark.sql(s"CREATE TABLE graft.`$table` AS SELECT * FROM esc_lit_base")
+    // this config only disables the post-lex UNESCAPING — the lexer
+    // still consumes \' as an escaped quote (a literal ending in a
+    // lone backslash is a parse error in Spark itself under every
+    // config), so the statement scanner's backslash-skip must stay on:
+    // the \' below must NOT end the literal, the comma and WHERE after
+    // it are top-level, and the stored value keeps the backslash
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      spark.sql(
+        s"UPDATE graft.`$table` SET note = 'it\\'s raw', flag = 1 WHERE id = 3")
+    } finally {
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    }
+    val row = TxTable.read(spark, table).head()
+    assert(row.getString(1) === "it\\'s raw")
+    assert(row.getInt(2) === 1)
+  }
+
   test("SQL MERGE ≡ TxTable.merge on the same input") {
     val s = spark
     import s.implicits._

@@ -52,4 +52,20 @@ class HybridSearchSpec extends SparkSpec {
     assert(r1.groupBy(_.head).forall(_._2.size == 5),
       "each query gets its own top-5")
   }
+
+  test("duplicate rows within one ranking contribute once, at their best rank") {
+    // doc 1 listed TWICE by the lexical ranker (ranks 1 and 2) and
+    // once by the dense one: it must contribute 1/(60+1) once per
+    // ranker, and n_rankers must read 2, not 3
+    val lex = df(Seq(Ranked("q", 1L, 1), Ranked("q", 1L, 2),
+      Ranked("q", 2L, 3)))
+    val dense = df(Seq(Ranked("q", 1L, 1)))
+    val out = HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+      topK = 10).collect()
+    val d1 = out.find(_.getLong(2) == 1L).get
+    assert(d1.getDouble(3) === 2.0 / 61.0)
+    assert(d1.getInt(4) === 2)
+    val d2 = out.find(_.getLong(2) == 2L).get
+    assert(d2.getInt(4) === 1)
+  }
 }

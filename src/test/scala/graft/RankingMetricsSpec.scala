@@ -47,4 +47,61 @@ class RankingMetricsSpec extends SparkSpec {
       k = 5).collect().head
     assert(out.getDouble(3) === 1.0 && out.getDouble(4) === 1.0)
   }
+
+  test("duplicate (query, doc) rows collapse to best rank — recall capped at 1.0") {
+    val truth = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 10L, 1), RmRow(1L, 11L, 2)))
+    val cand = df(Seq(
+      // doc 10 listed twice (ranks 2 and 3): one hit, mrr from rank 2
+      RmRow(1L, 10L, 2), RmRow(1L, 10L, 3),
+      RmRow(1L, 11L, 3), RmRow(1L, 11L, 3)))
+    val out = RankingMetrics.compare(cand, truth, "query_id",
+      "neighbor_id", k = 3).collect().head
+    assert(out.getLong(1) === 2L, "n_truth deduped")
+    assert(out.getLong(2) === 2L, "n_hits deduped")
+    assert(out.getDouble(3) === 1.0, "recall never exceeds 1.0")
+    assert(out.getDouble(4) === 0.5, "mrr sees doc 10's BEST rank (2)")
+  }
+
+  // round(log2(x), 6), the engine's cross-engine discount convention
+  private def disc(rank: Int): Double =
+    BigDecimal(math.log(rank + 1.0) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ndcg matches hand computation, including the total-miss query") {
+    val truth = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 11L, 2), RmRow(1L, 12L, 3),
+      RmRow(2L, 20L, 1), RmRow(2L, 21L, 2)))
+    val cand = df(Seq(
+      // q1: truth docs 11 (rel 2) at rank 1 and 10 (rel 3) at rank 3
+      RmRow(1L, 11L, 1), RmRow(1L, 99L, 2), RmRow(1L, 10L, 3),
+      // q2: no overlap — row still present, ndcg 0.0
+      RmRow(2L, 90L, 1), RmRow(2L, 91L, 2)))
+    val out = RankingMetrics.ndcg(cand, truth, "query_id",
+      "neighbor_id", k = 3).orderBy("query_id").collect()
+    assert(out.length === 2)
+    val dcg1 = 2.0 / disc(1) + 3.0 / disc(3)
+    val idcg1 = 3.0 / disc(1) + 2.0 / disc(2) + 1.0 / disc(3)
+    val q1 = out(0)
+    assert(q1.getLong(1) === 3L)
+    assert(q1.getDouble(2) === dcg1)
+    assert(q1.getDouble(3) === idcg1)
+    assert(q1.getDouble(4) === dcg1 / idcg1)
+    val q2 = out(1)
+    assert(q2.getLong(1) === 2L && q2.getDouble(2) === 0.0 &&
+      q2.getDouble(4) === 0.0)
+  }
+
+  test("ndcg is 1.0 iff the candidate reproduces the truth order") {
+    val t = df((1 to 5).map(i => RmRow(7L, i.toLong, i)))
+    val perfect = RankingMetrics.ndcg(t, t, "query_id", "neighbor_id",
+      k = 5).collect().head
+    assert(perfect.getDouble(4) === 1.0)
+    // same five docs, best one demoted to the bottom: ndcg < 1
+    val shuffled = df(Seq(RmRow(7L, 2L, 1), RmRow(7L, 3L, 2),
+      RmRow(7L, 4L, 3), RmRow(7L, 5L, 4), RmRow(7L, 1L, 5)))
+    val worse = RankingMetrics.ndcg(shuffled, t, "query_id",
+      "neighbor_id", k = 5).collect().head
+    assert(worse.getDouble(4) < 1.0 && worse.getDouble(4) > 0.0)
+  }
 }
