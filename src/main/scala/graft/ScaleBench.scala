@@ -73,7 +73,36 @@ object ScaleBench {
       val cents = graft.ann.Similarity.buildIvfIndex(emb, numLists)
       graft.dedup.SemDedup.semDedup(emb, cents, threshold = 0.42)
         .select("vec_id")
-    }))
+    }),
+    // BM25 SERVE cost in isolation — the index is prebuilt per dir by
+    // [[Prepare]], so this row times only the retrieval: a manifest-
+    // pruned posting read + Σ posting-list work. The claim it measures
+    // is "serve cost ∝ query-term posting lists, NOT corpus size" —
+    // on the cipher corpus the plain-text query terms exist only in
+    // copy 0, so posting lists are scale-CONSTANT and the honest
+    // expectation is ratio ≈ 1 however many copies the corpus holds
+    // (the build cost, which IS corpus-linear, is q_x_bm25_indexed's
+    // own ladder row).
+    "x_bm25_serve" -> ((s, dir) =>
+      graft.text.Bm25.searchIndexed(s, bm25LadderIndex(dir),
+        Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+          ("q3", "stream window agg")), topK = 10)))
+
+  /** Per-dir prepared state for ladder-only entries whose timed body
+    * must EXCLUDE a one-time build (the serve-vs-build split the
+    * persisted-index story is about). Run once per (entry, dir) before
+    * timing starts; always rebuilt — a stale index from an older
+    * synthesis would silently mis-measure.
+    */
+  val Prepare: Map[String, (SparkSession, String) => Unit] = Map(
+    "x_bm25_serve" -> ((s, dir) =>
+      graft.text.Bm25.buildIndex(
+        graft.ops.Sources.table(s, dir, "documents"), "doc_id", "text",
+        bm25LadderIndex(dir))))
+
+  private def bm25LadderIndex(dir: String): String =
+    "/tmp/graft_bm25_ladder/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/index"
 
   /** The FULL query surface at both scales — every SparkEntry query
     * whose semantics are linear-in-data (see [[Excluded]]), so each
@@ -130,6 +159,12 @@ object ScaleBench {
     // warm the JVM on the small scale so sf-base numbers aren't all JIT
     spark.range(1000).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
+
+    // prepared state (persisted indexes) for the serve-only rows —
+    // built OUTSIDE the timed region, at both scales
+    Ladder.filter(Prepare.contains).foreach { n =>
+      Prepare(n)(spark, base); Prepare(n)(spark, out)
+    }
 
     def time(name: String, dir: String): (Double, String) = {
       val t0 = System.nanoTime()

@@ -1640,6 +1640,25 @@ object SparkEntry {
             ("q3", "stream window agg")), topK = 10)
         .orderBy("query_id", "rank")),
 
+    // the PERSISTED index end-to-end (the serve-many 100 TB posture):
+    // build the inverted index over 2/3 of the corpus, appendToIndex
+    // the other 1/3 (O(batch) ingest, sequence-guarded stats), serve
+    // from the stored token-pruned postings — which must equal the
+    // per-call search over the FULL corpus bit-exactly, so the same
+    // oracle gates the build, the append, and the serve path at once
+    "q_x_bm25_indexed" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25idx") + "/index"
+      val docs = t(s, dir, "documents")
+      graft.text.Bm25.buildIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", idx)
+      graft.text.Bm25.appendToIndex(s, idx,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.text.Bm25.searchIndexed(s, idx,
+          Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+            ("q3", "stream window agg")), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -2389,6 +2408,44 @@ object SparkEntry {
   /** Shared by q_x_hybrid_search and q_x_hybrid_search_ivf: probing
     * every IVF list IS exhaustive search (pinned by SqAnnSpec), so the
     * brute-force dense CTE is the exact oracle for both fixtures. */
+  /** Shared by q_x_bm25 and q_x_bm25_indexed: the persisted index
+    * serves bit-identically to the per-call search over the same
+    * corpus (df is a posting-list length either way; N and avgdl are
+    * exact running sums), so one exact oracle gates both. */
+  private lazy val bm25Oracle: String =
+      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
+         |            FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('q1', 'merge'), ('q1', 'join'), ('q1', 'table'),
+         |    ('q2', 'fast'), ('q2', 'scan'), ('q2', 'query'),
+         |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg'))
+         |  AS t(query_id, token)),
+         |qidf AS (SELECT query_id, f.token,
+         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
+         |  JOIN qt USING (token) CROSS JOIN st),
+         |m AS (SELECT query_id, tf.doc_id, tf.token,
+         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
+         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(token := token, s := s) ORDER BY token),
+         |      x -> x.s), 'sum') AS score
+         |  FROM m GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+
   private lazy val hybridSearchOracle: String =
       s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
          |            FROM documents),
@@ -4459,39 +4516,9 @@ object SparkEntry {
     // same parenthesization of the IEEE-exact tail, and the SAME
     // token-sorted per-(query, doc) summation order (list ORDER BY
     // token, then an in-order fold — the corpus_divergence pattern)
-    "q_x_bm25" ->
-      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
-         |            FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
-         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
-         |qt AS (SELECT * FROM (VALUES
-         |    ('q1', 'merge'), ('q1', 'join'), ('q1', 'table'),
-         |    ('q2', 'fast'), ('q2', 'scan'), ('q2', 'query'),
-         |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg'))
-         |  AS t(query_id, token)),
-         |qidf AS (SELECT query_id, f.token,
-         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
-         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
-         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
-         |  JOIN qt USING (token) CROSS JOIN st),
-         |m AS (SELECT query_id, tf.doc_id, tf.token,
-         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
-         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
-         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
-         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
-         |sc AS (SELECT query_id, doc_id,
-         |    list_aggregate(list_transform(
-         |      list(struct_pack(token := token, s := s) ORDER BY token),
-         |      x -> x.s), 'sum') AS score
-         |  FROM m GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-         |  FROM sc)
-         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_x_bm25" -> bm25Oracle,
+
+    "q_x_bm25_indexed" -> bm25Oracle,
 
     "q_x_vocab" ->
       s"""WITH c AS (

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 retrieval over a document corpus — the standard lexical
@@ -87,6 +87,230 @@ object Bm25 {
 
     // one defined summation order per (query, doc): fold the
     // token-sorted term array (tokens are unique within the group)
+    val scored = perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(aggregate(array_sort(collect_list(struct(col("token"),
+          col("__s")))), lit(0.0), (a, x) => a + x.getField("__s"))
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  // ------------------------------------------------------ persisted index
+  //
+  // [[search]] re-tokenizes and re-aggregates the corpus on every call;
+  // at 100 TB the index build IS the job, and repeated retrieval
+  // (decontamination triage, eval curation — the operator's own use
+  // cases) must amortize it. The IVF precedent
+  // ([[graft.ann.Similarity.writeIvfLists]] / `ivfAppend` /
+  // `ivfTopKFromLists`): pay the corpus scan once into a persisted
+  // TxTable, append increments in O(batch), serve every query batch
+  // from the stored table. Here the stored table is the INVERTED INDEX
+  // itself — one row per (token, doc): `(token, <id>, tf, doc_len)`
+  // with the document length DENORMALIZED into the postings, so a
+  // serve touches ONLY the posting lists of its query terms — no
+  // corpus-wide doc-length join, no full scan:
+  //  - files are written token-range-sorted and the table carries a
+  //    bloom filter on `token`, so [[graft.ops.TxTable.readWhere]]
+  //    prunes non-matching files from the manifest stats alone;
+  //  - df(token) = that token's posting-list length — derivable from
+  //    the filtered read, exactly (postings are unique per (token, doc));
+  //  - N and Σ|d| (the only corpus-level stats idf/avgdl need) ride in
+  //    carried manifest meta, maintained incrementally by
+  //    [[appendToIndex]] under a sequence-guarded commit.
+  // Serve cost is therefore Σ posting-list lengths of the query terms,
+  // independent of corpus size — the bound [[search]] could only
+  // promise AFTER paying the per-call index build.
+
+  /** Carried manifest meta: `"<nDocs>:<totalLen>"` (docs with ≥1 token
+    * and their summed token counts — zero-token docs carry no length
+    * information and never match, matching [[search]]'s N semantics).
+    */
+  private[text] val StatsMetaKey = "graft.bm25.stats"
+  /** Carried manifest meta: the indexed id column's name. */
+  private[text] val IdColMetaKey = "graft.bm25.idcol"
+  /** Carried manifest meta: append sequence (transaction guard). */
+  private[text] val SeqMetaKey = "graft.bm25.seq"
+
+  /** `(token, <id>, tf, doc_len)` for every (document, token) pair —
+    * the inverted index rows of `docs`. One shuffle to per-(doc, token)
+    * counts, one doc-keyed join to denormalize the length in.
+    */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val docLen = perDoc.groupBy(idCol).agg(sum("tf").as("doc_len"))
+    perDoc.join(docLen, Seq(idCol))
+      .select(col("token"), col(idCol), col("tf"), col("doc_len"))
+  }
+
+  /** `(nDocs, totalLen, seq)` from the head's carried meta. */
+  private def indexStats(spark: SparkSession,
+                         path: String): (Long, Long, Long) = {
+    val v = graft.ops.TxTable.versions(spark, path).last
+    val m = graft.ops.TxTable.commitMeta(spark, path, v)
+    val s = m.getOrElse(StatsMetaKey, sys.error(
+      s"$path is not a BM25 index (no $StatsMetaKey meta — build it " +
+        "with Bm25.buildIndex)"))
+    val Array(n, tot) = s.split(':')
+    (n.toLong, tot.toLong,
+      m.get(SeqMetaKey).map(_.toLong).getOrElse(0L))
+  }
+
+  /** The indexed id column's name, from carried meta. */
+  private def indexIdCol(spark: SparkSession, path: String): String = {
+    val v = graft.ops.TxTable.versions(spark, path).last
+    graft.ops.TxTable.commitMeta(spark, path, v).getOrElse(IdColMetaKey,
+      sys.error(s"$path is not a BM25 index (no $IdColMetaKey meta)"))
+  }
+
+  /** Token-range-sorted layout: range partitioning gives each file a
+    * tight token min/max window (manifest stats prune serve reads to
+    * the files actually holding query-term postings), and the
+    * within-partition sort keeps each posting list contiguous.
+    */
+  private def tokenSorted(postings: DataFrame, idCol: String): DataFrame =
+    postings.repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"), col(idCol))
+
+  /** Build the inverted index of `docs` at `path` — one corpus scan
+    * into a persisted, versioned TxTable (atomic publish; a rebuild is
+    * an overwrite commit and readers mid-query keep their snapshot),
+    * with a token bloom filter declared and backfilled so serve reads
+    * prune files by manifest stats alone. Returns the final version.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String): Long = {
+    require(!idCol.exists(_.isWhitespace),
+      "id column names with whitespace cannot ride in manifest meta")
+    val spark = docs.sparkSession
+    requireUniqueIds(docs, idCol, "buildIndex")
+    // materialized once: the frame feeds both the stats aggregate and
+    // the write, and re-evaluating it would re-tokenize the corpus
+    val posts = postingsOf(docs, idCol, textCol).localCheckpoint()
+    // ONE bounded collect: a single (nDocs, totalLen) row
+    val st = posts.agg(countDistinct(col(idCol)).as("n"),
+      sum(col("tf")).as("tot")).collect().head
+    val (n, tot) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    graft.ops.TxTable.overwrite(spark, path, tokenSorted(posts, idCol),
+      meta = Map(StatsMetaKey -> s"$n:$tot", IdColMetaKey -> idCol,
+        SeqMetaKey -> "1"))
+    graft.ops.TxTable.setBloomFilters(spark, path, Seq("token"))
+    // backfill bloom tokens for the files the build committed (later
+    // appends compute them at write time, the config now being declared)
+    graft.ops.TxTable.analyze(spark, path)
+  }
+
+  /** Refuse a batch that carries one doc id twice: postingsOf would
+    * silently merge the two rows' counts into one fused document.
+    * O(batch) probe, limit(3) diagnostics only.
+    */
+  private def requireUniqueIds(docs: DataFrame, idCol: String,
+                               who: String): Unit = {
+    val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(3).collect()
+    require(dup.isEmpty,
+      s"$who: these doc ids appear more than once in the batch " +
+        s"(their token counts would silently fuse): " +
+        dup.map(_.get(0)).mkString(", "))
+  }
+
+  /** Append `docs` to a persisted index: O(batch) tokenize + aggregate,
+    * one atomic TxTable append carrying the updated corpus stats under
+    * a sequence guard (a concurrent append losing the race fails
+    * loudly instead of silently double-counting N). After the append
+    * the index is BIT-IDENTICAL in serve semantics to a from-scratch
+    * [[buildIndex]] over the union (pinned by spec and by the
+    * q_x_bm25_indexed oracle): df is a posting-list length either way,
+    * and N/Σ|d| are exact running sums.
+    *
+    * `checkDuplicates` guards re-ingesting an already-indexed doc id —
+    * a one-column scan of the index (column-pruned, but O(index rows));
+    * pass false only for provably-new batches (an exactly-once
+    * streaming source, a partitioned ingest) where the scan is not
+    * worth it — the [[graft.dedup.IncrementalDedup]] contract.
+    */
+  def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
+                    idCol: String, textCol: String,
+                    checkDuplicates: Boolean = true): Long = {
+    val storedId = indexIdCol(spark, path)
+    require(storedId == idCol,
+      s"index at $path was built on id column '$storedId', got '$idCol'")
+    requireUniqueIds(docs, idCol, "appendToIndex")
+    if (checkDuplicates) {
+      val dup = graft.ops.TxTable.read(spark, path).select(col(idCol))
+        .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+        .limit(3).collect()
+      require(dup.isEmpty,
+        s"appendToIndex: doc ids already indexed at $path: " +
+          dup.map(_.get(0)).mkString(", ") +
+          " — postings are append-only per doc; rebuild via buildIndex")
+    }
+    val (n, tot, seq) = indexStats(spark, path)
+    val batch = postingsOf(docs, idCol, textCol).localCheckpoint()
+    val st = batch.agg(countDistinct(col(idCol)).as("n"),
+      sum(col("tf")).as("tot")).collect().head
+    val (bn, bt) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    graft.ops.TxTable.append(spark, path, tokenSorted(batch, idCol),
+      meta = Map(StatsMetaKey -> s"${n + bn}:${tot + bt}",
+        IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString),
+      guard = Map(SeqMetaKey -> (seq + 1)))
+  }
+
+  /** Top-`k` documents per query from a PERSISTED index — identical
+    * output to [[search]] over the same corpus (same expressions, same
+    * rounded idf, same sorted fold — the q_x_bm25 oracle gates both),
+    * at Σ posting-list-lengths serve cost: the read is manifest-pruned
+    * to files whose token range/bloom may hold a query term, df comes
+    * from the filtered posting lists themselves, and N/avgdl arrive
+    * from carried meta without touching data files.
+    */
+  def searchIndexed(spark: SparkSession, path: String,
+                    queries: Seq[(String, String)],
+                    k1: Double = 1.2, b: Double = 0.75,
+                    topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(topK > 0, "topK must be positive")
+    import spark.implicits._
+    val idCol = indexIdCol(spark, path)
+    val (n, tot, _) = indexStats(spark, path)
+    require(n > 0, s"index at $path is empty")
+    // distinct query terms, via the ENGINE tokenizer (no driver-side
+    // re-implementation to drift). Bounded collect: Σ distinct terms
+    // across the query batch — queries are driver-side data already.
+    val qtRows = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("__qtext"))))
+          .as("token"))
+      .collect()
+    val qt = qtRows.map(r => (r.getString(0), r.getString(1))).toSeq
+      .toDF("query_id", "token")
+    val terms = qtRows.map(_.getString(1)).distinct.toSeq
+    // manifest-stats-pruned read: only files whose token min/max and
+    // bloom may hold a query term are scanned at all
+    val posts = graft.ops.TxTable.readWhere(spark, path,
+      col("token").isin(terms: _*))
+    // df(token) IS the filtered posting-list length — exact, no
+    // corpus-wide aggregate
+    val docFreq = posts.groupBy("token").agg(count(lit(1)).as("__df"))
+    val qidf = docFreq.join(broadcast(qt), Seq("token"))
+      .select(col("query_id"), col("token"),
+        round(log((lit(n).cast("double") - col("__df").cast("double")
+            + lit(0.5)) / (col("__df").cast("double") + lit(0.5))
+            + lit(1.0)), 6).as("__idf"),
+        (lit(tot).cast("double") / lit(n).cast("double")).as("__avgdl"))
+    val matched = posts.join(broadcast(qidf), Seq("token"))
+    val tfD = col("tf").cast("double")
+    val perTerm = matched.select(col("query_id"), col(idCol), col("token"),
+      (col("__idf") * (tfD * (lit(k1) + lit(1.0))) /
+        (tfD + lit(k1) * (lit(1.0) - lit(b) +
+          (lit(b) * col("doc_len").cast("double")) / col("__avgdl"))))
+        .as("__s"))
     val scored = perTerm.groupBy(col("query_id"), col(idCol))
       .agg(aggregate(array_sort(collect_list(struct(col("token"),
           col("__s")))), lit(0.0), (a, x) => a + x.getField("__s"))

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TxTable
+import graft.text.Bm25
+
+/** The persisted BM25 inverted index (`Bm25.buildIndex` /
+  * `appendToIndex` / `searchIndexed`): serve ≡ the per-call
+  * [[graft.text.Bm25.search]] bit-exactly, append ≡ from-scratch
+  * rebuild, duplicate ingestion refused, stats meta exact, serve reads
+  * manifest-pruned to query-term files.
+  */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_bm25").toString + "/idx"
+
+  private val corpus = Seq(
+    BmDoc(1L, "spark spark spark merge"),
+    BmDoc(2L, "spark merge"),
+    BmDoc(3L, "merge merge merge merge table"),
+    BmDoc(4L, "window agg group"),
+    BmDoc(5L, "table table spark window"),
+    BmDoc(6L, "stream window join table"),
+    BmDoc(7L, ""), // zero tokens: excluded from N, never matches
+    BmDoc(8L, "agg agg spark stream"))
+
+  private val queries = Seq(("a", "spark table"), ("b", "merge window"),
+    ("c", "stream agg join"))
+
+  test("searchIndexed over a built index equals search, bit-exactly") {
+    val idx = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", idx)
+    val direct = Bm25.search(df(corpus), "doc_id", "text", queries,
+      topK = 10).collect().map(_.toSeq).toSet
+    val served = Bm25.searchIndexed(spark, idx, queries, topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served === direct)
+  }
+
+  test("append equals a from-scratch rebuild, bit-exactly") {
+    val base = corpus.filter(_.doc_id % 3 != 0)
+    val inc = corpus.filter(_.doc_id % 3 == 0)
+    val appended = tmp()
+    Bm25.buildIndex(df(base), "doc_id", "text", appended)
+    Bm25.appendToIndex(spark, appended, df(inc), "doc_id", "text")
+    val fresh = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", fresh)
+    val a = Bm25.searchIndexed(spark, appended, queries, topK = 10)
+      .collect().map(_.toSeq).toSet
+    val f = Bm25.searchIndexed(spark, fresh, queries, topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === f)
+    // and the carried stats agree exactly (N counts only docs with
+    // tokens: doc 7 is excluded on both paths)
+    val va = TxTable.versions(spark, appended).last
+    val vf = TxTable.versions(spark, fresh).last
+    assert(TxTable.commitMeta(spark, appended, va)("graft.bm25.stats") ===
+      TxTable.commitMeta(spark, fresh, vf)("graft.bm25.stats"))
+    assert(TxTable.commitMeta(spark, fresh, vf)("graft.bm25.stats") ===
+      "7:26")
+  }
+
+  test("duplicate ingestion refused: re-append, within-batch dup, wrong id col") {
+    val idx = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", idx)
+    val again = intercept[IllegalArgumentException](
+      Bm25.appendToIndex(spark, idx, df(corpus.take(2)), "doc_id", "text"))
+    assert(again.getMessage.contains("already indexed"))
+    val inBatch = intercept[IllegalArgumentException](
+      Bm25.appendToIndex(spark, idx,
+        df(Seq(BmDoc(100L, "x y"), BmDoc(100L, "z"))), "doc_id", "text"))
+    assert(inBatch.getMessage.contains("more than once"))
+    val wrongCol = intercept[RuntimeException](
+      Bm25.appendToIndex(spark, idx,
+        df(Seq(BmDoc(100L, "x"))).withColumnRenamed("doc_id", "id"),
+        "id", "text"))
+    assert(wrongCol.getMessage.contains("built on id column"))
+  }
+
+  test("serve reads are manifest-pruned to the query terms' files") {
+    val idx = tmp()
+    // two token ranges far apart, landing in separate commits' files:
+    // 'aaa*' postings via the build, 'zzz*' ones via an append (AQE
+    // coalesces a corpus this small to one file per commit, so the
+    // file-granular pruning is exercised across the two)
+    val aaa = (2L to 400L by 2).map(i => BmDoc(i, s"aaa$i common"))
+    val zzz = (1L to 399L by 2).map(i => BmDoc(i, s"zzz$i common"))
+    Bm25.buildIndex(df(aaa), "doc_id", "text", idx)
+    Bm25.appendToIndex(spark, idx, df(zzz), "doc_id", "text")
+    val all = TxTable.read(spark, idx).inputFiles.length
+    val pruned = TxTable.readWhere(spark, idx, col("token") === "aaa2")
+      .inputFiles.length
+    assert(all > 1, s"expected a multi-file index, got $all")
+    assert(pruned < all,
+      s"token filter should prune files: $pruned of $all scanned")
+    // and the pruned serve still answers correctly
+    val hit = Bm25.searchIndexed(spark, idx, Seq(("q", "aaa2")), topK = 1)
+      .collect().head
+    assert(hit.getLong(2) === 2L)
+  }
+
+  test("a non-index TxTable is refused loudly") {
+    val idx = tmp()
+    val s = spark
+    import s.implicits._
+    TxTable.append(spark, idx, Seq((1L, "x")).toDF("doc_id", "text"))
+    val e = intercept[RuntimeException](
+      Bm25.searchIndexed(spark, idx, Seq(("q", "x"))))
+    assert(e.getMessage.contains("not a BM25 index"))
+  }
+}
