@@ -53,6 +53,54 @@ class HybridSearchSpec extends SparkSpec {
       "each query gets its own top-5")
   }
 
+  test("IVF-backed fusion: partial probe's recall vs the brute fusion, quantified") {
+    // the production posture (q_x_hybrid_search_ivf serves at FULL
+    // probe so the exhaustive oracle applies; production serves
+    // nprobe < numLists): fuse BM25 with a 2-of-8-list IVF ranking and
+    // measure, with RankingMetrics, what the cheaper probe costs
+    // against the brute-dense fusion on the real sf0.001 tables
+    import graft.ann.{RankingMetrics, Similarity}
+    import graft.text.Bm25
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Sources.table(spark, dir, "embeddings")
+    val docs = graft.ops.Sources.table(spark, dir, "documents")
+    val lex = Bm25.search(docs, "doc_id", "text",
+        Seq(("0", "merge join table"), ("1", "fast scan query"),
+          ("2", "stream window agg")), topK = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qs = emb.filter(col("vec_id") < 3)
+    def dense(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id").cast("string").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val brute = dense(Similarity.bruteForceTopK(emb, qs, k = 20))
+    val index = Similarity.buildIvfIndex(emb, numLists = 8)
+      .localCheckpoint()
+    val ivf2 = dense(Similarity.ivfTopKWithIndex(emb, qs, k = 20,
+      nprobe = 2, index))
+    val fBrute = HybridSearch.rrf(Seq(lex, brute), "query_id", "doc_id",
+      topK = 10)
+    val fIvf = HybridSearch.rrf(Seq(lex, ivf2), "query_id", "doc_id",
+      topK = 10)
+    val m = RankingMetrics.compare(fIvf, fBrute, "query_id", "doc_id",
+      k = 10).collect()
+    assert(m.length === 3, "every query reports a row")
+    val recalls = m.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    info(s"hybrid IVF(nprobe=2/8) recall@10 vs brute fusion: $recalls")
+    // the lexical half is SHARED between the fusions, so even a cheap
+    // 2-of-8 probe keeps the fused list well above half-overlap
+    assert(recalls.values.forall(_ >= 0.5),
+      s"partial-probe fusion recall collapsed: $recalls")
+    // and at full probe the fusion must reproduce the brute one exactly
+    val ivf8 = dense(Similarity.ivfTopKWithIndex(emb, qs, k = 20,
+      nprobe = 8, index))
+    val fFull = HybridSearch.rrf(Seq(lex, ivf8), "query_id", "doc_id",
+      topK = 10)
+    val perfect = RankingMetrics.compare(fFull, fBrute, "query_id",
+      "doc_id", k = 10).collect()
+    assert(perfect.forall(r => r.getDouble(3) === 1.0 &&
+      r.getDouble(4) === 1.0))
+  }
+
   test("duplicate rows within one ranking contribute once, at their best rank") {
     // doc 1 listed TWICE by the lexical ranker (ranks 1 and 2) and
     // once by the dense one: it must contribute 1/(60+1) once per
