@@ -1482,6 +1482,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the fully-PERSISTED serve stack end-to-end: lexical side from the
+    // stored BM25 inverted index (buildIndex + searchIndexed), dense
+    // side from stored IVF lists (writeIvfLists + ivfTopKFromLists) —
+    // neither ranker touches the raw corpus at query time. Full probe
+    // and serve≡search equalities make the same exact oracle apply;
+    // this is the plan a production deployment would actually run
+    "q_x_hybrid_search_served" -> ((s, dir) => {
+      val root = tmpQueryDir("graft_hybsrv")
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        root + "/bm25")
+      val lex = graft.text.Bm25.searchIndexed(s, root + "/bm25",
+          Seq(("0", "merge join table"), ("1", "fast scan query"),
+            ("2", "stream window agg")), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Similarity.buildIvfIndex(emb, numLists = 8)
+        .localCheckpoint()
+      graft.ann.Similarity.writeIvfLists(emb, index, root + "/ivf")
+      val dense = graft.ann.Similarity.ivfTopKFromLists(s, root + "/ivf",
+          emb.filter(col("vec_id") < 3), k = 20, nprobe = 8, index)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // collocations: PMI over a 2-token lookahead window, pairs seen
     // >= 20 times — marginals from the pair table itself, ln rounded
     // to 6 per the cross-engine convention
@@ -4041,6 +4068,8 @@ object SparkEntry {
     "q_x_hybrid_search" -> hybridSearchOracle,
 
     "q_x_hybrid_search_ivf" -> hybridSearchOracle,
+
+    "q_x_hybrid_search_served" -> hybridSearchOracle,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same
