@@ -101,12 +101,19 @@ object Dedup {
         .select(col("id"), size(col("__sh")).cast("long").as("n_sh"))) { _ =>
       idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     }
-    // shuffle_hash (not broadcast): both self-join sides then need the
-    // SAME hashpartitioning(shingle) exchange, which ReuseExchange
-    // computes once — a broadcast build side would re-run the whole
-    // tokenize+shingle+explode subplan. Also the only viable plan at
-    // scale: an inverted index over 100 TB never fits a broadcast.
-    val inter = idx.as("a").join(idx.as("b").hint("shuffle_hash"),
+    // sort-merge (not broadcast, not shuffle_hash): both self-join
+    // sides need the SAME hashpartitioning(shingle) exchange, which
+    // ReuseExchange computes once — a broadcast build side would re-run
+    // the whole tokenize+shingle+explode subplan, and a 100 TB inverted
+    // index never fits a broadcast anyway. shuffle_hash (used until
+    // round 12) looks cheaper but its build-side hash map CANNOT SPILL:
+    // at 100× data with 32 shuffle partitions the per-task map starved
+    // the downstream pair-count hashAgg of execution memory and the
+    // query sat on an AGGREGATE_OUT_OF_MEMORY cliff (fails at an 8 GB
+    // heap, measured; pass/fail was a coin flip near the limit). SMJ's
+    // sorts spill gracefully, so memory use is bounded however big the
+    // posting lists get — the only safe posture at 100 TB.
+    val inter = idx.as("a").join(idx.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -184,6 +191,11 @@ object Dedup {
                                      minContainment: Double): DataFrame = {
     val eSizes = eIdx.groupBy(col("id").as("eval_id"))
       .agg(count(lit(1)).as("n_e"))
+    // shuffle_hash stays CORRECT here, unlike jaccardPairs' self-join:
+    // the build side is the EVAL-SET index, small by the operator's
+    // contract (a benchmark/eval suite, not the corpus), so its
+    // unspillable per-task hash map is bounded — and it skips the sort
+    // the corpus-sized probe side would otherwise pay
     val inter = cIdx.as("c").join(eIdx.as("e").hint("shuffle_hash"),
         col("c.shingle") === col("e.shingle"))
       .groupBy(col("c.id").as("corpus_id"), col("e.id").as("eval_id"))

@@ -100,10 +100,14 @@ object FuzzyJoin {
       explode(array_distinct(idxKeys)).as("__key"))
     val probe = base.select(col("__id"), col("__s"),
       explode(array_distinct(probeAll)).as("__key"))
-    // shuffle_hash: both sides want the same hashpartitioning(__key)
-    // exchange; a broadcast cannot hold a corpus-sized index
+    // sort-merge: both sides want the same hashpartitioning(__key)
+    // exchange (a broadcast cannot hold a corpus-sized index), and the
+    // probe side here is CORPUS-sized — a shuffle_hash build map of it
+    // cannot spill and starves downstream operators of execution memory
+    // at scale (the jaccardPairs 8 GB-heap OOM cliff, measured at 100×
+    // in round 12); SMJ's sorts spill gracefully
     val cand = idx.as("a")
-      .join(probe.hint("shuffle_hash").as("b"),
+      .join(probe.hint("merge").as("b"),
         col("a.__key") === col("b.__key") &&
           col("a.__id") =!= col("b.__id"))
       .select(
