@@ -1686,6 +1686,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the lifecycle's third leg: REMOVE documents (GDPR purge /
+    // contamination excision) — build over the full corpus, delete 20
+    // doc ids, serve. The oracle is the same BM25 SQL over the
+    // surviving documents: df, N and avgdl must all reflect the
+    // post-delete corpus exactly (stats are re-derived, not
+    // decremented), so serving ≡ an index that never held the docs
+    "q_x_bm25_removed" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25rm") + "/index"
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+      graft.text.Bm25.removeFromIndex(s, idx, (1L to 20L))
+      graft.text.Bm25.searchIndexed(s, idx,
+          Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+            ("q3", "stream window agg")), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -2432,16 +2449,16 @@ object SparkEntry {
        |FROM m WHERE quality >= 0.3
        |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin
 
-  /** Shared by q_x_hybrid_search and q_x_hybrid_search_ivf: probing
-    * every IVF list IS exhaustive search (pinned by SqAnnSpec), so the
-    * brute-force dense CTE is the exact oracle for both fixtures. */
-  /** Shared by q_x_bm25 and q_x_bm25_indexed: the persisted index
-    * serves bit-identically to the per-call search over the same
-    * corpus (df is a posting-list length either way; N and avgdl are
-    * exact running sums), so one exact oracle gates both. */
-  private lazy val bm25Oracle: String =
+  /** Shared by q_x_bm25 / q_x_bm25_indexed / q_x_bm25_removed: the
+    * persisted index serves bit-identically to the per-call search
+    * over the same (possibly filtered) corpus — df is a posting-list
+    * length either way; N and avgdl are exact (re)derived sums — so
+    * ONE exact oracle shape gates the build, the append, the removal,
+    * and the serve. `docWhere` filters the corpus CTE (removal's
+    * surviving-documents view); empty for the full corpus. */
+  private def bm25OracleSql(docWhere: String): String =
       s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
-         |            FROM documents),
+         |            FROM documents $docWhere),
          |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
          |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
          |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
@@ -2473,6 +2490,13 @@ object SparkEntry {
          |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
 
+  private lazy val bm25Oracle: String = bm25OracleSql("")
+
+  /** Shared by q_x_hybrid_search / q_x_hybrid_search_ivf /
+    * q_x_hybrid_search_served: probing every IVF list IS exhaustive
+    * search (pinned by SqAnnSpec) and persisted serve ≡ per-call
+    * search, so the brute-force dense CTE is the exact oracle for all
+    * three fixtures. */
   private lazy val hybridSearchOracle: String =
       s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
          |            FROM documents),
@@ -4548,6 +4572,8 @@ object SparkEntry {
     "q_x_bm25" -> bm25Oracle,
 
     "q_x_bm25_indexed" -> bm25Oracle,
+
+    "q_x_bm25_removed" -> bm25OracleSql("WHERE doc_id NOT BETWEEN 1 AND 20"),
 
     "q_x_vocab" ->
       s"""WITH c AS (

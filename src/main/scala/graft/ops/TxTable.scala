@@ -3255,6 +3255,27 @@ object TxTable {
     * check-then-act; the guard closes the window because claims are
     * serialized by the slot.
     */
+  /** Metadata-only commit updating carried `graft.*` meta keys — the
+    * internal primitive behind config/stats refreshes. Bloom filters,
+    * clustering and constraints have bespoke public wrappers with
+    * their own validation; engine components maintaining their OWN
+    * carried state (the BM25 index's corpus stats) use this directly.
+    * `guard` — the [[append]] transaction guard: the commit aborts if
+    * a concurrent committer already advanced a guarded key.
+    */
+  private[graft] def setCarriedMeta(spark: SparkSession, path: String,
+                                    meta: Map[String, String],
+                                    guard: Map[String, Long] = Map.empty): Long = {
+    require(meta.nonEmpty, "setCarriedMeta needs at least one key")
+    require(meta.keys.forall(_.startsWith("graft.")),
+      s"carried meta keys must be graft.-prefixed (carry-forward " +
+        s"contract): ${meta.keys.filterNot(_.startsWith("graft."))}")
+    require(versions(spark, path).nonEmpty,
+      s"$path is not a TxTable (no $LogDir manifests)")
+    commitLines(spark, path, "setmeta", Seq.empty, (base, _) => base,
+      meta, guard = guard)
+  }
+
   private def commitLines(spark: SparkSession, path: String, action: String,
                           newLines: Seq[String],
                           baseKeep: (Seq[String], Seq[String]) => Seq[String],

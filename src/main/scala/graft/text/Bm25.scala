@@ -262,6 +262,46 @@ object Bm25 {
       guard = Map(SeqMetaKey -> (seq + 1)))
   }
 
+  /** Remove documents from a persisted index — the lifecycle's third
+    * leg (GDPR purges, contaminated-document excision): one
+    * copy-on-write [[graft.ops.TxTable.delete]] of the doc ids'
+    * posting rows, then an exact stats refresh. Serving afterwards is
+    * BIT-IDENTICAL to an index never containing the docs (pinned by
+    * the q_x_bm25_removed oracle): df is a posting-list length either
+    * way, and N/Σ|d| are re-DERIVED from the surviving postings — one
+    * column-pruned scan ([[refreshIndexStats]]) rather than a
+    * decrement, because removal is rare and a recomputation can never
+    * drift. Crash window: a failure between the delete commit and the
+    * stats commit leaves idf/avgdl computed from pre-delete N (scores
+    * slightly stale, ranking still well-defined); recovery is calling
+    * [[refreshIndexStats]] — it is idempotent.
+    */
+  def removeFromIndex(spark: SparkSession, path: String,
+                      docIds: Seq[Any]): Long = {
+    require(docIds.nonEmpty, "removeFromIndex needs at least one doc id")
+    val idCol = indexIdCol(spark, path)
+    graft.ops.TxTable.delete(spark, path,
+      col(idCol).isin(docIds: _*))
+    refreshIndexStats(spark, path)
+  }
+
+  /** Recompute the carried (N, Σ|d|) stats exactly from the surviving
+    * postings — one column-pruned scan, sequence-guarded commit.
+    * Idempotent; the recovery path for a crash inside
+    * [[removeFromIndex]].
+    */
+  def refreshIndexStats(spark: SparkSession, path: String): Long = {
+    val idCol = indexIdCol(spark, path)
+    val (_, _, seq) = indexStats(spark, path)
+    val st = graft.ops.TxTable.read(spark, path)
+      .agg(countDistinct(col(idCol)).as("n"), sum(col("tf")).as("tot"))
+      .collect().head
+    val (n, tot) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    graft.ops.TxTable.setCarriedMeta(spark, path,
+      Map(StatsMetaKey -> s"$n:$tot", SeqMetaKey -> (seq + 1).toString),
+      guard = Map(SeqMetaKey -> (seq + 1)))
+  }
+
   /** Top-`k` documents per query from a PERSISTED index — identical
     * output to [[search]] over the same corpus (same expressions, same
     * rounded idf, same sorted fold — the q_x_bm25 oracle gates both),

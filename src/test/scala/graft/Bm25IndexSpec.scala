@@ -102,6 +102,62 @@ class Bm25IndexSpec extends SparkSpec {
     assert(hit.getLong(2) === 2L)
   }
 
+  test("removeFromIndex serves as if the docs never existed; stats re-derived") {
+    val withRemoval = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", withRemoval)
+    Bm25.removeFromIndex(spark, withRemoval, Seq(1L, 3L))
+    val never = tmp()
+    Bm25.buildIndex(df(corpus.filterNot(d => Set(1L, 3L)(d.doc_id))),
+      "doc_id", "text", never)
+    val a = Bm25.searchIndexed(spark, withRemoval, queries, topK = 10)
+      .collect().map(_.toSeq).toSet
+    val b = Bm25.searchIndexed(spark, never, queries, topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    val va = TxTable.versions(spark, withRemoval).last
+    val vb = TxTable.versions(spark, never).last
+    assert(TxTable.commitMeta(spark, withRemoval, va)("graft.bm25.stats")
+      === TxTable.commitMeta(spark, never, vb)("graft.bm25.stats"))
+    // removed docs re-ingestable afterwards: the duplicate guard sees
+    // the SURVIVING postings, and append == rebuild still holds
+    Bm25.appendToIndex(spark, withRemoval,
+      df(corpus.filter(d => Set(1L, 3L)(d.doc_id))), "doc_id", "text")
+    val full = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", full)
+    assert(Bm25.searchIndexed(spark, withRemoval, queries, topK = 10)
+      .collect().map(_.toSeq).toSet ===
+      Bm25.searchIndexed(spark, full, queries, topK = 10)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("refreshIndexStats is idempotent") {
+    val idx = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", idx)
+    val before = TxTable.commitMeta(spark, idx,
+      TxTable.versions(spark, idx).last)("graft.bm25.stats")
+    Bm25.refreshIndexStats(spark, idx)
+    Bm25.refreshIndexStats(spark, idx)
+    assert(TxTable.commitMeta(spark, idx,
+      TxTable.versions(spark, idx).last)("graft.bm25.stats") === before)
+  }
+
+  test("OPTIMIZE compaction preserves serve output and carried stats") {
+    val idx = tmp()
+    val aaa = (2L to 200L by 2).map(i => BmDoc(i, s"aaa$i common"))
+    val zzz = (1L to 199L by 2).map(i => BmDoc(i, s"zzz$i common"))
+    Bm25.buildIndex(df(aaa), "doc_id", "text", idx)
+    Bm25.appendToIndex(spark, idx, df(zzz), "doc_id", "text")
+    val qs = Seq(("q", "aaa2 common"), ("r", "zzz3"))
+    val before = Bm25.searchIndexed(spark, idx, qs, topK = 10)
+      .collect().map(_.toSeq).toSet
+    val filesBefore = TxTable.read(spark, idx).inputFiles.length
+    TxTable.compact(spark, idx)
+    assert(TxTable.read(spark, idx).inputFiles.length <= filesBefore)
+    assert(Bm25.searchIndexed(spark, idx, qs, topK = 10)
+      .collect().map(_.toSeq).toSet === before,
+      "compaction must not change serve output")
+  }
+
   test("a non-index TxTable is refused loudly") {
     val idx = tmp()
     val s = spark
