@@ -2112,6 +2112,21 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // average precision @5 of the same pairing — the trio's third
+    // metric (recall/MRR see set membership and the first hit, nDCG a
+    // graded order; AP rewards putting EVERY truth member early).
+    // Transcendental-free: integer counts through IEEE divisions,
+    // rank-ordered fold — no rounding convention needed
+    "q_x_ranking_ap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, qs, k = 5)
+      val cand = Similarity.lshTopK(emb, qs, k = 5, numPlanes = 4)
+      graft.ann.RankingMetrics.averagePrecision(cand, truth, "query_id",
+          "neighbor_id", k = 5)
+        .orderBy("query_id")
+    }),
+
     "q_x_ann_lsh_mp" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4,
@@ -4760,6 +4775,59 @@ object SparkEntry {
          |  COALESCE(dcg, 0.0) / idcg AS ndcg
          |FROM it LEFT JOIN h ON it.query_id = h.query_id
          |ORDER BY it.query_id""".stripMargin
+    },
+
+    // mirrors RankingMetrics.averagePrecision(lshTopK, bruteForceTopK):
+    // per hit, precision@rank = (1-based hit position ordered by rank)
+    // / rank — integer counts through IEEE divisions, summed in rank
+    // order, normalized by n_truth; transcendental-free so no rounding
+    "q_x_ranking_ap" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH cb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cb)
+         |  WHERE rnk <= 5),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |lq AS (SELECT vec_id AS query_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn,
+         |    ${sqlLshBucket("embedding", planes)} AS bucket
+         |  FROM embeddings
+         |  WHERE vec_id < 8 AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |res AS (SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT lq.query_id, lc.neighbor_id,
+         |      row_number() OVER (PARTITION BY lq.query_id
+         |        ORDER BY ${sqlDot("lq.embedding", "lc.embedding")}
+         |          / (lq.qn * lc.cn) DESC, lc.neighbor_id) AS rnk
+         |    FROM lc JOIN lq ON lc.bucket = lq.bucket
+         |      AND lq.query_id <> lc.neighbor_id)
+         |  WHERE rnk <= 5),
+         |nt AS (SELECT query_id, COUNT(*) AS n_truth FROM tr GROUP BY 1),
+         |h AS (SELECT r.query_id, r.rnk,
+         |    CAST(row_number() OVER (PARTITION BY r.query_id
+         |      ORDER BY r.rnk) AS DOUBLE) / CAST(r.rnk AS DOUBLE) AS p
+         |  FROM res r JOIN tr USING (query_id, neighbor_id)),
+         |apx AS (SELECT query_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(r := rnk, g := p) ORDER BY rnk),
+         |      x -> x.g), 'sum') AS s
+         |  FROM h GROUP BY 1)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(s, 0.0) / CAST(n_truth AS DOUBLE) AS ap
+         |FROM nt LEFT JOIN apx ON nt.query_id = apx.query_id
+         |ORDER BY nt.query_id""".stripMargin
     },
 
     // multi-probe: each query also probes the 4 buckets at Hamming

@@ -117,4 +117,51 @@ object RankingMetrics {
         col("idcg"),
         (coalesce(col("__dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
+
+  /** Average precision @k — the metric that rewards putting EVERY
+    * truth member early, not just the first ([[compare]]'s mrr) or a
+    * graded order ([[ndcg]]). Per query:
+    *
+    *   ap = (1 / n_truth) · Σ_{hits} precision@rank(hit)
+    *   precision@r = |hits with candidate rank ≤ r| / r
+    *
+    * 1.0 ⟺ the top n_truth candidate slots are exactly the truth set.
+    * Deliberately transcendental-free: every number is an integer
+    * count or rank through one IEEE division, folded in rank order —
+    * bit-stable across engines with no rounding convention needed.
+    * Scale shape and duplicate handling identical to [[compare]].
+    */
+  def averagePrecision(candidate: DataFrame, truth: DataFrame,
+                       queryCol: String, idCol: String, k: Int,
+                       rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val r = candidate.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(idCol).as("__d"),
+        col(rankCol).as("__r"))
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__tq"), col(idCol).as("__td"))
+      .dropDuplicates("__tq", "__td")
+    val nTruth = t.groupBy(col("__tq")).agg(count(lit(1)).as("n_truth"))
+    // precision@r per hit: the hit's 1-based position among the
+    // query's hits ordered by candidate rank (ranks are unique per
+    // query after the dedup, so the window is total) over the rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q")).orderBy(col("__r").asc)
+    val prec = r.join(t,
+        col("__q") === col("__tq") && col("__d") === col("__td"))
+      .withColumn("__hn", row_number().over(w))
+      .select(col("__q"), col("__r"),
+        (col("__hn").cast("double") / col("__r").cast("double"))
+          .as("__p"))
+    val sums = prec.groupBy(col("__q"))
+      .agg(aggregate(array_sort(collect_list(struct(col("__r"),
+          col("__p")))), lit(0.0), (a, x) => a + x.getField("__p"))
+        .as("__sum"))
+    nTruth.join(sums, col("__tq") === col("__q"), "left")
+      .select(col("__tq").as(queryCol),
+        col("n_truth"),
+        (coalesce(col("__sum"), lit(0.0)) /
+          col("n_truth").cast("double")).as("ap"))
+  }
 }

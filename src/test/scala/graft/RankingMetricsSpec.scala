@@ -92,6 +92,28 @@ class RankingMetricsSpec extends SparkSpec {
       q2.getDouble(4) === 0.0)
   }
 
+  test("average precision matches hand computation") {
+    val truth = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 11L, 2), RmRow(1L, 12L, 3),
+      RmRow(2L, 20L, 1), RmRow(2L, 21L, 2)))
+    val cand = df(Seq(
+      // q1 hits at candidate ranks 1 and 3: ap = (1/1 + 2/3) / 3
+      RmRow(1L, 11L, 1), RmRow(1L, 99L, 2), RmRow(1L, 10L, 3),
+      // q2: total miss -> ap 0.0, row present
+      RmRow(2L, 90L, 1), RmRow(2L, 91L, 2)))
+    val out = RankingMetrics.averagePrecision(cand, truth, "query_id",
+      "neighbor_id", k = 3).orderBy("query_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === (1.0 / 1.0 + 2.0 / 3.0) / 3.0)
+    assert(out(1).getDouble(2) === 0.0)
+    // perfect front-loading scores 1.0
+    val t = df((1 to 4).map(i => RmRow(7L, i.toLong, i)))
+    val perfect = RankingMetrics.averagePrecision(t, t, "query_id",
+      "neighbor_id", k = 4).collect().head
+    assert(perfect.getDouble(2) === 1.0)
+  }
+
   test("ndcg is 1.0 iff the candidate reproduces the truth order") {
     val t = df((1 to 5).map(i => RmRow(7L, i.toLong, i)))
     val perfect = RankingMetrics.ndcg(t, t, "query_id", "neighbor_id",
