@@ -1823,15 +1823,26 @@ object TxTable {
     * file-granular capture for this commit — honest coarseness, never
     * a false "no changes" claim. Same switch on [[update]], [[merge]],
     * [[applyChanges]].
+    *
+    * `meta`/`guard` — carried-meta updates and [[append]]-style
+    * sequence preconditions riding IN the delete commit itself: an
+    * engine component whose carried stats must stay consistent with
+    * the row set (the BM25 index's N/Σ|d|) folds the stats transition
+    * into the delete so readers never observe rows and stats from
+    * different states. When pruning finds no candidate file, nothing
+    * commits and `meta` is NOT applied (the caller's stats are still
+    * exact, since no row changed).
     */
   def delete(spark: SparkSession, path: String,
              predicate: org.apache.spark.sql.Column,
              partitionCols: Seq[String] = Nil,
              mergeSchema: Boolean = false,
              schema: Option[StructType] = None,
-             changeFeed: Boolean = true): Option[Long] =
+             changeFeed: Boolean = true,
+             meta: Map[String, String] = Map.empty,
+             guard: Map[String, Long] = Map.empty): Option[Long] =
     rewriteMatching(spark, path, predicate, partitionCols, mergeSchema,
-      schema, changeFeed)(
+      schema, changeFeed, meta, guard)(
       rewrite = { (candidateRows, pred) =>
         // keep rows where the predicate is FALSE or NULL (SQL DELETE)
         candidateRows.where(not(coalesce(pred, lit(false))))
@@ -1913,7 +1924,9 @@ object TxTable {
                               partitionCols: Seq[String],
                               mergeSchema: Boolean,
                               schema: Option[StructType],
-                              changeFeed: Boolean = true)
+                              changeFeed: Boolean = true,
+                              meta: Map[String, String] = Map.empty,
+                              guard: Map[String, Long] = Map.empty)
                              (rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
                               changesOf: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
     val vs = versions(spark, path)
@@ -1950,7 +1963,8 @@ object TxTable {
       else Map.empty[String, String]
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
-      layout, meta = cdfMeta, requirePresent = candidatePaths))
+      layout, meta = cdfMeta ++ meta, requirePresent = candidatePaths,
+      guard = guard))
   }
 
   /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace

@@ -149,7 +149,11 @@ object Bm25 {
       .select(col("token"), col(idCol), col("tf"), col("doc_len"))
   }
 
-  /** `(nDocs, totalLen, seq)` from the head's carried meta. */
+  /** `(nDocs, totalLen, seq)` from the head's carried meta. A
+    * malformed (hand-edited, corrupted) stats value raises the same
+    * curated diagnostic as a missing key — never a bare MatchError —
+    * and names [[refreshIndexStats]] as the repair.
+    */
   private def indexStats(spark: SparkSession,
                          path: String): (Long, Long, Long) = {
     val v = graft.ops.TxTable.versions(spark, path).last
@@ -157,10 +161,33 @@ object Bm25 {
     val s = m.getOrElse(StatsMetaKey, sys.error(
       s"$path is not a BM25 index (no $StatsMetaKey meta — build it " +
         "with Bm25.buildIndex)"))
-    val Array(n, tot) = s.split(':')
-    (n.toLong, tot.toLong,
-      m.get(SeqMetaKey).map(_.toLong).getOrElse(0L))
+    val parsed = s.split(':') match {
+      case Array(n, tot) =>
+        try Some((n.toLong, tot.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    val (n, tot) = parsed.getOrElse(sys.error(
+      s"$path is not a BM25 index ($StatsMetaKey meta is malformed: " +
+        s"'$s', expected '<nDocs>:<totalLen>' — repair with " +
+        "Bm25.refreshIndexStats or rebuild with Bm25.buildIndex"))
+    (n, tot, indexSeq(m))
   }
+
+  /** The append/remove sequence from carried meta (0 when absent);
+    * read separately from the stats so [[refreshIndexStats]] can
+    * REPAIR a malformed stats value instead of tripping over it.
+    */
+  private def indexSeq(m: Map[String, String]): Long =
+    m.get(SeqMetaKey).map { s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException => sys.error(
+          s"$SeqMetaKey meta is malformed: '$s', expected a number — " +
+            "the index's commit history has been tampered with; " +
+            "rebuild with Bm25.buildIndex")
+      }
+    }.getOrElse(0L)
 
   /** The indexed id column's name, from carried meta. */
   private def indexIdCol(spark: SparkSession, path: String): String = {
@@ -263,36 +290,56 @@ object Bm25 {
   }
 
   /** Remove documents from a persisted index — the lifecycle's third
-    * leg (GDPR purges, contaminated-document excision): one
+    * leg (GDPR purges, contaminated-document excision): ONE atomic
     * copy-on-write [[graft.ops.TxTable.delete]] of the doc ids'
-    * posting rows, then an exact stats refresh. Serving afterwards is
-    * BIT-IDENTICAL to an index never containing the docs (pinned by
-    * the q_x_bm25_removed oracle): df is a posting-list length either
-    * way, and N/Σ|d| are re-DERIVED from the surviving postings — one
-    * column-pruned scan ([[refreshIndexStats]]) rather than a
-    * decrement, because removal is rare and a recomputation can never
-    * drift. Crash window: a failure between the delete commit and the
-    * stats commit leaves idf/avgdl computed from pre-delete N (scores
-    * slightly stale, ranking still well-defined); recovery is calling
-    * [[refreshIndexStats]] — it is idempotent.
+    * posting rows that carries the post-delete corpus stats in the
+    * same commit. Serving afterwards is BIT-IDENTICAL to an index
+    * never containing the docs (pinned by the q_x_bm25_removed
+    * oracle): df is a posting-list length either way, and N/Σ|d| are
+    * re-DERIVED from the surviving postings — one column-pruned scan
+    * rather than a decrement, because removal is rare and a
+    * recomputation can never drift. Because stats ride IN the delete
+    * commit, a concurrent reader sees either the pre-delete rows with
+    * pre-delete stats or the post-delete rows with post-delete stats,
+    * never a mix — there is no crash window and no transient
+    * inconsistency. The sequence guard aborts if a concurrent
+    * append/remove advanced the index between the stats derivation
+    * and the commit (retry the removal). Removing ids with no
+    * postings is an exact no-op (no commit).
     */
   def removeFromIndex(spark: SparkSession, path: String,
                       docIds: Seq[Any]): Long = {
     require(docIds.nonEmpty, "removeFromIndex needs at least one doc id")
     val idCol = indexIdCol(spark, path)
-    graft.ops.TxTable.delete(spark, path,
-      col(idCol).isin(docIds: _*))
-    refreshIndexStats(spark, path)
+    val (_, _, seq) = indexStats(spark, path)
+    // post-delete stats from the SURVIVING postings, derived BEFORE
+    // the commit so the transition is a single atomic version; the
+    // seq guard (revalidated on every commit retry) catches a racing
+    // writer that would make this derivation stale
+    val st = graft.ops.TxTable.read(spark, path)
+      .filter(!col(idCol).isin(docIds: _*))
+      .agg(countDistinct(col(idCol)).as("n"), sum(col("tf")).as("tot"))
+      .collect().head
+    val (n, tot) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    graft.ops.TxTable.delete(spark, path, col(idCol).isin(docIds: _*),
+        meta = Map(StatsMetaKey -> s"$n:$tot",
+          IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString),
+        guard = Map(SeqMetaKey -> (seq + 1)))
+      .getOrElse(graft.ops.TxTable.versions(spark, path).last)
   }
 
   /** Recompute the carried (N, Σ|d|) stats exactly from the surviving
     * postings — one column-pruned scan, sequence-guarded commit.
-    * Idempotent; the recovery path for a crash inside
-    * [[removeFromIndex]].
+    * Idempotent. Since [[removeFromIndex]] became a single atomic
+    * commit there is no crash window left to recover from; this
+    * remains the REPAIR path for a corrupted/hand-edited stats value
+    * (which is why it reads the sequence directly instead of through
+    * [[indexStats]]' validation) and a defense-in-depth audit hook.
     */
   def refreshIndexStats(spark: SparkSession, path: String): Long = {
     val idCol = indexIdCol(spark, path)
-    val (_, _, seq) = indexStats(spark, path)
+    val v = graft.ops.TxTable.versions(spark, path).last
+    val seq = indexSeq(graft.ops.TxTable.commitMeta(spark, path, v))
     val st = graft.ops.TxTable.read(spark, path)
       .agg(countDistinct(col(idCol)).as("n"), sum(col("tf")).as("tot"))
       .collect().head

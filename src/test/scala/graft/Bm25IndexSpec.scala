@@ -130,6 +130,43 @@ class Bm25IndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("removal is ONE atomic commit carrying exact post-delete stats") {
+    val idx = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", idx)
+    val before = TxTable.versions(spark, idx).size
+    Bm25.removeFromIndex(spark, idx, Seq(1L, 3L))
+    // stats ride IN the delete commit: no separate stats version, so a
+    // reader can never land between rows changing and stats changing
+    assert(TxTable.versions(spark, idx).size === before + 1)
+    val head = TxTable.versions(spark, idx).last
+    // survivors 2,4,5,6,8 (7 is zero-token): 2+3+4+4+4 = 17 tokens
+    assert(TxTable.commitMeta(spark, idx, head)("graft.bm25.stats") ===
+      "5:17")
+    // removing ids that have no postings is an exact no-op: no commit
+    val vs = TxTable.versions(spark, idx).size
+    Bm25.removeFromIndex(spark, idx, Seq(999L))
+    assert(TxTable.versions(spark, idx).size === vs)
+  }
+
+  test("malformed stats meta fails with the curated diagnostic; refresh repairs") {
+    val idx = tmp()
+    Bm25.buildIndex(df(corpus), "doc_id", "text", idx)
+    val good = TxTable.commitMeta(spark, idx,
+      TxTable.versions(spark, idx).last)("graft.bm25.stats")
+    TxTable.setCarriedMeta(spark, idx, Map("graft.bm25.stats" -> "oops"))
+    val e = intercept[RuntimeException](
+      Bm25.searchIndexed(spark, idx, queries))
+    assert(e.getMessage.contains("not a BM25 index") &&
+      e.getMessage.contains("malformed"))
+    val e2 = intercept[RuntimeException](
+      Bm25.searchIndexed(spark, idx, queries))
+    assert(e2.getMessage.contains("refreshIndexStats"),
+      "the diagnostic must name the repair")
+    Bm25.refreshIndexStats(spark, idx)
+    assert(TxTable.commitMeta(spark, idx,
+      TxTable.versions(spark, idx).last)("graft.bm25.stats") === good)
+  }
+
   test("refreshIndexStats is idempotent") {
     val idx = tmp()
     Bm25.buildIndex(df(corpus), "doc_id", "text", idx)

@@ -362,6 +362,33 @@ class TxMergeSpec extends SparkSpec {
     TxTable.merge(spark, dir, Seq((7L, "x")).toDF("id", "v"), Seq("id"))
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
+
+  test("delete can carry meta in its OWN commit, under a sequence guard") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    TxTable.overwrite(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      meta = Map("graft.test.seq" -> "1"))
+    // meta and the row change land as one version: the head commit
+    // carries both, and no intermediate version exists
+    val v = TxTable.delete(spark, dir, col("id") === 1L,
+      meta = Map("graft.test.seq" -> "2", "graft.test.note" -> "purged"),
+      guard = Map("graft.test.seq" -> 2L))
+    assert(v.isDefined)
+    val m = TxTable.commitMeta(spark, dir, v.get)
+    assert(m("graft.test.seq") === "2" && m("graft.test.note") === "purged")
+    assert(TxTable.versions(spark, dir).last === v.get)
+    // a guard the head has already reached aborts the delete — the
+    // concurrent-writer protection append uses, now on the delete path
+    val e = intercept[java.util.ConcurrentModificationException](
+      TxTable.delete(spark, dir, col("id") === 2L,
+        meta = Map("graft.test.seq" -> "2"),
+        guard = Map("graft.test.seq" -> 2L)))
+    assert(e.getMessage.contains("graft.test.seq"))
+    // and the aborted delete changed nothing
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+  }
 }
 
 /** Expression UPDATE: CASE-WHEN rewrite of matching files only. */
