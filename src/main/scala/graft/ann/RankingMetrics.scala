@@ -75,25 +75,44 @@ object RankingMetrics {
     * transcendental, rounded to 6 decimals BEFORE the division (the
     * repo's round(ln, 6) convention); each per-query sum folds the
     * rank-sorted gain array in one defined order, so an independent
-    * engine reproduces the hash bit-exactly. Duplicate (query, doc)
-    * rows are collapsed to their best rank, as in [[compare]].
+    * engine reproduces the hash bit-exactly.
+    *
+    * Both inputs are normalized to LIST POSITIONS before any gain is
+    * computed: duplicate (query, doc) rows collapse to their best rank
+    * (as in [[compare]]), then each query's rows are re-ranked
+    * 1..n by row_number over (rank, doc). nDCG is defined over ranked
+    * lists, and raw rank LABELS that are tied or non-contiguous —
+    * exactly what the duplicate-collapse can produce, or a buggy
+    * upstream fusion can emit — would otherwise let dcg exceed idcg
+    * and push ndcg past 1.0 (the unbounded-metric failure mode the
+    * dedup exists to prevent for recall). For well-formed contiguous
+    * unique ranks the re-rank is the identity, so rankers' outputs
+    * score unchanged. idcg is therefore the true per-query maximum:
+    * ndcg = 1.0 ⟺ the candidate reproduces the truth order, and
+    * ndcg ≤ 1.0 always.
     */
   def ndcg(candidate: DataFrame, truth: DataFrame, queryCol: String,
            idCol: String, k: Int,
            rankCol: String = "rank"): DataFrame = {
     require(k > 0, "k must be positive")
-    val r = candidate.filter(col(rankCol) <= k)
-      .select(col(queryCol).as("__q"), col(idCol).as("__d"),
-        col(rankCol).as("__r"))
-      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
-    val t = truth.filter(col(rankCol) <= k)
-      .select(col(queryCol).as("__tq"), col(idCol).as("__td"),
-        col(rankCol).as("__tr"))
-      .groupBy(col("__tq"), col("__td")).agg(min(col("__tr")).as("__tr"))
+    def positions(df: DataFrame, q: String, d: String, r: String,
+                  qOut: String, dOut: String, pOut: String): DataFrame = {
+      val deduped = df.filter(col(rankCol) <= k)
+        .select(col(queryCol).as(q), col(idCol).as(d), col(rankCol).as(r))
+        .groupBy(col(q), col(d)).agg(min(col(r)).as(r))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(q)).orderBy(col(r).asc, col(d).asc)
+      deduped.select(col(q).as(qOut), col(d).as(dOut),
+        row_number().over(w).as(pOut))
+    }
+    val r = positions(candidate, "__q0", "__d0", "__r0", "__q", "__d", "__r")
+    val t = positions(truth, "__tq0", "__td0", "__tr0", "__tq", "__td", "__tr")
     def gain(rel: Column, atRank: Column): Column =
       rel / round(log2(atRank.cast("double") + lit(1.0)), 6)
+    // graded relevance from the truth POSITION: best doc worth k,
+    // k-th worth 1 (positions are 1..n_truth with n_truth <= k)
     val rel = lit(k + 1).cast("double") - col("__tr").cast("double")
-    // ideal order IS truth-rank order (relevance is monotone in it)
+    // ideal order IS truth-position order (relevance is monotone in it)
     val ideal = t
       .select(col("__tq"), col("__tr"), gain(rel, col("__tr")).as("__g"))
       .groupBy(col("__tq"))
@@ -144,10 +163,12 @@ object RankingMetrics {
       .dropDuplicates("__tq", "__td")
     val nTruth = t.groupBy(col("__tq")).agg(count(lit(1)).as("n_truth"))
     // precision@r per hit: the hit's 1-based position among the
-    // query's hits ordered by candidate rank (ranks are unique per
-    // query after the dedup, so the window is total) over the rank
+    // query's hits ordered by candidate rank; doc id breaks ties so
+    // the window is total even when a malformed input carries the
+    // same rank label twice (for well-formed unique ranks the
+    // tiebreaker never fires)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__q")).orderBy(col("__r").asc)
+      .partitionBy(col("__q")).orderBy(col("__r").asc, col("__d").asc)
     val prec = r.join(t,
         col("__q") === col("__tq") && col("__d") === col("__td"))
       .withColumn("__hn", row_number().over(w))

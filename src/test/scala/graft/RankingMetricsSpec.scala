@@ -114,6 +114,37 @@ class RankingMetricsSpec extends SparkSpec {
     assert(perfect.getDouble(2) === 1.0)
   }
 
+  test("ndcg stays <= 1.0 under non-contiguous and tied rank labels") {
+    // duplicate truth rows collapse to best rank, leaving the label
+    // set {1, 3} (non-contiguous) — plus a second doc TIED at 3. Raw
+    // labels would give idcg = rel(1)/disc(1) + 2*rel(3)/disc(3) while
+    // a perfect candidate at positions 1,2,3 could out-score it; the
+    // position re-rank normalizes both sides to 1..n first.
+    val truth = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 10L, 3), // doc 10 twice -> rank 1
+      RmRow(1L, 11L, 3), RmRow(1L, 12L, 3))) // tied label 3
+    // candidate reproduces the normalized truth order exactly
+    val cand = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 11L, 2), RmRow(1L, 12L, 3)))
+    val out = RankingMetrics.ndcg(cand, truth, "query_id",
+      "neighbor_id", k = 5).collect().head
+    assert(out.getLong(1) === 3L, "truth deduped to 3 docs")
+    assert(out.getDouble(4) === 1.0,
+      "a candidate matching the normalized truth order is the maximum")
+    // and a worse candidate (best doc demoted) stays strictly below
+    val demoted = df(Seq(
+      RmRow(1L, 11L, 1), RmRow(1L, 12L, 2), RmRow(1L, 10L, 3)))
+    val d = RankingMetrics.ndcg(demoted, truth, "query_id",
+      "neighbor_id", k = 5).collect().head
+    assert(d.getDouble(4) < 1.0 && d.getDouble(4) > 0.0)
+    // tied CANDIDATE labels cannot push dcg past idcg either
+    val tiedCand = df(Seq(
+      RmRow(1L, 10L, 1), RmRow(1L, 11L, 1), RmRow(1L, 12L, 1)))
+    val tc = RankingMetrics.ndcg(tiedCand, truth, "query_id",
+      "neighbor_id", k = 5).collect().head
+    assert(tc.getDouble(4) <= 1.0, "ndcg is bounded for malformed ties")
+  }
+
   test("ndcg is 1.0 iff the candidate reproduces the truth order") {
     val t = df((1 to 5).map(i => RmRow(7L, i.toLong, i)))
     val perfect = RankingMetrics.ndcg(t, t, "query_id", "neighbor_id",
