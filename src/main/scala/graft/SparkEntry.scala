@@ -2079,6 +2079,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the dense index lifecycle's third leg (mirroring q_x_bm25_removed
+    // on the lexical side): build centroids + persisted lists over the
+    // FULL corpus, ivfRemove 20 vector ids (one atomic manifest-pruned
+    // copy-on-write delete; centroids stay fixed — FAISS remove_ids
+    // semantics), serve probing every list — which must equal
+    // exhaustive search over the SURVIVING vectors exactly, so the
+    // brute-force-minus-victims oracle pins that removal left no trace
+    "q_x_ann_ivf_removed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lists = tmpQueryDir("graft_ivfrm") + "/lists"
+      val index = Similarity.buildIvfIndex(emb, numLists = 8)
+        .localCheckpoint()
+      Similarity.writeIvfLists(emb, index, lists)
+      Similarity.ivfRemove(s, lists, (8L to 27L))
+      Similarity.ivfTopKFromLists(s, lists, emb.filter(col("vec_id") < 8),
+          k = 5, nprobe = 8, index)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, numPlanes = 4)
@@ -4903,6 +4922,27 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
          |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
          |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive search over the SURVIVING vectors: the victims'
+    // postings are gone from the lists, the centroids (fixed) only
+    // route, and full probe is brute force over whatever the lists
+    // hold — so removal ≡ an index never containing vec_ids 8..27
+    "q_x_ann_ivf_removed" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0
+         |    AND c.vec_id NOT BETWEEN 8 AND 27),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank

@@ -264,7 +264,20 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): Long =
     graft.ops.TxTable.overwrite(corpus.sparkSession, path,
-      assignToLists(corpus, index, idCol, vecCol))
+      idSorted(assignToLists(corpus, index, idCol, vecCol), idCol))
+
+  /** Id-range-sorted list layout: the assignment window leaves rows
+    * hash-scattered by id, so every file's id min/max would span the
+    * whole corpus and an [[ivfRemove]] could never prune its rewrite.
+    * Range partitioning gives each file a tight id window — a removal
+    * of a handful of ids rewrites a handful of files, the rest carry
+    * over byte-identical (the [[graft.text.Bm25]] tokenSorted
+    * rationale, keyed by id because the delete predicate is an id
+    * set; the serve join reads every list row regardless of layout).
+    * One extra exchange, paid at build/append time only.
+    */
+  private def idSorted(lists: DataFrame, idCol: String): DataFrame =
+    lists.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
 
   /** INCREMENTAL index maintenance: route ONLY the new vectors to their
     * nearest existing centroid and append them to the persisted lists —
@@ -283,7 +296,37 @@ object Similarity {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): Long =
     graft.ops.TxTable.append(spark, path,
-      assignToLists(newVectors, index, idCol, vecCol))
+      idSorted(assignToLists(newVectors, index, idCol, vecCol), idCol))
+
+  /** REMOVE vectors from persisted inverted lists — the dense index's
+    * lifecycle third leg (GDPR purge, contaminated-embedding excision),
+    * completing build/append/serve the way [[graft.text.Bm25
+    * .removeFromIndex]] completes the lexical index's. ONE atomic
+    * copy-on-write [[graft.ops.TxTable.delete]]: manifest stats prune
+    * the rewrite to the files whose id range may hold the victims;
+    * every other list file carries over byte-identical. Centroids stay
+    * FIXED (FAISS `remove_ids` semantics — removal never retrains),
+    * and the IVF serve path carries no corpus-level stats to refresh:
+    * scoring reads only each stored row's (vector, norm) and the
+    * broadcast centroid table, and a query's nprobe routing never
+    * looks at list contents. The delete alone therefore leaves the
+    * table BIT-IDENTICAL in serve semantics to lists that never held
+    * the vectors under the same centroids (pinned by spec and by the
+    * q_x_ann_ivf_removed oracle = exhaustive search over survivors).
+    * Removed ids are re-ingestable via [[ivfAppend]]. Ids with no
+    * list rows are an exact no-op (no commit, `None`). Re-centering
+    * after heavy removal remains the periodic offline
+    * [[buildIvfIndex]] + [[writeIvfLists]] job, same as for appends.
+    * Time-travel readers keep pre-removal snapshots until
+    * [[graft.ops.TxTable.vacuum]] — a purge is GDPR-complete only
+    * after one, exactly the BM25 contract.
+    */
+  def ivfRemove(spark: org.apache.spark.sql.SparkSession, path: String,
+                vecIds: Seq[Any],
+                idCol: String = "vec_id"): Option[Long] = {
+    require(vecIds.nonEmpty, "ivfRemove needs at least one vector id")
+    graft.ops.TxTable.delete(spark, path, col(idCol).isin(vecIds: _*))
+  }
 
   /** Serve top-k from PERSISTED inverted lists (see [[ivfAppend]] /
     * [[writeIvfLists]]): only the query side is assigned at query time

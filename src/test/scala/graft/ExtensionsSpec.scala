@@ -778,6 +778,73 @@ class SimilaritySpec extends SparkSpec {
       "appended index at nprobe=numLists must equal exhaustive search")
   }
 
+  test("ivfRemove serves as if the vectors never existed; one atomic commit") {
+    val rnd = new scala.util.Random(31)
+    val all = (0L until 50L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val victims = Set(10L, 20L, 30L, 40L)
+    val full = df(all)
+    val survivors = df(all.filterNot(v => victims(v.vec_id)))
+    val queries = full.filter(col("vec_id") < 3)
+    // centroids fixed across both tables — removal never retrains
+    val index = Similarity.buildIvfIndex(full, numLists = 5).localCheckpoint()
+    val removed = java.nio.file.Files.createTempDirectory("graft_ivfrm")
+      .toString + "/lists"
+    Similarity.writeIvfLists(full, index, removed)
+    val before = graft.ops.TxTable.versions(spark, removed).size
+    assert(Similarity.ivfRemove(spark, removed, victims.toSeq).isDefined)
+    assert(graft.ops.TxTable.versions(spark, removed).size === before + 1,
+      "removal is exactly one commit")
+    val never = java.nio.file.Files.createTempDirectory("graft_ivfnv")
+      .toString + "/lists"
+    Similarity.writeIvfLists(survivors, index, never)
+    def serve(path: String, np: Int) =
+      Similarity.ivfTopKFromLists(spark, path, queries, 4, np, index)
+        .collect().map(_.toSeq).toSet
+    // bit-identical at a partial probe AND at full probe
+    assert(serve(removed, 2) === serve(never, 2))
+    assert(serve(removed, 5) === serve(never, 5))
+    // full probe over survivors IS exhaustive search over survivors
+    assert(serve(removed, 5) ===
+      Similarity.bruteForceTopK(survivors, queries, 4)
+        .collect().map(_.toSeq).toSet)
+    // no victim is ever served
+    val ids = Similarity.ivfTopKFromLists(spark, removed, queries, 50,
+      nprobe = 5, index).collect().map(_.getLong(2)).toSet
+    assert(ids.intersect(victims).isEmpty)
+    // unknown ids are an exact no-op: no commit at all
+    val vs = graft.ops.TxTable.versions(spark, removed).size
+    assert(Similarity.ivfRemove(spark, removed, Seq(999L)).isEmpty)
+    assert(graft.ops.TxTable.versions(spark, removed).size === vs)
+    // removed ids are re-ingestable; the index then serves the full set
+    Similarity.ivfAppend(spark, removed, index,
+      df(all.filter(v => victims(v.vec_id))))
+    assert(serve(removed, 5) ===
+      Similarity.bruteForceTopK(full, queries, 4)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("ivfRemove rewrite is manifest-pruned to files holding the victim ids") {
+    val rnd = new scala.util.Random(37)
+    val all = (0L until 200L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val index = Similarity.buildIvfIndex(df(all), numLists = 4).localCheckpoint()
+    val lists = java.nio.file.Files.createTempDirectory("graft_ivfpr")
+      .toString + "/lists"
+    // two commits with DISJOINT id ranges: the idSorted layout gives
+    // every file a tight id window whichever way AQE coalesces each
+    // commit's shuffle
+    Similarity.writeIvfLists(df(all.filter(_.vec_id < 100)), index, lists)
+    Similarity.ivfAppend(spark, lists, index,
+      df(all.filter(_.vec_id >= 100)))
+    val before = graft.ops.TxTable.read(spark, lists).inputFiles.toSet
+    assert(before.size > 1, s"need a multi-file table, got ${before.size}")
+    // the victim lives in exactly one id-range file; all others carry
+    Similarity.ivfRemove(spark, lists, Seq(150L))
+    val after = graft.ops.TxTable.read(spark, lists).inputFiles.toSet
+    assert((before intersect after).size === before.size - 1,
+      s"exactly one file may be rewritten: before=${before.size} " +
+        s"carried=${(before intersect after).size}")
+  }
+
   test("ivfRecallReport: one row per nprobe, recall monotone, exact at full probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = Similarity.buildIvfIndex(emb, numLists = 8, kmeansIters = 2)
