@@ -1859,6 +1859,25 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // SemDedup the way a 100 TB pipeline must run it: the clustering
+    // is PERSISTED (writeModel: centroids + full assignment, the fit
+    // paid once) and the dedup is served from the stored assignments
+    // alone — no re-fit, no corpus re-scan, threshold a serve-time
+    // knob. Same centroids ⇒ same clusters ⇒ the q_x_semdedup oracle
+    // gates the persisted path bit-exactly
+    "q_x_semdedup_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+        .withColumn("cent_n", graft.ann.Similarity.norm(col("centroid")))
+        .filter(col("cent_n") > 0)
+      val root = tmpQueryDir("graft_semsrv") + "/model"
+      graft.dedup.SemDedup.writeModel(emb, cents, root)
+      graft.dedup.SemDedup.semDedupServed(s, root, threshold = 0.42)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // global quality rank + decile labels — row_number over a total
     // order via the distributed prefix sum (scalable curriculum
     // bucketing), integer decile arithmetic mirrored by the oracle
@@ -2525,6 +2544,36 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin
 
   private lazy val bm25Oracle: String = bm25OracleSql("")
+
+  /** Shared by q_x_semdedup / q_x_semdedup_served: the persisted-model
+    * serve runs the same pair join over the same fixed-centroid
+    * assignment, so one exact SQL gates the fit-per-call path and the
+    * stored-assignment path alike. Same shapes as the operator: norms
+    * once per row, cos = dot/(na·nb), assignment tie-break
+    * (cs DESC, list_id), drop rule "exists a smaller-id near-dup in
+    * my cluster". */
+  private lazy val semDedupOracle: String =
+      s"""WITH c AS (SELECT vec_id AS list_id, embedding AS centroid,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id < 8
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |p AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS n
+         |  FROM embeddings
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |asg AS (SELECT vec_id, embedding, n, list_id FROM (
+         |  SELECT p.vec_id, p.embedding, p.n, c.list_id,
+         |    ${sqlDot("p.embedding", "c.centroid")} / (p.n * c.cn) AS cs
+         |  FROM p, c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, list_id) = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.42)
+         |SELECT e.vec_id FROM embeddings e
+         |LEFT JOIN dropped d ON e.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL ORDER BY e.vec_id""".stripMargin
 
   /** Shared by q_x_hybrid_search / q_x_hybrid_search_ivf /
     * q_x_hybrid_search_served: probing every IVF list IS exhaustive
@@ -3665,28 +3714,11 @@ object SparkEntry {
     // same shapes as the operator: norms once per row, cos =
     // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule
     // "exists a smaller-id near-dup in my cluster"
-    "q_x_semdedup" ->
-      s"""WITH c AS (SELECT vec_id AS list_id, embedding AS centroid,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
-         |  FROM embeddings WHERE vec_id < 8
-         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
-         |p AS (SELECT vec_id, embedding,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS n
-         |  FROM embeddings
-         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
-         |asg AS (SELECT vec_id, embedding, n, list_id FROM (
-         |  SELECT p.vec_id, p.embedding, p.n, c.list_id,
-         |    ${sqlDot("p.embedding", "c.centroid")} / (p.n * c.cn) AS cs
-         |  FROM p, c)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cs DESC, list_id) = 1),
-         |dropped AS (SELECT DISTINCT b.vec_id
-         |  FROM asg a JOIN asg b
-         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.42)
-         |SELECT e.vec_id FROM embeddings e
-         |LEFT JOIN dropped d ON e.vec_id = d.vec_id
-         |WHERE d.vec_id IS NULL ORDER BY e.vec_id""".stripMargin,
+    "q_x_semdedup" -> semDedupOracle,
+
+    // persisted-model serve ≡ fit-per-call under the same centroids
+    // (same clusters, same pair join), so the same exact SQL gates it
+    "q_x_semdedup_served" -> semDedupOracle,
 
     "q_x_global_rank" ->
       s"""WITH s AS (SELECT doc_id, text,

@@ -64,8 +64,20 @@ object SemDedup {
                     threshold: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxClusterRows: Long = 1000000L): DataFrame = {
-    val assigned = assignClusters(corpus, centroids, idCol, vecCol)
+                    maxClusterRows: Long = 1000000L): DataFrame =
+    pairsFromAssigned(
+      assignClusters(corpus, centroids, idCol, vecCol),
+      threshold, idCol, vecCol, maxClusterRows)
+
+  /** The within-cluster pair join over an already-assigned frame
+    * `(idCol, vecCol, __n, list_id)` — shared by the fit-per-call path
+    * ([[semDedupPairs]]) and the persisted-model serve path
+    * ([[semDedupServed]]), so a guard or tie-break fix here holds on
+    * both. See [[semDedupPairs]] for the `maxClusterRows` rationale.
+    */
+  private def pairsFromAssigned(assigned: DataFrame, threshold: Double,
+                                idCol: String, vecCol: String,
+                                maxClusterRows: Long): DataFrame = {
     if (maxClusterRows > 0) {
       val oversize = assigned.groupBy(col("list_id"))
         .agg(count(lit(1)).as("__sz"))
@@ -104,5 +116,98 @@ object SemDedup {
         maxClusterRows)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------- persisted model
+  //
+  // [[semDedup]] re-runs the centroid fit and re-assigns the WHOLE
+  // corpus on every call; at 100 TB the fit is the job, and the engine
+  // already has two precedents for paying it once into a versioned
+  // TxTable (the IVF lists, the BM25 postings). The persisted model is
+  // two tables under one root:
+  //   <root>/centroids   — (list_id, centroid, cent_n), the fit
+  //   <root>/assignments — (idCol, vecCol, nrm, list_id), EVERY corpus
+  //     row: assigned rows carry their cluster, zero-norm rows carry a
+  //     NULL list_id (they join no pairs and always survive — exactly
+  //     [[semDedup]]'s semantics, kept representable so the serve path
+  //     can reproduce the full survivor set without the raw corpus).
+  // Serving ([[semDedupServed]]) reads assignments only; ingest
+  // ([[appendToModel]]) assigns ONLY the new batch against the stored
+  // centroids — O(batch × numLists), no re-fit, one atomic append —
+  // the FAISS add-vs-train split the IVF index already follows.
+  // Re-fitting (fresh [[graft.ann.Similarity.buildIvfIndex]] +
+  // [[writeModel]]) stays a periodic offline job.
+
+  /** Persist centroids + the full corpus assignment at `root` (two
+    * TxTable overwrite commits — atomic each; a model rebuild is a
+    * re-overwrite and readers mid-serve keep their snapshot).
+    * Returns the assignments version.
+    */
+  def writeModel(corpus: DataFrame, centroids: DataFrame, root: String,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    graft.ops.TxTable.overwrite(spark, s"$root/centroids",
+      centroids.select(col("list_id"), col("centroid"), col("cent_n")))
+    graft.ops.TxTable.overwrite(spark, s"$root/assignments",
+      assignedWithZeroNorm(corpus, centroids, idCol, vecCol))
+  }
+
+  /** Assign ONLY `newRows` against the stored centroids and append
+    * them — O(batch) ingest keeping the persisted assignment current;
+    * after the append [[semDedupServed]] is bit-identical to a
+    * from-scratch [[writeModel]] over the union (same fixed centroids
+    * route both — pinned by spec).
+    */
+  def appendToModel(spark: org.apache.spark.sql.SparkSession, root: String,
+                    newRows: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Long = {
+    val centroids = graft.ops.TxTable.read(spark, s"$root/centroids")
+    graft.ops.TxTable.append(spark, s"$root/assignments",
+      assignedWithZeroNorm(newRows, centroids, idCol, vecCol))
+  }
+
+  /** `(idCol, vecCol, nrm, list_id)` for EVERY row of `rows`: the
+    * nearest-centroid assignment, plus the rows the assignment
+    * excludes (zero-norm or null embeddings) with null nrm/list_id.
+    */
+  private def assignedWithZeroNorm(rows: DataFrame, centroids: DataFrame,
+                                   idCol: String,
+                                   vecCol: String): DataFrame = {
+    val assigned = assignClusters(rows, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("__n").as("nrm"), col("list_id"))
+    val zero = rows.select(col(idCol), col(vecCol))
+      .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol),
+        lit(null).cast("double").as("nrm"),
+        lit(null).cast("long").as("list_id"))
+    assigned.unionByName(zero)
+  }
+
+  /** SemDedup survivors served ENTIRELY from the persisted model —
+    * no fit, no corpus scan, no corpus argument: the within-cluster
+    * pair join runs over the stored assignments and the survivor set
+    * is the stored rows anti-joined against the dropped side. Output
+    * `(idCol, vecCol)`, one row per corpus row that survives —
+    * bit-identical to [[semDedup]] over the same corpus and centroids
+    * (the q_x_semdedup oracle gates both paths). The threshold is a
+    * SERVE-time parameter: one persisted assignment answers any
+    * threshold, because cosines are computed at serve from the stored
+    * vectors — only the clustering is baked in.
+    */
+  def semDedupServed(spark: org.apache.spark.sql.SparkSession, root: String,
+                     threshold: Double,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     maxClusterRows: Long = 1000000L): DataFrame = {
+    val stored = graft.ops.TxTable.read(spark, s"$root/assignments")
+    val dropped = pairsFromAssigned(
+        stored.filter(col("list_id").isNotNull)
+          .withColumnRenamed("nrm", "__n"),
+        threshold, idCol, vecCol, maxClusterRows)
+      .select(col("id_b").as(idCol)).distinct()
+    stored.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
   }
 }

@@ -93,6 +93,52 @@ class SemDedupSpec extends SparkSpec {
     assert(pairsWith(scaledK) === expected)
   }
 
+  test("semDedupServed from a persisted model equals semDedup, zero-norm included") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semsrv")
+      .toString + "/model"
+    SemDedup.writeModel(corpus, cents, root)
+    val served = SemDedup.semDedupServed(spark, root, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val direct = SemDedup.semDedup(corpus, cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served === direct)
+    assert(served.contains(6L), "the zero-norm row must survive the serve")
+    // the threshold is a serve-time knob: ONE persisted assignment
+    // answers a looser threshold too (5 is cos ~0.6 to 1 in cluster A)
+    val loose = SemDedup.semDedupServed(spark, root, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose === SemDedup.semDedup(corpus, cents, threshold = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(loose.subsetOf(served))
+    // the oversize-cluster guard holds on the serve path too
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semDedupServed(spark, root, threshold = 0.9,
+        maxClusterRows = 2).collect()
+    }
+    assert(e.getMessage.contains("quadratic"))
+  }
+
+  test("appendToModel ingests a batch; serve equals a from-scratch model") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semapp")
+      .toString + "/model"
+    SemDedup.writeModel(corpus.filter(col("vec_id") <= 3), cents, root)
+    SemDedup.appendToModel(spark, root, corpus.filter(col("vec_id") > 3))
+    val fresh = java.nio.file.Files.createTempDirectory("graft_semfrs")
+      .toString + "/model"
+    SemDedup.writeModel(corpus, cents, fresh)
+    // stored assignments identical (same fixed centroids route both)
+    def rows(r: String) = graft.ops.TxTable
+      .read(spark, s"$r/assignments")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    assert(rows(root) === rows(fresh))
+    assert(SemDedup.semDedupServed(spark, root, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet ===
+      SemDedup.semDedupServed(spark, fresh, threshold = 0.9)
+        .collect().map(_.getLong(0)).toSet)
+  }
+
   test("one centroid = plain pairwise dedup over the whole corpus") {
     val one = cents.filter(col("list_id") === 0L)
     val got = SemDedup.semDedup(corpus, one, threshold = 0.9)
