@@ -1509,6 +1509,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // WEIGHTED RRF — the tuning lever production stacks actually turn
+    // (trust lexical 0.7, dense 0.3 here): ranker i contributes
+    // w_i/(60 + rank), one IEEE division per contribution, same
+    // src-tag-sorted fold, so the oracle stays bit-exact. The
+    // weighted-vs-unweighted quality trade is MEASURED with
+    // RankingMetrics in HybridSearchSpec — that is what the metric
+    // trio exists for
+    "q_x_hybrid_search_weighted" -> ((s, dir) => {
+      val lex = graft.text.Bm25.search(t(s, dir, "documents"), "doc_id",
+          "text", Seq(("0", "merge join table"), ("1", "fast scan query"),
+            ("2", "stream window agg")), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.ann.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+          topK = 10, weights = Seq(0.7, 0.3))
+        .orderBy("query_id", "rank")
+    }),
+
     // collocations: PMI over a 2-token lookahead window, pairs seen
     // >= 20 times — marginals from the pair table itself, ln rounded
     // to 6 per the cross-engine convention
@@ -2576,11 +2598,15 @@ object SparkEntry {
          |WHERE d.vec_id IS NULL ORDER BY e.vec_id""".stripMargin
 
   /** Shared by q_x_hybrid_search / q_x_hybrid_search_ivf /
-    * q_x_hybrid_search_served: probing every IVF list IS exhaustive
+    * q_x_hybrid_search_served (weights "1.0"/"1.0" ≡ classic RRF) and
+    * q_x_hybrid_search_weighted: probing every IVF list IS exhaustive
     * search (pinned by SqAnnSpec) and persisted serve ≡ per-call
     * search, so the brute-force dense CTE is the exact oracle for all
-    * three fixtures. */
-  private lazy val hybridSearchOracle: String =
+    * four fixtures; `wLex`/`wDense` are the per-ranker wRRF weights,
+    * spelled as SQL double literals so the single w/(k+rank) division
+    * mirrors the engine's expression verbatim. */
+  private def hybridSearchOracleSql(wLex: String,
+                                    wDense: String): String =
       s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
          |            FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
@@ -2626,10 +2652,10 @@ object SparkEntry {
          |  FROM dsc QUALIFY rank <= 20),
          |contrib AS (
          |  SELECT query_id, doc_id, 'r000' AS src,
-         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lexr
+         |    $wLex / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lexr
          |  UNION ALL
          |  SELECT query_id, doc_id, 'r001' AS src,
-         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM denser),
+         |    $wDense / (60.0 + CAST(rank AS DOUBLE)) AS c FROM denser),
          |fused AS (SELECT query_id, doc_id,
          |    list_aggregate(list_transform(
          |      list(struct_pack(src := src, c := c) ORDER BY src),
@@ -2642,6 +2668,9 @@ object SparkEntry {
          |  FROM fused)
          |SELECT query_id, rank, doc_id, rrf_score, n_rankers FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val hybridSearchOracle: String =
+    hybridSearchOracleSql("1.0", "1.0")
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_s1_scan_filter" ->
@@ -4160,6 +4189,9 @@ object SparkEntry {
     "q_x_hybrid_search_ivf" -> hybridSearchOracle,
 
     "q_x_hybrid_search_served" -> hybridSearchOracle,
+
+    // wRRF: same fusion SQL with the engine's exact per-ranker weights
+    "q_x_hybrid_search_weighted" -> hybridSearchOracleSql("0.7", "0.3"),
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same

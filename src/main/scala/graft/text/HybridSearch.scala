@@ -30,13 +30,31 @@ object HybridSearch {
     * `topK` per query, ties broken by document id. `k` is RRF's
     * dampening constant (60 in the original paper: rank differences
     * deep in the lists matter less than agreement near the top).
+    *
+    * `weights` turns the fusion into WEIGHTED RRF — ranker `i`
+    * contributes `weights(i) / (k + rank)` — the production lever for
+    * tuning lexical-vs-dense balance without score calibration (ranks
+    * stay the only cross-ranker currency; weights rescale trust per
+    * SOURCE, which a rank-only method cannot learn from the lists
+    * themselves). Empty (the default) means all-equal — bit-identical
+    * to classic RRF. [[graft.ann.RankingMetrics]] against a truth
+    * ranking is how a weight choice is MEASURED rather than guessed
+    * (spec'd in HybridSearchSpec). A zero weight mutes a ranker's
+    * score while its rows still count in `n_rankers` (it voted, with
+    * zero trust); weights must be non-negative — a negative "weight"
+    * is a different method (penalty fusion), not wRRF.
     */
   def rrf(rankings: Seq[DataFrame], queryCol: String, idCol: String,
           rankCol: String = "rank", k: Int = 60, topK: Int = 10,
-          outCol: String = "rrf_score"): DataFrame = {
+          outCol: String = "rrf_score",
+          weights: Seq[Double] = Nil): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(k >= 0, "k must be non-negative")
     require(topK > 0, "topK must be positive")
+    require(weights.isEmpty || weights.size == rankings.size,
+      s"got ${weights.size} weights for ${rankings.size} rankings — " +
+        "pass one per ranking, or none for classic equal-weight RRF")
+    require(weights.forall(_ >= 0), "weights must be non-negative")
     // positional tags give the fold its defined order; zero-padded so
     // lexicographic order == ranker order past 10 rankers. Each
     // ranker's (query, doc) keys are forced unique — best (lowest)
@@ -46,11 +64,15 @@ object HybridSearch {
     // (query, doc) IS the distinct-ranker count. Each input is
     // queries × k rows, so the extra combine is noise.
     val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      val w = if (weights.isEmpty) 1.0 else weights(i)
       df.select(col(queryCol).as("__q"), col(idCol).as("__d"),
           col(rankCol).cast("double").as("__r"))
         .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
         .select(col("__q"), col("__d"), lit(f"r$i%03d").as("__src"),
-          (lit(1.0) / (lit(k.toDouble) + col("__r"))).as("__c"))
+          // w/(k+r) as ONE literal-over-sum division (not 1/(k+r)
+          // scaled after): a single IEEE op per contribution, mirrored
+          // verbatim by the oracle
+          (lit(w) / (lit(k.toDouble) + col("__r"))).as("__c"))
     }.reduce(_.unionByName(_))
     val fused = tagged.groupBy(col("__q"), col("__d"))
       .agg(

@@ -101,6 +101,60 @@ class HybridSearchSpec extends SparkSpec {
       r.getDouble(4) === 1.0))
   }
 
+  test("weighted RRF: hand-computed scores, and weight -> ranking monotonicity") {
+    val lex = df(Seq(Ranked("q", 1L, 1), Ranked("q", 2L, 2)))
+    val dense = df(Seq(Ranked("q", 2L, 1), Ranked("q", 1L, 2)))
+    def c(r: Int) = 60.0 + r
+    // exact contributions: w/(60+r), one division each
+    val out = HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+      topK = 10, weights = Seq(0.7, 0.3)).collect()
+    val got = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got(1L) === 0.7 / c(1) + 0.3 / c(2))
+    assert(got(2L) === 0.7 / c(2) + 0.3 / c(1))
+    // equal weights tie the two docs (symmetric ranks) — id breaks it;
+    // tilting the weight decides the winner in the tilted direction
+    def winner(w: Seq[Double]) = HybridSearch.rrf(Seq(lex, dense),
+      "query_id", "doc_id", topK = 1, weights = w).collect().head.getLong(2)
+    assert(winner(Seq(1.0, 1.0)) === 1L, "tie -> lowest doc id")
+    assert(winner(Seq(0.9, 0.1)) === 1L, "lex-heavy -> lex's #1")
+    assert(winner(Seq(0.1, 0.9)) === 2L, "dense-heavy -> dense's #1")
+    // empty weights ≡ all-ones, bit-exactly
+    val eq = HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+      topK = 10).collect().map(_.toSeq).toSet
+    val ones = HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+      topK = 10, weights = Seq(1.0, 1.0)).collect().map(_.toSeq).toSet
+    assert(eq === ones)
+    // malformed weights refuse loudly
+    val bad = intercept[IllegalArgumentException](HybridSearch.rrf(
+      Seq(lex, dense), "query_id", "doc_id", weights = Seq(1.0)))
+    assert(bad.getMessage.contains("one per ranking"))
+    intercept[IllegalArgumentException](HybridSearch.rrf(
+      Seq(lex, dense), "query_id", "doc_id", weights = Seq(1.0, -0.5)))
+  }
+
+  test("weight tuning is MEASURABLE: dense-weighted fusion scores higher vs a dense truth") {
+    // truth = the dense ranking; a fusion that trusts the dense ranker
+    // more must reproduce it better — quantified with the nDCG the
+    // metric trio exists to provide, not eyeballed
+    import graft.ann.RankingMetrics
+    val lex = df(Seq(Ranked("q", 10L, 1), Ranked("q", 11L, 2),
+      Ranked("q", 12L, 3), Ranked("q", 13L, 4)))
+    val dense = df(Seq(Ranked("q", 13L, 1), Ranked("q", 12L, 2),
+      Ranked("q", 11L, 3), Ranked("q", 10L, 4)))
+    def ndcgVs(w: Seq[Double]) = RankingMetrics.ndcg(
+      HybridSearch.rrf(Seq(lex, dense), "query_id", "doc_id",
+        topK = 4, weights = w),
+      dense, "query_id", "doc_id", k = 4).collect().head.getDouble(4)
+    val equal = ndcgVs(Seq(1.0, 1.0))
+    val denseHeavy = ndcgVs(Seq(0.2, 0.8))
+    val denseOnly = ndcgVs(Seq(0.0, 1.0))
+    assert(denseOnly === 1.0, "all trust in dense reproduces the truth")
+    assert(denseHeavy > equal,
+      s"shifting weight toward the truth's ranker must raise ndcg: " +
+        s"equal=$equal denseHeavy=$denseHeavy")
+    assert(denseHeavy <= denseOnly)
+  }
+
   test("duplicate rows within one ranking contribute once, at their best rank") {
     // doc 1 listed TWICE by the lexical ranker (ranks 1 and 2) and
     // once by the dense one: it must contribute 1/(60+1) once per
