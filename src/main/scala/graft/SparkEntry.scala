@@ -1307,6 +1307,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the same decontamination SERVED from the corpus's persisted BM25
+    // inverted index: each eval window elects its rarest corpus token
+    // (sound — a doc holding the window holds that token), candidates
+    // come from a manifest-pruned posting read, and only candidates
+    // pay the window-digest pass; the rest take one narrow map. Same
+    // injected fixture, same exact oracle — the pruning must be
+    // invisible in the output
+    "q_x_span_decontaminate_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val injected = docs.filter(col("doc_id") % 10 =!= 0)
+        .join(evalSet.select(col("doc_id").as("eid"),
+          substring(col("text"), 1, 120).as("esnip")),
+          floor(col("doc_id") / 10) * 10 === col("eid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1 && col("esnip").isNotNull,
+            concat_ws(" ", col("text"), col("esnip")))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      val idx = tmpQueryDir("graft_spandec") + "/index"
+      graft.text.Bm25.buildIndex(injected, "doc_id", "text", idx)
+      graft.dedup.SpanDedup.maskContaminatedSpansIndexed(injected, evalSet,
+          "doc_id", "text", windowTokens = 8, idx)
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC normalization: a decomposed "cafe" + COMBINING ACUTE
     // (appended to every doc) must compose to the precomposed é — the
     // length delta proves composition happened, and the full normalized
@@ -2671,6 +2698,55 @@ object SparkEntry {
 
   private lazy val hybridSearchOracle: String =
     hybridSearchOracleSql("1.0", "1.0")
+
+  /** Shared by q_x_span_decontaminate / q_x_span_decontaminate_indexed:
+    * the index-backed candidate election is SOUND (every contaminated
+    * doc contains its windows' rarest tokens), so pruning never changes
+    * the output and one exact SQL gates both paths. Mirrors
+    * SpanDedup.maskContaminatedSpans over the injected fixture: corpus
+    * windows semi-joined against the eval side's distinct window
+    * fingerprints, then the span_dedup coverage tail. */
+  private lazy val spanDecontaminateOracle: String =
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |inj AS (SELECT c.doc_id,
+         |    CASE WHEN c.doc_id % 7 = 1 AND e.text IS NOT NULL
+         |      THEN c.text || ' ' || substr(e.text, 1, 120)
+         |      ELSE c.text END AS text
+         |  FROM documents c LEFT JOIN ev e ON (c.doc_id // 10) * 10 = e.doc_id
+         |  WHERE c.doc_id % 10 <> 0),
+         |b AS (SELECT doc_id, $sqlToks AS toks FROM inj),
+         |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tokens
+         |       FROM b),
+         |eb AS (SELECT $sqlToks AS toks FROM ev),
+         |efp AS (SELECT DISTINCT md5(array_to_string(toks[i : i+7], ' ')) AS fp
+         |        FROM (SELECT toks, len(toks) AS n FROM eb)
+         |          CROSS JOIN unnest(range(1, n - 6)) t(i)
+         |        WHERE n >= 8),
+         |w AS (SELECT doc_id, i - 1 AS pos,
+         |        md5(array_to_string(toks[i : i+7], ' ')) AS fp
+         |      FROM b2 CROSS JOIN unnest(range(1, n_tokens - 6)) t(i)
+         |      WHERE n_tokens >= 8),
+         |hit AS (SELECT doc_id, pos FROM w SEMI JOIN efp USING (fp)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+         |        FROM hit CROSS JOIN unnest(range(0, 8)) u(j)),
+         |st AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_masked_tokens,
+         |        CAST(SUM(brk) AS INTEGER) AS n_spans FROM (
+         |          SELECT doc_id, CASE WHEN tp - lag(tp) OVER (
+         |            PARTITION BY doc_id ORDER BY tp) = 1
+         |            THEN 0 ELSE 1 END AS brk FROM cov)
+         |        GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i - 1 AS tp, toks[i] AS tok
+         |        FROM b2 CROSS JOIN unnest(range(1, n_tokens + 1)) t(i)),
+         |keep AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp)
+         |           AS text_clean
+         |         FROM tok ANTI JOIN cov USING (doc_id, tp)
+         |         GROUP BY doc_id)
+         |SELECT b2.doc_id, b2.n_tokens,
+         |  coalesce(st.n_masked_tokens, 0) AS n_masked_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(keep.text_clean, '') AS text_clean
+         |FROM b2 LEFT JOIN st USING (doc_id) LEFT JOIN keep USING (doc_id)
+         |ORDER BY b2.doc_id""".stripMargin
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_s1_scan_filter" ->
@@ -4054,47 +4130,11 @@ object SparkEntry {
     // mirrors SpanDedup.maskContaminatedSpans over the same injected
     // fixture: corpus windows semi-joined against the eval side's
     // distinct window fingerprints, then the span_dedup coverage tail
-    "q_x_span_decontaminate" ->
-      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-         |inj AS (SELECT c.doc_id,
-         |    CASE WHEN c.doc_id % 7 = 1 AND e.text IS NOT NULL
-         |      THEN c.text || ' ' || substr(e.text, 1, 120)
-         |      ELSE c.text END AS text
-         |  FROM documents c LEFT JOIN ev e ON (c.doc_id // 10) * 10 = e.doc_id
-         |  WHERE c.doc_id % 10 <> 0),
-         |b AS (SELECT doc_id, $sqlToks AS toks FROM inj),
-         |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tokens
-         |       FROM b),
-         |eb AS (SELECT $sqlToks AS toks FROM ev),
-         |efp AS (SELECT DISTINCT md5(array_to_string(toks[i : i+7], ' ')) AS fp
-         |        FROM (SELECT toks, len(toks) AS n FROM eb)
-         |          CROSS JOIN unnest(range(1, n - 6)) t(i)
-         |        WHERE n >= 8),
-         |w AS (SELECT doc_id, i - 1 AS pos,
-         |        md5(array_to_string(toks[i : i+7], ' ')) AS fp
-         |      FROM b2 CROSS JOIN unnest(range(1, n_tokens - 6)) t(i)
-         |      WHERE n_tokens >= 8),
-         |hit AS (SELECT doc_id, pos FROM w SEMI JOIN efp USING (fp)),
-         |cov AS (SELECT DISTINCT doc_id, pos + j AS tp
-         |        FROM hit CROSS JOIN unnest(range(0, 8)) u(j)),
-         |st AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_masked_tokens,
-         |        CAST(SUM(brk) AS INTEGER) AS n_spans FROM (
-         |          SELECT doc_id, CASE WHEN tp - lag(tp) OVER (
-         |            PARTITION BY doc_id ORDER BY tp) = 1
-         |            THEN 0 ELSE 1 END AS brk FROM cov)
-         |        GROUP BY doc_id),
-         |tok AS (SELECT doc_id, i - 1 AS tp, toks[i] AS tok
-         |        FROM b2 CROSS JOIN unnest(range(1, n_tokens + 1)) t(i)),
-         |keep AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp)
-         |           AS text_clean
-         |         FROM tok ANTI JOIN cov USING (doc_id, tp)
-         |         GROUP BY doc_id)
-         |SELECT b2.doc_id, b2.n_tokens,
-         |  coalesce(st.n_masked_tokens, 0) AS n_masked_tokens,
-         |  coalesce(st.n_spans, 0) AS n_spans,
-         |  coalesce(keep.text_clean, '') AS text_clean
-         |FROM b2 LEFT JOIN st USING (doc_id) LEFT JOIN keep USING (doc_id)
-         |ORDER BY b2.doc_id""".stripMargin,
+    "q_x_span_decontaminate" -> spanDecontaminateOracle,
+
+    // index-backed candidate pruning is output-invisible (sound rare-
+    // token election), so the same exact SQL gates the served path
+    "q_x_span_decontaminate_indexed" -> spanDecontaminateOracle,
 
     // chr(769) = U+0301 COMBINING ACUTE; nfc_normalize composes it with
     // the preceding 'e' exactly as java.text.Normalizer NFC does

@@ -104,6 +104,92 @@ object SpanDedup {
       .withColumnRenamed("text_stripped", "text_clean")
   }
 
+  /** [[maskContaminatedSpans]] served from the corpus's PERSISTED
+    * BM25 inverted index ([[graft.text.Bm25.buildIndex]] at
+    * `indexPath`, built over the SAME corpus with the same id column —
+    * caller contract): identical output, but the expensive stage — the
+    * per-token window explosion + digest shuffle over the corpus —
+    * runs over CANDIDATE documents only, so the pass scales with
+    * contamination volume, not corpus size.
+    *
+    * Candidate election is SOUND, not heuristic: a document containing
+    * a k-token eval window contains every one of its tokens, in
+    * particular its globally RAREST one. So: (1) each distinct eval
+    * window's tokens get their document frequency from the index — a
+    * two-column pruned scan plus an eval-token semi-join, never a
+    * corpus re-tokenization; (2) a window any of whose tokens has
+    * df = 0 can match nothing and is dropped outright; (3) each
+    * surviving window elects its rarest token (ties → lexicographic,
+    * deterministic), and the candidate set is the union of those
+    * tokens' posting lists — read back MANIFEST-PRUNED
+    * ([[graft.ops.TxTable.readWhere]] against the index's token-range
+    * files and blooms). Rare tokens are by construction the shortest
+    * posting lists the window offers, so candidates stay close to the
+    * truly contaminated set even when the window also contains
+    * stopwords. Non-candidates take one narrow tokenize-and-rejoin
+    * map (their output fields are position-independent) and never
+    * enter the digest shuffle.
+    *
+    * The one driver-side materialization is the rare-token list —
+    * bounded by the number of DISTINCT eval windows (eval sets are a
+    * few benchmarks by contract, the same bound
+    * [[graft.text.Bm25.searchIndexed]] documents for query terms).
+    */
+  def maskContaminatedSpansIndexed(corpus: DataFrame, evalSet: DataFrame,
+                                   idCol: String, textCol: String,
+                                   windowTokens: Int,
+                                   indexPath: String): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val spark = corpus.sparkSession
+    val k = windowTokens
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    // distinct eval windows as token arrays, keyed by the SAME
+    // fingerprint construction windowOcc uses
+    val evalWins = evalSet
+      .select(toks.as("__toks"))
+      .select(explode(when(size(col("__toks")) < k,
+          array().cast("array<array<string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("__toks")) - k),
+          i => slice(col("__toks"), i + 1, lit(k))))).as("__wt"))
+      .select(md5(concat_ws(" ", col("__wt"))).as("__wfp"), col("__wt"))
+      .dropDuplicates("__wfp")
+    val evalTok = evalWins
+      .select(col("__wfp"), explode(array_distinct(col("__wt"))).as("token"))
+    val postings = graft.ops.TxTable.read(spark, indexPath)
+    val dfTok = postings
+      .join(evalTok.select("token").distinct(), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("__df"))
+    // per window: min (df, token) — df 0 (absent) sorts first, so the
+    // filter drops unmatched windows and the survivor's field IS the
+    // rarest present token, ties broken lexicographically
+    val rare = evalTok.join(dfTok, Seq("token"), "left")
+      .groupBy(col("__wfp"))
+      .agg(min(struct(coalesce(col("__df"), lit(0L)).as("d"),
+        col("token").as("t"))).as("__m"))
+      .filter(col("__m").getField("d") > 0)
+      .select(col("__m").getField("t").as("token"))
+      .distinct()
+    val rareTokens = rare.collect().map(_.getString(0)).toSeq
+    val candIds =
+      if (rareTokens.isEmpty) postings.select(col(idCol)).filter(lit(false))
+      else graft.ops.TxTable.readWhere(spark, indexPath,
+          col("token").isin(rareTokens: _*))
+        .select(col(idCol)).distinct()
+    val masked = maskContaminatedSpans(
+      corpus.join(candIds, Seq(idCol), "left_semi"),
+      evalSet, idCol, textCol, k)
+    // non-candidates: provably window-free, so their row is a pure
+    // function of their own tokens — no explosion, no digest, no
+    // shuffle beyond the split's semi/anti joins
+    val passThrough = corpus.join(candIds, Seq(idCol), "left_anti")
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("int").as("n_tokens"),
+        lit(0).cast("int").as("n_masked_tokens"),
+        lit(0).as("n_spans"),
+        concat_ws(" ", col("__toks")).as("text_clean"))
+    masked.unionByName(passThrough)
+  }
+
   /** Tokenized base frame + one (id, pos, md5-fingerprint) row per
     * k-token window at every start position 0..n-k (none when n < k).
     */

@@ -433,6 +433,37 @@ class DedupSpec extends SparkSpec {
       "docs shorter than the window have no windows and survive whole")
   }
 
+  test("maskContaminatedSpansIndexed equals the plain pass bit-exactly") {
+    val evalText = "one two three four five six seven eight"
+    val evalSet = df(Seq(Doc(100L, evalText, "e")))
+    val corpus = df(Seq(
+      Doc(1L, s"prefix aa bb $evalText suffix cc", "c"),
+      Doc(2L, "totally different words with no overlap at all here", "c"),
+      Doc(3L, evalText, "c"),
+      Doc(4L, "short doc", "c"),
+      Doc(5L, "one two three unrelated tail words here now", "c"))) // shares TOKENS, no window
+    val idx = java.nio.file.Files.createTempDirectory("graft_spanidx")
+      .toString + "/index"
+    graft.text.Bm25.buildIndex(corpus, "doc_id", "text", idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val plain = rows(graft.dedup.SpanDedup.maskContaminatedSpans(
+      corpus, evalSet, "doc_id", "text", windowTokens = 8))
+    val indexed = rows(graft.dedup.SpanDedup.maskContaminatedSpansIndexed(
+      corpus, evalSet, "doc_id", "text", windowTokens = 8, idx))
+    assert(indexed === plain,
+      "index-backed candidate pruning must be invisible in the output")
+    // an eval set with NO token in the corpus: every window is
+    // unmatched, the candidate set is empty, and all docs pass through
+    // the narrow path — still identical to the plain pass
+    val alien = df(Seq(Doc(200L,
+      "zzz1 zzz2 zzz3 zzz4 zzz5 zzz6 zzz7 zzz8 zzz9", "e")))
+    assert(rows(graft.dedup.SpanDedup.maskContaminatedSpansIndexed(
+        corpus, alien, "doc_id", "text", windowTokens = 8, idx)) ===
+      rows(graft.dedup.SpanDedup.maskContaminatedSpans(
+        corpus, alien, "doc_id", "text", windowTokens = 8)))
+  }
+
   test("containmentPairsBloom is bit-identical to containmentPairs, even undersized") {
     val rnd = new scala.util.Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
