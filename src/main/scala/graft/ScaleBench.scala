@@ -84,9 +84,19 @@ object ScaleBench {
     // (the build cost, which IS corpus-linear, is q_x_bm25_indexed's
     // own ladder row).
     "x_bm25_serve" -> ((s, dir) =>
-      graft.text.Bm25.searchIndexed(s, bm25LadderIndex(dir),
+      graft.text.Bm25.searchIndexed(s, ladderState("bm25", dir) + "/index",
         Seq(("q1", "merge join table"), ("q2", "fast scan query"),
-          ("q3", "stream window agg")), topK = 10)))
+          ("q3", "stream window agg")), topK = 10)),
+    // SemDedup SERVE cost in isolation — the model (scaled-k centroids
+    // + full assignment) is prebuilt per dir by [[Prepare]], so this
+    // row times only the within-cluster pair join + anti-join over the
+    // stored assignments. With centroid count ∝ corpus (target cluster
+    // ~500 rows) the pair work is corpus-LINEAR; the fit it excludes
+    // is x_semdedup_scaled_k's own ladder row.
+    "x_semdedup_serve" -> ((s, dir) =>
+      graft.dedup.SemDedup.semDedupServed(s,
+          ladderState("semdedup", dir) + "/model", threshold = 0.42)
+        .select("vec_id")))
 
   /** Per-dir prepared state for ladder-only entries whose timed body
     * must EXCLUDE a one-time build (the serve-vs-build split the
@@ -98,11 +108,27 @@ object ScaleBench {
     "x_bm25_serve" -> ((s, dir) =>
       graft.text.Bm25.buildIndex(
         graft.ops.Sources.table(s, dir, "documents"), "doc_id", "text",
-        bm25LadderIndex(dir))))
+        ladderState("bm25", dir) + "/index")),
+    "x_semdedup_serve" -> ((s, dir) => {
+      val emb = graft.ops.Sources.table(s, dir, "embeddings")
+      val numLists = math.max(2L, emb.count() / 500L).toInt
+      graft.dedup.SemDedup.writeModel(emb,
+        graft.ann.Similarity.buildIvfIndex(emb, numLists),
+        ladderState("semdedup", dir) + "/model")
+    }))
 
-  private def bm25LadderIndex(dir: String): String =
-    "/tmp/graft_bm25_ladder/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/index"
+  /** Prepared-state root for (kind, data dir). The sanitized dir name
+    * alone is NOT injective (`/a/b` and `/a_b` both sanitize to
+    * `_a_b`), and a collision would silently time the wrong scale's
+    * index — so the RAW dir string's hash is appended to make the
+    * mapping one-to-one.
+    */
+  private def ladderState(kind: String, dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(dir))
+    s"/tmp/graft_${kind}_ladder/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$h"
+  }
 
   /** The FULL query surface at both scales — every SparkEntry query
     * whose semantics are linear-in-data (see [[Excluded]]), so each
@@ -166,6 +192,13 @@ object ScaleBench {
       Prepare(n)(spark, base); Prepare(n)(spark, out)
     }
 
+    // stamped AFTER synthesis + prepare and BEFORE any timed row: a
+    // 100-copy synthesis saturates the host for minutes, and a stamp
+    // taken around it describes the build, not the measurement window
+    // (round 12's sf10 artifact contradicted its own "quiet window"
+    // prose exactly this way). load_post then brackets the runs.
+    val loadPre = graft.util.Host.loadavg()
+
     def time(name: String, dir: String): (Double, String) = {
       val t0 = System.nanoTime()
       val df = (SparkEntry.queries ++ Extra)(name)(spark, dir)
@@ -194,13 +227,17 @@ object ScaleBench {
     val subQuadratic = rows.forall(_._4 < copies.toDouble * copies)
     // same contention stamps as Bench: ratios are internal (base and
     // scaled inflate together) but absolute numbers are compared across
-    // rounds, so the artifact says whether the host was quiet
-    val load = graft.util.Host.loadavg()
-    val loadJson = load.map(f).mkString("[", ",", "]")
+    // rounds, so the artifact says whether the MEASUREMENT window was
+    // quiet — load_pre (post-synthesis, pre-timing) is the operative
+    // stamp; load_post brackets the runs
+    val loadPreJson = loadPre.map(f).mkString("[", ",", "]")
+    val loadPostJson = graft.util.Host.loadavg().map(f)
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_ladder",""" +
       s""""base":${graft.util.Host.jsonStr(base)},""" +
       s""""scaled":${graft.util.Host.jsonStr(out)},""" +
-      s""""copies":$copies,"load":$loadJson,""" +
+      s""""copies":$copies,"load_pre":$loadPreJson,""" +
+      s""""load_post":$loadPostJson,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""queries":$qs,"sub_quadratic":$subQuadratic}"""
     println(line)
