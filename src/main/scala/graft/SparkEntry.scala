@@ -1927,6 +1927,25 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // the model's removal leg: write over the FULL corpus, purge 20
+    // ids in one atomic manifest-pruned delete (centroids fixed;
+    // assignments per-row independent under fixed centroids), serve —
+    // which must equal the fit over a corpus never holding the rows,
+    // so the oracle is the same SQL with the ids filtered out
+    "q_x_semdedup_removed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+        .withColumn("cent_n", graft.ann.Similarity.norm(col("centroid")))
+        .filter(col("cent_n") > 0)
+      val root = tmpQueryDir("graft_semrm") + "/model"
+      graft.dedup.SemDedup.writeModel(emb, cents, root)
+      graft.dedup.SemDedup.removeFromModel(s, root, (100L to 119L))
+      graft.dedup.SemDedup.semDedupServed(s, root, threshold = 0.42)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // global quality rank + decile labels — row_number over a total
     // order via the distributed prefix sum (scalable curriculum
     // bucketing), integer decile arithmetic mirrored by the oracle
@@ -2594,14 +2613,20 @@ object SparkEntry {
 
   private lazy val bm25Oracle: String = bm25OracleSql("")
 
-  /** Shared by q_x_semdedup / q_x_semdedup_served: the persisted-model
+  /** Shared by q_x_semdedup / q_x_semdedup_served (docFilter "TRUE")
+    * and q_x_semdedup_removed (docFilter excluding the purged ids —
+    * removal of per-row-independent assignments under fixed centroids
+    * ≡ a model whose corpus never held the rows): the persisted-model
     * serve runs the same pair join over the same fixed-centroid
-    * assignment, so one exact SQL gates the fit-per-call path and the
-    * stored-assignment path alike. Same shapes as the operator: norms
-    * once per row, cos = dot/(na·nb), assignment tie-break
-    * (cs DESC, list_id), drop rule "exists a smaller-id near-dup in
-    * my cluster". */
-  private lazy val semDedupOracle: String =
+    * assignment, so one exact SQL shape gates the fit-per-call path,
+    * the stored-assignment path, and the post-removal path alike.
+    * Same shapes as the operator: norms once per row, cos =
+    * dot/(na·nb), assignment tie-break (cs DESC, list_id), drop rule
+    * "exists a smaller-id near-dup in my cluster". Note the CENTROID
+    * CTE stays unfiltered — centroids were fit before the removal and
+    * stay fixed (the q_x_semdedup_removed fixture purges ids ≥ 100,
+    * never the seed ids < 8, so this is exact, not approximate). */
+  private def semDedupOracleSql(docFilter: String => String): String =
       s"""WITH c AS (SELECT vec_id AS list_id, embedding AS centroid,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
          |  FROM embeddings WHERE vec_id < 8
@@ -2609,7 +2634,8 @@ object SparkEntry {
          |p AS (SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS n
          |  FROM embeddings
-         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |  WHERE (${docFilter("vec_id")})
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
          |asg AS (SELECT vec_id, embedding, n, list_id FROM (
          |  SELECT p.vec_id, p.embedding, p.n, c.list_id,
          |    ${sqlDot("p.embedding", "c.centroid")} / (p.n * c.cn) AS cs
@@ -2622,7 +2648,10 @@ object SparkEntry {
          |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.n * b.n) >= 0.42)
          |SELECT e.vec_id FROM embeddings e
          |LEFT JOIN dropped d ON e.vec_id = d.vec_id
-         |WHERE d.vec_id IS NULL ORDER BY e.vec_id""".stripMargin
+         |WHERE d.vec_id IS NULL AND (${docFilter("e.vec_id")})
+         |ORDER BY e.vec_id""".stripMargin
+
+  private lazy val semDedupOracle: String = semDedupOracleSql(_ => "TRUE")
 
   /** Shared by q_x_hybrid_search / q_x_hybrid_search_ivf /
     * q_x_hybrid_search_served (weights "1.0"/"1.0" ≡ classic RRF) and
@@ -3824,6 +3853,11 @@ object SparkEntry {
     // persisted-model serve ≡ fit-per-call under the same centroids
     // (same clusters, same pair join), so the same exact SQL gates it
     "q_x_semdedup_served" -> semDedupOracle,
+
+    // removal of per-row-independent assignments under fixed centroids
+    // ≡ a model never holding the rows: same SQL minus the purged ids
+    "q_x_semdedup_removed" -> semDedupOracleSql(v =>
+      s"$v NOT BETWEEN 100 AND 119"),
 
     "q_x_global_rank" ->
       s"""WITH s AS (SELECT doc_id, text,

@@ -182,7 +182,31 @@ object SemDedup {
       .select(col(idCol), col(vecCol),
         lit(null).cast("double").as("nrm"),
         lit(null).cast("long").as("list_id"))
+    // id-range layout: tight per-file id windows let removeFromModel's
+    // copy-on-write delete prune to the files actually holding victims
+    // (the graft.ann.Similarity.idSorted rationale; the serve join
+    // reads every row regardless of layout)
     assigned.unionByName(zero)
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+  }
+
+  /** Remove rows from the persisted assignment — the model's removal
+    * leg (GDPR purge, contaminated-embedding excision), completing
+    * write/append/serve the way [[graft.ann.Similarity.ivfRemove]]
+    * completes the IVF lists'. ONE atomic manifest-pruned
+    * copy-on-write [[graft.ops.TxTable.delete]]; centroids stay fixed
+    * and assignments are per-row independent under fixed centroids,
+    * so serving afterwards is BIT-IDENTICAL to a model whose corpus
+    * never held the rows (pinned by spec and the q_x_semdedup_removed
+    * oracle). A purged row can re-enter later via [[appendToModel]].
+    * Ids with no assignment row are an exact no-op (no commit).
+    */
+  def removeFromModel(spark: org.apache.spark.sql.SparkSession,
+                      root: String, ids: Seq[Any],
+                      idCol: String = "vec_id"): Option[Long] = {
+    require(ids.nonEmpty, "removeFromModel needs at least one id")
+    graft.ops.TxTable.delete(spark, s"$root/assignments",
+      col(idCol).isin(ids: _*))
   }
 
   /** SemDedup survivors served ENTIRELY from the persisted model —

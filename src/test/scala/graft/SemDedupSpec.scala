@@ -139,6 +139,37 @@ class SemDedupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet)
   }
 
+  test("removeFromModel serves as if the rows never entered; one commit; no-op unknowns") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semrm")
+      .toString + "/model"
+    SemDedup.writeModel(corpus, cents, root)
+    val before = graft.ops.TxTable.versions(spark,
+      s"$root/assignments").size
+    // remove the cluster-A near-dup (2) and the zero-norm row (6):
+    // both assignment shapes (listed and null-list) must delete
+    assert(SemDedup.removeFromModel(spark, root, Seq(2L, 6L)).isDefined)
+    assert(graft.ops.TxTable.versions(spark, s"$root/assignments").size
+      === before + 1, "removal is exactly one commit")
+    val never = java.nio.file.Files.createTempDirectory("graft_semnv")
+      .toString + "/model"
+    SemDedup.writeModel(corpus.filter(!col("vec_id").isin(2L, 6L)),
+      cents, never)
+    def serve(r: String) = SemDedup.semDedupServed(spark, r, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(serve(root) === serve(never))
+    assert(!serve(root).contains(2L) && !serve(root).contains(6L))
+    // unknown ids: exact no-op, no commit
+    val vs = graft.ops.TxTable.versions(spark, s"$root/assignments").size
+    assert(SemDedup.removeFromModel(spark, root, Seq(999L)).isEmpty)
+    assert(graft.ops.TxTable.versions(spark, s"$root/assignments").size
+      === vs)
+    // purged rows re-enter via appendToModel; serve sees them again
+    SemDedup.appendToModel(spark, root,
+      corpus.filter(col("vec_id").isin(2L, 6L)))
+    assert(serve(root) === SemDedup.semDedup(corpus, cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("one centroid = plain pairwise dedup over the whole corpus") {
     val one = cents.filter(col("list_id") === 0L)
     val got = SemDedup.semDedup(corpus, one, threshold = 0.9)
