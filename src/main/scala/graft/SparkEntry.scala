@@ -2110,6 +2110,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the signature index's removal leg — and a CORRECTNESS property,
+    // not just hygiene: a purged doc's lingering signature would keep
+    // suppressing near-dups of a document no longer in the corpus.
+    // Init over 2/3, purge the indexed ids < 200 (one atomic pruned
+    // delete), ingest the last 1/3 — survivors must equal the
+    // batch-global decision against the SURVIVING old corpus (a
+    // non-vacuous fixture: at sf0.01 four batch docs flip from
+    // dropped to surviving because their only near-dup was purged)
+    "q_x_inc_dedup_removed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = tmpQueryDir("graft_incrm") + "/idx"
+      val cfg = graft.dedup.IncDedupConfig(n = 3, numPerms = 64, bands = 16,
+        minAgree = 0.5, hash = TextAnalysis.md5Hash60)
+      graft.dedup.IncrementalDedup.init(s, idx,
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", cfg)
+      graft.dedup.IncrementalDedup.remove(s, idx, (1L to 199L))
+      graft.dedup.IncrementalDedup.ingest(s, idx,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", cfg)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2652,6 +2674,54 @@ object SparkEntry {
          |ORDER BY e.vec_id""".stripMargin
 
   private lazy val semDedupOracle: String = semDedupOracleSql(_ => "TRUE")
+
+  /** Shared by q_x_inc_dedup (`oldWhere` = the full indexed corpus)
+    * and q_x_inc_dedup_removed (`oldWhere` excluding the purged ids):
+    * after `IncrementalDedup.remove` the index IS the surviving
+    * signatures, so the incremental ingest must reproduce the
+    * batch-global minhash decision against the smaller old corpus —
+    * one SQL shape gates both the grow and the purge paths. Mirrors
+    * the ingest semantics exactly: drop batch docs agreeing with any
+    * OLD doc at minAgree, then keep the min id of each within-batch
+    * agreement component (recursive reachability). */
+  private def incDedupOracleSql(oldWhere: String): String =
+      s"""WITH RECURSIVE
+         |${sqlMinhashSigSuffixed(s"(SELECT * FROM documents WHERE $oldWhere)", 64, "_old")},
+         |${sqlMinhashSigSuffixed("(SELECT * FROM documents WHERE doc_id % 3 = 0)", 64, "_new")},
+         |${sqlBandRowsOver(16, 4, "sig_old", "band_old")},
+         |${sqlBandRowsOver(16, 4, "sig_new", "band_new")},
+         |dupold AS (SELECT DISTINCT p.id FROM
+         |  (SELECT DISTINCT a.id AS id, b.id AS oid FROM band_new a
+         |   JOIN band_old b ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.id <> b.id) p
+         |  JOIN sig_new sa ON sa.id = p.id
+         |  JOIN sig_old sb ON sb.id = p.oid
+         |  WHERE ${sqlSigAgree(64)} >= 0.5),
+         |fresh AS (SELECT id FROM sig_new
+         |  WHERE id NOT IN (SELECT id FROM dupold)),
+         |pairs AS (SELECT p.id_a, p.id_b FROM
+         |  (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band_new a
+         |   JOIN band_new b ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.id < b.id) p
+         |  JOIN sig_new sa ON sa.id = p.id_a
+         |  JOIN sig_new sb ON sb.id = p.id_b
+         |  WHERE p.id_a IN (SELECT id FROM fresh)
+         |    AND p.id_b IN (SELECT id FROM fresh)
+         |    AND ${sqlSigAgree(64)} >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |losers AS (SELECT id FROM
+         |  (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) WHERE id <> comp)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % 3 = 0
+         |  AND doc_id NOT IN (SELECT id FROM dupold)
+         |  AND doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
 
   /** Shared by q_x_hybrid_search / q_x_hybrid_search_ivf /
     * q_x_hybrid_search_served (weights "1.0"/"1.0" ≡ classic RRF) and
@@ -3685,44 +3755,14 @@ object SparkEntry {
     // agreement pairs → connected components → min-id canonical.
     // Short docs (< 3 tokens, no signature) appear in no drop set and
     // pass through — same as the operator.
-    "q_x_inc_dedup" ->
-      s"""WITH RECURSIVE
-         |${sqlMinhashSigSuffixed("(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 64, "_old")},
-         |${sqlMinhashSigSuffixed("(SELECT * FROM documents WHERE doc_id % 3 = 0)", 64, "_new")},
-         |${sqlBandRowsOver(16, 4, "sig_old", "band_old")},
-         |${sqlBandRowsOver(16, 4, "sig_new", "band_new")},
-         |dupold AS (SELECT DISTINCT p.id FROM
-         |  (SELECT DISTINCT a.id AS id, b.id AS oid FROM band_new a
-         |   JOIN band_old b ON a.band = b.band AND a.bucket = b.bucket
-         |     AND a.id <> b.id) p
-         |  JOIN sig_new sa ON sa.id = p.id
-         |  JOIN sig_old sb ON sb.id = p.oid
-         |  WHERE ${sqlSigAgree(64)} >= 0.5),
-         |fresh AS (SELECT id FROM sig_new
-         |  WHERE id NOT IN (SELECT id FROM dupold)),
-         |pairs AS (SELECT p.id_a, p.id_b FROM
-         |  (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band_new a
-         |   JOIN band_new b ON a.band = b.band AND a.bucket = b.bucket
-         |     AND a.id < b.id) p
-         |  JOIN sig_new sa ON sa.id = p.id_a
-         |  JOIN sig_new sb ON sb.id = p.id_b
-         |  WHERE p.id_a IN (SELECT id FROM fresh)
-         |    AND p.id_b IN (SELECT id FROM fresh)
-         |    AND ${sqlSigAgree(64)} >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-         |losers AS (SELECT id FROM
-         |  (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) WHERE id <> comp)
-         |SELECT doc_id, source, n_chars FROM documents
-         |WHERE doc_id % 3 = 0
-         |  AND doc_id NOT IN (SELECT id FROM dupold)
-         |  AND doc_id NOT IN (SELECT id FROM losers)
-         |ORDER BY doc_id""".stripMargin,
+    "q_x_inc_dedup" -> incDedupOracleSql("doc_id % 3 <> 0"),
+
+    // same decision SQL with the purged ids gone from the OLD side:
+    // after remove(), the index is exactly the surviving signatures,
+    // so the incremental ingest must reproduce the batch-global
+    // verdict against the smaller corpus
+    "q_x_inc_dedup_removed" -> incDedupOracleSql(
+      "doc_id % 3 <> 0 AND doc_id >= 200"),
 
     "q_x_training_report" ->
       s"""WITH corpus AS ($trainingPipelineSql)

@@ -103,6 +103,15 @@ object IncrementalDedup {
       .select("id_a", "id_b", "agree")
   }
 
+  /** Id-range layout for the signature table: tight per-file id
+    * windows let [[remove]]'s copy-on-write delete prune to the files
+    * actually holding victims (the [[graft.ann.Similarity]] `idSorted`
+    * rationale; ingest's index scan reads every signature regardless
+    * of layout). One extra exchange per commit, paid at write time.
+    */
+  private def idSorted(sigs: DataFrame): DataFrame =
+    sigs.repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+
   /** Bootstrap the index from an already-deduplicated corpus: one
     * MinHash pass, one append commit. Fails if the table exists (an
     * index is grown by [[ingest]], never re-bootstrapped in place).
@@ -112,7 +121,31 @@ object IncrementalDedup {
            cfg: IncDedupConfig = IncDedupConfig()): Long = {
     require(!TxTable.exists(spark, indexPath),
       s"$indexPath already holds an index — ingest into it instead")
-    TxTable.append(spark, indexPath, sigFrame(corpus, idCol, textCol, cfg))
+    TxTable.append(spark, indexPath,
+      idSorted(sigFrame(corpus, idCol, textCol, cfg)))
+  }
+
+  /** Remove documents' signatures from the index — the lifecycle leg
+    * the other persisted indexes ([[graft.text.Bm25.removeFromIndex]],
+    * [[graft.ann.Similarity.ivfRemove]], [[SemDedup.removeFromModel]])
+    * already have, and here it is a CORRECTNESS fix, not just hygiene:
+    * a purged document's lingering signature keeps suppressing every
+    * future near-duplicate of a document that no longer exists in the
+    * corpus, silently shrinking the corpus forever. One atomic
+    * manifest-pruned copy-on-write [[TxTable.delete]] (the id-range
+    * layout bounds the rewrite). Semantics: future [[ingest]]s stop
+    * matching the purged ids (pinned by the q_x_inc_dedup_removed
+    * oracle = the batch-global decision over the surviving old
+    * corpus); documents an EARLIER ingest dropped because of them are
+    * NOT resurrected — ingest decisions are final, re-ingest the
+    * source batch if recovery is wanted. A removed id may legitimately
+    * re-enter via a later ingest (same contract as the other indexes).
+    * Unknown ids are an exact no-op (no commit).
+    */
+  def remove(spark: SparkSession, indexPath: String,
+             docIds: Seq[Any]): Option[Long] = {
+    require(docIds.nonEmpty, "remove needs at least one doc id")
+    TxTable.delete(spark, indexPath, col("id").isin(docIds: _*))
   }
 
   /** Dedup `batch` against the index AND itself, append the survivors'
@@ -152,10 +185,12 @@ object IncrementalDedup {
       .keepCanonical(fresh, "id", pairs.select("id_a", "id_b"))
       .localCheckpoint(true) // pin: the commit and the return both read it
 
-    // 3. one commit of the survivors' signatures
+    // 3. one commit of the survivors' signatures (id-range layout so
+    //    a later remove() prunes its rewrite)
     batchId match {
-      case Some(b) => StreamingSink.appendBatch(indexPath, txnApp)(surviving, b)
-      case None => TxTable.append(spark, indexPath, surviving); ()
+      case Some(b) =>
+        StreamingSink.appendBatch(indexPath, txnApp)(idSorted(surviving), b)
+      case None => TxTable.append(spark, indexPath, idSorted(surviving)); ()
     }
 
     // survivors = batch minus the docs a signature decision dropped —

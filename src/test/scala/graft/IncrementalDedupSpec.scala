@@ -116,6 +116,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L), (4L, 5L)))
   }
 
+  test("remove stops a purged doc from suppressing future near-dups") {
+    val idx = tmp()
+    IncrementalDedup.init(spark, idx,
+      df(Seq(IncDoc(1L, doc("alpha")), IncDoc(2L, doc("beta")))),
+      "doc_id", "text", cfg)
+    // while doc 1 is indexed, its near-dup is dropped
+    val before = IncrementalDedup.ingest(spark, idx,
+        df(Seq(IncDoc(10L, doc("alpha", tweak = 3)))), "doc_id", "text", cfg)
+      .count()
+    assert(before === 0L)
+    // purge doc 1 — ONE commit; unknown ids are a no-op
+    val vs0 = TxTable.versions(spark, idx).size
+    assert(IncrementalDedup.remove(spark, idx, Seq(1L)).isDefined)
+    assert(TxTable.versions(spark, idx).size === vs0 + 1)
+    assert(IncrementalDedup.remove(spark, idx, Seq(999L)).isEmpty)
+    // the NEXT near-dup of the purged doc now survives and is indexed
+    // (nothing left in the corpus for it to duplicate)
+    val after = IncrementalDedup.ingest(spark, idx,
+        df(Seq(IncDoc(11L, doc("alpha", tweak = 7)))), "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(after === Seq(11L))
+    val ids = TxTable.read(spark, idx).select("id")
+      .collect().map(_.getLong(0)).sorted
+    // 1 purged; 10's drop is FINAL (decisions are not resurrected)
+    assert(ids.toSeq === Seq(2L, 11L))
+  }
+
   test("init refuses an existing index") {
     val idx = tmp()
     val a = df(Seq(IncDoc(1L, doc("p"))))
