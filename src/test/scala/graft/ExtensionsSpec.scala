@@ -876,6 +876,51 @@ class SimilaritySpec extends SparkSpec {
         s"carried=${(before intersect after).size}")
   }
 
+  test("ivfRemove + vacuum is GDPR-complete: victim vectors leave the disk") {
+    val rnd = new scala.util.Random(41)
+    val all = (0L until 60L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val index = Similarity.buildIvfIndex(df(all), numLists = 4).localCheckpoint()
+    val lists = java.nio.file.Files.createTempDirectory("graft_ivfgc")
+      .toString + "/lists"
+    Similarity.writeIvfLists(df(all), index, lists)
+    Similarity.ivfRemove(spark, lists, Seq(5L, 25L, 45L))
+    // pre-vacuum, time travel still serves the victims (the contract)
+    val v0 = graft.ops.TxTable.versions(spark, lists).head
+    assert(graft.ops.TxTable.readVersion(spark, lists, v0)
+      .filter(col("vec_id").isin(5L, 25L, 45L)).count() === 3L)
+    graft.ops.TxTable.vacuum(spark, lists, keepVersions = 1,
+      orphanGraceMs = 0L)
+    // post-vacuum: scan EVERY parquet byte under the table dir — the
+    // purged ids must be gone from the physical files, not just the
+    // head manifest (the claim "GDPR-complete only after a vacuum")
+    val allFiles = spark.read.parquet(
+      new java.io.File(lists).listFiles().filter(_.getName == "data")
+        .flatMap(_.listFiles()).map(_.toString): _*)
+    assert(allFiles.filter(col("vec_id").isin(5L, 25L, 45L)).count() === 0L,
+      "victim rows must not survive in any on-disk file after vacuum")
+    assert(allFiles.count() === 57L)
+  }
+
+  test("OPTIMIZE compaction preserves IVF serve output after append + remove") {
+    val rnd = new scala.util.Random(43)
+    val all = (0L until 80L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val index = Similarity.buildIvfIndex(df(all), numLists = 4).localCheckpoint()
+    val lists = java.nio.file.Files.createTempDirectory("graft_ivfoc")
+      .toString + "/lists"
+    Similarity.writeIvfLists(df(all.filter(_.vec_id < 50)), index, lists)
+    Similarity.ivfAppend(spark, lists, index, df(all.filter(_.vec_id >= 50)))
+    Similarity.ivfRemove(spark, lists, Seq(7L, 63L))
+    val queries = df(all).filter(col("vec_id") < 3)
+    def serve() = Similarity.ivfTopKFromLists(spark, lists, queries, 5,
+      nprobe = 4, index).collect().map(_.toSeq).toSet
+    val before = serve()
+    val filesBefore = graft.ops.TxTable.read(spark, lists).inputFiles.length
+    graft.ops.TxTable.compact(spark, lists)
+    assert(graft.ops.TxTable.read(spark, lists).inputFiles.length
+      <= filesBefore)
+    assert(serve() === before, "compaction must not change serve output")
+  }
+
   test("ivfRecallReport: one row per nprobe, recall monotone, exact at full probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = Similarity.buildIvfIndex(emb, numLists = 8, kmeansIters = 2)
