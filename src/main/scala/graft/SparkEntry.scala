@@ -2132,6 +2132,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // embedding-distribution drift between two snapshots (even/odd ids
+    // as the two "crawls") under one shared centroid table: per-list
+    // masses and shares, absolute drift, and the corpus-level TV
+    // distance folded in list_id order — transcendental-free, so the
+    // whole monitor hash-oracles (the CorpusDivergence design, dense)
+    "q_x_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+        .withColumn("cent_n", graft.ann.Similarity.norm(col("centroid")))
+        .filter(col("cent_n") > 0)
+      graft.ann.EmbeddingDrift.clusterMass(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), cents)
+        .orderBy("list_id")
+    }),
+
     // ---- LLM-pipeline: similarity search over embeddings
     "q_x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3898,6 +3916,57 @@ object SparkEntry {
     // ≡ a model never holding the rows: same SQL minus the purged ids
     "q_x_semdedup_removed" -> semDedupOracleSql(v =>
       s"$v NOT BETWEEN 100 AND 119"),
+
+    // same asg CTE shape as the semdedup oracle, once per snapshot;
+    // exact long counts through one IEEE division each, drift = one
+    // abs of two doubles, tv = 0.5 x the list_id-ordered fold
+    "q_x_embedding_drift" ->
+      s"""WITH c AS (SELECT vec_id AS list_id, embedding AS centroid,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id < 8
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |pa AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS n
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |pb AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS n
+         |  FROM embeddings WHERE vec_id % 2 = 1
+         |    AND sqrt(${sqlDot("embedding", "embedding")}) > 0),
+         |asga AS (SELECT vec_id, list_id FROM (
+         |  SELECT pa.vec_id, c.list_id,
+         |    ${sqlDot("pa.embedding", "c.centroid")} / (pa.n * c.cn) AS cs
+         |  FROM pa, c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, list_id) = 1),
+         |asgb AS (SELECT vec_id, list_id FROM (
+         |  SELECT pb.vec_id, c.list_id,
+         |    ${sqlDot("pb.embedding", "c.centroid")} / (pb.n * c.cn) AS cs
+         |  FROM pb, c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, list_id) = 1),
+         |na AS (SELECT list_id, COUNT(*) AS n FROM asga GROUP BY 1),
+         |nb AS (SELECT list_id, COUNT(*) AS n FROM asgb GROUP BY 1),
+         |base AS (SELECT c.list_id,
+         |    CAST(COALESCE(na.n, 0) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_b
+         |  FROM c LEFT JOIN na ON c.list_id = na.list_id
+         |         LEFT JOIN nb ON c.list_id = nb.list_id),
+         |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM base),
+         |s AS (SELECT list_id, n_a, n_b,
+         |    CASE WHEN ta > 0
+         |      THEN CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+         |      ELSE 0.0 END AS share_a,
+         |    CASE WHEN tb > 0
+         |      THEN CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)
+         |      ELSE 0.0 END AS share_b
+         |  FROM base CROSS JOIN t),
+         |d AS (SELECT *, abs(share_a - share_b) AS drift FROM s),
+         |tv AS (SELECT 0.5 * list_aggregate(list_transform(
+         |    list(struct_pack(l := list_id, dd := drift) ORDER BY list_id),
+         |    x -> x.dd), 'sum') AS tv FROM d)
+         |SELECT list_id, n_a, n_b, share_a, share_b, drift, tv
+         |FROM d CROSS JOIN tv ORDER BY list_id""".stripMargin,
 
     "q_x_global_rank" ->
       s"""WITH s AS (SELECT doc_id, text,
