@@ -165,7 +165,42 @@ object Similarity {
   def ivfRecallReport(corpus: DataFrame, index: DataFrame, k: Int,
                       nprobes: Seq[Int], sampleQueries: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding"): DataFrame =
+    recallReportOverLists(corpus,
+      assignToLists(corpus, index, idCol, vecCol), index, k, nprobes,
+      sampleQueries, idCol, vecCol)
+
+  /** [[ivfRecallReport]] against PERSISTED inverted lists: the tuner's
+    * loop re-runs as recall targets or corpora change, and re-paying
+    * the full-corpus centroid assignment per report defeats the
+    * persisted index's whole point. The stored lists ARE the
+    * assignment, so this reads them back and reports over exactly the
+    * vectors the index serves — identical numbers to
+    * [[ivfRecallReport]] over the same corpus and centroids (pinned
+    * by spec). Ground truth stays a brute-force pass over the sampled
+    * queries only.
+    */
+  def ivfRecallReportFromLists(spark: org.apache.spark.sql.SparkSession,
+                               path: String, index: DataFrame, k: Int,
+                               nprobes: Seq[Int], sampleQueries: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val stored = graft.ops.TxTable.read(spark, path)
+      .select(col(idCol), col(vecCol), col("nrm"), col("list_id"))
+      .localCheckpoint()
+    recallReportOverLists(stored.select(col(idCol), col(vecCol)), stored,
+      index, k, nprobes, sampleQueries, idCol, vecCol)
+  }
+
+  /** Shared tail of [[ivfRecallReport]]/[[ivfRecallReportFromLists]]:
+    * `assigned` is the (idCol, vecCol, nrm, list_id) inverted-list
+    * frame of `corpus` — freshly computed or read back persisted.
+    */
+  private def recallReportOverLists(corpus: DataFrame, assigned: DataFrame,
+                                    index: DataFrame, k: Int,
+                                    nprobes: Seq[Int], sampleQueries: Int,
+                                    idCol: String,
+                                    vecCol: String): DataFrame = {
     require(nprobes.nonEmpty, "need at least one nprobe to probe")
     require(sampleQueries > 0, "need a positive query sample")
     val spark = corpus.sparkSession
@@ -181,14 +216,14 @@ object Similarity {
       .localCheckpoint()
     val truthPairs = truth.count()
     // the EXPENSIVE half — full-corpus centroid assignment — is pinned
-    // ONCE; each nprobe candidate only re-scores the tiny query sample.
-    // (Re-running ivfTopKWithIndex per nprobe re-paid the corpus
-    // assignment |nprobes| times, exactly what the docstring promises
-    // not to do.) The query sample is assigned once at the WIDEST
-    // nprobe; narrower candidates are a rank filter over the same
-    // deterministic (cos desc, list_id asc) order — identical to an
-    // independent keep=np assignment.
-    val lists = assignToLists(corpus, index, idCol, vecCol)
+    // ONCE (or read back, already paid); each nprobe candidate only
+    // re-scores the tiny query sample. (Re-running ivfTopKWithIndex
+    // per nprobe re-paid the corpus assignment |nprobes| times,
+    // exactly what the docstring promises not to do.) The query sample
+    // is assigned once at the WIDEST nprobe; narrower candidates are a
+    // rank filter over the same deterministic (cos desc, list_id asc)
+    // order — identical to an independent keep=np assignment.
+    val lists = assigned
       .select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
         col("nrm").as("c_n"), col("list_id"))
       .localCheckpoint()

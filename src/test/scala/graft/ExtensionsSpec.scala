@@ -809,6 +809,32 @@ class SimilaritySpec extends SparkSpec {
       "appended index at nprobe=numLists must equal exhaustive search")
   }
 
+  test("ivfRecallReportFromLists equals the corpus-side report exactly") {
+    val rnd = new scala.util.Random(47)
+    val all = (0L until 60L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = df(all)
+    val index = Similarity.buildIvfIndex(corpus, numLists = 5).localCheckpoint()
+    val lists = java.nio.file.Files.createTempDirectory("graft_ivfrr")
+      .toString + "/lists"
+    Similarity.writeIvfLists(corpus, index, lists)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("nprobe").collect().map(_.toSeq).toSeq
+    val direct = rows(Similarity.ivfRecallReport(corpus, index, k = 4,
+      nprobes = Seq(1, 3, 5), sampleQueries = 10))
+    val served = rows(Similarity.ivfRecallReportFromLists(spark, lists,
+      index, k = 4, nprobes = Seq(1, 3, 5), sampleQueries = 10))
+    assert(served === direct,
+      "the stored lists ARE the assignment — identical report")
+    // and the report follows removals: after purging some ids the
+    // served report describes the surviving index, not the old corpus
+    Similarity.ivfRemove(spark, lists, Seq(10L, 20L, 30L))
+    val afterRm = rows(Similarity.ivfRecallReportFromLists(spark, lists,
+      index, k = 4, nprobes = Seq(5), sampleQueries = 10))
+    val survivors = df(all.filterNot(v => Set(10L, 20L, 30L)(v.vec_id)))
+    assert(afterRm === rows(Similarity.ivfRecallReport(survivors, index,
+      k = 4, nprobes = Seq(5), sampleQueries = 10)))
+  }
+
   test("ivfRemove serves as if the vectors never existed; one atomic commit") {
     val rnd = new scala.util.Random(31)
     val all = (0L until 50L).map(i => Vec(i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
