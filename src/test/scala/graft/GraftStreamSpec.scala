@@ -169,6 +169,50 @@ class GraftStreamSpec extends SparkSpec {
       === Seq(1L, 2L, 3L))
   }
 
+  test("streaming ANN maintenance: a follower keeps the IVF lists current via ivfAppend") {
+    // the composition ivfAppend's docstring promises, wired for real: a
+    // graft-source stream over an embeddings TxTable routes each
+    // micro-batch of new vectors to the fixed centroids and appends to
+    // the persisted lists; serving then equals a one-shot full build
+    val s = spark
+    import graft.ann.Similarity
+    val rnd = new scala.util.Random(53)
+    def vec(i: Long) = (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val all = (0L until 40L).map(vec)
+    val table = tmp("graft_annsrc") + "/emb"
+    val lists = tmp("graft_annlists") + "/lists"
+    val cp = tmp("graft_anncp")
+    val base = df(all.take(20)).toDF("vec_id", "embedding")
+    TxTable.append(spark, table, base)
+    val index = Similarity.buildIvfIndex(base, numLists = 4)
+      .localCheckpoint()
+    Similarity.writeIvfLists(base, index, lists)
+    // the follower: every later embeddings commit lands in the lists
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", TxTable.versions(spark, table).last + 1)
+      .load(table)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) { Similarity.ivfAppend(spark, lists, index, b); () }
+      }
+      .option("checkpointLocation", cp).start()
+    TxTable.append(spark, table, df(all.slice(20, 30)).toDF("vec_id", "embedding"))
+    TxTable.append(spark, table, df(all.slice(30, 40)).toDF("vec_id", "embedding"))
+    q.processAllAvailable(); q.stop()
+    // served results equal a from-scratch full assignment under the
+    // same centroids — the appended index carries no trace of HOW the
+    // vectors arrived
+    val full = df(all).toDF("vec_id", "embedding")
+    val queries = full.filter(col("vec_id") < 3)
+    val served = Similarity.ivfTopKFromLists(spark, lists, queries, 4,
+      nprobe = 4, index).collect().map(_.toSeq).toSet
+    val oneShot = Similarity.ivfTopKWithIndex(full, queries, 4,
+      nprobe = 4, index).collect().map(_.toSeq).toSet
+    assert(served === oneShot)
+    assert(TxTable.read(spark, lists).count() === 40L)
+  }
+
   test("column pruning still reaches the parquet scan on the batch path") {
     val s = spark
     import s.implicits._
