@@ -1597,6 +1597,16 @@ object SparkEntry {
           hash = TextAnalysis.md5Hash60)
         .orderBy("id_a", "id_b")),
 
+    // the measured LSH S-curve: per exact-jaccard bucket, how often the
+    // configured banding (64 perms / 16 bands) surfaces the pair — the
+    // evidence a (numPerms, bands) choice is tuned on, as an oracled
+    // frame (exact long counts through one IEEE division each)
+    "q_x_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibrationReport(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, numPerms = 64, bands = 16,
+          hash = TextAnalysis.md5Hash60, buckets = 10)
+        .orderBy("bucket")),
+
     "q_x_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
           hash = TextAnalysis.md5Hash60)
@@ -4535,6 +4545,39 @@ object SparkEntry {
          |$sqlMinhashBandRows,
          |$sqlMinhashCand
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    // truth = the exact inverted-index jaccard over ALL shingle-sharing
+    // pairs; flag = left join against the banded candidates; buckets =
+    // least(floor(j*10), 9) — every number an exact count through one
+    // IEEE division, so the whole S-curve hash-matches
+    "q_x_minhash_calibration" ->
+      s"""WITH $sqlMinhashSig,
+         |$sqlMinhashBandRows,
+         |$sqlMinhashCand,
+         |sizes AS (SELECT id, COUNT(*) AS n_sh FROM idx GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY a.id, b.id),
+         |truth AS (SELECT i.id_a, i.id_b,
+         |    CAST(i.inter AS DOUBLE)
+         |      / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON i.id_a = sa.id
+         |  JOIN sizes sb ON i.id_b = sb.id),
+         |fl AS (SELECT t.jaccard,
+         |    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS isc
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         |g AS (SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS bucket,
+         |    COUNT(*) AS n_pairs, SUM(isc) AS n_candidates
+         |  FROM fl GROUP BY 1)
+         |SELECT CAST(bucket AS INTEGER) AS bucket,
+         |  CAST(bucket AS DOUBLE) / 10.0 AS j_lo,
+         |  CAST(bucket + 1 AS DOUBLE) / 10.0 AS j_hi, n_pairs,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+         |    AS detect_rate
+         |FROM g ORDER BY bucket""".stripMargin,
 
     "q_x_minhash_pairs" ->
       s"""WITH $sqlMinhashSig,

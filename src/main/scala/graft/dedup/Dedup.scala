@@ -285,6 +285,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Empirical MinHash/LSH calibration — the measured S-curve behind
+    * the (numPerms, bands) choice, so banding is TUNED from data
+    * instead of the folklore 1−(1−J^r)^b formula alone (the
+    * [[graft.ann.RankingMetrics]] of dedup). Over every pair sharing
+    * ≥ 1 shingle (the exact inverted-index Jaccard — ground truth),
+    * how often does the configured banding surface the pair as a
+    * candidate, bucketed by exact Jaccard. One row per occupied
+    * bucket: (bucket, j_lo, j_hi, n_pairs, n_candidates, detect_rate).
+    * Reading it: the threshold the pipeline dedups at should sit where
+    * detect_rate has saturated (≈1.0), and wasted verify work is the
+    * candidate mass in buckets below it.
+    *
+    * Scale: the truth side is [[jaccardPairs]]' one-shuffle
+    * inverted-index join at minJ = 0 — pair-count-proportional, so run
+    * the report on a [[graft.ops.Sampling.consistentSample]] of the
+    * corpus (and/or guard with `maxShingleDf`) exactly as the
+    * brute-force ANN baselines are sampled; the candidate side reuses
+    * [[minhashCandidates]]. Determinism, cross-engine: every number is
+    * an exact long count through one IEEE division (plus the truth
+    * side's jaccard, already mirrored) — hash-oracles bit-exactly.
+    */
+  def minhashCalibrationReport(df: DataFrame, idCol: String,
+                               textCol: String, n: Int = 3,
+                               numPerms: Int = 128, bands: Int = 32,
+                               hash: Column => Column = xxhash64(_),
+                               buckets: Int = 10,
+                               maxShingleDf: Option[Int] = None): DataFrame = {
+    require(buckets > 0, "need at least one jaccard bucket")
+    val truth = jaccardPairs(df, idCol, textCol, n, minJ = 0.0, maxShingleDf)
+    val cand = minhashCandidates(df, idCol, textCol, n, numPerms, bands,
+        hash)
+      .withColumn("__isc", lit(1L))
+    // a hash-fluke band collision between docs sharing NO shingle is
+    // the only candidate the left join drops — astronomically rare and
+    // harmless (it is not a pair the tuner could act on)
+    val flagged = truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"), coalesce(col("__isc"), lit(0L)).as("__c"))
+    val bucket = least(floor(col("jaccard") * buckets).cast("int"),
+      lit(buckets - 1)) // J = 1.0 lands in the top bucket, not past it
+    flagged.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__c")).as("n_candidates"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(buckets.toDouble)).as("j_lo"),
+        ((col("bucket") + 1).cast("double") / lit(buckets.toDouble))
+          .as("j_hi"),
+        col("n_pairs"), col("n_candidates"),
+        (col("n_candidates").cast("double") / col("n_pairs").cast("double"))
+          .as("detect_rate"))
+  }
+
   /** Near-dup pairs: LSH candidates verified by exact Jaccard. The LSH
     * stage bounds the verify stage's input — at 100 TB the exact-jaccard
     * verify runs per candidate pair (array intersect/union over the two

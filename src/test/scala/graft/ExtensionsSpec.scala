@@ -433,6 +433,42 @@ class DedupSpec extends SparkSpec {
       "docs shorter than the window have no windows and survive whole")
   }
 
+  test("minhashCalibrationReport: identical docs saturate; counts bound candidates") {
+    val rnd = new scala.util.Random(59)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (1L to 40L).map(i => Doc(i, sent(14), "s"))
+    // planted exact duplicates: J = 1.0 pairs land in the top bucket
+    // and MUST be detected (identical shingle sets agree on every band)
+    val dups = Seq(Doc(101L, base(0).text, "s"), Doc(102L, base(5).text, "s"))
+    val corpus = df(base ++ dups)
+    val out = Dedup.minhashCalibrationReport(corpus, "doc_id", "text",
+        n = 3, numPerms = 64, bands = 16,
+        hash = graft.text.TextAnalysis.md5Hash60, buckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.nonEmpty)
+    val top = out.find(_.getInt(0) == 9)
+    assert(top.isDefined, "the planted J=1.0 pairs must occupy bucket 9")
+    assert(top.get.getDouble(5) === 1.0,
+      "identical shingle sets agree on every band — detect rate 1.0")
+    assert(top.get.getLong(3) >= 2L)
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "candidates bounded by pairs")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(1) === r.getInt(0) / 10.0 &&
+        r.getDouble(2) === (r.getInt(0) + 1) / 10.0)
+    }
+    // and the low-J mass is mostly undetected — the waste the report
+    // exists to quantify (random 12-word vocab sentences share tokens
+    // but almost never a 16-bucket band)
+    val low = out.filter(_.getInt(0) <= 2)
+    assert(low.nonEmpty)
+    val lowRate = low.map(_.getLong(4)).sum.toDouble /
+      low.map(_.getLong(3)).sum
+    assert(lowRate < 0.5, s"low-jaccard detect rate should be small: $lowRate")
+  }
+
   test("maskContaminatedSpansIndexed equals the plain pass bit-exactly") {
     val evalText = "one two three four five six seven eight"
     val evalSet = df(Seq(Doc(100L, evalText, "e")))
