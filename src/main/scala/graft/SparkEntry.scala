@@ -1762,6 +1762,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // EXACT PHRASE search from the positional index — the capability
+    // bag-of-words BM25 cannot express (it ranks "join merge" and
+    // "merge join" identically): every query token at consecutive
+    // positions, in order; ranked by occurrence count. The offset-vote
+    // plan is pure equi-joins (posting position p under phrase offset
+    // j votes for start p−j; a start with all k votes is an
+    // occurrence), integers end to end
+    "q_x_bm25_phrase" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25ph") + "/index"
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+      graft.text.Bm25.phraseSearchIndexed(s, idx,
+          Seq(("q1", "table hash"), ("q2", "slow hash batch"),
+            ("q3", "spark")), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -4385,6 +4402,33 @@ object SparkEntry {
 
     // wRRF: same fusion SQL with the engine's exact per-ranker weights
     "q_x_hybrid_search_weighted" -> hybridSearchOracleSql("0.7", "0.3"),
+
+    // the offset-vote phrase plan mirrored on token positions: start =
+    // pos − j, an occurrence iff all k offsets voted — integer counts
+    // end to end, rank by (n_occurrences DESC, doc_id)
+    "q_x_bm25_phrase" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |pd AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+         |       FROM d CROSS JOIN unnest(range(1, len(toks) + 1)) t(i)),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('q1', 0, 'table'), ('q1', 1, 'hash'),
+         |    ('q2', 0, 'slow'), ('q2', 1, 'hash'), ('q2', 2, 'batch'),
+         |    ('q3', 0, 'spark')) t(query_id, j, token)),
+         |k AS (SELECT query_id, COUNT(*) AS k FROM qt GROUP BY 1),
+         |st AS (SELECT query_id, doc_id, pos - j AS strt
+         |       FROM pd JOIN qt USING (token) WHERE pos - j >= 0),
+         |hit AS (SELECT query_id, doc_id, strt, COUNT(*) AS nj
+         |        FROM st GROUP BY 1, 2, 3),
+         |occ AS (SELECT h.query_id, h.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |  FROM hit h JOIN k USING (query_id)
+         |  WHERE h.nj = k.k GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_occurrences,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
+         |  FROM occ)
+         |SELECT query_id, rank, doc_id, n_occurrences FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs
     // with toks[i+1 : i+window]; identical marginal joins and the same

@@ -134,19 +134,29 @@ object Bm25 {
   /** Carried manifest meta: append sequence (transaction guard). */
   private[text] val SeqMetaKey = "graft.bm25.seq"
 
-  /** `(token, <id>, tf, doc_len)` for every (document, token) pair —
-    * the inverted index rows of `docs`. One shuffle to per-(doc, token)
-    * counts, one doc-keyed join to denormalize the length in.
+  /** `(token, <id>, tf, doc_len, positions)` for every (document,
+    * token) pair — the POSITIONAL inverted index rows of `docs`. One
+    * shuffle to per-(doc, token) counts, one doc-keyed join to
+    * denormalize the length in. Positions (0-based token offsets,
+    * sorted for a deterministic stored layout) are what
+    * [[phraseSearchIndexed]] intersects; they roughly double the index
+    * — the standard positional-index trade every production engine
+    * (Lucene) makes, paid at build time, and the BM25 serve path never
+    * reads the column (column-pruned away).
     */
   private def postingsOf(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
     val perDoc = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
-        .as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("__pos", "token")))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("__pos"))).as("positions"))
     val docLen = perDoc.groupBy(idCol).agg(sum("tf").as("doc_len"))
     perDoc.join(docLen, Seq(idCol))
-      .select(col("token"), col(idCol), col("tf"), col("doc_len"))
+      .select(col("token"), col(idCol), col("tf"), col("doc_len"),
+        col("positions"))
   }
 
   /** `(nDocs, totalLen, seq)` from the head's carried meta. A
@@ -347,6 +357,73 @@ object Bm25 {
     graft.ops.TxTable.setCarriedMeta(spark, path,
       Map(StatsMetaKey -> s"$n:$tot", SeqMetaKey -> (seq + 1).toString),
       guard = Map(SeqMetaKey -> (seq + 1)))
+  }
+
+  /** PHRASE search from a persisted positional index: top-`topK`
+    * documents per query ranked by EXACT phrase occurrence count —
+    * every query token must appear at consecutive positions, in order
+    * (the capability BM25's bag-of-words scoring cannot express: it
+    * ranks "join merge" and "merge join" identically). The quote-
+    * retrieval tool that pairs with span decontamination: find the
+    * documents carrying this exact passage, then excise it.
+    *
+    * Plan (pure equi-joins, no per-row phrase loop): phrase tokens
+    * carry their OFFSET j; a posting position p under offset j votes
+    * for start = p − j; a document position `start` begins a phrase
+    * occurrence iff ALL k offsets voted for it (count per (query, doc,
+    * start) == k — duplicate phrase tokens are distinct offsets, so
+    * the count is exact). Serve cost is the manifest-pruned posting
+    * read of the query terms (Σ posting-list positions), independent
+    * of corpus size — the [[searchIndexed]] bound, positions included.
+    * Single-token phrases degrade to n_occurrences = tf. Ties rank by
+    * id ascending; every number is an integer count, so the oracle is
+    * trivially exact. Indexes built before positions existed fail
+    * loudly (rebuild with [[buildIndex]]).
+    */
+  def phraseSearchIndexed(spark: SparkSession, path: String,
+                          queries: Seq[(String, String)],
+                          topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "need at least one phrase")
+    require(topK > 0, "topK must be positive")
+    import spark.implicits._
+    val idCol = indexIdCol(spark, path)
+    // phrase tokens WITH offsets via the ENGINE tokenizer — the same
+    // bounded driver-side collect searchIndexed documents
+    val qtRows = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        posexplode(TextAnalysis.tokens(col("__qtext")))
+          .as(Seq("j", "token")))
+      .collect()
+    require(qtRows.nonEmpty, "every phrase tokenized to nothing")
+    val qt = qtRows.map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSeq.toDF("query_id", "j", "token")
+    val qLen = qt.groupBy("query_id").agg(count(lit(1)).as("__k"))
+    val terms = qtRows.map(_.getString(2)).distinct.toSeq
+    val posts = graft.ops.TxTable.readWhere(spark, path,
+      col("token").isin(terms: _*))
+    require(posts.columns.contains("positions"),
+      s"index at $path predates positional postings — rebuild it with " +
+        "Bm25.buildIndex to serve phrase queries")
+    val starts = posts.join(broadcast(qt), Seq("token"))
+      .select(col("query_id"), col(idCol), col("j"),
+        explode(col("positions")).as("__p"))
+      .select(col("query_id"), col(idCol), col("j"),
+        (col("__p") - col("j")).as("__start"))
+    val hits = starts
+      .filter(col("__start") >= 0)
+      .groupBy(col("query_id"), col(idCol), col("__start"))
+      .agg(count(lit(1)).as("__nj"))
+      .join(broadcast(qLen), Seq("query_id"))
+      .filter(col("__nj") === col("__k"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col(idCol).asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("n_occurrences"))
   }
 
   /** Top-`k` documents per query from a PERSISTED index — identical

@@ -195,6 +195,55 @@ class Bm25IndexSpec extends SparkSpec {
       "compaction must not change serve output")
   }
 
+  test("phrase search: in-order adjacency, overlaps, single tokens, misses") {
+    val idx = tmp()
+    Bm25.buildIndex(df(Seq(
+      BmDoc(1L, "a b a b a"),   // "a b" twice; "b a" twice; "a a" never
+      BmDoc(2L, "a a a"),       // "a a" twice (overlapping)
+      BmDoc(3L, "b a b"),       // "a b" once, "b a" once
+      BmDoc(4L, "c c c c"))), "doc_id", "text", idx)
+    def occ(phrase: String) = Bm25.phraseSearchIndexed(spark, idx,
+        Seq(("q", phrase)), topK = 10)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(occ("a b") === Map(1L -> 2L, 3L -> 1L),
+      "order matters: only docs with 'a' IMMEDIATELY before 'b'")
+    assert(occ("b a") === Map(1L -> 2L, 3L -> 1L))
+    assert(occ("a a") === Map(2L -> 2L), "overlapping occurrences count")
+    assert(occ("a") === Map(1L -> 3L, 2L -> 3L, 3L -> 1L),
+      "single-token phrase degrades to tf")
+    assert(occ("a b a b a") === Map(1L -> 1L), "whole-doc phrase")
+    assert(occ("b b") === Map.empty, "no match -> no rows, never zeros")
+    // ranking: occurrence count desc, then id
+    val ranked = Bm25.phraseSearchIndexed(spark, idx, Seq(("q", "a")),
+      topK = 2).collect().map(_.getLong(2)).toSeq
+    assert(ranked === Seq(1L, 2L), "tie at tf=3 breaks on id")
+    // phrase serve reads only its tokens' posting files (bloom/range
+    // pruned), same as searchIndexed
+    val all = TxTable.read(spark, idx).inputFiles.length
+    Bm25.appendToIndex(spark, idx,
+      df((100L to 160L).map(i => BmDoc(i, s"zz$i yy$i"))), "doc_id", "text")
+    val hit = Bm25.phraseSearchIndexed(spark, idx,
+      Seq(("q", "zz100 yy100"))).collect()
+    assert(hit.head.getLong(2) === 100L && hit.head.getLong(3) === 1L)
+    assert(all >= 1) // structure exercised; pruning proven in the serve test
+  }
+
+  test("phrase search on a pre-positional index fails loudly") {
+    val idx = tmp()
+    val s = spark
+    import s.implicits._
+    // a legacy index: correct meta, postings WITHOUT the positions col
+    TxTable.overwrite(spark, idx,
+      Seq(("x", 1L, 1L, 2L)).toDF("token", "doc_id", "tf", "doc_len"),
+      meta = Map("graft.bm25.stats" -> "1:2",
+        "graft.bm25.idcol" -> "doc_id", "graft.bm25.seq" -> "1"))
+    val e = intercept[IllegalArgumentException](
+      Bm25.phraseSearchIndexed(spark, idx, Seq(("q", "x y"))))
+    assert(e.getMessage.contains("positional"))
+    // and plain BM25 serve still works on the legacy index
+    assert(Bm25.searchIndexed(spark, idx, Seq(("q", "x"))).count() === 1L)
+  }
+
   test("a non-index TxTable is refused loudly") {
     val idx = tmp()
     val s = spark
