@@ -213,6 +213,52 @@ class GraftStreamSpec extends SparkSpec {
     assert(TxTable.read(spark, lists).count() === 40L)
   }
 
+  test("streaming BM25 maintenance: a follower keeps the index current via appendToIndex") {
+    // the lexical twin of the ANN-maintenance spec: each micro-batch of
+    // new documents lands in the persisted inverted index with
+    // checkDuplicates=false — the documented contract for provably-new
+    // batches from an exactly-once stream — and serving afterwards
+    // equals a from-scratch build over everything
+    val s = spark
+    import s.implicits._
+    import graft.text.Bm25
+    val table = tmp("graft_bmsrc") + "/docs"
+    val idx = tmp("graft_bmidx") + "/index"
+    val cp = tmp("graft_bmcp")
+    def docs(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"word$i common merge token${i % 7}"))
+      .toDF("doc_id", "text")
+    TxTable.append(spark, table, docs(0, 20))
+    Bm25.buildIndex(docs(0, 20), "doc_id", "text", idx)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", TxTable.versions(spark, table).last + 1)
+      .load(table)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) {
+            Bm25.appendToIndex(spark, idx, b, "doc_id", "text",
+              checkDuplicates = false); ()
+          }
+      }
+      .option("checkpointLocation", cp).start()
+    TxTable.append(spark, table, docs(20, 30))
+    TxTable.append(spark, table, docs(30, 40))
+    q.processAllAvailable(); q.stop()
+    val fresh = tmp("graft_bmfrs") + "/index"
+    Bm25.buildIndex(docs(0, 40), "doc_id", "text", fresh)
+    val queries = Seq(("a", "merge common"), ("b", "word25 token3"))
+    assert(Bm25.searchIndexed(spark, idx, queries, topK = 10)
+      .collect().map(_.toSeq).toSet ===
+      Bm25.searchIndexed(spark, fresh, queries, topK = 10)
+        .collect().map(_.toSeq).toSet)
+    // carried stats tracked the stream exactly
+    val vi = TxTable.versions(spark, idx).last
+    val vf = TxTable.versions(spark, fresh).last
+    assert(TxTable.commitMeta(spark, idx, vi)("graft.bm25.stats") ===
+      TxTable.commitMeta(spark, fresh, vf)("graft.bm25.stats"))
+  }
+
   test("column pruning still reaches the parquet scan on the batch path") {
     val s = spark
     import s.implicits._
