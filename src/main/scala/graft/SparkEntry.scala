@@ -2214,6 +2214,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the persisted SQ8 lifecycle end-to-end: train the codebook on 2/3
+    // of the corpus (frozen from then on — the FAISS train/add split),
+    // sqAppend the other 1/3 encoded under it (values outside the
+    // trained range clamp to the edge), sqRemove 20 ids (one atomic
+    // pruned delete), serve full-precision queries against the stored
+    // codes — every arithmetic step mirrored exactly in the oracle
+    "q_x_ann_sq_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tmpQueryDir("graft_sqidx") + "/sq"
+      Similarity.writeSqIndex(emb.filter(col("vec_id") % 3 =!= 0), root)
+      Similarity.sqAppend(s, root, emb.filter(col("vec_id") % 3 === 0))
+      Similarity.sqRemove(s, root, (8L to 27L))
+      Similarity.sqTopKFromCodes(s, root, emb.filter(col("vec_id") < 8),
+          k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL index maintenance end-to-end: build centroids + lists
     // over 2/3 of the corpus, ivfAppend the other 1/3 (no rebuild — the
     // streaming ingest path), serve from the persisted lists probing
@@ -4743,6 +4760,47 @@ object SparkEntry {
          |           * (r.maxs[i] - r.mins[i]) / 255.0
          |      ELSE r.mins[i] END) AS dv
          |  FROM embeddings c CROSS JOIN rng r),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "d.dv")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("d.dv", "d.dv")})) AS cos
+         |  FROM embeddings q JOIN deq d
+         |    ON q.vec_id < 8 AND q.vec_id <> d.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("d.dv", "d.dv")}) > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the persisted lifecycle: codebook trained on the 2/3 BUILD corpus
+    // only (frozen — appends encode under it, with the out-of-range
+    // clamp mirrored as LEAST/GREATEST), codes = everything minus the
+    // removed ids; queries stay full-precision over the full table
+    "q_x_ann_sq_served" ->
+      s"""WITH rngcols AS (
+         |  SELECT i AS pos, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings
+         |  CROSS JOIN unnest(range(1, len(embedding) + 1)) t(i)
+         |  WHERE vec_id % 3 <> 0
+         |  GROUP BY i),
+         |rng AS (SELECT list(mn ORDER BY pos) AS mins,
+         |               list(mx ORDER BY pos) AS maxs FROM rngcols),
+         |deq AS (
+         |  SELECT c.vec_id, list_transform(range(1, len(c.embedding) + 1),
+         |    i -> CASE WHEN r.maxs[i] > r.mins[i]
+         |      THEN r.mins[i] + LEAST(GREATEST(
+         |             floor((CAST(c.embedding[i] AS DOUBLE)
+         |               - r.mins[i]) / (r.maxs[i] - r.mins[i]) * 255.0
+         |               + 0.5), 0.0), 255.0)
+         |           * (r.maxs[i] - r.mins[i]) / 255.0
+         |      ELSE r.mins[i] END) AS dv
+         |  FROM embeddings c CROSS JOIN rng r
+         |  WHERE c.vec_id NOT BETWEEN 8 AND 27),
          |scored AS (
          |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          |    ${sqlDot("q.embedding", "d.dv")}

@@ -559,12 +559,18 @@ object Similarity {
         transform(col("pm"), s => s.getField("mx")).as("maxs"))
 
   /** 8-bit scalar-quantize the corpus: per dimension,
-    * `u8 = floor((x - mn) / (mx - mn) * 255 + 0.5)` (constant
-    * dimensions code to 0), stored offset by -128 as `array<tinyint>` —
-    * 4× smaller than the float vectors at serving time, the standard
-    * memory lever between full-precision and product quantization.
-    * Returns (idCol, codes). A narrow zip-free pass: one broadcast of
-    * the codebook, per-element arithmetic, no shuffle.
+    * `u8 = floor((x - mn) / (mx - mn) * 255 + 0.5)` CLAMPED to
+    * [0, 255] (constant dimensions code to 0), stored offset by -128
+    * as `array<tinyint>` — 4× smaller than the float vectors at
+    * serving time, the standard memory lever between full-precision
+    * and product quantization. The clamp only bites when a vector
+    * lies OUTSIDE the codebook's trained range — impossible when the
+    * codebook was trained on the same corpus (so the exact oracles
+    * are unaffected), and exactly the FAISS SQ8 behavior for
+    * out-of-distribution vectors added under a frozen codebook
+    * ([[sqAppend]]): saturate to the range edge, never wrap the
+    * tinyint. Returns (idCol, codes). A narrow zip-free pass: one
+    * broadcast of the codebook, per-element arithmetic, no shuffle.
     */
   def sqEncode(corpus: DataFrame, ranges: DataFrame,
                idCol: String = "vec_id",
@@ -574,9 +580,10 @@ object Similarity {
         transform(col(vecCol), (x, i) => {
           val mn = element_at(col("mins"), i + 1)
           val mx = element_at(col("maxs"), i + 1)
-          (when(mx > mn,
+          (least(greatest(when(mx > mn,
             floor((x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5))
-            .otherwise(0.0).cast("int") - 128).cast("tinyint")
+            .otherwise(0.0), lit(0.0)), lit(255.0)).cast("int") - 128)
+            .cast("tinyint")
         }).as("codes"))
 
   /** Reconstruction of a code array under a codebook:
@@ -637,6 +644,71 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  // ------------------------------------------- persisted SQ8 index
+  //
+  // [[sqTopK]]/[[sqIvfTopK]] re-train the codebook and re-encode the
+  // corpus per call; the persisted form completes the engine's
+  // uniform index-lifecycle story (BM25 postings, IVF lists, SemDedup
+  // assignments, minhash signatures — now SQ codes): the codebook
+  // (<root>/ranges, one row) and the encoded corpus (<root>/codes,
+  // id-range-sorted for pruned removals) are TxTables; ingest encodes
+  // ONLY the batch under the FROZEN codebook (FAISS's train-vs-add
+  // split: ranges are trained once on a representative corpus, and
+  // re-training is a periodic offline [[writeSqIndex]] — an appended
+  // batch containing values outside the trained [min,max] clamps to
+  // the range edge, exactly like FAISS SQ8 on out-of-distribution
+  // adds); removal is one atomic manifest-pruned delete; serve reads
+  // codes at a quarter of the float memory.
+
+  /** Train the codebook on `corpus` and persist codebook + codes. */
+  def writeSqIndex(corpus: DataFrame, root: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val ranges = sqTrain(corpus, vecCol).localCheckpoint()
+    graft.ops.TxTable.overwrite(spark, s"$root/ranges", ranges)
+    graft.ops.TxTable.overwrite(spark, s"$root/codes",
+      idSorted(sqEncode(corpus, ranges, idCol, vecCol), idCol))
+  }
+
+  /** Encode ONLY `newVectors` under the stored (frozen) codebook and
+    * append — O(batch), no re-train, one atomic commit. Serving
+    * afterwards ≡ a [[sqEncode]] of the union under the SAME ranges
+    * (pinned by spec and the q_x_ann_sq_served oracle); it is NOT a
+    * re-trained rebuild — that is the documented offline job.
+    */
+  def sqAppend(spark: org.apache.spark.sql.SparkSession, root: String,
+               newVectors: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): Long = {
+    val ranges = graft.ops.TxTable.read(spark, s"$root/ranges")
+    graft.ops.TxTable.append(spark, s"$root/codes",
+      idSorted(sqEncode(newVectors, ranges, idCol, vecCol), idCol))
+  }
+
+  /** Remove vectors' codes — one atomic manifest-pruned copy-on-write
+    * delete (the [[ivfRemove]] contract: the codebook carries no
+    * per-vector state, so the delete alone serves as an index never
+    * holding the ids; GDPR-complete after a vacuum). Unknown ids are
+    * an exact no-op.
+    */
+  def sqRemove(spark: org.apache.spark.sql.SparkSession, root: String,
+               vecIds: Seq[Any],
+               idCol: String = "vec_id"): Option[Long] = {
+    require(vecIds.nonEmpty, "sqRemove needs at least one vector id")
+    graft.ops.TxTable.delete(spark, s"$root/codes",
+      col(idCol).isin(vecIds: _*))
+  }
+
+  /** [[sqTopK]] served from the persisted codebook + codes. */
+  def sqTopKFromCodes(spark: org.apache.spark.sql.SparkSession,
+                      root: String, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    sqTopK(graft.ops.TxTable.read(spark, s"$root/codes"),
+      graft.ops.TxTable.read(spark, s"$root/ranges"), queries, k,
+      idCol, vecCol)
 
   /** Asymmetric SQ8 top-k: full-precision queries scored against the
     * DEQUANTIZED corpus codes — [[bruteForceTopK]]'s shape (broadcast

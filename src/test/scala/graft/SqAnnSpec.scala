@@ -90,6 +90,43 @@ class SqAnnSpec extends SparkSpec {
     assert(hits >= 24, s"recall@5 at nprobe=3/6 = $hits/40")
   }
 
+  test("persisted SQ index: frozen-codebook append + removal serve ≡ in-memory") {
+    val r = new scala.util.Random(61)
+    val a = (0L until 40L).map(i => SqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat)))
+    // the appended batch deliberately EXCEEDS the trained range so the
+    // out-of-distribution clamp actually bites
+    val b = (40L until 60L).map(i => SqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat * 5f)))
+    val root = java.nio.file.Files.createTempDirectory("graft_sq")
+      .toString + "/sq"
+    Similarity.writeSqIndex(df(a), root)
+    Similarity.sqAppend(spark, root, df(b))
+    assert(Similarity.sqRemove(spark, root, Seq(10L, 50L)).isDefined)
+    val queries = df(a).filter(col("vec_id") < 3)
+    val served = Similarity.sqTopKFromCodes(spark, root, queries, 5)
+      .collect().map(_.toSeq).toSet
+    // the in-memory equivalent under the SAME frozen codebook: ranges
+    // trained on A only, union-minus-victims encoded under them
+    val ranges = Similarity.sqTrain(df(a))
+    val codes = Similarity.sqEncode(
+      df(a ++ b).filter(!col("vec_id").isin(10L, 50L)), ranges)
+    val direct = Similarity.sqTopK(codes, ranges, queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(served === direct)
+    // clamp sanity: out-of-range values saturate at the code edges
+    // instead of wrapping the tinyint
+    val stored = graft.ops.TxTable.read(spark, s"$root/codes")
+      .filter(col("vec_id") >= 40L)
+      .select(explode(col("codes")).as("c")).collect().map(_.getByte(0))
+    assert(stored.contains(127.toByte) || stored.contains(-128.toByte),
+      "the 5x batch must hit a range edge")
+    // unknown ids: exact no-op
+    val vs = graft.ops.TxTable.versions(spark, s"$root/codes").size
+    assert(Similarity.sqRemove(spark, root, Seq(999L)).isEmpty)
+    assert(graft.ops.TxTable.versions(spark, s"$root/codes").size === vs)
+  }
+
   test("zero-norm corpus rows and queries are excluded") {
     val corpus = df(vecs(20, 4, seed = 3) :+
       SqVec(99L, Array(0f, 0f, 0f, 0f)))
