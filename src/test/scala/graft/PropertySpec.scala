@@ -246,6 +246,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phrase search equals a sliding-window reference on random colliding corpora") {
+    // tiny alphabet → dense phrase collisions; phrases of length 1..3
+    // drawn from the same alphabet so hits, misses, overlaps and
+    // repeated-token phrases all occur
+    val wordGen = Gen.chooseNum(0, 3).map(i => s"w$i")
+    val docGen = Gen.listOf(wordGen).map(_.take(20))
+    val corpusGen = Gen.listOfN(5, docGen)
+    val phraseGen = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, wordGen))
+    for ((docs0, phrases0) <- samples(Gen.zip(corpusGen,
+        Gen.listOfN(3, phraseGen)), 4)) {
+      val s = spark
+      import s.implicits._
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val idx = java.nio.file.Files.createTempDirectory("graft_phprop")
+        .toString + "/idx"
+      graft.text.Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id",
+        "text", idx)
+      val queries = phrases0.zipWithIndex.map { case (p, qi) =>
+        (s"q$qi", p.mkString(" ")) }
+      // reference: count sliding-window equality per (phrase, doc)
+      val expected = (for {
+        (p, qi) <- phrases0.zipWithIndex
+        (ws, di) <- docs0.zipWithIndex
+        n = p.length
+        occ = (0 to ws.length - n).count(j => ws.slice(j, j + n) == p)
+        if occ > 0
+      } yield (s"q$qi", di.toLong, occ.toLong)).toSet
+      val got = graft.text.Bm25
+        .phraseSearchIndexed(spark, idx, queries, topK = 100)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected,
+        s"phrases=$phrases0 docs=${docs.map(_._2)}")
+    }
+  }
+
   test("stateful sessionizer equals batch session_window on random multi-batch streams") {
     import graft.streaming.StreamingWindows
     import graft.streaming.StreamingWindows.SessionEvent
