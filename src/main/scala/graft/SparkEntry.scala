@@ -2231,6 +2231,48 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // product quantization (Jégou et al., FAISS `PQ8`): 8 subspaces ×
+    // 8 dims of the 64-dim embeddings, 16 seed codes per subspace
+    // (deterministic smallest-id seeds — the SemDedup fixed-seed
+    // pattern), ADC lookup-table scoring over 8-byte codes (32× less
+    // serving memory than the floats) — every arithmetic step (seed
+    // slicing, first-index L2 argmin encode, in-subspace-order LUT
+    // folds, reconstruction norms) is mirrored exactly in the oracle
+    "q_x_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrainSeed(emb, m = 8, ksub = 16)
+      val codes = Similarity.pqEncode(emb, cbs)
+      Similarity.pqTopK(codes, cbs, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ × IVF at FULL probe ≡ flat PQ over the zero-norm-filtered
+    // corpus (global codebooks, no residuals — routing cannot change
+    // the ADC ranking when every list is probed)
+    "q_x_ann_pq_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqIvfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          numLists = 8, nprobe = 8, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the persisted PQ lifecycle end-to-end: seed codebooks on 2/3 of
+    // the corpus (frozen from then on — the FAISS train/add split),
+    // pqAppend the other 1/3 encoded under them, pqRemove 20 ids (one
+    // atomic manifest-pruned delete), serve full-precision queries
+    // from the stored 8-byte codes
+    "q_x_ann_pq_served" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tmpQueryDir("graft_pqidx") + "/pq"
+      Similarity.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), root,
+        m = 8, ksub = 16)
+      Similarity.pqAppend(s, root, emb.filter(col("vec_id") % 3 === 0))
+      Similarity.pqRemove(s, root, (8L to 27L))
+      Similarity.pqTopKFromCodes(s, root, emb.filter(col("vec_id") < 8),
+          k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL index maintenance end-to-end: build centroids + lists
     // over 2/3 of the corpus, ivfAppend the other 1/3 (no rebuild — the
     // streaming ingest path), serve from the persisted lists probing
@@ -2736,6 +2778,68 @@ object SparkEntry {
          |ORDER BY e.vec_id""".stripMargin
 
   private lazy val semDedupOracle: String = semDedupOracleSql(_ => "TRUE")
+
+  /** Shared by q_x_ann_pq / q_x_ann_pq_ivf / q_x_ann_pq_served —
+    * mirrors pqTrainSeed/pqEncode/pqTopK EXACTLY: seeds = the 16
+    * smallest-id BUILD-corpus vectors (double-cast), codebooks = their
+    * 8-dim subvector slices, encode = first-index L2 argmin per
+    * subspace (in-order squared-diff folds), ADC cos = the
+    * subspace-order LUT fold over codes divided by qn times the
+    * looked-up reconstruction norm. `seedWhere` filters the codebook's
+    * training corpus (the served variant trains on 2/3); `codesWhere`
+    * filters the encoded corpus (the ivf variant drops zero-norm rows
+    * — routing never assigns them; the served variant drops the
+    * removed ids). */
+  private def pqOracleSql(seedWhere: String, codesWhere: String): String =
+      s"""WITH sv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings $seedWhere ORDER BY vec_id LIMIT 16),
+         |cb AS (SELECT list(v ORDER BY vec_id) AS seeds FROM sv),
+         |enc AS (
+         |  SELECT c.vec_id,
+         |    list_transform(
+         |      list_transform(range(0, 8), j ->
+         |        list_transform(r.seeds, s ->
+         |          list_aggregate(list_transform(range(1, 9), i ->
+         |            (CAST(c.embedding[j*8+i] AS DOUBLE) - s[j*8+i])
+         |            * (CAST(c.embedding[j*8+i] AS DOUBLE) - s[j*8+i])),
+         |            'sum'))),
+         |      d -> list_position(d, list_min(d)) - 1) AS codes
+         |  FROM embeddings c CROSS JOIN cb r $codesWhere),
+         |sqn AS (
+         |  SELECT list_transform(range(0, 8), j ->
+         |    list_transform(r.seeds, s ->
+         |      list_aggregate(list_transform(range(1, 9), i ->
+         |        s[j*8+i] * s[j*8+i]), 'sum'))) AS sqns
+         |  FROM cb r),
+         |cs AS (
+         |  SELECT e.vec_id AS neighbor_id, e.codes,
+         |    sqrt(list_aggregate(list_transform(range(1, 9), j ->
+         |      n.sqns[j][e.codes[j] + 1]), 'sum')) AS cn
+         |  FROM enc e CROSS JOIN sqn n),
+         |ql AS (
+         |  SELECT q.vec_id AS query_id,
+         |    sqrt(${sqlDot("q.embedding", "q.embedding")}) AS qn,
+         |    list_transform(range(0, 8), j ->
+         |      list_transform(r.seeds, s ->
+         |        list_aggregate(list_transform(range(1, 9), i ->
+         |          CAST(q.embedding[j*8+i] AS DOUBLE) * s[j*8+i]), 'sum')))
+         |      AS luts
+         |  FROM embeddings q CROSS JOIN cb r
+         |  WHERE q.vec_id < 8
+         |    AND sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0),
+         |scored AS (
+         |  SELECT ql.query_id, cs.neighbor_id,
+         |    list_aggregate(list_transform(range(1, 9), j ->
+         |      ql.luts[j][cs.codes[j] + 1]), 'sum') / (ql.qn * cs.cn) AS cos
+         |  FROM cs JOIN ql ON ql.query_id <> cs.neighbor_id
+         |  WHERE cs.cn > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
 
   /** Shared by q_x_inc_dedup (`oldWhere` = the full indexed corpus)
     * and q_x_inc_dedup_removed (`oldWhere` excluding the purged ids):
@@ -4853,6 +4957,20 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q_x_ann_pq" -> pqOracleSql("", ""),
+
+    // full-probe PQ-IVF ≡ flat PQ over the zero-norm-filtered corpus
+    // (global codebooks: routing cannot change the ADC ranking when
+    // every list is probed; zero-norm rows are never assigned a list)
+    "q_x_ann_pq_ivf" -> pqOracleSql("",
+      s"WHERE sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0"),
+
+    // the persisted lifecycle: codebooks seeded from the 2/3 BUILD
+    // corpus only (frozen — appends encode under them), codes =
+    // everything minus the removed ids; queries stay full-precision
+    "q_x_ann_pq_served" -> pqOracleSql("WHERE vec_id % 3 <> 0",
+      "WHERE c.vec_id NOT BETWEEN 8 AND 27"),
 
     "q_x_text_bpe" ->
       s"""SELECT doc_id,

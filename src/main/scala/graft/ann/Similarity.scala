@@ -739,4 +739,298 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  // ------------------------------------------- product quantization
+  //
+  // The compression tier past SQ8 (4×): split each d-dim vector into
+  // `m` subspaces of d/m dims, quantize each subvector to one of
+  // `ksub` per-subspace codebook entries, store `m` bytes per vector
+  // (d=64, m=8 → 8 B vs 256 B float = 32×). Serving is ADC
+  // (asymmetric distance computation): per query, precompute an
+  // m×ksub lookup table of query-subvector · codebook-entry dots, and
+  // each corpus vector's score is m TABLE LOOKUPS + adds instead of d
+  // multiplies — Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search" (TPAMI 2011), the standard billion-vector serve
+  // path (FAISS `PQ<m>` / `IVF<n>,PQ<m>`). At 100 TB the codes frame
+  // is 32× smaller than the floats and the LUTs are m·ksub doubles
+  // per query however big the corpus is.
+  //
+  // Codebook init is DETERMINISTIC seed sampling — subspace j's
+  // codebook = the `ksub` smallest-id corpus vectors' j-th
+  // subvectors — so the whole train/encode/serve pipeline is exactly
+  // mirrorable in the oracle (the SemDedup fixed-seed-centroid
+  // pattern). [[pqRefine]] Lloyd-improves the codebooks for
+  // production quality; like [[buildIvfIndex]]'s k-means it averages
+  // in shuffle order, so the refined path is training-only (pinned by
+  // property specs: quantization MSE weakly decreases), while the
+  // seed path carries the bit-exact oracles.
+
+  /** Seed PQ codebooks: a SINGLE-ROW frame
+    * (cbs: array<array<array<double>>>, subspace → code → subvector)
+    * where `cbs(j)(c)` is the j-th subvector of the c-th smallest-id
+    * corpus vector. Requires dim % m == 0 and 0 < ksub ≤ 127 (codes
+    * live in a signed tinyint without offset games). Meant to be
+    * broadcast into encode/serve plans — m·ksub·(d/m) = ksub·d
+    * doubles however big the corpus is.
+    */
+  def pqTrainSeed(corpus: DataFrame, m: Int, ksub: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(m > 0, "need m > 0 subspaces")
+    require(ksub > 0 && ksub <= 127, "need 0 < ksub <= 127 (tinyint codes)")
+    corpus.orderBy(col(idCol)).limit(ksub)
+      .select(struct(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")).as("s"))
+      .groupBy().agg(array_sort(collect_list(col("s"))).as("sv"))
+      .select(transform(col("sv"), s => s.getField("v")).as("seeds"))
+      .select(transform(sequence(lit(0), lit(m - 1)), j => {
+        val dsub = size(element_at(col("seeds"), 1)) / m
+        transform(col("seeds"), s => slice(s, j * dsub + 1, dsub))
+      }).as("cbs"))
+  }
+
+  /** Squared L2 distance between two double arrays, accumulated in
+    * array order (the deterministic fold every PQ step shares).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** In-order double dot of two already-double arrays (the LUT fold;
+    * [[dotHof]] casts, this doesn't — inputs are double by
+    * construction).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, d) => acc + d)
+
+  /** `fold_j table(j)(codes(j))` — the ADC score/norm fold: one lookup
+    * per subspace, summed in subspace order.
+    */
+  private def lutSum(codes: Column, tables: Column): Column =
+    aggregate(zip_with(codes, tables,
+        (cd, t) => element_at(t, cd.cast("int") + 1)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** PQ-encode the corpus under `cbs`: per subspace, the 0-based index
+    * of the L2-nearest codebook entry (ties → smallest code), as
+    * `array<tinyint>` of length m. One broadcast of the codebooks,
+    * per-row arithmetic, no shuffle.
+    */
+  def pqEncode(corpus: DataFrame, cbs: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(cbs))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col("cbs"))
+      .select(col(idCol),
+        transform(col("cbs"), (cb, j) => {
+          val dsub = size(element_at(cb, 1))
+          val sub = slice(col("__v"), j * dsub + 1, dsub)
+          val dists = transform(cb, e => sqDist(sub, e))
+          (array_position(dists, array_min(dists)) - 1).cast("tinyint")
+        }).as("codes"))
+
+  /** Reconstruction of a code array under the codebooks: the
+    * concatenation of each subspace's chosen centroid.
+    */
+  def pqDequantize(codes: Column, cbs: Column): Column =
+    flatten(zip_with(codes, cbs,
+      (cd, cb) => element_at(cb, cd.cast("int") + 1)))
+
+  /** The per-subspace squared-norm table (sqns: array<array<double>>,
+    * sqns(j)(c) = cb(j)(c)·cb(j)(c)) — reconstruction norms become m
+    * lookups, `cn = sqrt(fold_j sqns(j)(codes(j)))`.
+    */
+  private def pqSqnRow(cbs: DataFrame): DataFrame =
+    cbs.select(transform(col("cbs"),
+      cb => transform(cb, e => dotD(e, e))).as("sqns"))
+
+  /** Per-query ADC lookup tables joined onto the query frame:
+    * (query_id, qn, luts) with luts(j)(c) = q_sub_j · cbs(j)(c) —
+    * m·ksub doubles per query. Zero-norm queries excluded.
+    */
+  private def pqQueryLuts(queries: DataFrame, cbs: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
+    queries.crossJoin(broadcast(cbs))
+      .select(col(idCol).as("query_id"), norm(col(vecCol)).as("qn"),
+        col(vecCol).cast("array<double>").as("__q"), col("cbs"))
+      .filter(col("qn") > 0)
+      .select(col("query_id"), col("qn"),
+        transform(col("cbs"), (cb, j) => {
+          val dsub = size(element_at(cb, 1))
+          val sub = slice(col("__q"), j * dsub + 1, dsub)
+          transform(cb, e => dotD(sub, e))
+        }).as("luts"))
+
+  /** Asymmetric PQ top-k: full-precision queries against PQ codes via
+    * ADC — [[bruteForceTopK]]'s shape (broadcast query LUTs, one scan
+    * of the codes, per-query-key window) over a corpus 32× smaller
+    * than the floats (d=64, m=8). `cos = (fold_j luts(j)(code_j)) /
+    * (qn · sqrt(fold_j sqns(j)(code_j)))` — the reconstructed-vector
+    * cosine, computed without ever materializing the reconstruction.
+    * Deterministic: in-order folds, ties break on neighbor id,
+    * zero-norm queries and zero-norm reconstructions excluded,
+    * self-matches excluded.
+    */
+  def pqTopK(codes: DataFrame, cbs: DataFrame, queries: DataFrame,
+             k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = pqQueryLuts(queries, cbs, idCol, vecCol)
+    val c = codes.crossJoin(broadcast(pqSqnRow(cbs)))
+      .select(col(idCol).as("neighbor_id"), col("codes"),
+        sqrt(lutSum(col("codes"), col("sqns"))).as("cn"))
+      .filter(col("cn") > 0)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        lutSum(col("codes"), col("luts")) / (col("qn") * col("cn")))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** PQ × IVF — FAISS's `IVF<n>,PQ<m>` with GLOBAL codebooks (no
+    * per-list residual encoding — residuals would break the
+    * full-probe ≡ flat identity the oracle pins; they are the
+    * documented next refinement): full-precision k-means routing,
+    * m-byte code payloads, equi-join-on-list_id probe. With
+    * `nprobe = numLists` the result is EXACTLY [[pqTopK]] over the
+    * zero-norm-filtered corpus — ranking comes purely from the ADC
+    * arithmetic, wherever the centroids sit.
+    */
+  def pqIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numLists: Int, nprobe: Int, m: Int, ksub: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                kmeansIters: Int = 2): DataFrame = {
+    require(nprobe > 0, "need nprobe > 0")
+    val index = buildIvfIndex(corpus, numLists, idCol, vecCol, kmeansIters)
+    val cbs = pqTrainSeed(corpus, m, ksub, idCol, vecCol)
+    val codes = pqEncode(corpus, cbs, idCol, vecCol)
+    val lists = assignToLists(corpus, index, idCol, vecCol)
+      .select(col(idCol), col("list_id"))
+      .join(codes, Seq(idCol))
+      .crossJoin(broadcast(pqSqnRow(cbs)))
+      .select(col(idCol).as("c_id"), col("list_id"), col("codes"),
+        sqrt(lutSum(col("codes"), col("sqns"))).as("cn"))
+      .filter(col("cn") > 0)
+    val qNorm = queries.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    val qScored = qNorm.crossJoin(broadcast(index))
+      .withColumn("__cs",
+        dot(col(vecCol), col("centroid")) / (col("__n") * col("cent_n")))
+    val probes = graft.ops.Windows.topKPerGroup(qScored, Seq(col(idCol)),
+        Seq(col("__cs").desc, col("list_id").asc), nprobe, rankCol = "__qr")
+      .select(col(idCol), col("list_id"))
+      .join(pqQueryLuts(queries, cbs, idCol, vecCol),
+        col(idCol) === col("query_id"))
+      .select(col("query_id"), col("list_id"), col("qn"), col("luts"))
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("c_id"))
+      .select(col("query_id"), col("c_id").as("neighbor_id"),
+        (lutSum(col("codes"), col("luts")) / (col("qn") * col("cn")))
+          .as("cos"))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Lloyd-refine seed codebooks per subspace under squared L2 —
+    * FAISS's PQ train step. Empty clusters keep their old entry.
+    * TRAINING-ONLY: centroid means average in shuffle order (like
+    * [[buildIvfIndex]]'s k-means), so refined codebooks are not
+    * bit-stable across runs; quality is pinned by property specs
+    * (quantization MSE weakly decreases per iteration), and the
+    * oracled queries run the deterministic seed path.
+    */
+  def pqRefine(corpus: DataFrame, cbs: DataFrame, m: Int, iters: Int,
+               vecCol: String = "embedding"): DataFrame = {
+    val pts = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
+        struct(j.as("j"),
+          slice(col("__v"), j * (size(col("__v")) / m) + 1,
+            size(col("__v")) / m).as("sub")))).as("p"))
+      .select(col("p.j").as("j"), col("p.sub").as("sub"))
+    var cur = cbs
+    for (_ <- 0 until iters) {
+      val assigned = pts.crossJoin(broadcast(cur))
+        .withColumn("cbj", element_at(col("cbs"), col("j") + 1))
+        .withColumn("code", {
+          val dists = transform(col("cbj"), e => sqDist(col("sub"), e))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        })
+      val updated = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos").agg(avg(col("x")).as("mval"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pm"))
+        .select(col("j"), col("code"),
+          transform(col("pm"), s => s.getField("mval")).as("cent"))
+      val oldExpl = cur.select(posexplode(col("cbs")).as(Seq("j", "cb")))
+        .select(col("j"), posexplode(col("cb")).as(Seq("code", "cent_old")))
+      cur = oldExpl.join(updated, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("cent"), col("cent_old")).as("centv"))
+        .groupBy("j")
+        .agg(array_sort(collect_list(struct(col("code"), col("centv")))).as("pc"))
+        .select(col("j"),
+          transform(col("pc"), s => s.getField("centv")).as("cbj"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("j"), col("cbj")))).as("jc"))
+        .select(transform(col("jc"), s => s.getField("cbj")).as("cbs"))
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  // ---- persisted PQ index: the uniform lifecycle (codebooks + codes
+  // as TxTables; frozen-codebook append, atomic pruned removal, serve)
+
+  /** Train seed codebooks on `corpus` and persist codebooks + codes. */
+  def writePqIndex(corpus: DataFrame, root: String, m: Int, ksub: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val cbs = pqTrainSeed(corpus, m, ksub, idCol, vecCol).localCheckpoint()
+    graft.ops.TxTable.overwrite(spark, s"$root/cbs", cbs)
+    graft.ops.TxTable.overwrite(spark, s"$root/codes",
+      idSorted(pqEncode(corpus, cbs, idCol, vecCol), idCol))
+  }
+
+  /** Encode ONLY `newVectors` under the stored (frozen) codebooks and
+    * append — O(batch), no re-train, one atomic commit (the
+    * [[sqAppend]] contract; re-training is the periodic offline
+    * [[writePqIndex]]).
+    */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, root: String,
+               newVectors: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): Long = {
+    val cbs = graft.ops.TxTable.read(spark, s"$root/cbs")
+    graft.ops.TxTable.append(spark, s"$root/codes",
+      idSorted(pqEncode(newVectors, cbs, idCol, vecCol), idCol))
+  }
+
+  /** Remove vectors' codes — one atomic manifest-pruned copy-on-write
+    * delete (the [[ivfRemove]]/[[sqRemove]] contract: codebooks carry
+    * no per-vector state, so the delete alone serves as an index never
+    * holding the ids; GDPR-complete after a vacuum). Unknown ids are
+    * an exact no-op.
+    */
+  def pqRemove(spark: org.apache.spark.sql.SparkSession, root: String,
+               vecIds: Seq[Any],
+               idCol: String = "vec_id"): Option[Long] = {
+    require(vecIds.nonEmpty, "pqRemove needs at least one vector id")
+    graft.ops.TxTable.delete(spark, s"$root/codes",
+      col(idCol).isin(vecIds: _*))
+  }
+
+  /** [[pqTopK]] served from the persisted codebooks + codes. */
+  def pqTopKFromCodes(spark: org.apache.spark.sql.SparkSession,
+                      root: String, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    pqTopK(graft.ops.TxTable.read(spark, s"$root/codes"),
+      graft.ops.TxTable.read(spark, s"$root/cbs"), queries, k,
+      idCol, vecCol)
 }
