@@ -1779,6 +1779,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // BOOLEAN retrieval from the persisted index (Lucene's
+    // MUST/SHOULD/MUST_NOT): the must gate is a distinct-token count
+    // equality, the mustNot gate a left-anti join, and ranking is the
+    // searchIndexed BM25 arithmetic over must+should terms — all three
+    // roles served from ONE manifest-pruned posting read
+    "q_x_bm25_boolean" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25bool") + "/index"
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+      graft.text.Bm25.booleanSearchIndexed(s, idx, Seq(
+          graft.text.Bm25.BooleanQuery("b1", must = "merge join",
+            should = "table"),
+          graft.text.Bm25.BooleanQuery("b2", must = "fast",
+            should = "scan query", mustNot = "stream"),
+          graft.text.Bm25.BooleanQuery("b3", must = "",
+            should = "window agg", mustNot = "merge")),
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // unordered NEAR/w proximity from the positional index: every
+    // query token within one 8-token window, ranked by the count of
+    // matching window starts — phrase search's order-free sibling,
+    // integers end to end
+    "q_x_bm25_near" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25nr") + "/index"
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+      graft.text.Bm25.proximitySearchIndexed(s, idx,
+          Seq(("q1", "merge table"), ("q2", "fast query"),
+            ("q3", "stream window agg")),
+          window = 8, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -4549,6 +4584,94 @@ object SparkEntry {
          |      ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
          |  FROM occ)
          |SELECT query_id, rank, doc_id, n_occurrences FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors booleanSearchIndexed exactly: the same tf/dl/st CTEs and
+    // rounded-idf/sorted-fold scoring as the q_x_bm25 oracle over the
+    // must+should terms, gated by a per-(query, doc) distinct-must
+    // count equality and a mustNot anti-join — both integer-exact
+    "q_x_bm25_boolean" ->
+      s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
+         |            FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('b1', 'merge', 'm'), ('b1', 'join', 'm'), ('b1', 'table', 's'),
+         |    ('b2', 'fast', 'm'), ('b2', 'scan', 's'), ('b2', 'query', 's'),
+         |    ('b2', 'stream', 'n'),
+         |    ('b3', 'window', 's'), ('b3', 'agg', 's'), ('b3', 'merge', 'n'))
+         |  AS t(query_id, token, role)),
+         |qidf AS (SELECT q.query_id, f.token,
+         |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+         |    CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) f
+         |  JOIN (SELECT query_id, token FROM qt WHERE role <> 'n') q
+         |    USING (token) CROSS JOIN st),
+         |m AS (SELECT query_id, tf.doc_id, tf.token,
+         |    idf * (CAST(c AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(c AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |        + (0.75 * CAST(len AS DOUBLE)) / avgdl)) AS s
+         |  FROM tf JOIN qidf USING (token) JOIN dl USING (doc_id)),
+         |sc AS (SELECT query_id, doc_id,
+         |    list_aggregate(list_transform(
+         |      list(struct_pack(token := token, s := s) ORDER BY token),
+         |      x -> x.s), 'sum') AS score
+         |  FROM m GROUP BY 1, 2),
+         |excl AS (SELECT DISTINCT q.query_id, tf.doc_id
+         |  FROM tf JOIN qt q USING (token) WHERE q.role = 'n'),
+         |nm AS (SELECT query_id, COUNT(*) AS nm FROM qt
+         |  WHERE role = 'm' GROUP BY 1),
+         |mh AS (SELECT q.query_id, tf.doc_id, COUNT(*) AS mh
+         |  FROM tf JOIN qt q USING (token) WHERE q.role = 'm' GROUP BY 1, 2),
+         |gated AS (SELECT sc.query_id, sc.doc_id, sc.score
+         |  FROM sc
+         |  LEFT JOIN excl e ON e.query_id = sc.query_id
+         |    AND e.doc_id = sc.doc_id
+         |  LEFT JOIN nm ON nm.query_id = sc.query_id
+         |  LEFT JOIN mh ON mh.query_id = sc.query_id
+         |    AND mh.doc_id = sc.doc_id
+         |  WHERE e.doc_id IS NULL
+         |    AND (COALESCE(nm.nm, 0) = 0
+         |         OR COALESCE(mh.mh, 0) = COALESCE(nm.nm, 0))),
+         |r AS (SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM gated)
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors proximitySearchIndexed: position p of token t votes for
+    // starts [max(0, p-7), p]; a start whose DISTINCT-token vote count
+    // equals the query's distinct token count is a matching window
+    "q_x_bm25_near" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |pd AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+         |       FROM d CROSS JOIN unnest(range(1, len(toks) + 1)) t(i)),
+         |qt AS (SELECT * FROM (VALUES
+         |    ('q1', 'merge'), ('q1', 'table'),
+         |    ('q2', 'fast'), ('q2', 'query'),
+         |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg'))
+         |  AS t(query_id, token)),
+         |qk AS (SELECT query_id, COUNT(DISTINCT token) AS k FROM qt
+         |  GROUP BY 1),
+         |v AS (SELECT q.query_id, pd.doc_id, pd.token, s.s AS strt
+         |  FROM pd JOIN qt q USING (token)
+         |  CROSS JOIN unnest(generate_series(GREATEST(0, pos - 7), pos))
+         |    AS s(s)),
+         |hit AS (SELECT query_id, doc_id, strt,
+         |    COUNT(DISTINCT token) AS nt
+         |  FROM v GROUP BY 1, 2, 3),
+         |occ AS (SELECT h.query_id, h.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_windows
+         |  FROM hit h JOIN qk USING (query_id)
+         |  WHERE h.nt = qk.k GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_windows,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n_windows DESC, doc_id) AS INTEGER) AS rank
+         |  FROM occ)
+         |SELECT query_id, rank, doc_id, n_windows FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors Collocations.pmi: 1-based list_transform index i pairs

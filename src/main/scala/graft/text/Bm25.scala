@@ -485,4 +485,168 @@ object Bm25 {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  /** A boolean retrieval query: documents must contain EVERY `must`
+    * token, NONE of the `mustNot` tokens, and are RANKED by BM25 over
+    * the must + should tokens they contain (should terms boost but do
+    * not gate — Lucene's BooleanQuery MUST/SHOULD/MUST_NOT contract).
+    * With no must tokens, matching ≥1 should token is the gate (a doc
+    * scoring zero terms never ranks). Fields are tokenized by the
+    * engine tokenizer; a token in both must and should scores once
+    * (must wins).
+    */
+  final case class BooleanQuery(queryId: String, must: String,
+                                should: String = "", mustNot: String = "")
+
+  /** Boolean search from a persisted index: the must/mustNot gates and
+    * the BM25 ranking all run over the SAME manifest-pruned posting
+    * read (must ∪ should ∪ mustNot terms), so serve cost stays
+    * Σ posting-list lengths of the query's terms — corpus-independent,
+    * the [[searchIndexed]] bound. Scoring arithmetic is identical to
+    * [[searchIndexed]] (rounded idf, token-sorted fold), so the same
+    * oracle conventions gate it exactly: the must gate is a
+    * distinct-token count equality, the mustNot gate a left-anti join,
+    * both integer-exact.
+    */
+  def booleanSearchIndexed(spark: SparkSession, path: String,
+                           queries: Seq[BooleanQuery],
+                           k1: Double = 1.2, b: Double = 0.75,
+                           topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "need at least one boolean query")
+    require(topK > 0, "topK must be positive")
+    import spark.implicits._
+    val idCol = indexIdCol(spark, path)
+    val (n, tot, _) = indexStats(spark, path)
+    require(n > 0, s"index at $path is empty")
+    // per-(query, token, role) rows via the engine tokenizer; bounded
+    // driver-side collect (queries are driver-side data already).
+    // must beats should for a token in both; mustNot is independent
+    // (a token both required and forbidden simply matches nothing).
+    val roleRows = queries.toDF("query_id", "__m", "__s", "__n")
+      .select(col("query_id"),
+        array_distinct(TextAnalysis.tokens(col("__m"))).as("mt"),
+        array_distinct(TextAnalysis.tokens(col("__s"))).as("st"),
+        array_distinct(TextAnalysis.tokens(col("__n"))).as("nt"))
+      .select(col("query_id"), col("mt"),
+        array_except(col("st"), col("mt")).as("st"), col("nt"))
+      .collect()
+    val qt = roleRows.flatMap { r =>
+      val q = r.getString(0)
+      r.getSeq[String](1).map((q, _, "m")) ++
+        r.getSeq[String](2).map((q, _, "s")) ++
+        r.getSeq[String](3).map((q, _, "n"))
+    }.toSeq.toDF("query_id", "token", "role")
+    require(qt.filter(col("role") =!= "n").limit(1).count() > 0,
+      "every query tokenized to no scoring terms")
+    val terms = qt.select("token").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val posts = graft.ops.TxTable.readWhere(spark, path,
+      col("token").isin(terms: _*))
+    // one posting read feeds all three roles
+    val matchedAll = posts.join(broadcast(qt), Seq("token"))
+    // mustNot gate: any forbidden token present → the doc is out
+    val excluded = matchedAll.filter(col("role") === "n")
+      .select(col("query_id"), col(idCol)).distinct()
+    // must gate: distinct matched must tokens == the query's must count
+    val nMust = qt.filter(col("role") === "m")
+      .groupBy("query_id").agg(count(lit(1)).as("__nm"))
+    val mustHits = matchedAll.filter(col("role") === "m")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("__mh"))
+    // scoring terms (must + should), BM25 arithmetic = searchIndexed's
+    val scoring = matchedAll.filter(col("role") =!= "n")
+    val docFreq = posts.groupBy("token").agg(count(lit(1)).as("__df"))
+    val qidf = docFreq
+      .join(broadcast(qt.filter(col("role") =!= "n")), Seq("token"))
+      .select(col("query_id"), col("token"),
+        round(log((lit(n).cast("double") - col("__df").cast("double")
+            + lit(0.5)) / (col("__df").cast("double") + lit(0.5))
+            + lit(1.0)), 6).as("__idf"),
+        (lit(tot).cast("double") / lit(n).cast("double")).as("__avgdl"))
+    val tfD = col("tf").cast("double")
+    val perTerm = scoring
+      .join(broadcast(qidf), Seq("query_id", "token"))
+      .select(col("query_id"), col(idCol), col("token"),
+        (col("__idf") * (tfD * (lit(k1) + lit(1.0))) /
+          (tfD + lit(k1) * (lit(1.0) - lit(b) +
+            (lit(b) * col("doc_len").cast("double")) / col("__avgdl"))))
+          .as("__s"))
+    val scored = perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(aggregate(array_sort(collect_list(struct(col("token"),
+          col("__s")))), lit(0.0), (a, x) => a + x.getField("__s"))
+        .as("score"))
+    val gated = scored
+      .join(excluded, Seq("query_id", idCol), "left_anti")
+      .join(broadcast(nMust), Seq("query_id"), "left")
+      .join(mustHits, Seq("query_id", idCol), "left")
+      .filter(coalesce(col("__nm"), lit(0L)) === 0L ||
+        coalesce(col("__mh"), lit(0L)) === coalesce(col("__nm"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol).asc)
+    gated.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** Unordered proximity (NEAR/w) search from the positional index:
+    * top-`topK` documents per query ranked by the number of window
+    * start positions s such that EVERY distinct query token occurs
+    * somewhere in [s, s + window − 1] — the classic "all terms within
+    * w tokens of each other" retrieval operator ([[phraseSearchIndexed]]
+    * is its ordered, gap-free sibling). Duplicate query tokens
+    * deduplicate: NEAR treats the query as a token SET (window
+    * containment), by design.
+    *
+    * Plan (pure equi-joins): a posting position p of token t votes for
+    * every start s ∈ [max(0, p − window + 1), p] — a bounded explode of
+    * ≤ `window` votes per position (require window ≤ 64); a start
+    * matches iff its distinct-token vote count equals the query's
+    * distinct token count. Serve cost is Σ posting positions × window
+    * over the manifest-pruned query-term read — corpus-independent.
+    * All integers, so the oracle is trivially exact.
+    */
+  def proximitySearchIndexed(spark: SparkSession, path: String,
+                             queries: Seq[(String, String)],
+                             window: Int, topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(window > 0 && window <= 64,
+      "window must be in [1, 64] (votes explode by window)")
+    require(topK > 0, "topK must be positive")
+    import spark.implicits._
+    val idCol = indexIdCol(spark, path)
+    val qtRows = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("__qtext"))))
+          .as("token"))
+      .collect()
+    require(qtRows.nonEmpty, "every query tokenized to nothing")
+    val qt = qtRows.map(r => (r.getString(0), r.getString(1))).toSeq
+      .toDF("query_id", "token")
+    val qLen = qt.groupBy("query_id").agg(count(lit(1)).as("__k"))
+    val terms = qtRows.map(_.getString(1)).distinct.toSeq
+    val posts = graft.ops.TxTable.readWhere(spark, path,
+      col("token").isin(terms: _*))
+    require(posts.columns.contains("positions"),
+      s"index at $path predates positional postings — rebuild it with " +
+        "Bm25.buildIndex to serve proximity queries")
+    val votes = posts.join(broadcast(qt), Seq("token"))
+      .select(col("query_id"), col(idCol), col("token"),
+        explode(col("positions")).as("__p"))
+      .select(col("query_id"), col(idCol), col("token"),
+        explode(sequence(greatest(lit(0), col("__p") - lit(window - 1)),
+          col("__p"))).as("__start"))
+    val hits = votes
+      .groupBy(col("query_id"), col(idCol), col("__start"))
+      .agg(countDistinct(col("token")).as("__nt"))
+      .join(broadcast(qLen), Seq("query_id"))
+      .filter(col("__nt") === col("__k"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_windows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("n_windows").desc, col(idCol).asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_windows"))
+  }
 }
