@@ -2352,6 +2352,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversity rerank (Carbonell & Goldstein) of brute-force
+    // top-20 candidates: greedy λ·rel − (1−λ)·max-cos-to-selected,
+    // k=5 picks per query — work is queries × candidates × k by
+    // construction, corpus-independent; the oracle unrolls the same
+    // five greedy steps with identical IEEE arithmetic
+    "q_x_ann_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 4)
+      val cands = Similarity.bruteForceTopK(emb, qs, k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), Seq("neighbor_id"))
+      graft.ann.Mmr.rerank(cands, k = 5, lambda = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // ranking metrics: recall@5 and MRR of single-probe LSH against
     // the exact brute-force truth, per query — the measured cost of
     // the bucketing, as an oracled frame (ints and two IEEE divisions)
@@ -5082,6 +5098,66 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_x_ann_pq" -> pqOracleSql("", ""),
+
+    // mirrors Mmr.rerank: brute top-20 candidates (the q_x_ann_brute
+    // shape at k=20, queries vec_id < 4), then the SAME five greedy
+    // steps unrolled — per step, remaining = cand minus selected,
+    // maxsim = MAX over selected of the in-order cosine, pick = argmax
+    // of λ·rel − (1−λ)·maxsim with id tie-break. λ and 1−λ are the
+    // exact Scala doubles (shortest-round-trip toString)
+    "q_x_ann_mmr" -> {
+      val lam = 0.7
+      val oneMinus = 1.0 - lam
+      val base =
+        s"""WITH sc0 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${sqlDot("q.embedding", "c.embedding")}
+           |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+           |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS rel,
+           |    c.embedding AS emb,
+           |    sqrt(${sqlDot("c.embedding", "c.embedding")}) AS n
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 4 AND q.vec_id <> c.vec_id
+           |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+           |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
+           |cand AS (SELECT query_id, neighbor_id, rel, emb, n FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, neighbor_id) AS rk FROM sc0)
+           |  WHERE rk <= 20),
+           |s1 AS (SELECT query_id, 1 AS mmr_rank, neighbor_id,
+           |    $lam * rel AS mmr_score, emb, n FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $lam * rel DESC, neighbor_id) AS rr FROM cand)
+           |  WHERE rr = 1)""".stripMargin
+      val steps = (2 to 5).map { i =>
+        val acc = (1 until i).map(j => s"SELECT * FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""a$i AS ($acc),
+           |r$i AS (SELECT c.* FROM cand c LEFT JOIN a$i s
+           |  ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+           |  WHERE s.neighbor_id IS NULL),
+           |m$i AS (SELECT r.query_id, r.neighbor_id,
+           |    MAX(${sqlDot("r.emb", "s.emb")} / (r.n * s.n)) AS maxsim
+           |  FROM r$i r JOIN a$i s USING (query_id) GROUP BY 1, 2),
+           |s$i AS (SELECT query_id, $i AS mmr_rank, neighbor_id,
+           |    mmr AS mmr_score, emb, n FROM (
+           |    SELECT r.query_id, r.neighbor_id,
+           |      $lam * r.rel - $oneMinus * m.maxsim AS mmr, r.emb, r.n,
+           |      row_number() OVER (PARTITION BY r.query_id
+           |        ORDER BY ($lam * r.rel - $oneMinus * m.maxsim) DESC,
+           |          r.neighbor_id) AS rr
+           |    FROM r$i r JOIN m$i m ON m.query_id = r.query_id
+           |      AND m.neighbor_id = r.neighbor_id)
+           |  WHERE rr = 1)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val sel = (1 to 5).map(i =>
+        "SELECT query_id, mmr_rank, neighbor_id, mmr_score FROM s" + i)
+        .mkString(" UNION ALL ")
+      s"""$base$steps
+         |SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+         |  neighbor_id, mmr_score
+         |FROM ($sel) ORDER BY query_id, mmr_rank""".stripMargin
+    },
 
     // full-probe PQ-IVF ≡ flat PQ over the zero-norm-filtered corpus
     // (global codebooks: routing cannot change the ADC ranking when
