@@ -96,7 +96,19 @@ object ScaleBench {
     "x_semdedup_serve" -> ((s, dir) =>
       graft.dedup.SemDedup.semDedupServed(s,
           ladderState("semdedup", dir) + "/model", threshold = 0.42)
-        .select("vec_id")))
+        .select("vec_id")),
+    // PQ SERVE cost in isolation — codebooks + codes prebuilt per dir
+    // by [[Prepare]], so this row times only the ADC scan: one pass
+    // over the m-byte code table (corpus-LINEAR but 32× lighter than
+    // the float scan at dim 64/m=8) with broadcast per-query LUTs.
+    // The honest expectation is ratio ≈ copies (the scan IS linear);
+    // the claim is the CONSTANT: compare x_pq_serve's scaled_sec
+    // against q_x_ann_brute's at the same corpus.
+    "x_pq_serve" -> ((s, dir) =>
+      graft.ann.Similarity.pqTopKFromCodes(s,
+        ladderState("pq", dir) + "/pq",
+        graft.ops.Sources.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 8), k = 5)))
 
   /** Per-dir prepared state for ladder-only entries whose timed body
     * must EXCLUDE a one-time build (the serve-vs-build split the
@@ -115,6 +127,12 @@ object ScaleBench {
       graft.dedup.SemDedup.writeModel(emb,
         graft.ann.Similarity.buildIvfIndex(emb, numLists),
         ladderState("semdedup", dir) + "/model")
+    }),
+    "x_pq_serve" -> ((s, dir) => {
+      graft.ann.Similarity.writePqIndex(
+        graft.ops.Sources.table(s, dir, "embeddings"),
+        ladderState("pq", dir) + "/pq", m = 8, ksub = 16)
+      ()
     }))
 
   /** Prepared-state root for (kind, data dir). The sanitized dir name

@@ -2489,6 +2489,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of: the EARLIEST error at-or-after each purchase —
+    // pandas merge_asof(direction='forward'), same one-shuffle union
+    // plan with the carry reversed (first over the following window)
+    "q_x_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      graft.ops.AsofJoin.asof(purchases, errors, Seq("user_id"), "ts",
+          Seq("err_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("err_value"))
+        .orderBy("event_id")
+    }),
+
+    // nearest as-of WITH tolerance: the closer of the two per-side
+    // candidates (equidistant → backward), nulled when farther than
+    // 1 hour — merge_asof(direction='nearest', tolerance=...); two
+    // window passes over the same keyed exchange, interval arithmetic
+    // exact on both engines
+    "q_x_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      graft.ops.AsofJoin.asof(purchases, errors, Seq("user_id"), "ts",
+          Seq("err_value"), direction = "nearest",
+          tolerance = Some(expr("INTERVAL '1' HOUR")))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("err_value"))
+        .orderBy("event_id")
+    }),
+
     // banded range join: per-user count of event pairs within ±2 h —
     // the banding rewrite (equi-join on (user, 4h-bucket) + refine)
     // must return exactly the inequality join's pairs
@@ -5750,6 +5787,40 @@ object SparkEntry {
         |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
         |     AND e.ts <= p.ts
         |   ORDER BY e.ts DESC, e.value DESC LIMIT 1) AS err_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // earliest at-or-after; forward ties pick the SMALLEST value tuple
+    // (the first() carry), hence value ASC
+    "q_x_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+        |  (SELECT e.value FROM events e
+        |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |     AND e.ts >= p.ts
+        |   ORDER BY e.ts ASC, e.value ASC LIMIT 1) AS err_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest within 1 h: distance ordered by exact INTERVAL
+    // arithmetic (no epoch() doubles — their rounding could flip a
+    // boundary tie the engines' interval math agrees on); equidistant
+    // rows prefer the backward side, then each side's own tie rule
+    // (backward greatest value, forward smallest — the per-side
+    // carries)
+    "q_x_asof_nearest" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+        |  (SELECT e.value FROM events e
+        |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |     AND e.ts BETWEEN p.ts - INTERVAL '1' HOUR
+        |                  AND p.ts + INTERVAL '1' HOUR
+        |   ORDER BY (CASE WHEN e.ts <= p.ts THEN p.ts - e.ts
+        |                  ELSE e.ts - p.ts END) ASC,
+        |     (CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END) ASC,
+        |     (CASE WHEN e.ts <= p.ts THEN e.value END) DESC,
+        |     (CASE WHEN e.ts > p.ts THEN e.value END) ASC
+        |   LIMIT 1) AS err_value
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * row with `right.ts <= left.ts` for the same key — the correctness
   * backbone of feature/training pipelines (no look-ahead leakage). The
   * reference has no such operator; Spark has no built-in either.
+  * `direction` completes the pandas `merge_asof` surface: `forward`
+  * attaches the EARLIEST right row at-or-after, `nearest` the closer of
+  * the two (ties to backward); `tolerance` bounds how far a match may
+  * be (a too-distant match becomes null, never a more distant one).
   *
   * Per the build's preference order this is tier (a): COMPOSED from
   * existing operators — union + one window pass — rather than a custom
@@ -17,19 +21,36 @@ import org.apache.spark.sql.functions._
   *    before the window prunes it;
   *  - a range-join is a nested loop in Spark;
   *  - this union form shuffles each input ONCE (by key), sorts within
-  *    partitions, and carries right-side values forward with
-  *    `last_value(ignoreNulls)` — linear in |left| + |right|.
+  *    partitions, and carries right-side values with
+  *    `last/first(ignoreNulls)` — linear in |left| + |right| for every
+  *    direction (`nearest` pays a second window pass over the same
+  *    union, same exchange).
   *
-  * Ties (equal ts): the right row at exactly left.ts IS visible
-  * (`<=` semantics), matching the common "as of now" definition.
+  * Ties (equal ts): the right row at exactly left.ts IS visible to
+  * every direction (`<=`/`>=` semantics), matching the common "as of
+  * now" definition. Among right rows tied on (key, ts), backward
+  * deterministically carries the GREATEST value tuple and forward the
+  * SMALLEST (which of two identical-(key, ts) rows wins is unspecified
+  * semantics either way — the tie-break only buys determinism).
   */
 object AsofJoin {
 
   /** @param valueCols right-side columns to carry (all null when no
-    *                  right row is at-or-before the left row's ts)
+    *                  right row matches the direction/tolerance)
+    * @param direction "backward" (default: latest at-or-before),
+    *                  "forward" (earliest at-or-after), or "nearest"
+    *                  (closer of the two; equidistant → backward)
+    * @param tolerance max allowed |left.ts − right.ts| as a literal
+    *                  Column comparable to the ts difference (an
+    *                  INTERVAL for timestamp ts, a number for numeric
+    *                  ts); matches farther than this become null
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           tsCol: String, valueCols: Seq[String]): DataFrame = {
+           tsCol: String, valueCols: Seq[String],
+           direction: String = "backward",
+           tolerance: Option[Column] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     require(valueCols.forall(!left.columns.contains(_)),
       s"valueCols ${valueCols.filter(left.columns.contains)} already exist " +
         "in the left side — the output would carry ambiguous duplicate names")
@@ -37,21 +58,28 @@ object AsofJoin {
       graft.util.Cols.fresh(left.columns ++ right.columns, prefix)
     val side = fresh("__side")
     val vals = fresh("__vals")
+    val rts = fresh("__rts")
 
     val leftCols = left.columns
     // The right-side values travel as ONE non-null struct per right row
-    // (null on left rows): last(ignoreNulls) then carries the latest
-    // right ROW atomically — a genuinely NULL right-side value inside
-    // the struct is preserved (per-column carry would skip it and
-    // resurrect an older value, and could mix columns from different
-    // right rows).
+    // (null on left rows): last/first(ignoreNulls) then carries the
+    // nearest right ROW atomically — a genuinely NULL right-side value
+    // inside the struct is preserved (per-column carry would skip it
+    // and resurrect an older value, and could mix columns from
+    // different right rows). The struct's FIRST field is the right
+    // row's own ts: nearest/tolerance need the matched distance, and
+    // within a (key, ts) tie group it is constant, so the tie-break
+    // ordering below is unchanged by its presence.
+    val valsType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(rts,
+        right.schema(tsCol).dataType, nullable = true) +:
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val lNorm = left
       .withColumn(side, lit(1))
       .select((keyCols ++ Seq(tsCol, side)).map(col)
         ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col)
-        :+ lit(null).cast(org.apache.spark.sql.types.StructType(
-             valueCols.map(c => org.apache.spark.sql.types.StructField(
-               c, right.schema(c).dataType, nullable = true)))).as(vals): _*)
+        :+ lit(null).cast(valsType).as(vals): _*)
     // SQL equi-join semantics: a null key never matches, so right rows
     // with any null key must not enrich anything (the window's
     // partitionBy would otherwise group null keys together and attach
@@ -64,14 +92,19 @@ object AsofJoin {
       .select((keyCols ++ Seq(tsCol, side)).map(col)
         ++ leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        :+ struct(valueCols.map(col): _*).as(vals): _*)
+        :+ struct(col(tsCol).as(rts) +: valueCols.map(col): _*).as(vals): _*)
 
-    // Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    // right row at exactly left.ts is visible to that left row. The
-    // value struct is the final order key: right rows TIED on (key, ts)
-    // would otherwise sort in partitioning-dependent order and last()
-    // would pick an arbitrary one — with the struct key the greatest
-    // (valueCols) tuple deterministically wins.
+    // Backward: right rows sort BEFORE left rows at equal ts
+    // (side 0 < 1), so a right row at exactly left.ts is visible to
+    // that left row; `last(ignoreNulls)` over the preceding window
+    // carries the latest one. The value struct is the final order key:
+    // right rows TIED on (key, ts) would otherwise sort in
+    // partitioning-dependent order and last() would pick an arbitrary
+    // one — with the struct key the greatest (valueCols) tuple
+    // deterministically wins. Forward mirrors it: left rows sort
+    // before right rows at equal ts (side DESC), `first(ignoreNulls)`
+    // over the following window carries the earliest at-or-after —
+    // there the SMALLEST struct tuple wins the tie.
     // map-typed value columns are not orderable — tie-break on a hash
     // of the struct's JSON render instead (determinism is all the
     // tie-break provides; which of two identical-(key,ts) right rows
@@ -87,11 +120,57 @@ object AsofJoin {
       if (valueCols.exists(c => hasMap(right.schema(c).dataType)))
         xxhash64(to_json(col(vals)))
       else col(vals)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc, tieKey.asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lNorm.unionByName(rNorm)
-      .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
+    val unioned = lNorm.unionByName(rNorm)
+
+    def backwardCol: Column = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol).asc, col(side).asc, tieKey.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col(vals), ignoreNulls = true).over(w)
+    }
+    def forwardCol: Column = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol).asc, col(side).desc, tieKey.asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      first(col(vals), ignoreNulls = true).over(w)
+    }
+
+    val bName = fresh("__b"); val fName = fresh("__f")
+    val withMatch = direction match {
+      case "backward" => unioned.withColumn(vals, backwardCol)
+      case "forward" => unioned.withColumn(vals, forwardCol)
+      case "nearest" =>
+        // two passes over the SAME keyed exchange: distances are
+        // non-negative by construction, equidistant picks backward
+        val u = unioned.withColumn(bName, backwardCol)
+          .withColumn(fName, forwardCol)
+        val db = col(tsCol) - col(bName).getField(rts)
+        val df_ = col(fName).getField(rts) - col(tsCol)
+        val isB = col(bName).isNotNull &&
+          (col(fName).isNull || db <= df_)
+        u.withColumn(vals, when(isB, col(bName)).otherwise(col(fName)))
+          .drop(bName, fName)
+    }
+    // tolerance is a post-filter on the MATCHED row's distance: the
+    // per-direction candidate is the nearest on its side, so a
+    // candidate out of tolerance proves every row on that side is —
+    // nulling it (never substituting a farther row) is exactly pandas'
+    // merge_asof tolerance semantics
+    val bounded = tolerance match {
+      case None => withMatch
+      case Some(tol) =>
+        val d = direction match {
+          case "backward" => col(tsCol) - col(vals).getField(rts)
+          case "forward" => col(vals).getField(rts) - col(tsCol)
+          case "nearest" =>
+            // |Δ| without abs(): greatest of the two signed forms works
+            // for intervals and numerics alike
+            greatest(col(tsCol) - col(vals).getField(rts),
+              col(vals).getField(rts) - col(tsCol))
+        }
+        withMatch.withColumn(vals, when(d <= tol, col(vals)))
+    }
+    bounded
       .filter(col(side) === 1)
       .select(col("*") +: valueCols.map(c => col(s"$vals.$c").as(c)): _*)
       .drop(side, vals)

@@ -391,6 +391,61 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.size == 5, "every left row survives (left semantics)")
   }
 
+  test("asof forward attaches the earliest right value at-or-after") {
+    val out = AsofJoin.asof(df(trades), df(ticks), Seq("sym"), "t",
+        Seq("px"), direction = "forward")
+      .select("sym", "t", "px").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("A", 5L)) == Some(1.0)) // earliest at-or-after is tick 10
+    assert(out(("A", 10L)) == Some(1.0)) // >= includes the equal-ts tick
+    assert(out(("A", 25L)) == None) // nothing after tick 20
+    assert(out(("B", 16L)) == None)
+    assert(out(("C", 50L)) == None)
+  }
+
+  test("asof nearest picks the closer side; equidistant prefers backward") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("A", 15L, 0L), ("A", 18L, 0L), ("A", 2L, 0L))
+      .toDF("sym", "t", "qty")
+    val out = AsofJoin.asof(left, df(ticks), Seq("sym"), "t", Seq("px"),
+        direction = "nearest")
+      .select("t", "px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(15L) === 1.0) // back d=5 (tick 10), fwd d=5 (tick 20): tie → backward
+    assert(out(18L) === 2.0) // fwd d=2 beats back d=8
+    assert(out(2L) === 1.0) // only a forward candidate exists
+  }
+
+  test("asof tolerance nulls matches farther than the bound, never substitutes") {
+    val out = AsofJoin.asof(df(trades), df(ticks), Seq("sym"), "t",
+        Seq("px"), tolerance = Some(lit(3L)))
+      .select("sym", "t", "px").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("A", 10L)) == Some(1.0)) // d=0 within 3
+    assert(out(("A", 25L)) == None) // latest ≤ is tick 20, d=5 > 3 → null
+    assert(out(("B", 16L)) == Some(9.0)) // d=1
+    // nearest honors the bound on the CHOSEN side's distance
+    val s = spark
+    import s.implicits._
+    val near = AsofJoin.asof(
+        Seq(("A", 16L, 0L)).toDF("sym", "t", "qty"), df(ticks),
+        Seq("sym"), "t", Seq("px"), direction = "nearest",
+        tolerance = Some(lit(3L)))
+      .collect().head
+    // back d=6, fwd d=4 → forward tick 20 chosen, within... 4 > 3 → null
+    assert(near.isNullAt(near.fieldIndex("px")))
+  }
+
+  test("asof direction is validated") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(df(trades), df(ticks), Seq("sym"), "t", Seq("px"),
+        direction = "sideways")
+    }
+  }
+
   test("asof carries a genuinely NULL right value instead of resurrecting older ones") {
     val s = spark
     import s.implicits._
