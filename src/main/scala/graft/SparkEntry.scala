@@ -2291,6 +2291,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // residual IVF-PQ (FAISS's IVFPQ proper): deterministic seed
+    // routing centroids (L2 assignment, first-index ties), residuals
+    // v − c(list) PQ-encoded, table-driven ADC serve — at full probe
+    // the oracle mirrors the WHOLE pipeline (assignment → residual →
+    // encode → lookup folds) bit-exactly
+    "q_x_ann_pq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqIvfResidualTopK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, numLists = 8, nprobe = 8, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // the persisted PQ lifecycle end-to-end: seed codebooks on 2/3 of
     // the corpus (frozen from then on — the FAISS train/add split),
     // pqAppend the other 1/3 encoded under them, pqRemove 20 ids (one
@@ -5201,6 +5213,93 @@ object SparkEntry {
     // every list is probed; zero-norm rows are never assigned a list)
     "q_x_ann_pq_ivf" -> pqOracleSql("",
       s"WHERE sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0"),
+
+    // mirrors pqIvfResidualTopK end to end: seed centroids = 8
+    // smallest-id vectors, L2 argmin assignment (first-index ties),
+    // residual v − c(list), PQ seeds = the 16 smallest-id residuals,
+    // argmin encode, then the table-driven ADC fold
+    // (qc + Σ qlut) / (qn · sqrt(cc + 2·Σ cdot + Σ sqn)) — every
+    // number an in-order lookup fold, full probe so routing never
+    // filters
+    "q_x_ann_pq_residual" ->
+      s"""WITH cents AS (SELECT list(v ORDER BY vec_id) AS cents FROM (
+         |    SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |a0 AS (SELECT e.vec_id,
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    r.cents AS cents
+         |  FROM embeddings e CROSS JOIN cents r),
+         |a1 AS (SELECT vec_id, v, cents,
+         |    list_transform(cents, c ->
+         |      list_aggregate(list_transform(range(1, 65), i ->
+         |        (v[i] - c[i]) * (v[i] - c[i])), 'sum')) AS dl
+         |  FROM a0),
+         |asg AS (SELECT vec_id, v, cents,
+         |    list_position(dl, list_min(dl)) AS lp
+         |  FROM a1),
+         |res AS (SELECT vec_id, lp,
+         |    list_transform(range(1, 65), i -> v[i] - cents[lp][i]) AS r
+         |  FROM asg),
+         |sv AS (SELECT list(r ORDER BY vec_id) AS seeds FROM (
+         |    SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16)),
+         |enc AS (SELECT t.vec_id, t.lp,
+         |    list_transform(
+         |      list_transform(range(0, 8), j ->
+         |        list_transform(s.seeds, sd ->
+         |          list_aggregate(list_transform(range(1, 9), i ->
+         |            (t.r[j*8+i] - sd[j*8+i]) * (t.r[j*8+i] - sd[j*8+i])),
+         |            'sum'))),
+         |      d -> list_position(d, list_min(d)) - 1) AS codes
+         |  FROM res t CROSS JOIN sv s),
+         |sqn AS (SELECT list_transform(range(0, 8), j ->
+         |    list_transform(s.seeds, sd ->
+         |      list_aggregate(list_transform(range(1, 9), i ->
+         |        sd[j*8+i] * sd[j*8+i]), 'sum'))) AS sqns
+         |  FROM sv s),
+         |cct AS (SELECT
+         |    list_transform(r.cents, c ->
+         |      list_aggregate(list_transform(range(1, 65), i ->
+         |        c[i] * c[i]), 'sum')) AS cc,
+         |    list_transform(r.cents, c ->
+         |      list_transform(range(0, 8), j ->
+         |        list_transform(s.seeds, sd ->
+         |          list_aggregate(list_transform(range(1, 9), i ->
+         |            c[j*8+i] * sd[j*8+i]), 'sum')))) AS cdots
+         |  FROM cents r CROSS JOIN sv s),
+         |cs AS (SELECT e.vec_id AS neighbor_id, e.codes, e.lp,
+         |    sqrt(t.cc[e.lp]
+         |      + 2.0 * list_aggregate(list_transform(range(1, 9), j ->
+         |          t.cdots[e.lp][j][e.codes[j] + 1]), 'sum')
+         |      + list_aggregate(list_transform(range(1, 9), j ->
+         |          n.sqns[j][e.codes[j] + 1]), 'sum')) AS cn
+         |  FROM enc e CROSS JOIN cct t CROSS JOIN sqn n),
+         |ql AS (SELECT q.vec_id AS query_id,
+         |    sqrt(${sqlDot("q.embedding", "q.embedding")}) AS qn,
+         |    list_transform(r.cents, c ->
+         |      list_aggregate(list_transform(range(1, 65), i ->
+         |        CAST(q.embedding[i] AS DOUBLE) * c[i]), 'sum')) AS qcl,
+         |    list_transform(range(0, 8), j ->
+         |      list_transform(s.seeds, sd ->
+         |        list_aggregate(list_transform(range(1, 9), i ->
+         |          CAST(q.embedding[j*8+i] AS DOUBLE) * sd[j*8+i]),
+         |          'sum'))) AS luts
+         |  FROM embeddings q CROSS JOIN cents r CROSS JOIN sv s
+         |  WHERE q.vec_id < 8
+         |    AND sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0),
+         |scored AS (SELECT ql.query_id, cs.neighbor_id,
+         |    (ql.qcl[cs.lp]
+         |      + list_aggregate(list_transform(range(1, 9), j ->
+         |          ql.luts[j][cs.codes[j] + 1]), 'sum'))
+         |    / (ql.qn * cs.cn) AS cos
+         |  FROM cs JOIN ql ON ql.query_id <> cs.neighbor_id
+         |  WHERE cs.cn > 0),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the persisted lifecycle: codebooks seeded from the 2/3 BUILD
     // corpus only (frozen — appends encode under them), codes =

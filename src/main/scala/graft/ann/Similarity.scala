@@ -983,6 +983,131 @@ object Similarity {
     cur
   }
 
+  // ---- residual IVF-PQ: FAISS's `IVF<n>,PQ<m>` proper — codes store
+  // the RESIDUAL vector v − c(list) instead of v, so the quantizer
+  // spends its bits on the within-cluster detail the coarse centroids
+  // already removed (the refinement [[pqIvfTopK]] documents). Made
+  // oracle-exact by DETERMINISTIC seed routing centroids (the
+  // smallest-id corpus vectors, L2 assignment, first-index ties) —
+  // [[buildIvfIndex]]'s k-means averages in shuffle order and could
+  // not be mirrored; seed routing trades some routing quality for a
+  // bit-reproducible end-to-end pipeline (and the PQ step dominates
+  // recall). Serving never reconstructs: with per-list tables
+  //   qc = q·c(list)                    (computed per probe)
+  //   qr = Σ_j qlut[j][code_j]          (the flat-PQ ADC fold)
+  //   cr = Σ_j cdot[list][j][code_j]    (centroid·codebook table)
+  //   rr = Σ_j sqn[j][code_j]           (codebook self-dot table)
+  // cos(q, c + r̂) = (qc + qr) / (qn · sqrt(cc[list] + 2·cr + rr)) —
+  // every term a lookup fold, m adds per candidate, 100 TB-shaped
+  // (equi-join on probed list ids, broadcast tables).
+
+  /** Deterministic routing centroids: the `numLists` smallest-id
+    * corpus vectors, as a SINGLE-ROW frame
+    * (cents: array<array<double>>, list → vector).
+    */
+  def seedCentroids(corpus: DataFrame, numLists: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(numLists > 0, "need numLists > 0")
+    corpus.orderBy(col(idCol)).limit(numLists)
+      .select(struct(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")).as("s"))
+      .groupBy().agg(array_sort(collect_list(col("s"))).as("sv"))
+      .select(transform(col("sv"), s => s.getField("v")).as("cents"))
+  }
+
+  /** Residual IVF-PQ top-k: seed routing centroids (L2 assignment,
+    * ties to the smaller list), residuals PQ-encoded under seed
+    * codebooks trained on the first `ksub` residuals, ADC serving via
+    * the table identity above. With `nprobe = numLists` the result
+    * covers every candidate and the oracle mirrors the whole pipeline
+    * (assignment → residual → encode → fold) bit-exactly; partial
+    * probe ranks lists by ascending L2 distance to the query
+    * (consistent with the assignment metric).
+    */
+  def pqIvfResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        numLists: Int, nprobe: Int, m: Int, ksub: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, "need nprobe > 0")
+    val cents = seedCentroids(corpus, numLists, idCol, vecCol)
+    // assignment + residual in one narrow pass
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col("cents"))
+      .withColumn("list_id", {
+        val dists = transform(col("cents"), c => sqDist(col("__v"), c))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      })
+      .select(col(idCol), col("list_id"),
+        zip_with(col("__v"),
+          element_at(col("cents"), col("list_id") + 1),
+          (x, c) => x - c).as("residual"))
+    val cbs = pqTrainSeed(assigned, m, ksub, idCol, "residual")
+    val codes = assigned.select(col(idCol), col("list_id"),
+        col("residual").as("__r"))
+      .crossJoin(broadcast(cbs))
+      .select(col(idCol), col("list_id"),
+        transform(col("cbs"), (cb, j) => {
+          val dsub = size(element_at(cb, 1))
+          val sub = slice(col("__r"), j * dsub + 1, dsub)
+          val dists = transform(cb, e => sqDist(sub, e))
+          (array_position(dists, array_min(dists)) - 1).cast("tinyint")
+        }).as("codes"))
+    // per-list constant tables, one broadcast row:
+    //   cc[list] = c·c;  cdots[list][j][code] = c_sub_j · cb_j[code]
+    val tables = cents.crossJoin(broadcast(cbs))
+      .select(col("cents"),
+        transform(col("cents"), c => dotD(c, c)).as("cc"),
+        transform(col("cents"), c =>
+          transform(col("cbs"), (cb, j) => {
+            val dsub = size(element_at(cb, 1))
+            transform(cb, e => dotD(slice(c, j * dsub + 1, dsub), e))
+          })).as("cdots"))
+    val cands = codes.crossJoin(broadcast(pqSqnRow(cbs)))
+      .crossJoin(broadcast(tables.select(col("cc"), col("cdots"))))
+      .select(col(idCol).as("c_id"), col("list_id"), col("codes"),
+        sqrt(element_at(col("cc"), col("list_id") + 1)
+          + lit(2.0) * lutSum(col("codes"),
+              element_at(col("cdots"), col("list_id") + 1))
+          + lutSum(col("codes"), col("sqns"))).as("cn"))
+      .filter(col("cn") > 0)
+    // probes: per query, the nprobe lists with the smallest L2
+    // distance (ties to the smaller list), carrying qc = q·c per list
+    val qSide = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"), norm(col(vecCol)).as("qn"),
+        col(vecCol).cast("array<double>").as("__q"), col("cents"))
+      .filter(col("qn") > 0)
+    val probes = qSide
+      .select(col("query_id"), col("qn"), col("__q"),
+        posexplode(transform(col("cents"), c =>
+          struct(sqDist(col("__q"), c).as("d2"),
+            dotD(col("__q"), c).as("qc"))))
+          .as(Seq("list_id", "dc")))
+      .select(col("query_id"), col("qn"), col("__q"), col("list_id"),
+        col("dc.d2").as("__d2"), col("dc.qc").as("qc"))
+    val probed = graft.ops.Windows.topKPerGroup(probes,
+        Seq(col("query_id")),
+        Seq(col("__d2").asc, col("list_id").asc), nprobe, rankCol = "__qr")
+      .select(col("query_id"), col("qn"), col("__q"), col("list_id"),
+        col("qc"))
+      .crossJoin(broadcast(cbs))
+      .select(col("query_id"), col("qn"), col("list_id"), col("qc"),
+        transform(col("cbs"), (cb, j) => {
+          val dsub = size(element_at(cb, 1))
+          val sub = slice(col("__q"), j * dsub + 1, dsub)
+          transform(cb, e => dotD(sub, e))
+        }).as("luts"))
+    val scored = cands.join(probed, Seq("list_id"))
+      .filter(col("query_id") =!= col("c_id"))
+      .select(col("query_id"), col("c_id").as("neighbor_id"),
+        ((col("qc") + lutSum(col("codes"), col("luts")))
+          / (col("qn") * col("cn"))).as("cos"))
+    graft.ops.Windows.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   // ---- persisted PQ index: the uniform lifecycle (codebooks + codes
   // as TxTables; frozen-codebook append, atomic pruned removal, serve)
 
