@@ -1814,6 +1814,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining for contrastive training: each (query,
+    // positive) paired with the top-3 highest-BM25-scored candidates
+    // NOT labeled positive — the standard embedding-training recipe;
+    // positives here are the search's own top-2 (a deterministic
+    // label set), negatives the re-ranked remainder
+    "q_x_hard_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = graft.text.Bm25.search(docs, "doc_id", "text",
+        Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+          ("q3", "stream window agg")), topK = 10)
+      val pos = cand.filter(col("rank") <= 2).select("query_id", "doc_id")
+      graft.pipeline.Contrastive.mineTriplets(cand, pos, k = 3)
+        .orderBy("query_id", "positive_id", "neg_rank")
+    }),
+
     "q_x_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "fp",
           k = 8, w = 4, hash = TextAnalysis.md5Hash60)
@@ -4650,6 +4665,24 @@ object SparkEntry {
          |  FROM occ)
          |SELECT query_id, rank, doc_id, n_occurrences FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // wraps the q_x_bm25 oracle (identical scores), then mirrors
+    // mineTriplets: positives = top-2, negatives = the anti-joined
+    // remainder re-ranked (score DESC, id), k = 3, cross-paired
+    "q_x_hard_negatives" ->
+      s"""WITH base AS ($bm25Oracle),
+         |pos AS (SELECT query_id, doc_id FROM base WHERE rank <= 2),
+         |negs AS (SELECT b.query_id, b.doc_id, b.score,
+         |    CAST(row_number() OVER (PARTITION BY b.query_id
+         |      ORDER BY b.score DESC, b.doc_id) AS INTEGER) AS neg_rank
+         |  FROM base b LEFT JOIN pos p
+         |    ON p.query_id = b.query_id AND p.doc_id = b.doc_id
+         |  WHERE p.doc_id IS NULL)
+         |SELECT p.query_id, p.doc_id AS positive_id,
+         |  n.doc_id AS negative_id, n.neg_rank, n.score AS neg_score
+         |FROM pos p JOIN negs n ON n.query_id = p.query_id
+         |WHERE n.neg_rank <= 3
+         |ORDER BY p.query_id, positive_id, neg_rank""".stripMargin,
 
     // mirrors booleanSearchIndexed exactly: the same tf/dl/st CTEs and
     // rounded-idf/sorted-fold scoring as the q_x_bm25 oracle over the
