@@ -139,4 +139,14 @@ object Bpe {
     merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r, l + r) }
       .toDF("rank", "left", "right", "merged")
   }
+
+  /** Read a persisted merge table back into encode order —
+    * [[mergesDF]]'s inverse, completing the persisted-tokenizer
+    * lifecycle (train once → store the merges as a TxTable → every
+    * job tokenizes under the identical table). Bounded collect: the
+    * table is numMerges rows by construction.
+    */
+  def mergesFromDF(merges: DataFrame): Seq[(String, String)] =
+    merges.select("rank", "left", "right").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 }

@@ -97,4 +97,21 @@ class TextBpeSpec extends SparkSpec {
       (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
       === Seq((0L, "a", "b", "ab"), (1L, "ab", "c", "abc")))
   }
+
+  test("persisted tokenizer lifecycle: TxTable round-trip encodes identically") {
+    val s = spark
+    import s.implicits._
+    val merges = Bpe.trainFromWordCounts(hfCorpus, numMerges = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe")
+      .toString + "/merges"
+    graft.ops.TxTable.overwrite(spark, path, Bpe.mergesDF(spark, merges))
+    val loaded = Bpe.mergesFromDF(graft.ops.TxTable.read(spark, path))
+    assert(loaded === merges, "rank order survives the store/load")
+    val docs = Seq("hug the pun", "bun hugs").toDF("text")
+    val direct = docs.select(Bpe.encode(col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val served = docs.select(Bpe.encode(col("text"), loaded).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(served.toSeq === direct.toSeq)
+  }
 }
