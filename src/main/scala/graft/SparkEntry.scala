@@ -1960,6 +1960,34 @@ object SparkEntry {
           t(s, dir, "customer"), "c_nationkey", col("c_custkey"))
         .orderBy("c_nationkey")),
 
+    // persisted HLL sketch table — the incremental-analytics
+    // lifecycle: per-(event_type, day) distinct-user sketches built
+    // over 2/3 of the days, the rest APPENDED in O(batch) (history
+    // never re-read), served per event_type by unioning the stored
+    // grain sketches; the in-plan exact check gates the estimate
+    // (±20% rel, ±1 abs floor — 4× honest lgK=12 noise) so an
+    // out-of-envelope serve hash-mismatches
+    "q_x_hll_grains" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("user_id"))
+      val root = tmpQueryDir("graft_hllg") + "/sketches"
+      graft.ops.Sketches.writeHllGrains(
+        ev.filter(dayofmonth(col("d")) % 3 =!= 0), root,
+        Seq("event_type", "d"), col("user_id"))
+      graft.ops.Sketches.appendHllGrains(s, root,
+        ev.filter(dayofmonth(col("d")) % 3 === 0),
+        Seq("event_type", "d"), col("user_id"))
+      val served = graft.ops.Sketches.hllServe(s, root, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_distinct"))
+      served.join(exact, "event_type")
+        .select(col("event_type"), col("n_distinct"),
+          (abs(col("approx_distinct") - col("n_distinct")) <=
+            greatest(lit(1.0), col("n_distinct") * 0.2)).as("hll_ok"))
+        .orderBy("event_type")
+    }),
+
     // the 100 TB quantile mode, oracled: mergeable KLL sketches per
     // group, envelope-checked in-plan against exact rank-element
     // quantiles (computed on the distributed group rank, no
@@ -4153,6 +4181,16 @@ object SparkEntry {
         |  TRUE AS hll_ok
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    // the persisted-sketch serve is gated the same way: exact distinct
+    // is the hashable payload, hll_ok pins the union-of-stored-grains
+    // estimate inside the envelope
+    "q_x_hll_grains" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_x_quantiles_approx" ->
       """WITH d AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v

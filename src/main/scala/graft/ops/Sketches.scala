@@ -208,4 +208,65 @@ object Sketches {
   def freqTopItems(sketch: Column, k: Int): Column =
     org.apache.spark.sql.GraftShim.toColumn(
       graft.functions.FreqTopItemsExpr(exprOf(sketch), k))
+
+  // ---- persisted sketch tables: the incremental-analytics lifecycle
+  //
+  // "Distinct users per <anything> over <any date range>" is the
+  // query that makes warehouses rescan history: COUNT(DISTINCT) does
+  // not compose across days. Mergeable sketches do — so the engine's
+  // uniform index-lifecycle story (BM25 postings, IVF lists, SQ/PQ
+  // codes, SemDedup assignments) gets an analytics member: per-grain
+  // HLL sketches persisted as a TxTable, new grains appended in
+  // O(batch) (only the batch is sketched — history is never re-read),
+  // range queries served by UNIONING stored sketches (a few KB per
+  // grain however big the day was). HLL union is register-max:
+  // idempotent and commutative, so re-ingesting an overlapping grain
+  // cannot inflate a DISTINCT (the property sums never have). lgK
+  // rides in carried manifest meta so every append sketches at the
+  // table's own precision.
+
+  private[ops] val LgKMetaKey = "graft.sketch.lgk"
+
+  /** Build the grain-sketch table: one row per `grainCols` value
+    * holding the HLL sketch of `value` within that grain. Overwrite
+    * commit carrying lgK in manifest meta. Returns the version.
+    */
+  def writeHllGrains(df: DataFrame, path: String, grainCols: Seq[String],
+                     value: Column, lgK: Int = 12): Long =
+    graft.ops.TxTable.overwrite(df.sparkSession, path,
+      hllSketch(df, grainCols.map(col), value, lgK),
+      meta = Map(LgKMetaKey -> lgK.toString))
+
+  /** Sketch ONLY `df` (the new grains' raw rows) at the table's own
+    * lgK and append — O(batch), one atomic commit; history is never
+    * re-read. Appending rows of an already-present grain is safe for
+    * DISTINCT semantics (serve unions all of the grain's sketches,
+    * and HLL union is idempotent) — it is NOT an update protocol for
+    * non-distinct measures.
+    */
+  def appendHllGrains(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame,
+                      grainCols: Seq[String], value: Column): Long = {
+    val v = graft.ops.TxTable.versions(spark, path).last
+    val lgK = graft.ops.TxTable.commitMeta(spark, path, v)
+      .getOrElse(LgKMetaKey, sys.error(
+        s"$path is not a sketch table (no $LgKMetaKey meta — build it " +
+          "with Sketches.writeHllGrains)")).toInt
+    graft.ops.TxTable.append(spark, path,
+      hllSketch(df, grainCols.map(col), value, lgK),
+      meta = Map(LgKMetaKey -> lgK.toString))
+  }
+
+  /** Serve approximate distincts from the stored sketches: filter the
+    * grain rows (`where` — e.g. a date range; column-pruned,
+    * stats-pruned TxTable read), union up to `groupCols`, estimate.
+    * Reads a few KB per grain — never the raw history.
+    */
+  def hllServe(spark: org.apache.spark.sql.SparkSession, path: String,
+               groupCols: Seq[String],
+               where: Column = lit(true)): DataFrame =
+    hllUnion(graft.ops.TxTable.read(spark, path).filter(where),
+        groupCols.map(col))
+      .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
+      .drop("hll")
 }

@@ -179,4 +179,51 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.estimate(col("hll"))).head().getLong(0)
     assert(est == direct, "persisted partials must answer like fresh ones")
   }
+
+  test("sketch-table lifecycle: O(batch) append serves like a full rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hllg").toString + "/sketches"
+    Sketches.writeHllGrains(events.filter(col("day") < 2), dir,
+      Seq("day"), col("user"))
+    Sketches.appendHllGrains(spark, dir, events.filter(col("day") === 2),
+      Seq("day"), col("user"))
+    val served = Sketches.hllServe(spark, dir, Seq("day"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = Sketches.approxDistinct(events, Seq(col("day")),
+        col("user"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(served === direct,
+      "append path must serve exactly what a full rebuild serves")
+    // range serve: filter grains, union the rest
+    val range = Sketches.hllServe(spark, dir, Seq("day"),
+        where = col("day") >= 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(range === direct.filter(_._1 >= 1))
+  }
+
+  test("re-appending an overlapping grain cannot inflate a distinct") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hlli").toString + "/sketches"
+    Sketches.writeHllGrains(events, dir, Seq("day"), col("user"))
+    val before = Sketches.hllServe(spark, dir, Seq("day"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // re-ingest day 1's rows wholesale (the double-load accident)
+    Sketches.appendHllGrains(spark, dir, events.filter(col("day") === 1),
+      Seq("day"), col("user"))
+    val after = Sketches.hllServe(spark, dir, Seq("day"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after === before, "HLL union is idempotent — register max")
+  }
+
+  test("appendHllGrains refuses a table without sketch meta") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hllx").toString + "/plain"
+    graft.ops.TxTable.overwrite(spark, dir,
+      events.limit(5))
+    val ex = intercept[RuntimeException] {
+      Sketches.appendHllGrains(spark, dir, events.limit(5),
+        Seq("day"), col("user"))
+    }
+    assert(ex.getMessage.contains("not a sketch table"))
+  }
 }
