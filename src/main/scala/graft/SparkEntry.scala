@@ -1999,6 +1999,27 @@ object SparkEntry {
           Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("o_orderstatus", "prob")),
 
+    // the KLL member of the sketch-table lifecycle: per-(event_type,
+    // day) value-quantile sketches, 2/3 built + 1/3 appended in
+    // O(batch), quartiles served per event_type by unioning the
+    // stored grains, envelope-checked in-plan against exact
+    // rank-element quantiles (the q_x_quantiles_approx convention)
+    "q_x_kll_grains" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("value"))
+      val root = tmpQueryDir("graft_kllg") + "/sketches"
+      graft.ops.Sketches.writeKllGrains(
+        ev.filter(dayofmonth(col("d")) % 3 =!= 0), root,
+        Seq("event_type", "d"), col("value"))
+      graft.ops.Sketches.appendKllGrains(s, root,
+        ev.filter(dayofmonth(col("d")) % 3 === 0),
+        Seq("event_type", "d"), col("value"))
+      graft.ops.Sketches.kllServeChecked(s, root, ev, "event_type",
+          col("value"), Seq(0.25, 0.5, 0.75))
+        .orderBy("event_type", "prob")
+    }),
+
     // SemDeDup: cluster-then-dedup over embeddings. Centroids here are
     // the 8 lowest-id embeddings (deterministic seed rule the oracle
     // reproduces); production passes buildIvfIndex's k-means lists
@@ -4203,6 +4224,21 @@ object SparkEntry {
         |SELECT r.o_orderstatus, p.prob, r.v AS exact_q, TRUE AS kll_ok
         |FROM r JOIN p ON r.rn = GREATEST(1, CAST(CEIL(p.prob * r.n) AS BIGINT))
         |ORDER BY o_orderstatus, prob""".stripMargin,
+
+    // the served sketch table is gated the same way as the one-shot
+    // sketch: exact rank-element quantiles are the payload, kll_ok
+    // pins the union-of-stored-grains estimate inside the envelope
+    "q_x_kll_grains" ->
+      """WITH d AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |p AS (SELECT CAST(prob AS DOUBLE) AS prob
+        |      FROM (VALUES (0.25), (0.5), (0.75)) t(prob))
+        |SELECT r.event_type, p.prob, r.v AS exact_q, TRUE AS kll_ok
+        |FROM r JOIN p ON r.rn = GREATEST(1, CAST(CEIL(p.prob * r.n) AS BIGINT))
+        |ORDER BY event_type, prob""".stripMargin,
 
     // same shapes as the operator: norms once per row, cos =
     // dot/(na*nb), assignment tie-break (cs DESC, list_id), drop rule

@@ -145,13 +145,24 @@ object Sketches {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
       "probs must lie strictly inside (0, 1)")
     require(tol > 0, "tol must be positive")
-    val spark = df.sparkSession
     val data = df.select(col(groupCol), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-
     val est = approxQuantiles(data, Seq(col(groupCol)), col("__v"), probs, k)
       .select(col(groupCol), posexplode(col("quantiles")).as(Seq("__i", "__est")))
+    quantileEnvelope(data, est, groupCol, probs, tol)
+  }
 
+  /** The shared envelope check: `est` is (groupCol, __i, __est) — an
+    * estimate per (group, prob index), from any source (one-shot
+    * sketch or a served sketch table); `data` the raw (groupCol, __v)
+    * rows. Emits (group, prob, exact_q, kll_ok): exact rank-element
+    * quantiles as the hashable payload, kll_ok asserting the
+    * estimate's achieved-rank interval meets prob ± tol.
+    */
+  private def quantileEnvelope(data: DataFrame, est: DataFrame,
+                               groupCol: String, probs: Seq[Double],
+                               tol: Double): DataFrame = {
+    val spark = data.sparkSession
     import org.apache.spark.sql.types._
     val probsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(probs.zipWithIndex.map { case (p, i) =>
@@ -269,4 +280,69 @@ object Sketches {
         groupCols.map(col))
       .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
       .drop("hll")
+
+  // the KLL member of the same lifecycle: per-grain quantile sketches,
+  // O(batch) appended, range quantiles served by lossless-within-
+  // error union — "p95 latency over any date range" without a
+  // history rescan
+
+  private[ops] val KllKMetaKey = "graft.sketch.kllk"
+
+  /** Build the KLL grain table (k in carried meta). */
+  def writeKllGrains(df: DataFrame, path: String, grainCols: Seq[String],
+                     value: Column, k: Int = 200): Long =
+    graft.ops.TxTable.overwrite(df.sparkSession, path,
+      kllSketch(df, grainCols.map(col), value, k),
+      meta = Map(KllKMetaKey -> k.toString))
+
+  /** Sketch ONLY the batch at the table's own k and append. */
+  def appendKllGrains(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame,
+                      grainCols: Seq[String], value: Column): Long = {
+    val v = graft.ops.TxTable.versions(spark, path).last
+    val k = graft.ops.TxTable.commitMeta(spark, path, v)
+      .getOrElse(KllKMetaKey, sys.error(
+        s"$path is not a KLL sketch table (no $KllKMetaKey meta — " +
+          "build it with Sketches.writeKllGrains)")).toInt
+    graft.ops.TxTable.append(spark, path,
+      kllSketch(df, grainCols.map(col), value, k),
+      meta = Map(KllKMetaKey -> k.toString))
+  }
+
+  /** Quantiles at `probs` from the stored sketches over a grain
+    * filter: (groupCols..., quantiles array<double>).
+    */
+  def kllServe(spark: org.apache.spark.sql.SparkSession, path: String,
+               groupCols: Seq[String], probs: Seq[Double],
+               where: Column = lit(true)): DataFrame = {
+    val v = graft.ops.TxTable.versions(spark, path).last
+    val k = graft.ops.TxTable.commitMeta(spark, path, v)
+      .getOrElse(KllKMetaKey, sys.error(
+        s"$path is not a KLL sketch table (no $KllKMetaKey meta)")).toInt
+    kllUnion(graft.ops.TxTable.read(spark, path).filter(where),
+        groupCols.map(col), k)
+      .withColumn("quantiles", kllQuantiles(col("kll"), probs))
+      .drop("kll")
+  }
+
+  /** [[approxQuantilesChecked]]'s served sibling: quantiles from the
+    * STORED grain sketches, envelope-checked against exact
+    * rank-element quantiles recomputed from `raw` — the correctness
+    * bridge the q_x_kll_grains oracle gates (production serves
+    * [[kllServe]] alone).
+    */
+  def kllServeChecked(spark: org.apache.spark.sql.SparkSession,
+                      path: String, raw: DataFrame, groupCol: String,
+                      value: Column, probs: Seq[Double],
+                      tol: Double = 0.02): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must lie strictly inside (0, 1)")
+    require(tol > 0, "tol must be positive")
+    val data = raw.select(col(groupCol), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val est = kllServe(spark, path, Seq(groupCol), probs)
+      .select(col(groupCol),
+        posexplode(col("quantiles")).as(Seq("__i", "__est")))
+    quantileEnvelope(data, est, groupCol, probs, tol)
+  }
 }

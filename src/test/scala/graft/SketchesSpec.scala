@@ -215,6 +215,51 @@ class SketchesSpec extends SparkSpec {
     assert(after === before, "HLL union is idempotent — register max")
   }
 
+  test("KLL grain table: append serves the same quantiles as a rebuild") {
+    val s = spark
+    import s.implicits._
+    val vals = (0 until 9000).map { i =>
+      (i % 3, ((i * 2654435761L) % 10000).toDouble) }.toDF("day", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kllg").toString + "/sketches"
+    Sketches.writeKllGrains(vals.filter(col("day") < 2), dir,
+      Seq("day"), col("v"))
+    Sketches.appendKllGrains(spark, dir, vals.filter(col("day") === 2),
+      Seq("day"), col("v"))
+    val probs = Seq(0.25, 0.5, 0.75)
+    val served = Sketches.kllServe(spark, dir, Seq("day"), probs)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val direct = Sketches.approxQuantiles(vals, Seq(col("day")),
+        col("v"), probs)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // KLL compaction is randomized — unlike HLL's register max, two
+    // sketches of the same data are only rank-error-equal, so the pin
+    // is the shared ±2% envelope (values ≈ ranks on this uniform
+    // fixture), not bit equality
+    served.foreach { case (day, qs) =>
+      qs.zip(direct(day)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 0.02 * 10000,
+          s"day $day: served $a vs direct $b exceed the shared envelope")
+      }
+    }
+    // the checked form stays inside the envelope end to end
+    val checked = Sketches.kllServeChecked(spark, dir, vals, "day",
+      col("v"), probs)
+    assert(checked.filter(!col("kll_ok")).count() === 0L)
+    assert(checked.count() === 9L)
+  }
+
+  test("appendKllGrains refuses a table without KLL meta") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kllx").toString + "/plain"
+    graft.ops.TxTable.overwrite(spark, dir, events.limit(5))
+    val ex = intercept[RuntimeException] {
+      Sketches.appendKllGrains(spark, dir, events.limit(5),
+        Seq("day"), col("user"))
+    }
+    assert(ex.getMessage.contains("not a KLL sketch table"))
+  }
+
   test("appendHllGrains refuses a table without sketch meta") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hllx").toString + "/plain"
