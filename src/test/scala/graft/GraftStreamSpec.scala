@@ -213,6 +213,50 @@ class GraftStreamSpec extends SparkSpec {
     assert(TxTable.read(spark, lists).count() === 40L)
   }
 
+  test("streaming sketch maintenance: a follower keeps the HLL grains current") {
+    // the analytics twin of the ANN/BM25 maintenance specs: each
+    // micro-batch of new events is sketched (O(batch)) and appended to
+    // the grain table; serving then equals a one-shot sketch of the
+    // full history — even when one grain's rows arrive split across
+    // commits, because HLL union is register-max (sketch(A ∪ B) ==
+    // union(sketch(A), sketch(B)) exactly)
+    val s = spark
+    import s.implicits._
+    import graft.ops.Sketches
+    def rows(r: Range, day: Int) =
+      r.map(i => (day, (i * 2654435761L) % 500)).toDF("day", "user")
+    val table = tmp("graft_sksrc") + "/events"
+    val grains = tmp("graft_skgr") + "/sketches"
+    val cp = tmp("graft_skcp")
+    TxTable.append(spark, table, rows(0 until 300, day = 0))
+    Sketches.writeHllGrains(TxTable.read(spark, table), grains,
+      Seq("day"), col("user"))
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", TxTable.versions(spark, table).last + 1)
+      .load(table)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) {
+            Sketches.appendHllGrains(spark, grains, b, Seq("day"),
+              col("user")); ()
+          }
+      }
+      .option("checkpointLocation", cp).start()
+    // day 1 deliberately split across two commits
+    TxTable.append(spark, table, rows(0 until 200, day = 1))
+    TxTable.append(spark, table, rows(200 until 400, day = 1))
+    TxTable.append(spark, table, rows(0 until 250, day = 2))
+    q.processAllAvailable(); q.stop()
+    val served = Sketches.hllServe(spark, grains, Seq("day"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = Sketches.approxDistinct(TxTable.read(spark, table),
+        Seq(col("day")), col("user"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(served === direct,
+      "streamed grain appends must serve exactly the one-shot sketch")
+  }
+
   test("streaming BM25 maintenance: a follower keeps the index current via appendToIndex") {
     // the lexical twin of the ANN-maintenance spec: each micro-batch of
     // new documents lands in the persisted inverted index with
