@@ -519,6 +519,20 @@ object SparkEntry {
     // DELETE a key slice, read the head snapshot — the oracle recomputes
     // the same upsert/delete algebraically over the source table, so the
     // copy-on-write machinery is officially correctness-gated
+    // snapshot diff without a change feed: two overwrite snapshots of
+    // the same table, diffed as EXCEPT ALL both ways (multiset) — one
+    // group-count per side, one null-safe full-outer join of the
+    // count frames, output bounded by the change volume
+    "q_x_tx_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val p = tmpQueryDir("graft_txdiff") + "/t"
+      graft.ops.TxTable.overwrite(s, p, o.filter(col("o_orderkey") % 3 =!= 0))
+      graft.ops.TxTable.overwrite(s, p, o.filter(col("o_orderkey") % 2 =!= 0))
+      graft.ops.TxTable.diff(s, p, 1L, 2L)
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     "q_x_tx_dml" -> ((s, dir) => {
       val tmp = tmpQueryDir("graft_dml") + "/orders_tx"
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -3433,6 +3447,20 @@ object SparkEntry {
         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
         |FROM live""".stripMargin,
+
+    // the two snapshots are pure filters of orders, so the diff IS
+    // EXCEPT ALL both ways — multiset semantics mirrored exactly
+    "q_x_tx_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 3 <> 0),
+        |v2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |       FROM orders WHERE o_orderkey % 2 <> 0),
+        |ins AS (SELECT *, 'insert' AS _change_type FROM
+        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
+        |del AS (SELECT *, 'delete' AS _change_type FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     "q_x_tx_dml" ->
       """WITH merged AS (

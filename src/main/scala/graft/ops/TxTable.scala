@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, collect_set, explode, expr, input_file_name, lit, not, pmod, sequence, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{abs, coalesce, col, collect_set, count, explode, expr, input_file_name, lit, not, pmod, sequence, struct, sum, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -2958,6 +2958,54 @@ object TxTable {
     val (fs, p) = fsFor(spark, path)
     val lines = readManifest(fs, p, v)._2
     commitLines(spark, path, "restore", lines, (_, _) => Seq.empty)
+  }
+
+  /** Multiset row-level diff between two committed snapshots — the
+    * "what changed between Monday's and Tuesday's table" answer when
+    * no change feed was captured and the versions aren't
+    * CDF-connected (readChanges replays HOW a table changed, commit
+    * by commit; diff states WHAT differs, end to end — overwrites
+    * included). Emits every version-`toV` row absent from `fromV` as
+    * `_change_type = 'insert'` and every `fromV` row absent from
+    * `toV` as `'delete'`, with MULTISET multiplicity (a row going
+    * 3 copies → 1 emits 2 deletes) — SQL's `EXCEPT ALL` both ways.
+    *
+    * Plan (100 TB-shaped): one group-count per side over the whole
+    * row packed as a struct (null field values group and join as
+    * values — a null never silently drops a row), ONE null-safe
+    * full-outer join of the two COUNT frames (each side shuffles its
+    * distinct row-values once; output is bounded by the change
+    * volume), then a bounded `sequence` explode of |Δcount|. Refuses
+    * snapshots whose schemas differ — diff needs one row shape;
+    * read with mergeSchema or evolve first.
+    */
+  def diff(spark: SparkSession, path: String, fromV: Long,
+           toV: Long): DataFrame = {
+    val a = readVersion(spark, path, fromV)
+    val b = readVersion(spark, path, toV)
+    val shape = (df: DataFrame) =>
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(a) == shape(b),
+      s"versions $fromV and $toV of $path have different schemas " +
+        s"(${a.schema.simpleString} vs ${b.schema.simpleString}) — " +
+        "diff needs one row shape; read with mergeSchema or evolve first")
+    val cols = a.columns.toSeq
+    def counted(df: DataFrame, cnt: String) =
+      df.select(struct(cols.map(col): _*).as("__row"))
+        .groupBy("__row").agg(count(lit(1)).as(cnt))
+    val ka = counted(a, "__ca")
+    val kb = counted(b, "__cb")
+    val j = ka.join(kb, ka("__row") <=> kb("__row"), "full_outer")
+      .select(coalesce(ka("__row"), kb("__row")).as("__row"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    j.filter(col("__ca") =!= col("__cb"))
+      .select(col("__row"),
+        when(col("__cb") > col("__ca"), lit("insert"))
+          .otherwise(lit("delete")).as("_change_type"),
+        explode(sequence(lit(1L),
+          abs(col("__cb") - col("__ca")))).as("__i"))
+      .select(cols.map(c => col(s"__row.`$c`")) :+ col("_change_type"): _*)
   }
 
   /** Shallow-clone `srcPath` at `version` (default: head) into a NEW

@@ -155,4 +155,55 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.readVersion(spark, dir, 2).collect().map(_.getLong(0)).toSet == Set(2L))
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(3L))
   }
+
+  test("diff: multiset EXCEPT-ALL semantics, both directions") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txd")
+      .toString + "/t"
+    // v1: a×3, b×1, c×1;  v2: a×1, b×1, d×2
+    TxTable.overwrite(spark, dir,
+      Seq("a", "a", "a", "b", "c").toDF("v"))
+    TxTable.overwrite(spark, dir,
+      Seq("a", "b", "d", "d").toDF("v"))
+    val out = TxTable.diff(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = out.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts === Map(
+      ("a", "delete") -> 2, // 3 → 1 copies
+      ("c", "delete") -> 1,
+      ("d", "insert") -> 2))
+  }
+
+  test("diff: null fields compare as values, identical snapshots diff empty") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txd")
+      .toString + "/t"
+    val withNulls = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    TxTable.overwrite(spark, dir, withNulls)
+    TxTable.overwrite(spark, dir, withNulls)
+    assert(TxTable.diff(spark, dir, 1L, 2L).count() === 0L,
+      "a null field must not read as a change")
+    // the null row disappearing IS a change
+    TxTable.overwrite(spark, dir,
+      Seq((1L, Option("x"))).toDF("id", "v"))
+    val d = TxTable.diff(spark, dir, 2L, 3L).collect()
+    assert(d.length === 1 && d.head.isNullAt(1) &&
+      d.head.getString(2) === "delete")
+  }
+
+  test("diff refuses snapshots with different schemas") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txd")
+      .toString + "/t"
+    TxTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.overwrite(spark, dir, Seq((1L, "a", 2.0)).toDF("id", "v", "w"))
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.diff(spark, dir, 1L, 2L).collect()
+    }
+    assert(ex.getMessage.contains("different schemas"))
+  }
 }
