@@ -666,6 +666,35 @@ object SparkEntry {
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
     }),
 
+    // retrieval as plain SQL: the graft_search TVF serves BM25 from a
+    // persisted index — query_id is the query text, so multi-query
+    // batches compose as UNION ALL of TVF calls; same arithmetic as
+    // searchIndexed, so the text-labeled q_x_bm25 oracle gates it
+    "q_x_sql_search" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_sqlsearch") + "/index"
+      graft.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        idx)
+      s.sql(
+        s"""SELECT * FROM graft_search('$idx', 'merge join table', 10)
+           |UNION ALL
+           |SELECT * FROM graft_search('$idx', 'fast scan query', 10)
+           |UNION ALL
+           |SELECT * FROM graft_search('$idx', 'stream window agg', 10)
+           |ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // the snapshot diff through its SQL spelling — same fixture and
+    // oracle as q_x_tx_diff
+    "q_x_sql_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val p = tmpQueryDir("graft_sqldiff") + "/t"
+      graft.ops.TxTable.overwrite(s, p, o.filter(col("o_orderkey") % 3 =!= 0))
+      graft.ops.TxTable.overwrite(s, p, o.filter(col("o_orderkey") % 2 =!= 0))
+      s.sql(s"""SELECT * FROM graft_diff('$p', 1, 2)
+               |ORDER BY o_orderkey, _change_type""".stripMargin)
+    }),
+
     // optimize + restore maintenance cycle: land unclustered, z-order
     // the table, clobber it with a bad overwrite, roll back — the final
     // pruned read must equal a plain filter over the source (layout
@@ -2881,16 +2910,20 @@ object SparkEntry {
     * ONE exact oracle shape gates the build, the append, the removal,
     * and the serve. `docWhere` filters the corpus CTE (removal's
     * surviving-documents view); empty for the full corpus. */
-  private def bm25OracleSql(docWhere: String): String =
+  private val Bm25QtValues: String =
+    """('q1', 'merge'), ('q1', 'join'), ('q1', 'table'),
+      |    ('q2', 'fast'), ('q2', 'scan'), ('q2', 'query'),
+      |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg')""".stripMargin
+
+  private def bm25OracleSql(docWhere: String,
+                            qtValues: String = Bm25QtValues): String =
       s"""WITH pd AS (SELECT doc_id, unnest($sqlToks) AS token
          |            FROM documents $docWhere),
          |tf AS (SELECT doc_id, token, COUNT(*) AS c FROM pd GROUP BY 1, 2),
          |dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
          |st AS (SELECT COUNT(*) AS n, SUM(len) AS tot FROM dl),
          |qt AS (SELECT * FROM (VALUES
-         |    ('q1', 'merge'), ('q1', 'join'), ('q1', 'table'),
-         |    ('q2', 'fast'), ('q2', 'scan'), ('q2', 'query'),
-         |    ('q3', 'stream'), ('q3', 'window'), ('q3', 'agg'))
+         |    $qtValues)
          |  AS t(query_id, token)),
          |qidf AS (SELECT query_id, f.token,
          |    round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
@@ -2916,6 +2949,22 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin
 
   private lazy val bm25Oracle: String = bm25OracleSql("")
+
+  /** Shared by q_x_tx_diff and its graft_diff TVF spelling
+    * q_x_sql_diff: both snapshots are pure filters of orders, so the
+    * diff IS EXCEPT ALL both ways, multiset semantics mirrored.
+    */
+  private lazy val txDiffOracle: String =
+    """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |            FROM orders WHERE o_orderkey % 3 <> 0),
+      |v2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |       FROM orders WHERE o_orderkey % 2 <> 0),
+      |ins AS (SELECT *, 'insert' AS _change_type FROM
+      |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
+      |del AS (SELECT *, 'delete' AS _change_type FROM
+      |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
+      |SELECT * FROM ins UNION ALL SELECT * FROM del
+      |ORDER BY o_orderkey, _change_type""".stripMargin
 
   /** Shared by q_x_semdedup / q_x_semdedup_served (docFilter "TRUE")
     * and q_x_semdedup_removed (docFilter excluding the purged ids —
@@ -3450,17 +3499,20 @@ object SparkEntry {
 
     // the two snapshots are pure filters of orders, so the diff IS
     // EXCEPT ALL both ways — multiset semantics mirrored exactly
-    "q_x_tx_diff" ->
-      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-        |            FROM orders WHERE o_orderkey % 3 <> 0),
-        |v2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-        |       FROM orders WHERE o_orderkey % 2 <> 0),
-        |ins AS (SELECT *, 'insert' AS _change_type FROM
-        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)),
-        |del AS (SELECT *, 'delete' AS _change_type FROM
-        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
-        |SELECT * FROM ins UNION ALL SELECT * FROM del
-        |ORDER BY o_orderkey, _change_type""".stripMargin,
+    "q_x_tx_diff" -> txDiffOracle,
+
+    // the TVF spelling runs the identical fixture
+    "q_x_sql_diff" -> txDiffOracle,
+
+    // graft_search is searchIndexed with query_id = the query text —
+    // the q_x_bm25 oracle with text-labeled query ids
+    "q_x_sql_search" -> bm25OracleSql("", qtValues =
+      """('merge join table', 'merge'), ('merge join table', 'join'),
+        |    ('merge join table', 'table'),
+        |    ('fast scan query', 'fast'), ('fast scan query', 'scan'),
+        |    ('fast scan query', 'query'),
+        |    ('stream window agg', 'stream'), ('stream window agg', 'window'),
+        |    ('stream window agg', 'agg')""".stripMargin),
 
     "q_x_tx_dml" ->
       """WITH merged AS (

@@ -226,6 +226,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length > 2) longArg(args, 2, "endingVersion") else -1L)
         .queryExecution.logical
     }))
+    // retrieval as a table: `SELECT * FROM graft_search('/idx',
+    // 'merge join', 10)` serves BM25 from the persisted inverted
+    // index (manifest-pruned posting read, carried corpus stats) —
+    // query_id is the query text so multi-query SQL composes via
+    // UNION ALL of TVF calls
+    ext.injectTableFunction(tvf("graft_search", args => {
+      val s = org.apache.spark.sql.SparkSession.active
+      val text = strArg(args, 1, "query text")
+      graft.text.Bm25.searchIndexed(s, strArg(args, 0, "index path"),
+          Seq((text, text)), topK = intArg(args, 2, 10))
+        .queryExecution.logical
+    }))
+    // snapshot diff as a table: `SELECT * FROM graft_diff('/t', 1, 2)`
+    // — EXCEPT ALL both ways with multiset multiplicity (see
+    // TxTable.diff)
+    ext.injectTableFunction(tvf("graft_diff", args => {
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.ops.TxTable.diff(s, strArg(args, 0, "table path"),
+          longArg(args, 1, "fromVersion"), longArg(args, 2, "toVersion"))
+        .queryExecution.logical
+    }))
     ext.injectFunction(
       (FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),

@@ -732,6 +732,47 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("dimension mismatch") ||
       ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
   }
+
+  test("graft_search TVF serves BM25 from a persisted index in plain SQL") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvfs")
+      .toString + "/idx"
+    graft.text.Bm25.buildIndex(
+      Seq((1L, "spark merge table"), (2L, "merge merge merge"),
+        (3L, "window agg")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val viaSql = spark.sql(
+        s"SELECT * FROM graft_search('$idx', 'merge table', 10)")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.text.Bm25.searchIndexed(spark, idx,
+        Seq(("merge table", "merge table")), topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === direct)
+    // composes: TVF output joins like any relation
+    val joined = spark.sql(
+      s"""SELECT COUNT(*) FROM graft_search('$idx', 'merge table', 1) g
+         |WHERE g.rank = 1""".stripMargin).head().getLong(0)
+    assert(joined === 1L)
+  }
+
+  test("graft_diff TVF equals TxTable.diff in plain SQL") {
+    val s = spark
+    import s.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_tvfd")
+      .toString + "/t"
+    graft.ops.TxTable.overwrite(spark, p,
+      Seq("a", "a", "b").toDF("v"))
+    graft.ops.TxTable.overwrite(spark, p,
+      Seq("a", "c").toDF("v"))
+    val viaSql = spark.sql(s"SELECT * FROM graft_diff('$p', 1, 2)")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.TxTable.diff(spark, p, 1L, 2L)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === direct)
+    assert(viaSql === Set(Seq("a", "delete"), Seq("b", "delete"),
+      Seq("c", "insert")))
+  }
 }
 
 class WeightedMeanSpec extends SparkSpec {
@@ -1252,4 +1293,5 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.width).toSeq == (10 until 16))
     assert(out.forall(m => m.height == 4 && m.format == "png"))
   }
+
 }
