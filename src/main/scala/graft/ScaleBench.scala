@@ -97,6 +97,20 @@ object ScaleBench {
       graft.dedup.SemDedup.semDedupServed(s,
           ladderState("semdedup", dir) + "/model", threshold = 0.42)
         .select("vec_id")),
+    // the graft_search TVF's SERVE cost in isolation (the index is
+    // prebuilt by [[Prepare]]): three searches via UNION ALL of TVF
+    // calls — the amortized path of q_x_sql_search, whose own row
+    // carries a full in-query index build plus these serves
+    "x_sql_search_serve" -> ((s, dir) => {
+      val idx = ladderState("bm25", dir) + "/index"
+      s.sql(
+        s"""SELECT * FROM graft_search('$idx', 'merge join table', 10)
+           |UNION ALL
+           |SELECT * FROM graft_search('$idx', 'fast scan query', 10)
+           |UNION ALL
+           |SELECT * FROM graft_search('$idx', 'stream window agg', 10)
+           |""".stripMargin)
+    }),
     // PQ SERVE cost in isolation — codebooks + codes prebuilt per dir
     // by [[Prepare]], so this row times only the ADC scan: one pass
     // over the m-byte code table (corpus-LINEAR but 32× lighter than
@@ -133,7 +147,12 @@ object ScaleBench {
         graft.ops.Sources.table(s, dir, "embeddings"),
         ladderState("pq", dir) + "/pq", m = 8, ksub = 16)
       ()
-    }))
+    }),
+    // same prepared index as x_bm25_serve (idempotent rebuild)
+    "x_sql_search_serve" -> ((s, dir) =>
+      graft.text.Bm25.buildIndex(
+        graft.ops.Sources.table(s, dir, "documents"), "doc_id", "text",
+        ladderState("bm25", dir) + "/index")))
 
   /** Prepared-state root for (kind, data dir). The sanitized dir name
     * alone is NOT injective (`/a/b` and `/a_b` both sanitize to
