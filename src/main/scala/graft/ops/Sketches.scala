@@ -253,7 +253,11 @@ object Sketches {
     * re-read. Appending rows of an already-present grain is safe for
     * DISTINCT semantics (serve unions all of the grain's sketches,
     * and HLL union is idempotent) — it is NOT an update protocol for
-    * non-distinct measures.
+    * non-distinct measures. A grain SPLIT across appends serves
+    * envelope-equal, not bit-equal, to the unsplit sketch: unions are
+    * register-exact in dense mode, but in the sparse/coupon regime
+    * (small distinct counts) a split can drift by a count or two —
+    * inside the estimator's own error either way (spec-pinned).
     */
   def appendHllGrains(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,

@@ -216,10 +216,12 @@ class GraftStreamSpec extends SparkSpec {
   test("streaming sketch maintenance: a follower keeps the HLL grains current") {
     // the analytics twin of the ANN/BM25 maintenance specs: each
     // micro-batch of new events is sketched (O(batch)) and appended to
-    // the grain table; serving then equals a one-shot sketch of the
-    // full history — even when one grain's rows arrive split across
-    // commits, because HLL union is register-max (sketch(A ∪ B) ==
-    // union(sketch(A), sketch(B)) exactly)
+    // the grain table. Grains that arrive whole serve EXACTLY the
+    // one-shot sketch; a grain split across commits is
+    // envelope-equal, not bit-equal — datasketches HLL unions are
+    // register-exact in dense mode, but in the sparse/coupon regime
+    // (small distinct counts) a split can drift by a count or two vs
+    // the unsplit sketch
     val s = spark
     import s.implicits._
     import graft.ops.Sketches
@@ -253,8 +255,13 @@ class GraftStreamSpec extends SparkSpec {
     val direct = Sketches.approxDistinct(TxTable.read(spark, table),
         Seq(col("day")), col("user"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(served === direct,
-      "streamed grain appends must serve exactly the one-shot sketch")
+    // days 0 and 2 arrived whole → bit-equal; split day 1 →
+    // envelope-equal (±2% rel, ±2 abs)
+    assert(served(0) === direct(0) && served(2) === direct(2),
+      s"whole-grain days must serve the one-shot sketch: $served vs $direct")
+    assert(math.abs(served(1) - direct(1)) <=
+      math.max(2.0, 0.02 * direct(1)),
+      s"split day 1: served ${served(1)} vs direct ${direct(1)}")
   }
 
   test("streaming BM25 maintenance: a follower keeps the index current via appendToIndex") {
