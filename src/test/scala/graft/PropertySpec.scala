@@ -284,6 +284,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NEAR equals a window-containment reference on random colliding corpora") {
+    // same tiny alphabet as the phrase pin; windows 2..5 so clamped
+    // starts, duplicate tokens, and multi-window overlaps all occur.
+    // Reference: start s matches iff EVERY distinct query token occurs
+    // in positions [s, s+w-1] — exactly the vote-count semantics.
+    val wordGen = Gen.chooseNum(0, 3).map(i => s"w$i")
+    val docGen = Gen.listOf(wordGen).map(_.take(20))
+    val corpusGen = Gen.listOfN(5, docGen)
+    val queryGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, wordGen))
+    for (((docs0, queries0), w) <- samples(Gen.zip(Gen.zip(corpusGen,
+        Gen.listOfN(3, queryGen)), Gen.chooseNum(2, 5)), 4)) {
+      val s = spark
+      import s.implicits._
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val idx = java.nio.file.Files.createTempDirectory("graft_nearprop")
+        .toString + "/idx"
+      graft.text.Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id",
+        "text", idx)
+      val queries = queries0.zipWithIndex.map { case (q, qi) =>
+        (s"q$qi", q.mkString(" ")) }
+      val expected = (for {
+        (q, qi) <- queries0.zipWithIndex
+        toks = q.distinct
+        (ws, di) <- docs0.zipWithIndex
+        nw = (0 until ws.length).count { st =>
+          val win = ws.slice(st, st + w).toSet
+          toks.forall(win.contains)
+        }
+        if nw > 0
+      } yield (s"q$qi", di.toLong, nw.toLong)).toSet
+      val got = graft.text.Bm25
+        .proximitySearchIndexed(spark, idx, queries, window = w,
+          topK = 100)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected,
+        s"w=$w queries=$queries0 docs=${docs.map(_._2)}")
+    }
+  }
+
+  test("boolean retrieval's gate equals a reference set on random corpora") {
+    // the property is the MUST/SHOULD/MUST_NOT gate (scores are the
+    // oracled BM25 arithmetic): candidates = docs matching >= 1
+    // scoring term, containing EVERY must token and NO mustNot token
+    val wordGen = Gen.chooseNum(0, 4).map(i => s"w$i")
+    val docGen = Gen.listOf(wordGen).map(_.take(15))
+    val corpusGen = Gen.listOfN(6, docGen)
+    val roleGen = for {
+      must <- Gen.listOfN(2, wordGen).map(_.take(2))
+      should <- Gen.listOfN(2, wordGen)
+      mustNot <- Gen.listOfN(1, wordGen)
+      if must.nonEmpty || should.nonEmpty
+    } yield (must, should, mustNot)
+    for ((docs0, qs) <- samples(Gen.zip(corpusGen,
+        Gen.listOfN(3, roleGen)), 4)) {
+      val s = spark
+      import s.implicits._
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val idx = java.nio.file.Files.createTempDirectory("graft_boolprop")
+        .toString + "/idx"
+      graft.text.Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id",
+        "text", idx)
+      val queries = qs.zipWithIndex.map { case ((m, sh, n), qi) =>
+        graft.text.Bm25.BooleanQuery(s"q$qi", m.mkString(" "),
+          sh.mkString(" "), n.mkString(" ")) }
+      val expected = (for {
+        ((m, sh, n), qi) <- qs.zipWithIndex
+        scoring = (m ++ sh).distinct
+        (ws, di) <- docs0.zipWithIndex
+        toks = ws.toSet
+        if scoring.exists(toks.contains) &&
+          m.forall(toks.contains) && !n.exists(toks.contains)
+      } yield (s"q$qi", di.toLong)).toSet
+      val got = graft.text.Bm25
+        .booleanSearchIndexed(spark, idx, queries, topK = 100)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(got === expected, s"qs=$qs docs=${docs.map(_._2)}")
+    }
+  }
+
   test("stateful sessionizer equals batch session_window on random multi-batch streams") {
     import graft.streaming.StreamingWindows
     import graft.streaming.StreamingWindows.SessionEvent
