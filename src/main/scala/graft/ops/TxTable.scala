@@ -1049,6 +1049,21 @@ object TxTable {
     }
   }
 
+  /** Footer row count of one data file; −1 (treated as non-empty by
+    * callers — conservative keep) when the footer is unreadable.
+    */
+  private def parquetRowCount(fs: FileSystem, p: Path, rel: String): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p, rel), fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var n = 0L
+        r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        n
+      } finally r.close()
+    } catch { case _: Throwable => -1L }
+
   /** Read min/max per column from the parquet footers of `relFiles`
     * (merged across row groups). Columns typed beyond the supported
     * comparable set — or whose chunks lack stats — are simply absent:
@@ -3263,7 +3278,7 @@ object TxTable {
     val w = df.write
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(new Path(p, dataDir).toString)
-    val newFiles = {
+    val allParts = {
       val it = fs.listFiles(new Path(p, dataDir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       val prefix = fs.makeQualified(new Path(p, dataDir)).toString
@@ -3273,6 +3288,20 @@ object TxTable {
           buf += s"$dataDir/${f.toString.stripPrefix(prefix).stripPrefix("/")}"
       }
       buf.toSeq.sorted
+    }
+    // Zero-row part files are NOT registered: a filter/rewrite task
+    // that produced nothing writes an empty part whose footer carries
+    // no column stats, so it would conservatively "may-match" every
+    // predicate — defeating pruning-based no-op detection (a DELETE of
+    // an absent key must return None, and whether Spark's task layout
+    // emits an empty part is run-dependent, which made that contract
+    // FLAKY). The files stay on disk unreferenced (vacuum's orphan
+    // grace collects them). A commit whose every part is empty keeps
+    // ONE as the snapshot's schema carrier — an intentionally-empty
+    // overwrite must still be readable without a declared schema.
+    val newFiles = {
+      val nonEmpty = allParts.filter(rel => parquetRowCount(fs, p, rel) != 0L)
+      if (nonEmpty.nonEmpty) nonEmpty else allParts.take(1)
     }
     // CHECK constraints validate the freshly written files before any
     // claim — a violating commit cleans up and throws, invisible to
