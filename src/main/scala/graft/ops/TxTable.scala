@@ -1976,10 +1976,16 @@ object TxTable {
     val cdfMeta =
       if (changeFeed) writeChangeData(fs, p, changesOf(candidateRows, predicate))
       else Map.empty[String, String]
+    // a rewrite that empties every candidate while NON-candidate files
+    // survive needs no schema-carrier part: the snapshot keeps real
+    // files (a racing delete of those survivors would leave a
+    // file-less snapshot — the metadata-only-commit situation
+    // readVersion already handles via a pinned/declared schema)
+    val survivorsExist = lines.exists(l => !candidatePaths.contains(pathOf(l)))
     Some(commit(spark, path, rewritten, "replace",
       (base, _) => base.filterNot(l => candidatePaths.contains(pathOf(l))),
       layout, meta = cdfMeta ++ meta, requirePresent = candidatePaths,
-      guard = guard))
+      guard = guard, allowZeroParts = survivorsExist))
   }
 
   /** Keyed MERGE (upsert), copy-on-write: rows of `updates` replace
@@ -3272,7 +3278,8 @@ object TxTable {
                      requirePresent: Set[String] = Set.empty,
                      guard: Map[String, Long] = Map.empty,
                      requireUnchangedUnder: Option[(Set[String], Set[String])] = None,
-                     requireHeadVersion: Option[Long] = None): Long = {
+                     requireHeadVersion: Option[Long] = None,
+                     allowZeroParts: Boolean = false): Long = {
     val (fs, p) = fsFor(spark, path)
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     val w = df.write
@@ -3298,10 +3305,15 @@ object TxTable {
     // FLAKY). The files stay on disk unreferenced (vacuum's orphan
     // grace collects them). A commit whose every part is empty keeps
     // ONE as the snapshot's schema carrier — an intentionally-empty
-    // overwrite must still be readable without a declared schema.
+    // overwrite must still be readable without a declared schema —
+    // unless the caller proves the snapshot retains other files
+    // (`allowZeroParts`: a rewrite that deleted every candidate row
+    // while non-candidate files survive registers nothing).
     val newFiles = {
       val nonEmpty = allParts.filter(rel => parquetRowCount(fs, p, rel) != 0L)
-      if (nonEmpty.nonEmpty) nonEmpty else allParts.take(1)
+      if (nonEmpty.nonEmpty) nonEmpty
+      else if (allowZeroParts) Seq.empty
+      else allParts.take(1)
     }
     // CHECK constraints validate the freshly written files before any
     // claim — a violating commit cleans up and throws, invisible to

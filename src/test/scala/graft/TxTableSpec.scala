@@ -156,6 +156,29 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("rewrites register only row-bearing files; absent-key DML stays a no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txe")
+      .toString + "/t"
+    TxTable.overwrite(spark, dir,
+      spark.range(0, 8).toDF("id").repartition(4))
+    // a delete whose rewrite tasks mostly produce nothing: empty part
+    // files must not reach the manifest (they carry no stats and would
+    // conservatively may-match everything, making the no-op contract
+    // layout-dependent — the round-13 IncrementalDedupSpec flake)
+    TxTable.delete(spark, dir,
+      org.apache.spark.sql.functions.col("id") =!= 7L)
+    assert(TxTable.read(spark, dir).collect().map(_.getLong(0)).toSeq
+      === Seq(7L))
+    // every registered file proves its row count → metaRowCount holds;
+    // an unregistered-stats (empty) line would collapse it to None
+    assert(TxTable.metaRowCount(spark, dir) === Some(1L))
+    // and the pruning-based no-op detection is deterministic again
+    assert(TxTable.delete(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 999L).isEmpty)
+  }
+
   test("diff: multiset EXCEPT-ALL semantics, both directions") {
     val s = spark
     import s.implicits._
