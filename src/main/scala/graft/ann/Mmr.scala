@@ -59,7 +59,9 @@ object Mmr {
           col("__mmr").as("mmr_score"), col("__v"), col("__n"))
     var selected = pick(cand.withColumn("__mmr", lit(lambda) * col("__rel")),
       1).localCheckpoint()
-    for (step <- 2 to k) {
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val rem = cand.join(selected.select(q, id), Seq(queryCol, idCol),
         "left_anti")
       val sim = rem
@@ -71,7 +73,14 @@ object Mmr {
       val scored = rem.join(sim, Seq(queryCol, idCol))
         .withColumn("__mmr", lit(lambda) * col("__rel")
           - lit(1.0 - lambda) * col("__maxsim"))
-      selected = selected.unionByName(pick(scored, step)).localCheckpoint()
+      val picked = pick(scored, step).localCheckpoint()
+      // every query out of candidates → the remaining rounds would be
+      // k − step empty join+window+checkpoint jobs each picking
+      // nothing; the step already materialized, so isEmpty is a
+      // metadata check, not a recompute
+      if (picked.isEmpty) exhausted = true
+      else selected = selected.unionByName(picked).localCheckpoint()
+      step += 1
     }
     selected.select(q, col("mmr_rank"), id, col("mmr_score"))
   }

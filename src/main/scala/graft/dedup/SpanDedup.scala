@@ -133,12 +133,22 @@ object SpanDedup {
     * The one driver-side materialization is the rare-token list —
     * bounded by the number of DISTINCT eval windows (eval sets are a
     * few benchmarks by contract, the same bound
-    * [[graft.text.Bm25.searchIndexed]] documents for query terms).
+    * [[graft.text.Bm25.searchIndexed]] documents for query terms) AND
+    * hard-capped at `maxRareTokens` (the explicit
+    * [[graft.ops.Prefix]]-style `maxDriverRows` guard): an eval set
+    * with more distinct windows than that would inline an `isin`
+    * literal list big enough to bloat the plan and the manifest-prune
+    * predicate, so the pass falls back to the unindexed
+    * [[maskContaminatedSpans]] over the whole corpus — bit-identical
+    * output (pinned by spec), full-scan cost, loud in the plan rather
+    * than silently degenerate in the driver.
     */
   def maskContaminatedSpansIndexed(corpus: DataFrame, evalSet: DataFrame,
                                    idCol: String, textCol: String,
                                    windowTokens: Int,
-                                   indexPath: String): DataFrame = {
+                                   indexPath: String,
+                                   maxRareTokens: Int = 10000): DataFrame = {
+    require(maxRareTokens > 0, "maxRareTokens must be positive")
     require(windowTokens > 0, "windowTokens must be positive")
     val spark = corpus.sparkSession
     val k = windowTokens
@@ -169,7 +179,13 @@ object SpanDedup {
       .filter(col("__m").getField("d") > 0)
       .select(col("__m").getField("t").as("token"))
       .distinct()
-    val rareTokens = rare.collect().map(_.getString(0)).toSeq
+    // limit(cap + 1): the driver never holds more than the guard
+    // allows even when the eval set is degenerate — overflow is
+    // detected from ONE extra row, not by materializing the overflow
+    val rareTokens = rare.limit(maxRareTokens + 1).collect()
+      .map(_.getString(0)).toSeq
+    if (rareTokens.size > maxRareTokens)
+      return maskContaminatedSpans(corpus, evalSet, idCol, textCol, k)
     val candIds =
       if (rareTokens.isEmpty) postings.select(col(idCol)).filter(lit(false))
       else graft.ops.TxTable.readWhere(spark, indexPath,

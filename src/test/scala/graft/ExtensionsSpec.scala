@@ -500,6 +500,40 @@ class DedupSpec extends SparkSpec {
         corpus, alien, "doc_id", "text", windowTokens = 8)))
   }
 
+  test("maskContaminatedSpansIndexed maxRareTokens overflow falls back bit-identically") {
+    // TWO distinct eval windows with DISTINCT rarest tokens → the
+    // rare-token list has 2 entries; a cap of 1 must trip the guard
+    // and take the unindexed pass — output identical either way
+    val e1 = "one two three four five six seven eight"
+    val e2 = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalSet = df(Seq(Doc(100L, e1, "e"), Doc(101L, e2, "e")))
+    val corpus = df(Seq(
+      Doc(1L, s"prefix aa $e1 suffix", "c"),
+      Doc(2L, s"$e2 trailing words here", "c"),
+      Doc(3L, "totally unrelated filler sentence with no overlap", "c")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_spancap")
+      .toString + "/index"
+    graft.text.Bm25.buildIndex(corpus, "doc_id", "text", idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val plain = rows(graft.dedup.SpanDedup.maskContaminatedSpans(
+      corpus, evalSet, "doc_id", "text", windowTokens = 8))
+    val capped = rows(graft.dedup.SpanDedup.maskContaminatedSpansIndexed(
+      corpus, evalSet, "doc_id", "text", windowTokens = 8, idx,
+      maxRareTokens = 1))
+    assert(capped === plain,
+      "the capped fallback must be bit-identical to the plain pass")
+    // and a cap the list fits under keeps the indexed path — also
+    // identical (both docs 1 and 2 get masked, doc 3 passes through)
+    val indexed = rows(graft.dedup.SpanDedup.maskContaminatedSpansIndexed(
+      corpus, evalSet, "doc_id", "text", windowTokens = 8, idx,
+      maxRareTokens = 2))
+    assert(indexed === plain)
+    assert(plain.exists(r => r.head == 1L && r(2).asInstanceOf[Int] > 0) &&
+      plain.exists(r => r.head == 2L && r(2).asInstanceOf[Int] > 0),
+      "fixture sanity: both eval windows actually contaminate")
+  }
+
   test("containmentPairsBloom is bit-identical to containmentPairs, even undersized") {
     val rnd = new scala.util.Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",

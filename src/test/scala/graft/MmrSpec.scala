@@ -50,6 +50,50 @@ class MmrSpec extends SparkSpec {
     assert(out.select("neighbor_id").distinct().count() === 3L)
   }
 
+  test("exhausted candidate lists end the greedy loop early") {
+    // 3 candidates, k = 20: rounds 5..20 would each burn a
+    // join+window+checkpoint job picking nothing. Count jobs via a job
+    // group — k=20 must cost the same jobs as k=4 (both stop at the
+    // first empty pick), not 16 rounds more.
+    val sc = spark.sparkContext
+    def jobsFor(k: Int, group: String): Int = {
+      sc.setJobGroup(group, group)
+      try Mmr.rerank(df(cands), k = k, lambda = 0.7).collect()
+      finally sc.clearJobGroup()
+      // the status store is fed by the async listener bus — poll
+      // until the count holds still for 3 reads instead of sleeping
+      // blind
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val next = sc.statusTracker.getJobIdsForGroup(group).length
+        if (next == cur) stable += 1 else { cur = next; stable = 0 }
+      }
+      cur
+    }
+    val atK4 = jobsFor(4, "mmr_k4")
+    val atK20 = jobsFor(20, "mmr_k20")
+    assert(atK20 === atK4,
+      s"k=20 over 3 candidates ran $atK20 jobs vs $atK4 at k=4 — " +
+        "the loop is not exiting on exhaustion")
+  }
+
+  test("uneven queries: exhaustion of one query must not starve the other") {
+    // query q has 2 candidates, query r has 4 — the loop may only stop
+    // once BOTH are exhausted, so r still gets all 4 picks
+    val uneven = Seq(
+      MmrCand("q", 1L, 0.9, Array(1f, 0f)),
+      MmrCand("q", 2L, 0.5, Array(0f, 1f)),
+      MmrCand("r", 1L, 0.9, Array(1f, 0f)),
+      MmrCand("r", 2L, 0.8, Array(0.9f, 0.1f)),
+      MmrCand("r", 3L, 0.7, Array(0f, 1f)),
+      MmrCand("r", 4L, 0.1, Array(0.5f, 0.5f)))
+    val out = Mmr.rerank(df(uneven), k = 6, lambda = 0.5).collect()
+    val byQ = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byQ === Map("q" -> 2, "r" -> 4))
+  }
+
   test("zero-norm candidate vectors are excluded") {
     val withZero = cands :+ MmrCand(q, 9L, 0.9, Array(0f, 0f))
     val out = Mmr.rerank(df(withZero), k = 4, lambda = 0.7)
