@@ -325,13 +325,31 @@ object Similarity {
     * would (pinned by test); recentering (a fresh [[buildIvfIndex]] +
     * [[writeIvfLists]]) remains a periodic offline job, exactly like
     * FAISS's add-vs-train split.
+    *
+    * `txn = Some((app, batchId))` makes the append REPLAY-SAFE for a
+    * `foreachBatch` driver ([[graft.text.Bm25.appendToIndex]]'s
+    * contract at the dense-index layer): the batch id commits
+    * atomically with the list rows as a `txn.<app>` token, so a
+    * checkpoint-replayed batch whose append already landed is a no-op
+    * instead of planting every vector twice in its list.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                 index: DataFrame, newVectors: DataFrame,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): Long =
+                vecCol: String = "embedding",
+                txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, path).last
+    }
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     graft.ops.TxTable.append(spark, path,
-      idSorted(assignToLists(newVectors, index, idCol, vecCol), idCol))
+      idSorted(assignToLists(newVectors, index, idCol, vecCol), idCol),
+      meta = txnMeta, guard = txnGuard)
+  }
 
   /** REMOVE vectors from persisted inverted lists — the dense index's
     * lifecycle third leg (GDPR purge, contaminated-embedding excision),
@@ -783,10 +801,24 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v")).as("s"))
       .groupBy().agg(array_sort(collect_list(col("s"))).as("sv"))
       .select(transform(col("sv"), s => s.getField("v")).as("seeds"))
-      .select(transform(sequence(lit(0), lit(m - 1)), j => {
-        val dsub = size(element_at(col("seeds"), 1)) / m
-        transform(col("seeds"), s => slice(s, j * dsub + 1, dsub))
-      }).as("cbs"))
+      // dim % m enforced IN the plan (the frame is lazy — there is no
+      // driver-side row to require() against without an extra job):
+      // a non-divisible m would silently truncate dsub = dim/m and
+      // drop the trailing dim mod m dimensions through every
+      // train/encode/serve step downstream, degrading ranking with no
+      // error. raise_error matches the ksub require's fail-loud bar.
+      .select(when(size(element_at(col("seeds"), 1)) % m === 0,
+          transform(sequence(lit(0), lit(m - 1)), j => {
+            val dsub = size(element_at(col("seeds"), 1)) / m
+            transform(col("seeds"), s => slice(s, j * dsub + 1, dsub))
+          }))
+        .otherwise(raise_error(concat(
+          lit("pqTrainSeed: embedding dim "),
+          size(element_at(col("seeds"), 1)).cast("string"),
+          lit(s" is not a multiple of m=$m subspaces — the trailing" +
+            " dimensions would be silently dropped from every" +
+            " train/encode/serve step"))))
+        .as("cbs"))
   }
 
   /** Squared L2 distance between two double arrays, accumulated in

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, coalesce, col, collect_set, count, explode, expr, input_file_name, lit, not, pmod, sequence, struct, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{abs, coalesce, col, collect_set, count, explode, expr, from_json, input_file_name, lit, not, pmod, sequence, struct, sum, to_json, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -637,6 +637,34 @@ object TxTable {
     * resolution source.
     */
   private[graft] val TimestampMetaKey = "ts"
+
+  /** Highest micro-batch id `txnApp` has committed to `path`, or None
+    * — the reader half of the `txn.<app>` idempotent-writer token
+    * ([[graft.streaming.StreamingSink]]'s exactly-once contract,
+    * exposed here so index-maintenance writers — [[graft.text.Bm25
+    * .appendToIndex]], [[graft.ann.Similarity.ivfAppend]] — share ONE
+    * definition with the streaming sink instead of re-deriving the
+    * key grammar). One manifest read: `txn.*` keys are carried
+    * forward by every commit, so the head manifest holds each app's
+    * latest batch id however many commits or vacuums happened since.
+    */
+  def lastTxnVersion(spark: SparkSession, path: String,
+                     txnApp: String): Option[Long] =
+    versions(spark, path).lastOption.flatMap(v =>
+      commitMeta(spark, path, v).get(CarriedMetaPrefixes.head + txnApp)
+        .map(_.toLong))
+
+  /** The (meta, guard) pair an idempotent writer attaches for
+    * micro-batch `batchId` of `txnApp` — commit-atomic claim of the
+    * batch id plus the claim-loop guard that aborts a zombie writer
+    * racing its restarted replacement on the same batch.
+    */
+  private[graft] def txnClaim(txnApp: String, batchId: Long)
+      : (Map[String, String], Map[String, Long]) = {
+    requireTokenSafe(txnApp, "txnApp")
+    val key = CarriedMetaPrefixes.head + txnApp
+    (Map(key -> batchId.toString), Map(key -> batchId))
+  }
 
   /** Refuse a caller-supplied token that would break the manifest
     * meta grammar (space-separated `k=v` pairs, one per line) — THE
@@ -2999,6 +3027,14 @@ object TxTable {
     * volume), then a bounded `sequence` explode of |Δcount|. Refuses
     * snapshots whose schemas differ — diff needs one row shape;
     * read with mergeSchema or evolve first.
+    *
+    * Map-typed columns are not groupable/joinable in Spark (map
+    * equality is undefined — key order is unobservable), so any
+    * column whose type CONTAINS a map is compared through its
+    * canonical JSON render (`to_json` into the group key, `from_json`
+    * back out — the [[graft.ops.AsofJoin]] normalization): two map
+    * values are "the same row" iff they serialize identically, which
+    * is also the only equality an independent engine can mirror.
     */
   def diff(spark: SparkSession, path: String, fromV: Long,
            toV: Long): DataFrame = {
@@ -3011,8 +3047,18 @@ object TxTable {
         s"(${a.schema.simpleString} vs ${b.schema.simpleString}) — " +
         "diff needs one row shape; read with mergeSchema or evolve first")
     val cols = a.columns.toSeq
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case st: StructType => st.fields.exists(f => hasMap(f.dataType))
+      case arr: org.apache.spark.sql.types.ArrayType =>
+        hasMap(arr.elementType)
+      case _ => false
+    }
+    val mapCols = a.schema.fields.filter(f => hasMap(f.dataType))
+      .map(_.name).toSet
     def counted(df: DataFrame, cnt: String) =
-      df.select(struct(cols.map(col): _*).as("__row"))
+      df.select(struct(cols.map(c =>
+          if (mapCols(c)) to_json(col(c)).as(c) else col(c)): _*).as("__row"))
         .groupBy("__row").agg(count(lit(1)).as(cnt))
     val ka = counted(a, "__ca")
     val kb = counted(b, "__cb")
@@ -3026,7 +3072,10 @@ object TxTable {
           .otherwise(lit("delete")).as("_change_type"),
         explode(sequence(lit(1L),
           abs(col("__cb") - col("__ca")))).as("__i"))
-      .select(cols.map(c => col(s"__row.`$c`")) :+ col("_change_type"): _*)
+      .select(cols.map(c =>
+        if (mapCols(c))
+          from_json(col(s"__row.`$c`"), a.schema(c).dataType).as(c)
+        else col(s"__row.`$c`")) :+ col("_change_type"): _*)
   }
 
   /** Shallow-clone `srcPath` at `version` (default: head) into a NEW

@@ -43,8 +43,7 @@ object StreamingSink {
     */
   def lastTxnVersion(spark: SparkSession, path: String,
                      txnApp: String): Option[Long] =
-    TxTable.versions(spark, path).lastOption.flatMap(v =>
-      TxTable.commitMeta(spark, path, v).get(txnKey(txnApp)).map(_.toLong))
+    TxTable.lastTxnVersion(spark, path, txnApp)
 
   /** Idempotent append of one micro-batch: skips iff a manifest already
     * records a `txnVersion >= batchId` for this `txnApp` (replays are

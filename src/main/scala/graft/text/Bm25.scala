@@ -271,13 +271,30 @@ object Bm25 {
     * pass false only for provably-new batches (an exactly-once
     * streaming source, a partitioned ingest) where the scan is not
     * worth it — the [[graft.dedup.IncrementalDedup]] contract.
+    *
+    * `txn = Some((app, batchId))` makes the append REPLAY-SAFE for a
+    * `foreachBatch` driver: the batch id commits atomically with the
+    * postings as a `txn.<app>` token ([[graft.streaming.StreamingSink]]
+    * 's exactly-once pattern, applied at the index layer). A
+    * checkpoint-replayed batch whose append already landed is a no-op
+    * (returns the head version, no commit, stats untouched); a crash
+    * BEFORE the commit replays into a normal append. Without it a
+    * replayed batch double-counts every posting — `checkDuplicates =
+    * false` skips the only other defense — so any streaming
+    * maintenance of the index should pass it.
     */
   def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String, textCol: String,
-                    checkDuplicates: Boolean = true): Long = {
+                    checkDuplicates: Boolean = true,
+                    txn: Option[(String, Long)] = None): Long = {
     val storedId = indexIdCol(spark, path)
     require(storedId == idCol,
       s"index at $path was built on id column '$storedId', got '$idCol'")
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, path).last
+    }
     requireUniqueIds(docs, idCol, "appendToIndex")
     if (checkDuplicates) {
       val dup = graft.ops.TxTable.read(spark, path).select(col(idCol))
@@ -293,10 +310,13 @@ object Bm25 {
     val st = batch.agg(countDistinct(col(idCol)).as("n"),
       sum(col("tf")).as("tot")).collect().head
     val (bn, bt) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     graft.ops.TxTable.append(spark, path, tokenSorted(batch, idCol),
       meta = Map(StatsMetaKey -> s"${n + bn}:${tot + bt}",
-        IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString),
-      guard = Map(SeqMetaKey -> (seq + 1)))
+        IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString) ++ txnMeta,
+      guard = Map(SeqMetaKey -> (seq + 1L)) ++ txnGuard)
   }
 
   /** Remove documents from a persisted index — the lifecycle's third

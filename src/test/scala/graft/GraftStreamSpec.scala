@@ -193,8 +193,11 @@ class GraftStreamSpec extends SparkSpec {
       .load(table)
       .writeStream
       .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          if (!b.isEmpty) { Similarity.ivfAppend(spark, lists, index, b); () }
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!b.isEmpty) {
+            Similarity.ivfAppend(spark, lists, index, b,
+              txn = Some(("ivf_m", bid))); ()
+          }
       }
       .option("checkpointLocation", cp).start()
     TxTable.append(spark, table, df(all.slice(20, 30)).toDF("vec_id", "embedding"))
@@ -286,10 +289,10 @@ class GraftStreamSpec extends SparkSpec {
       .load(table)
       .writeStream
       .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!b.isEmpty) {
             Bm25.appendToIndex(spark, idx, b, "doc_id", "text",
-              checkDuplicates = false); ()
+              checkDuplicates = false, txn = Some(("bm25_m", bid))); ()
           }
       }
       .option("checkpointLocation", cp).start()
@@ -308,6 +311,120 @@ class GraftStreamSpec extends SparkSpec {
     val vf = TxTable.versions(spark, fresh).last
     assert(TxTable.commitMeta(spark, idx, vi)("graft.bm25.stats") ===
       TxTable.commitMeta(spark, fresh, vf)("graft.bm25.stats"))
+  }
+
+  test("BM25 index maintenance survives a checkpoint-crash replay: the txn guard no-ops the replayed batch") {
+    // kill-and-restart MID-APPEND on the positional index: the batch's
+    // postings committed but the stream checkpoint's commit marker was
+    // lost — the classic at-least-once replay window. With
+    // txn=(app, batchId) riding in the index commit, the replay is a
+    // deterministic no-op: stats don't double-count, postings don't
+    // duplicate, and the served ranking equals a from-scratch build.
+    val s = spark
+    import s.implicits._
+    import graft.text.Bm25
+    val table = tmp("graft_bmcr") + "/docs"
+    val idx = tmp("graft_bmcr") + "/index"
+    val cp = tmp("graft_bmcr_cp")
+    def docs(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"word$i shared merge token${i % 5}"))
+      .toDF("doc_id", "text")
+    TxTable.append(spark, table, docs(0, 10))
+    Bm25.buildIndex(docs(0, 10), "doc_id", "text", idx)
+    val builtAt = TxTable.versions(spark, idx).last
+    val follow = TxTable.versions(spark, table).last + 1
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", follow).load(table)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            if (!b.isEmpty) {
+              Bm25.appendToIndex(spark, idx, b, "doc_id", "text",
+                checkDuplicates = false, txn = Some(("bm25_cr", bid))); ()
+            }
+        }
+        .option("checkpointLocation", cp).start()
+      q.processAllAvailable(); q.stop()
+    }
+    TxTable.append(spark, table, docs(10, 20))
+    run() // batch 0: postings for docs 10-19 land in the index
+    // crash window: the index commit landed, the stream's commit
+    // marker did not — delete it so the restart REPLAYS batch 0
+    java.nio.file.Files.delete(java.nio.file.Paths.get(cp, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cp, "commits", ".0.crc"))
+    TxTable.append(spark, table, docs(20, 30))
+    run() // replays batch 0 (must skip) then lands batch 1
+    val fresh = tmp("graft_bmcr_f") + "/index"
+    Bm25.buildIndex(docs(0, 30), "doc_id", "text", fresh)
+    // no duplicated postings, exact stats, identical serve
+    assert(TxTable.read(spark, idx).count() ===
+      TxTable.read(spark, fresh).count())
+    assert(TxTable.commitMeta(spark, idx,
+        TxTable.versions(spark, idx).last)("graft.bm25.stats") ===
+      TxTable.commitMeta(spark, fresh,
+        TxTable.versions(spark, fresh).last)("graft.bm25.stats"))
+    val queries = Seq(("a", "shared token3"), ("b", "word25 word12"))
+    assert(Bm25.searchIndexed(spark, idx, queries, topK = 10)
+      .collect().map(_.toSeq).toSet ===
+      Bm25.searchIndexed(spark, fresh, queries, topK = 10)
+        .collect().map(_.toSeq).toSet)
+    // exactly 2 real appends past the build — the replay committed
+    // NOTHING
+    assert(TxTable.versions(spark, idx).last === builtAt + 2,
+      s"replayed batch must be a no-op: ${TxTable.versions(spark, idx)}")
+  }
+
+  test("IVF list maintenance survives a checkpoint-crash replay: the txn guard no-ops the replayed batch") {
+    // the dense-index twin of the BM25 crash spec: replayed vector
+    // batches must not land twice in their inverted lists
+    val s = spark
+    import graft.ann.Similarity
+    val rnd = new scala.util.Random(71)
+    def vec(i: Long) = (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val all = (0L until 40L).map(vec)
+    val table = tmp("graft_ivfcr") + "/emb"
+    val lists = tmp("graft_ivfcr") + "/lists"
+    val cp = tmp("graft_ivfcr_cp")
+    val base = df(all.take(20)).toDF("vec_id", "embedding")
+    TxTable.append(spark, table, base)
+    val index = Similarity.buildIvfIndex(base, numLists = 4)
+      .localCheckpoint()
+    Similarity.writeIvfLists(base, index, lists)
+    val follow = TxTable.versions(spark, table).last + 1
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", follow).load(table)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            if (!b.isEmpty) {
+              Similarity.ivfAppend(spark, lists, index, b,
+                txn = Some(("ivf_cr", bid))); ()
+            }
+        }
+        .option("checkpointLocation", cp).start()
+      q.processAllAvailable(); q.stop()
+    }
+    TxTable.append(spark, table, df(all.slice(20, 30)).toDF("vec_id", "embedding"))
+    run() // batch 0 lands vectors 20-29
+    java.nio.file.Files.delete(java.nio.file.Paths.get(cp, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cp, "commits", ".0.crc"))
+    TxTable.append(spark, table, df(all.slice(30, 40)).toDF("vec_id", "embedding"))
+    run() // replays batch 0 (must skip) then lands batch 1
+    assert(TxTable.read(spark, lists).count() === 40L,
+      "a replayed vector batch must not plant rows twice")
+    assert(TxTable.versions(spark, lists).size === 3,
+      s"write + 2 appends only: ${TxTable.versions(spark, lists)}")
+    // served results still equal a one-shot full assignment
+    val full = df(all).toDF("vec_id", "embedding")
+    val queries = full.filter(col("vec_id") < 3)
+    assert(Similarity.ivfTopKFromLists(spark, lists, queries, 4,
+        nprobe = 4, index).collect().map(_.toSeq).toSet ===
+      Similarity.ivfTopKWithIndex(full, queries, 4,
+        nprobe = 4, index).collect().map(_.toSeq).toSet)
   }
 
   test("column pruning still reaches the parquet scan on the batch path") {

@@ -32,6 +32,19 @@ class PqAnnSpec extends SparkSpec {
         lit(0.0), (a, d) => a + d).as("se"))
       .agg(avg("se")).head().getDouble(0)
 
+  test("pqTrainSeed fails loudly when the embedding dim is not a multiple of m") {
+    // dim 8, m 3: dsub would silently truncate to 2 and the trailing
+    // 2 dims would vanish from train/encode/serve — must raise instead
+    val corpus = df(vecs(10, 8, seed = 7))
+    val ex = intercept[Exception] {
+      Similarity.pqTrainSeed(corpus, m = 3, ksub = 4).collect()
+    }
+    assert(ex.getMessage.contains("not a multiple of m=3"),
+      s"got: ${ex.getMessage}")
+    // and the divisible case still trains
+    assert(Similarity.pqTrainSeed(corpus, m = 4, ksub = 4).count() === 1L)
+  }
+
   test("a seed vector encodes to its own codebook entries and reconstructs exactly") {
     val corpus = df(vecs(30, 8, seed = 5))
     val cbs = Similarity.pqTrainSeed(corpus, m = 2, ksub = 4)

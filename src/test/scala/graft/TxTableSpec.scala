@@ -217,6 +217,32 @@ class TxTableSpec extends SparkSpec {
       d.head.getString(2) === "delete")
   }
 
+  test("diff: map-typed columns compare through their JSON render and round-trip back") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txd")
+      .toString + "/t"
+    // maps are not groupable/joinable in Spark — diff normalizes them
+    // to to_json for the group key and from_json's them back out
+    TxTable.overwrite(spark, dir,
+      Seq((1L, Map("a" -> 1, "b" -> 2)), (2L, Map("c" -> 3)))
+        .toDF("id", "m"))
+    TxTable.overwrite(spark, dir,
+      Seq((1L, Map("a" -> 1, "b" -> 2)), (2L, Map("c" -> 9)))
+        .toDF("id", "m"))
+    val out = TxTable.diff(spark, dir, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getMap[String, Int](1).toMap,
+        r.getString(2))).toSet
+    assert(out === Set(
+      (2L, Map("c" -> 3), "delete"),
+      (2L, Map("c" -> 9), "insert")),
+      "only the changed map row may diff, with its map values restored")
+    // the map column keeps its EXACT original type (from_json is
+    // given the source schema, flags included)
+    assert(TxTable.diff(spark, dir, 1L, 2L).schema("m").dataType ===
+      TxTable.readVersion(spark, dir, 1L).schema("m").dataType)
+  }
+
   test("diff refuses snapshots with different schemas") {
     val s = spark
     import s.implicits._
