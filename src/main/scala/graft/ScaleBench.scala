@@ -111,6 +111,21 @@ object ScaleBench {
            |SELECT * FROM graft_search('$idx', 'stream window agg', 10)
            |""".stripMargin)
     }),
+    // trained-BPE SERVE cost in isolation — the merge table is
+    // prebuilt per dir by [[Prepare]] (train once), so this row times
+    // only tokenization: a 30-row TxTable load + one narrow codegen'd
+    // pass over the corpus. The scan IS corpus-linear, so the honest
+    // expectation is ratio ≈ copies; the claim is what's ABSENT — no
+    // histogram shuffle, no bounded collect, no merge loop in the
+    // timed body (train-once / tokenize-everywhere).
+    "x_bpe_serve" -> ((s, dir) => {
+      val merges = graft.text.Bpe.loadMerges(s,
+        ladderState("bpe", dir) + "/merges")
+      graft.ops.Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.Bpe.tokenCount(col("text"), merges)
+            .as("n_bpe_sub"))
+    }),
     // PQ SERVE cost in isolation — codebooks + codes prebuilt per dir
     // by [[Prepare]], so this row times only the ADC scan: one pass
     // over the m-byte code table (corpus-LINEAR but 32× lighter than
@@ -146,6 +161,12 @@ object ScaleBench {
       graft.ann.Similarity.writePqIndex(
         graft.ops.Sources.table(s, dir, "embeddings"),
         ladderState("pq", dir) + "/pq", m = 8, ksub = 16)
+      ()
+    }),
+    "x_bpe_serve" -> ((s, dir) => {
+      graft.text.Bpe.trainToTable(
+        graft.ops.Sources.table(s, dir, "documents"), "text",
+        numMerges = 30, ladderState("bpe", dir) + "/merges")
       ()
     }),
     // same prepared index as x_bm25_serve (idempotent rebuild)

@@ -1712,6 +1712,26 @@ object SparkEntry {
           Bpe.tokenCount(col("text"), PinnedBpeMerges).as("n_bpe_sub"))
         .orderBy("doc_id")),
 
+    // the persisted-tokenizer lifecycle end-to-end: 18 merges trained
+    // into a TxTable, 12 more appended as a CONTINUATION commit
+    // (bit-identical to a 30-merge train — Bpe.extendMerges scaladoc +
+    // TextBpeSpec), then the corpus tokenized under the LOADED table.
+    // The oracle re-derives the same 30 merges with the bpe_train CTE
+    // replay and applies them to every document word with the
+    // bpe_tokens bracketed nested-replace construction — persistence,
+    // continuation, and serve-side encode all under ONE independent
+    // algorithmic mirror, no pinned vocab.
+    "q_x_text_bpe_served" -> ((s, dir) => {
+      val path = tmpQueryDir("graft_bpesrv") + "/merges"
+      val docs = t(s, dir, "documents")
+      Bpe.trainToTable(docs, "text", numMerges = 18, path)
+      Bpe.extendMerges(s, path, docs, "text", extraMerges = 12)
+      val merges = Bpe.loadMerges(s, path)
+      docs.select(col("doc_id"),
+          Bpe.tokenCount(col("text"), merges).as("n_bpe_sub"))
+        .orderBy("doc_id")
+    }),
+
     "q_x_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -5561,6 +5581,54 @@ object SparkEntry {
          |$rounds
          |$union
          |ORDER BY "rank"""".stripMargin
+    },
+
+    // bpe_train's 30-round merge replay + bpe_tokens' bracketed
+    // nested-replace encode, composed: derive the merges from the
+    // corpus histogram (identical CTEs to the bpe_train oracle), then
+    // apply them rank-by-rank to EVERY document word. LEFT JOIN ON
+    // TRUE per round so an exhausted vocabulary (empty b_k) leaves
+    // words unchanged instead of emptying the chain — mirroring the
+    // trainer stopping early.
+    "q_x_text_bpe_served" -> {
+      val pat = TextAnalysis.bpePattern.replace("'", "''")
+      val rounds = (1 to 30).map { k =>
+        s"""sp$k AS (SELECT string_split(substr(ws, 2, length(ws) - 2),
+           |    chr(2)||chr(1)) AS syms, c FROM s${k - 1}),
+           |p$k AS (SELECT sp.syms[g.i] AS l, sp.syms[g.i + 1] AS r,
+           |    SUM(sp.c) AS cnt
+           |  FROM sp$k sp, unnest(generate_series(1, len(sp.syms) - 1)) AS g(i)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, l||r AS m FROM p$k
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT replace(ws, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+           |    chr(1)||b.m||chr(2)) AS ws, c FROM s${k - 1}, b$k b)""".stripMargin
+      }.mkString(",\n")
+      val encodeRounds = (1 to 30).map { k =>
+        s"""w$k AS (SELECT doc_id,
+           |    CASE WHEN b.l IS NULL THEN ws
+           |      ELSE replace(ws, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+           |        chr(1)||b.m||chr(2)) END AS ws
+           |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(regexp_extract_all(text, '$pat')) AS w
+         |    FROM documents)
+         |  GROUP BY 1 ORDER BY c DESC, w ASC LIMIT 20000),
+         |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS ws, c
+         |  FROM h0),
+         |$rounds,
+         |w0 AS (SELECT doc_id, regexp_replace(w, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS ws
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+         |        FROM documents)),
+         |$encodeRounds,
+         |counts AS (SELECT doc_id,
+         |    SUM(len(string_split(ws, chr(2)||chr(1)))) AS n
+         |  FROM w30 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS INTEGER) AS n_bpe_sub
+         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_x_text_quality" ->

@@ -40,25 +40,42 @@ object Bpe {
     * the pair merged at rank `i` (earlier = higher priority).
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 20000): Seq[(String, String)] = {
-    val words = docs
+            maxWords: Int = 20000): Seq[(String, String)] =
+    trainFromWordCounts(wordHistogram(docs, textCol, maxWords), numMerges)
+
+  /** The distributed histogram + bounded top-`maxWords` collect both
+    * training entry points share (from-scratch and continuation).
+    */
+  private def wordHistogram(docs: DataFrame, textCol: String,
+                            maxWords: Int): Seq[(String, Long)] =
+    docs
       .select(explode(TextAnalysis.tokensBpe(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords) // bounded: the ONLY driver-side materialization
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromWordCounts(words, numMerges)
-  }
 
   /** The pair-merge loop over an explicit word histogram — exposed for
     * unit tests against known merge sequences.
     */
   def trainFromWordCounts(wordCounts: Seq[(String, Long)],
-                          numMerges: Int): Seq[(String, String)] = {
+                          numMerges: Int): Seq[(String, String)] =
     // split on code points so surrogate pairs never split
-    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
-      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
-    }.toArray
+    trainFromSymbols(wordCounts.map { case (w, c) =>
+      (codePointSymbols(w), c)
+    }.toArray, numMerges)
+
+  private def codePointSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** The merge loop itself, over already-symbolized words — the entry
+    * point continuation training ([[extendMerges]]) shares with
+    * from-scratch training, so "train n₁ then n₂ more" replays the
+    * EXACT same rounds as "train n₁+n₂" (pinned by spec).
+    */
+  private def trainFromSymbols(init: Array[(Array[String], Long)],
+                               numMerges: Int): Seq[(String, String)] = {
+    var words = init
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -149,4 +166,99 @@ object Bpe {
   def mergesFromDF(merges: DataFrame): Seq[(String, String)] =
     merges.select("rank", "left", "right").orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  // ------------------------------------- persisted tokenizer lifecycle
+  //
+  // The train-once / tokenize-everywhere story at 100 TB: training
+  // reads the corpus ONCE (one histogram shuffle + a bounded collect),
+  // the merge table persists as a TxTable (numMerges rows — the
+  // artifact is KB-sized however big the corpus), and every later job
+  // tokenizes under the loaded table through the same codegen'd
+  // expression — a narrow pass with a numMerges-row driver-side load,
+  // no retraining, no histogram. Vocabulary growth is a CONTINUATION
+  // commit (extendMerges), not a rebuild: BPE training is a greedy
+  // sequential loop, so n2 more rounds from the n1-merge state replay
+  // exactly what a from-scratch n1+n2 train would produce.
+
+  /** Carried-meta key holding the merge count — the concurrency guard
+    * for continuation commits (two racing extenders would otherwise
+    * both append rank-n1 rows and fork the vocabulary).
+    */
+  private val CountMetaKey = "graft.bpe.merges"
+
+  /** Persist `merges` as the TxTable at `path` (rank, left, right,
+    * merged) — one overwrite commit carrying the merge count.
+    */
+  def writeMerges(spark: SparkSession, path: String,
+                  merges: Seq[(String, String)]): Long =
+    graft.ops.TxTable.overwrite(spark, path, mergesDF(spark, merges),
+      meta = Map(CountMetaKey -> merges.size.toString))
+
+  /** Train `numMerges` merges from `docs` and persist them at `path`
+    * — the lifecycle's one corpus-reading step.
+    */
+  def trainToTable(docs: DataFrame, textCol: String, numMerges: Int,
+                   path: String, maxWords: Int = 20000): Long =
+    writeMerges(docs.sparkSession, path,
+      train(docs, textCol, numMerges, maxWords))
+
+  /** Load the persisted merge table into encode order — the serve-side
+    * step every tokenizing job starts with. O(numMerges) driver rows.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    mergesFromDF(graft.ops.TxTable.read(spark, path))
+
+  /** CONTINUE training: learn `extraMerges` more merges from `docs`
+    * starting from the persisted vocabulary and append them (ranks
+    * n1..n1+n2-1) in one guarded commit. Equivalent BY CONSTRUCTION to
+    * having trained n1+n2 merges from scratch on the same corpus
+    * (pinned by spec): the histogram words are re-symbolized under the
+    * existing merges in rank order — the exact state the original
+    * loop's round n1 left them in — and [[trainFromSymbols]] resumes
+    * from there. The count guard aborts a racing extender (a fork of
+    * the vocabulary would silently tokenize differently per job).
+    */
+  def extendMerges(spark: SparkSession, path: String, docs: DataFrame,
+                   textCol: String, extraMerges: Int,
+                   maxWords: Int = 20000): Long = {
+    val existing = loadMerges(spark, path)
+    val words = wordHistogram(docs, textCol, maxWords)
+    val resumed = words.map { case (w, c) =>
+      (applyMergesGreedy(codePointSymbols(w), existing), c)
+    }.toArray
+    val more = trainFromSymbols(resumed, extraMerges)
+    if (more.isEmpty)
+      return graft.ops.TxTable.versions(spark, path).last
+    import spark.implicits._
+    val rows = more.zipWithIndex.map { case ((l, r), i) =>
+      ((existing.size + i).toLong, l, r, l + r)
+    }.toDF("rank", "left", "right", "merged")
+    val total = existing.size + more.size
+    graft.ops.TxTable.append(spark, path, rows,
+      meta = Map(CountMetaKey -> total.toString),
+      guard = Map(CountMetaKey -> total.toLong))
+  }
+
+  /** Replay `merges` over a symbol sequence in rank order — each merge
+    * as the trainer's single left-to-right non-overlapping pass, so a
+    * word ends up in exactly the state training round n left it in.
+    */
+  private def applyMergesGreedy(init: Array[String],
+                                merges: Seq[(String, String)]): Array[String] = {
+    var syms = init
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val merged = l + r
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += merged; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
 }

@@ -114,4 +114,50 @@ class TextBpeSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0))
     assert(served.toSeq === direct.toSeq)
   }
+
+  test("extendMerges continuation is bit-identical to from-scratch training") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the merge table learns the common pairs first",
+      "the pairs the corpus repeats the most merge earliest",
+      "training continues exactly where the last round stopped",
+      "hug hug hug pun pun bun hugs the pug").toDF("text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bpex")
+      .toString + "/merges"
+    // train 8, then 12 more as a continuation commit
+    Bpe.trainToTable(docs, "text", numMerges = 8, path)
+    assert(Bpe.loadMerges(spark, path).size === 8)
+    Bpe.extendMerges(spark, path, docs, "text", extraMerges = 12)
+    val continued = Bpe.loadMerges(spark, path)
+    val scratch = Bpe.train(docs, "text", numMerges = 20)
+    assert(continued === scratch,
+      "8-then-12 must replay exactly the 20-merge training sequence")
+    // the appended rows carry contiguous ranks
+    val ranks = graft.ops.TxTable.read(spark, path)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(ranks === (0L until continued.size.toLong))
+    // tokenization under the extended table equals the scratch vocab
+    val enc = docs.select(Bpe.tokenCount(col("text"), continued).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    val encScratch = docs.select(Bpe.tokenCount(col("text"), scratch).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(enc === encScratch)
+  }
+
+  test("extendMerges on an exhausted vocabulary is a committed no-op") {
+    val s = spark
+    import s.implicits._
+    // one 2-char pre-token (no leading-space twin — the GPT-2
+    // pre-tokenizer makes " ab" a SEPARATE word in "ab ab"): one merge
+    // exhausts every pair
+    val docs = Seq("ab").toDF("text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bpen")
+      .toString + "/merges"
+    Bpe.trainToTable(docs, "text", numMerges = 10, path)
+    val before = graft.ops.TxTable.versions(spark, path).last
+    val v = Bpe.extendMerges(spark, path, docs, "text", extraMerges = 5)
+    assert(v === before, "nothing learnable → no new commit")
+    assert(Bpe.loadMerges(spark, path) === Seq(("a", "b")))
+  }
 }
