@@ -2766,7 +2766,19 @@ object TxTable {
       math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     rewriteFiles(spark, path, files, layout, mergeSchema,
       None) { snapshot =>
-      ZOrder.cluster(snapshot, zc, numFiles, bitsPerCol,
+      // ONE clustering column = a plain range cluster: the 1-D
+      // "z-order" is exactly a sort, it works for ANY orderable type
+      // (bit interleaving needs numeric bounds — a string sort key
+      // like an inverted index's token column would fail the cast),
+      // and it reproduces byte-for-byte the range-sorted layout the
+      // index builders (Bm25 tokenSorted, IVF idSorted) write — so
+      // OPTIMIZE after fragmenting appends restores the BUILD layout,
+      // not an approximation of it.
+      if (zc.size == 1)
+        snapshot.repartitionByRange(numFiles,
+            (layout.map(col) :+ col(zc.head)): _*)
+          .sortWithinPartitions((layout.map(col) :+ col(zc.head)): _*)
+      else ZOrder.cluster(snapshot, zc, numFiles, bitsPerCol,
         leadCols = layout)
     }
   }

@@ -97,6 +97,37 @@ class ZOrderSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == beforeRows)
   }
 
+  test("optimize on ONE column range-clusters — string sort keys included") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    // a posting-table shape: string sort key, fragmented across
+    // appends the way a streaming index maintainer leaves it (bit
+    // interleaving would fail the numeric cast on `tok` — 1-D
+    // clustering must take the plain range-sort path)
+    val toks = ('a' to 'h').map(_.toString)
+    (0 until 4).foreach { i =>
+      TxTable.append(spark, dir,
+        (0 until 200).map(j => (toks((i + j) % toks.size), j.toLong))
+          .toDF("tok", "n"))
+    }
+    val before = TxTable.read(spark, dir)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    assert(TxTable.readWhere(spark, dir, col("tok") === "c")
+      .inputFiles.length == before.inputFiles.length,
+      "pre-optimize: every fragment holds every token — no pruning")
+    TxTable.optimize(spark, dir, Seq("tok"), targetBytes = 2L * 1024)
+    val after = TxTable.read(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows,
+      "optimize is layout-only — data identical")
+    val total = after.inputFiles.length
+    assert(total >= 4, s"expected a multi-file rewrite, got $total")
+    assert(TxTable.readWhere(spark, dir, col("tok") === "c")
+      .inputFiles.length <= total / 2,
+      "post-optimize: the string needle prunes to its token range")
+  }
+
   test("optimize preserves a hive-partitioned layout without being told it") {
     val s = spark
     import s.implicits._
