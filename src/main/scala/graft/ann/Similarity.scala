@@ -695,14 +695,26 @@ object Similarity {
     * afterwards ≡ a [[sqEncode]] of the union under the SAME ranges
     * (pinned by spec and the q_x_ann_sq_served oracle); it is NOT a
     * re-trained rebuild — that is the documented offline job.
+    * `txn = Some((app, batchId))` makes the append replay-safe for a
+    * `foreachBatch` driver — the [[ivfAppend]] contract.
     */
   def sqAppend(spark: org.apache.spark.sql.SparkSession, root: String,
                newVectors: DataFrame,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): Long = {
+               vecCol: String = "embedding",
+               txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, s"$root/codes", app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, s"$root/codes").last
+    }
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     val ranges = graft.ops.TxTable.read(spark, s"$root/ranges")
     graft.ops.TxTable.append(spark, s"$root/codes",
-      idSorted(sqEncode(newVectors, ranges, idCol, vecCol), idCol))
+      idSorted(sqEncode(newVectors, ranges, idCol, vecCol), idCol),
+      meta = txnMeta, guard = txnGuard)
   }
 
   /** Remove vectors' codes — one atomic manifest-pruned copy-on-write
@@ -1162,10 +1174,20 @@ object Similarity {
   def pqAppend(spark: org.apache.spark.sql.SparkSession, root: String,
                newVectors: DataFrame,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): Long = {
+               vecCol: String = "embedding",
+               txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, s"$root/codes", app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, s"$root/codes").last
+    }
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     val cbs = graft.ops.TxTable.read(spark, s"$root/cbs")
     graft.ops.TxTable.append(spark, s"$root/codes",
-      idSorted(pqEncode(newVectors, cbs, idCol, vecCol), idCol))
+      idSorted(pqEncode(newVectors, cbs, idCol, vecCol), idCol),
+      meta = txnMeta, guard = txnGuard)
   }
 
   /** Remove vectors' codes — one atomic manifest-pruned copy-on-write

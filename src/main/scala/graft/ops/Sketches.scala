@@ -258,10 +258,24 @@ object Sketches {
     * register-exact in dense mode, but in the sparse/coupon regime
     * (small distinct counts) a split can drift by a count or two —
     * inside the estimator's own error either way (spec-pinned).
+    * `txn = Some((app, batchId))` makes the append replay-safe for a
+    * `foreachBatch` driver (the [[graft.text.Bm25.appendToIndex]]
+    * contract) — a replayed HLL batch is SEMANTICALLY harmless
+    * (register-max union is idempotent) but still costs a duplicate
+    * grain row per replay; the token keeps the table clean.
     */
   def appendHllGrains(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
-                      grainCols: Seq[String], value: Column): Long = {
+                      grainCols: Seq[String], value: Column,
+                      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, path).last
+    }
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     val v = graft.ops.TxTable.versions(spark, path).last
     val lgK = graft.ops.TxTable.commitMeta(spark, path, v)
       .getOrElse(LgKMetaKey, sys.error(
@@ -269,7 +283,8 @@ object Sketches {
           "with Sketches.writeHllGrains)")).toInt
     graft.ops.TxTable.append(spark, path,
       hllSketch(df, grainCols.map(col), value, lgK),
-      meta = Map(LgKMetaKey -> lgK.toString))
+      meta = Map(LgKMetaKey -> lgK.toString) ++ txnMeta,
+      guard = txnGuard)
   }
 
   /** Serve approximate distincts from the stored sketches: filter the
@@ -299,10 +314,26 @@ object Sketches {
       kllSketch(df, grainCols.map(col), value, k),
       meta = Map(KllKMetaKey -> k.toString))
 
-  /** Sketch ONLY the batch at the table's own k and append. */
+  /** Sketch ONLY the batch at the table's own k and append.
+    * `txn = Some((app, batchId))` makes the append replay-safe — and
+    * HERE it is load-bearing, not just hygiene: unlike HLL's
+    * idempotent register-max, re-merging a replayed KLL sketch
+    * double-weights its rows and SHIFTS every served quantile, so a
+    * `foreachBatch` maintainer without the token silently corrupts
+    * the percentiles on its first checkpoint replay.
+    */
   def appendKllGrains(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
-                      grainCols: Seq[String], value: Column): Long = {
+                      grainCols: Seq[String], value: Column,
+                      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
+          .exists(_ >= batchId))
+        return graft.ops.TxTable.versions(spark, path).last
+    }
+    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
+      graft.ops.TxTable.txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
     val v = graft.ops.TxTable.versions(spark, path).last
     val k = graft.ops.TxTable.commitMeta(spark, path, v)
       .getOrElse(KllKMetaKey, sys.error(
@@ -310,7 +341,8 @@ object Sketches {
           "build it with Sketches.writeKllGrains)")).toInt
     graft.ops.TxTable.append(spark, path,
       kllSketch(df, grainCols.map(col), value, k),
-      meta = Map(KllKMetaKey -> k.toString))
+      meta = Map(KllKMetaKey -> k.toString) ++ txnMeta,
+      guard = txnGuard)
   }
 
   /** Quantiles at `probs` from the stored sketches over a grain

@@ -130,6 +130,23 @@ class PqAnnSpec extends SparkSpec {
     assert(hits >= 24, s"recall@5 at nprobe=3/6 = $hits/40")
   }
 
+  test("pqAppend txn token: a replayed batch commits nothing") {
+    val r = new scala.util.Random(63)
+    val a = (0L until 20L).map(i => PqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat)))
+    val b = (20L until 30L).map(i => PqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat)))
+    val root = java.nio.file.Files.createTempDirectory("graft_pqtx")
+      .toString + "/pq"
+    Similarity.writePqIndex(df(a), root, m = 2, ksub = 8)
+    Similarity.pqAppend(spark, root, df(b), txn = Some(("pq_m", 0L)))
+    val v = graft.ops.TxTable.versions(spark, root + "/codes").last
+    Similarity.pqAppend(spark, root, df(b), txn = Some(("pq_m", 0L)))
+    assert(graft.ops.TxTable.versions(spark, root + "/codes").last === v,
+      "checkpoint replay must be a no-op")
+    assert(graft.ops.TxTable.read(spark, root + "/codes").count() === 30L)
+  }
+
   test("persisted PQ index: frozen-codebook append + removal serve ≡ in-memory") {
     val r = new scala.util.Random(61)
     val a = (0L until 40L).map(i => PqVec(i,

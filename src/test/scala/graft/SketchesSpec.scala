@@ -249,6 +249,40 @@ class SketchesSpec extends SparkSpec {
     assert(checked.count() === 9L)
   }
 
+  test("KLL txn token: a replayed batch is a no-op — quantiles don't double-weight") {
+    val s = spark
+    import s.implicits._
+    // skew day 1 high so a double-merged replay visibly drags the
+    // median upward (KLL re-merge double-weights, unlike HLL's
+    // idempotent register max — this is where the token is
+    // load-bearing, not hygiene)
+    val base = (0 until 3000).map(i => (0, (i % 100).toDouble))
+      .toDF("day", "v")
+    val batch = (0 until 3000).map(i => (0, 9000.0 + i % 100))
+      .toDF("day", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_klltx").toString + "/sketches"
+    Sketches.writeKllGrains(base, dir, Seq("day"), col("v"))
+    Sketches.appendKllGrains(spark, dir, batch, Seq("day"), col("v"),
+      txn = Some(("kll_m", 0L)))
+    val vAfter = graft.ops.TxTable.versions(spark, dir).last
+    def median() = Sketches.kllServe(spark, dir, Seq("day"), Seq(0.5))
+      .collect().head.getSeq[Double](1).head
+    val m1 = median()
+    // checkpoint replay of the SAME batch id: no commit, same median
+    Sketches.appendKllGrains(spark, dir, batch, Seq("day"), col("v"),
+      txn = Some(("kll_m", 0L)))
+    assert(graft.ops.TxTable.versions(spark, dir).last === vAfter,
+      "replayed batch must not commit")
+    assert(median() === m1)
+    // the CONTRAST: the same replay WITHOUT the token commits a
+    // duplicate sketch and double-weights the high rows — the median
+    // visibly shifts toward them
+    Sketches.appendKllGrains(spark, dir, batch, Seq("day"), col("v"))
+    assert(median() > m1,
+      s"untokened replay must double-weight (median $m1 -> ${median()})")
+  }
+
   test("appendKllGrains refuses a table without KLL meta") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_kllx").toString + "/plain"

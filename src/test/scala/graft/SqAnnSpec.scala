@@ -127,6 +127,23 @@ class SqAnnSpec extends SparkSpec {
     assert(graft.ops.TxTable.versions(spark, s"$root/codes").size === vs)
   }
 
+  test("sqAppend txn token: a replayed batch commits nothing") {
+    val r = new scala.util.Random(64)
+    val a = (0L until 20L).map(i => SqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat)))
+    val b = (20L until 30L).map(i => SqVec(i,
+      Array.fill(8)(r.nextGaussian().toFloat)))
+    val root = java.nio.file.Files.createTempDirectory("graft_sqtx")
+      .toString + "/sq"
+    Similarity.writeSqIndex(df(a), root)
+    Similarity.sqAppend(spark, root, df(b), txn = Some(("sq_m", 0L)))
+    val v = graft.ops.TxTable.versions(spark, root + "/codes").last
+    Similarity.sqAppend(spark, root, df(b), txn = Some(("sq_m", 0L)))
+    assert(graft.ops.TxTable.versions(spark, root + "/codes").last === v,
+      "checkpoint replay must be a no-op")
+    assert(graft.ops.TxTable.read(spark, root + "/codes").count() === 30L)
+  }
+
   test("zero-norm corpus rows and queries are excluded") {
     val corpus = df(vecs(20, 4, seed = 3) :+
       SqVec(99L, Array(0f, 0f, 0f, 0f)))
