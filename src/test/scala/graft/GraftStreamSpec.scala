@@ -241,10 +241,10 @@ class GraftStreamSpec extends SparkSpec {
       .load(table)
       .writeStream
       .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!b.isEmpty) {
             Sketches.appendHllGrains(spark, grains, b, Seq("day"),
-              col("user")); ()
+              col("user"), txn = Some(("hll_m", bid))); ()
           }
       }
       .option("checkpointLocation", cp).start()
