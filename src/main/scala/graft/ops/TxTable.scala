@@ -2783,6 +2783,30 @@ object TxTable {
     }
   }
 
+  /** OPTIMIZE only when the head snapshot is actually fragmented —
+    * the POLICY half of the maintenance story the frag ladder prices
+    * (`MAINT_FRAG_r14.json`: a 50-commit index serves 13–18× slower
+    * than the single layout commit that fixes it). A `foreachBatch`
+    * maintainer calls this after its append: below `maxFiles` it is
+    * one manifest read (returns None — no commit, no data I/O); at or
+    * above it runs [[optimize]] on `zorderCols` (or the declared
+    * clustering columns) and returns the new version. Fragmentation
+    * is measured as the head snapshot's file count — the quantity
+    * serve cost actually tracks (one task setup + one footer read per
+    * file, plus manifest-prune ranges that widen with every
+    * full-range fragment).
+    */
+  def optimizeIfFragmented(spark: SparkSession, path: String,
+                           zorderCols: Seq[String], maxFiles: Int = 64,
+                           targetBytes: Long = 128L * 1024 * 1024,
+                           partitionCols: Seq[String] = Nil,
+                           mergeSchema: Boolean = false): Option[Long] = {
+    require(maxFiles > 0, "maxFiles must be positive")
+    if (read(spark, path, mergeSchema).inputFiles.length < maxFiles) None
+    else Some(optimize(spark, path, zorderCols, targetBytes,
+      partitionCols = partitionCols, mergeSchema = mergeSchema))
+  }
+
   /** Commit pre-written data files as one streaming micro-batch append
     * — the driver half of the native `writeStream.format("graft")`
     * sink ([[graft.streaming.GraftStreamingWrite]]): executors have

@@ -128,6 +128,30 @@ class ZOrderSpec extends SparkSpec {
       "post-optimize: the string needle prunes to its token range")
   }
 
+  test("optimizeIfFragmented: a pure check below the threshold, one rewrite at it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    // 6 single-file appends — the streaming-maintainer shape
+    (0 until 6).foreach { i =>
+      TxTable.append(spark, dir,
+        (0 until 100).map(j => ((i * 100 + j).toLong, j.toLong))
+          .toDF("k", "n").coalesce(1))
+    }
+    val head = TxTable.versions(spark, dir).last
+    assert(TxTable.optimizeIfFragmented(spark, dir, Seq("k"),
+      maxFiles = 10).isEmpty, "6 files < 10 — must not commit")
+    assert(TxTable.versions(spark, dir).last === head)
+    val v = TxTable.optimizeIfFragmented(spark, dir, Seq("k"), maxFiles = 6)
+    assert(v.isDefined, "at the threshold the rewrite runs")
+    assert(TxTable.read(spark, dir).inputFiles.length < 6)
+    assert(TxTable.read(spark, dir).count() === 600L)
+    // and the freshly-compacted table is below threshold again
+    assert(TxTable.optimizeIfFragmented(spark, dir, Seq("k"),
+      maxFiles = 6).isEmpty)
+  }
+
   test("optimize preserves a hive-partitioned layout without being told it") {
     val s = spark
     import s.implicits._
