@@ -252,11 +252,15 @@ class SketchesSpec extends SparkSpec {
   test("KLL txn token: a replayed batch is a no-op — quantiles don't double-weight") {
     val s = spark
     import s.implicits._
-    // skew day 1 high so a double-merged replay visibly drags the
-    // median upward (KLL re-merge double-weights, unlike HLL's
-    // idempotent register max — this is where the token is
-    // load-bearing, not hygiene)
-    val base = (0 until 3000).map(i => (0, (i % 100).toDouble))
+    // masses chosen so the TRUE median flips cluster only under a
+    // double-merge: 4000 low + 3000 high → median rank 3500 sits in
+    // the LOW cluster (≤ 99); replaying the high batch once more
+    // (4000 low + 6000 high) moves rank 5000 into the HIGH cluster
+    // (≥ 9000). The 8900-wide gap dwarfs KLL rank error at any k, so
+    // the assertion is deterministic despite randomized compaction.
+    // (KLL re-merge double-weights, unlike HLL's idempotent register
+    // max — this is where the token is load-bearing, not hygiene.)
+    val base = (0 until 4000).map(i => (0, (i % 100).toDouble))
       .toDF("day", "v")
     val batch = (0 until 3000).map(i => (0, 9000.0 + i % 100))
       .toDF("day", "v")
@@ -269,17 +273,24 @@ class SketchesSpec extends SparkSpec {
     def median() = Sketches.kllServe(spark, dir, Seq("day"), Seq(0.5))
       .collect().head.getSeq[Double](1).head
     val m1 = median()
+    assert(m1 < 1000.0, s"fixture: true median is in the low cluster, got $m1")
     // checkpoint replay of the SAME batch id: no commit, same median
     Sketches.appendKllGrains(spark, dir, batch, Seq("day"), col("v"),
       txn = Some(("kll_m", 0L)))
     assert(graft.ops.TxTable.versions(spark, dir).last === vAfter,
       "replayed batch must not commit")
-    assert(median() === m1)
+    // NOT bit-equality: kllServe re-unions the stored sketches per
+    // call and KLL union compaction is randomized, so two serves of
+    // the SAME table can differ by a rank (the documented
+    // envelope-equal contract). The skip is pinned structurally (no
+    // commit above); the quantile check is cluster membership.
+    assert(median() < 1000.0,
+      "after the skipped replay the median must stay in the low cluster")
     // the CONTRAST: the same replay WITHOUT the token commits a
     // duplicate sketch and double-weights the high rows — the median
-    // visibly shifts toward them
+    // jumps clusters
     Sketches.appendKllGrains(spark, dir, batch, Seq("day"), col("v"))
-    assert(median() > m1,
+    assert(median() > 8000.0,
       s"untokened replay must double-weight (median $m1 -> ${median()})")
   }
 
