@@ -7,7 +7,10 @@ import graft.ops.TxTable
 
 /** Maintenance-ladder evidence: what index fragmentation costs at
   * serve time and what OPTIMIZE buys back — plus the multi-column
-  * Z-order pruning proof at 100 copies. Two modes:
+  * Z-order pruning proof at 100 copies. Three modes (`frag`,
+  * `zorder`, `maintained` — the last measures the CLOSED loop: the
+  * appenders' `maintain` policy keeping serve cost flat across the
+  * same append trail `frag` lets degrade):
   *
   * `runMain graft.MaintBench frag [dataDir] [commits]` — builds the
   * persisted BM25 posting table and the IVF lists the way a STREAMING
@@ -81,6 +84,10 @@ object MaintBench {
         val out = args.lift(2).getOrElse("/tmp/graft_sf10")
         val copies = args.lift(3).map(_.toInt).getOrElse(100)
         zorder(spark, base, out, copies)
+      case "maintained" =>
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val commits = args.lift(2).map(_.toInt).getOrElse(50)
+        maintained(spark, dir, commits)
       case other => sys.error(s"unknown MaintBench mode '$other'")
     }
     spark.stop()
@@ -158,6 +165,83 @@ object MaintBench {
       s""""ivf":{"files_frag":$ivfFilesFrag,"serve_frag_sec":${f(ivfFrag)},""" +
       s""""files_opt":$ivfFilesOpt,"serve_opt_sec":${f(ivfOpt)},""" +
       s""""rows_equal":$ivfEqual}}""")
+  }
+
+  // ------------------------------------------------ maintained loop
+
+  /** The CLOSED maintenance loop [[frag]] prices the absence of: the
+    * same micro-batch append trail, but with the appenders' opt-in
+    * `maintain` policy wired ([[TxTable.Maintenance]] →
+    * [[TxTable.optimizeIfFragmented]] after each landed append).
+    * Serve time is sampled along the run; the claim is FLATNESS —
+    * serve cost at commit 50 reads like commit 10, because the file
+    * count never outruns the policy's threshold. Contrast row for
+    * MAINT_FRAG's 18×/13× unmaintained degradation.
+    */
+  private def maintained(spark: SparkSession, dir: String,
+                         commits: Int): Unit = {
+    import graft.ann.Similarity
+    import graft.text.Bm25
+    val root = stateRoot("maintained", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val docs = graft.ops.Sources.table(spark, dir, "documents")
+      .localCheckpoint()
+    val emb = graft.ops.Sources.table(spark, dir, "embeddings")
+      .localCheckpoint()
+    val loadPre = graft.util.Host.loadavg()
+    val policy = Some(TxTable.Maintenance(maxFiles = 12))
+    val sampleAt = Set(1, commits / 4, commits / 2,
+      3 * commits / 4, commits)
+
+    // ---- BM25 with the policy riding every append
+    val bmPath = root + "/bm25"
+    Bm25.buildIndex(docs.filter(col("doc_id") % commits === 0),
+      "doc_id", "text", bmPath)
+    val queries = Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+      ("q3", "stream window agg"))
+    def bmServe() = Bm25.searchIndexed(spark, bmPath, queries, topK = 10)
+    val bmSamples = (1 until commits).flatMap { i =>
+      Bm25.appendToIndex(spark, bmPath,
+        docs.filter(col("doc_id") % commits === i), "doc_id", "text",
+        checkDuplicates = false, maintain = policy)
+      if (sampleAt(i + 1))
+        Some((i + 1, TxTable.read(spark, bmPath).inputFiles.length,
+          medianSec(3)(bmServe())))
+      else None
+    }
+
+    // ---- IVF lists, same loop
+    val ivfPath = root + "/ivf"
+    val index = Similarity.buildIvfIndex(emb, numLists = 16)
+      .localCheckpoint()
+    Similarity.writeIvfLists(emb.filter(col("vec_id") % commits === 0),
+      index, ivfPath)
+    val qv = emb.filter(col("vec_id") < 8)
+    def ivfServe() = Similarity.ivfTopKFromLists(spark, ivfPath, qv,
+      k = 5, nprobe = 4, index)
+    val ivfSamples = (1 until commits).flatMap { i =>
+      Similarity.ivfAppend(spark, ivfPath, index,
+        emb.filter(col("vec_id") % commits === i), maintain = policy)
+      if (sampleAt(i + 1))
+        Some((i + 1, TxTable.read(spark, ivfPath).inputFiles.length,
+          medianSec(3)(ivfServe())))
+      else None
+    }
+
+    val loadPost = graft.util.Host.loadavg()
+    def samples(xs: Seq[(Int, Int, Double)]) = xs.map { case (c, n, t) =>
+      s"""{"commit":$c,"files":$n,"serve_sec":${f(t)}}"""
+    }.mkString("[", ",", "]")
+    writeLine(s"""{"metric":"maint_maintained",""" +
+      s""""dir":${graft.util.Host.jsonStr(dir)},"commits":$commits,""" +
+      s""""max_files":12,""" +
+      s""""load_pre":${loadPre.map(f).mkString("[", ",", "]")},""" +
+      s""""load_post":${loadPost.map(f).mkString("[", ",", "]")},""" +
+      s""""bm25":${samples(bmSamples)},""" +
+      s""""ivf":${samples(ivfSamples)}}""")
   }
 
   // ------------------------------------------------ zorder at 100×

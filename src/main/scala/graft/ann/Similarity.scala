@@ -332,24 +332,29 @@ object Similarity {
     * atomically with the list rows as a `txn.<app>` token, so a
     * checkpoint-replayed batch whose append already landed is a no-op
     * instead of planting every vector twice in its list.
+    *
+    * `maintain = Some(policy)` bounds the file count the append trail
+    * leaves behind ([[graft.text.Bm25.appendToIndex]]'s contract): a
+    * landed append checks the policy's threshold and, when crossed,
+    * ONE id-range OPTIMIZE restores the [[writeIvfLists]] layout —
+    * the measured alternative is ~13× serve degradation after 50
+    * unmaintained appends (`MAINT_FRAG_r14.json`).
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                 index: DataFrame, newVectors: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding",
-                txn: Option[(String, Long)] = None): Long = {
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, path).last
+                txn: Option[(String, Long)] = None,
+                maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, path, txn) { (txnMeta, txnGuard) =>
+      val v = graft.ops.TxTable.append(spark, path,
+        idSorted(assignToLists(newVectors, index, idCol, vecCol), idCol),
+        meta = txnMeta, guard = txnGuard)
+      graft.ops.TxTable.maintainAfterAppend(spark, path, Seq(idCol),
+        maintain)
+      v
     }
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    graft.ops.TxTable.append(spark, path,
-      idSorted(assignToLists(newVectors, index, idCol, vecCol), idCol),
-      meta = txnMeta, guard = txnGuard)
-  }
 
   /** REMOVE vectors from persisted inverted lists — the dense index's
     * lifecycle third leg (GDPR purge, contaminated-embedding excision),
@@ -702,20 +707,19 @@ object Similarity {
                newVectors: DataFrame,
                idCol: String = "vec_id",
                vecCol: String = "embedding",
-               txn: Option[(String, Long)] = None): Long = {
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, s"$root/codes", app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, s"$root/codes").last
+               txn: Option[(String, Long)] = None,
+               maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, s"$root/codes", txn) {
+      (txnMeta, txnGuard) =>
+        val ranges = graft.ops.TxTable.read(spark, s"$root/ranges")
+        val v = graft.ops.TxTable.append(spark, s"$root/codes",
+          idSorted(sqEncode(newVectors, ranges, idCol, vecCol), idCol),
+          meta = txnMeta, guard = txnGuard)
+        graft.ops.TxTable.maintainAfterAppend(spark, s"$root/codes",
+          Seq(idCol), maintain)
+        v
     }
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    val ranges = graft.ops.TxTable.read(spark, s"$root/ranges")
-    graft.ops.TxTable.append(spark, s"$root/codes",
-      idSorted(sqEncode(newVectors, ranges, idCol, vecCol), idCol),
-      meta = txnMeta, guard = txnGuard)
-  }
 
   /** Remove vectors' codes — one atomic manifest-pruned copy-on-write
     * delete (the [[ivfRemove]] contract: the codebook carries no
@@ -1175,20 +1179,19 @@ object Similarity {
                newVectors: DataFrame,
                idCol: String = "vec_id",
                vecCol: String = "embedding",
-               txn: Option[(String, Long)] = None): Long = {
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, s"$root/codes", app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, s"$root/codes").last
+               txn: Option[(String, Long)] = None,
+               maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, s"$root/codes", txn) {
+      (txnMeta, txnGuard) =>
+        val cbs = graft.ops.TxTable.read(spark, s"$root/cbs")
+        val v = graft.ops.TxTable.append(spark, s"$root/codes",
+          idSorted(pqEncode(newVectors, cbs, idCol, vecCol), idCol),
+          meta = txnMeta, guard = txnGuard)
+        graft.ops.TxTable.maintainAfterAppend(spark, s"$root/codes",
+          Seq(idCol), maintain)
+        v
     }
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    val cbs = graft.ops.TxTable.read(spark, s"$root/cbs")
-    graft.ops.TxTable.append(spark, s"$root/codes",
-      idSorted(pqEncode(newVectors, cbs, idCol, vecCol), idCol),
-      meta = txnMeta, guard = txnGuard)
-  }
 
   /** Remove vectors' codes — one atomic manifest-pruned copy-on-write
     * delete (the [[ivfRemove]]/[[sqRemove]] contract: codebooks carry

@@ -158,15 +158,32 @@ object SemDedup {
     * after the append [[semDedupServed]] is bit-identical to a
     * from-scratch [[writeModel]] over the union (same fixed centroids
     * route both — pinned by spec).
+    * `txn = Some((app, batchId))` makes the append REPLAY-SAFE for a
+    * `foreachBatch` maintainer (the [[graft.text.Bm25.appendToIndex]]
+    * contract, via [[graft.ops.TxTable.withTxn]]): without it a
+    * checkpoint-replayed batch double-appends its rows into the
+    * assignments table — every replayed row then serves as its own
+    * duplicate, which for a DEDUP model is self-defeating.
     */
   def appendToModel(spark: org.apache.spark.sql.SparkSession, root: String,
                     newRows: DataFrame,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Long = {
-    val centroids = graft.ops.TxTable.read(spark, s"$root/centroids")
-    graft.ops.TxTable.append(spark, s"$root/assignments",
-      assignedWithZeroNorm(newRows, centroids, idCol, vecCol))
-  }
+                    vecCol: String = "embedding",
+                    txn: Option[(String, Long)] = None,
+                    maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, s"$root/assignments", txn) {
+      (txnMeta, txnGuard) =>
+        val centroids = graft.ops.TxTable.read(spark, s"$root/centroids")
+        val v = graft.ops.TxTable.append(spark, s"$root/assignments",
+          assignedWithZeroNorm(newRows, centroids, idCol, vecCol),
+          meta = txnMeta, guard = txnGuard)
+        // idCol is the build layout (assignedWithZeroNorm's id-range
+        // sort) — the rewrite restores writeModel's file windows
+        graft.ops.TxTable.maintainAfterAppend(spark,
+          s"$root/assignments", Seq(idCol), maintain)
+        v
+    }
 
   /** `(idCol, vecCol, nrm, list_id)` for EVERY row of `rows`: the
     * nearest-centroid assignment, plus the rows the assignment

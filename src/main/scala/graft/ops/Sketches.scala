@@ -267,25 +267,25 @@ object Sketches {
   def appendHllGrains(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
                       grainCols: Seq[String], value: Column,
-                      txn: Option[(String, Long)] = None): Long = {
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, path).last
+                      txn: Option[(String, Long)] = None,
+                      maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, path, txn) { (txnMeta, txnGuard) =>
+      val v = graft.ops.TxTable.versions(spark, path).last
+      val lgK = graft.ops.TxTable.commitMeta(spark, path, v)
+        .getOrElse(LgKMetaKey, sys.error(
+          s"$path is not a sketch table (no $LgKMetaKey meta — build it " +
+            "with Sketches.writeHllGrains)")).toInt
+      val out = graft.ops.TxTable.append(spark, path,
+        hllSketch(df, grainCols.map(col), value, lgK),
+        meta = Map(LgKMetaKey -> lgK.toString) ++ txnMeta,
+        guard = txnGuard)
+      // grain columns are the serve filter key — the rewrite keeps
+      // range pruning tight while collapsing the per-batch files
+      graft.ops.TxTable.maintainAfterAppend(spark, path, grainCols,
+        maintain)
+      out
     }
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    val v = graft.ops.TxTable.versions(spark, path).last
-    val lgK = graft.ops.TxTable.commitMeta(spark, path, v)
-      .getOrElse(LgKMetaKey, sys.error(
-        s"$path is not a sketch table (no $LgKMetaKey meta — build it " +
-          "with Sketches.writeHllGrains)")).toInt
-    graft.ops.TxTable.append(spark, path,
-      hllSketch(df, grainCols.map(col), value, lgK),
-      meta = Map(LgKMetaKey -> lgK.toString) ++ txnMeta,
-      guard = txnGuard)
-  }
 
   /** Serve approximate distincts from the stored sketches: filter the
     * grain rows (`where` — e.g. a date range; column-pruned,
@@ -325,24 +325,22 @@ object Sketches {
   def appendKllGrains(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
                       grainCols: Seq[String], value: Column,
-                      txn: Option[(String, Long)] = None): Long = {
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, path).last
-    }
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    val v = graft.ops.TxTable.versions(spark, path).last
-    val k = graft.ops.TxTable.commitMeta(spark, path, v)
-      .getOrElse(KllKMetaKey, sys.error(
-        s"$path is not a KLL sketch table (no $KllKMetaKey meta — " +
-          "build it with Sketches.writeKllGrains)")).toInt
-    graft.ops.TxTable.append(spark, path,
-      kllSketch(df, grainCols.map(col), value, k),
-      meta = Map(KllKMetaKey -> k.toString) ++ txnMeta,
-      guard = txnGuard)
+                      txn: Option[(String, Long)] = None,
+                      maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long =
+    graft.ops.TxTable.withTxn(spark, path, txn) { (txnMeta, txnGuard) =>
+      val v = graft.ops.TxTable.versions(spark, path).last
+      val k = graft.ops.TxTable.commitMeta(spark, path, v)
+        .getOrElse(KllKMetaKey, sys.error(
+          s"$path is not a KLL sketch table (no $KllKMetaKey meta — " +
+            "build it with Sketches.writeKllGrains)")).toInt
+      val out = graft.ops.TxTable.append(spark, path,
+        kllSketch(df, grainCols.map(col), value, k),
+        meta = Map(KllKMetaKey -> k.toString) ++ txnMeta,
+        guard = txnGuard)
+      graft.ops.TxTable.maintainAfterAppend(spark, path, grainCols,
+        maintain)
+      out
   }
 
   /** Quantiles at `probs` from the stored sketches over a grain

@@ -666,6 +666,31 @@ object TxTable {
     (Map(key -> batchId.toString), Map(key -> batchId))
   }
 
+  /** The WHOLE idempotent-append contract in one place: skip-check the
+    * replay token against `path`'s head, then run `doAppend` with the
+    * claim's (meta, guard) to attach to its commit. Returns the head
+    * version unchanged when the token says the batch already landed
+    * (the checkpoint-replay no-op), otherwise `doAppend`'s version.
+    * Every incremental maintainer (Bm25.appendToIndex, Similarity
+    * ivf/sq/pqAppend, Sketches HLL/KLL grain appends, SemDedup
+    * appendToModel) routes through here so the check-then-claim
+    * semantics — the skip is an optimization; the GUARD is what makes
+    * a zombie-vs-restart race safe — can't drift per call site.
+    * `txn = None` degrades to a plain unguarded append.
+    */
+  private[graft] def withTxn(spark: SparkSession, path: String,
+                             txn: Option[(String, Long)])
+      (doAppend: (Map[String, String], Map[String, Long]) => Long): Long = {
+    txn.foreach { case (app, batchId) =>
+      if (lastTxnVersion(spark, path, app).exists(_ >= batchId))
+        return versions(spark, path).last
+    }
+    val (meta, guard) = txn.map { case (app, batchId) =>
+      txnClaim(app, batchId)
+    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
+    doAppend(meta, guard)
+  }
+
   /** Refuse a caller-supplied token that would break the manifest
     * meta grammar (space-separated `k=v` pairs, one per line) — THE
     * one definition every writer-facing API (streaming sinks,
@@ -2787,22 +2812,69 @@ object TxTable {
     * the POLICY half of the maintenance story the frag ladder prices
     * (`MAINT_FRAG_r14.json`: a 50-commit index serves 13–18× slower
     * than the single layout commit that fixes it). A `foreachBatch`
-    * maintainer calls this after its append: below `maxFiles` it is
-    * one manifest read (returns None — no commit, no data I/O); at or
-    * above it runs [[optimize]] on `zorderCols` (or the declared
-    * clustering columns) and returns the new version. Fragmentation
-    * is measured as the head snapshot's file count — the quantity
-    * serve cost actually tracks (one task setup + one footer read per
-    * file, plus manifest-prune ranges that widen with every
-    * full-range fragment).
+    * maintainer calls this after its append: when healthy it is one
+    * manifest read (returns None — no commit, no data I/O); when
+    * fragmented it runs [[optimize]] on `zorderCols` and returns the
+    * new version.
+    *
+    * Fragmentation is the head's file count vs the count a HEALTHY
+    * layout of the same bytes would have: optimize itself emits
+    * `ceil(bytes / targetBytes)` files, so the trigger is
+    * `files >= max(maxFiles, excessFactor * ceil(bytes/targetBytes))`
+    * — an absolute threshold alone would re-run a FULL-table rewrite
+    * on every micro-batch forever once the table outgrows
+    * `maxFiles * targetBytes` (~8 GB at the 64-file/128 MB defaults):
+    * freshly compacted it would STILL read >= maxFiles files. The
+    * bytes side is manifest+FileStatus reads only, same cost class as
+    * the file listing. File count is the right fragmentation measure
+    * (one task setup + one footer read per file, plus manifest-prune
+    * ranges that widen with every full-range fragment);
+    * `excessFactor` is how many appends-worth of extra files to
+    * tolerate between rewrites — amortization, not correctness.
     */
+  /** The opt-in per-append maintenance policy an incremental index
+    * appender threads through to [[optimizeIfFragmented]] — how a
+    * `foreachBatch` maintainer keeps its table's file count bounded
+    * WITHOUT the operator remembering to run OPTIMIZE (the measured
+    * failure mode: 50 micro-batch appends degrade BM25/IVF serve
+    * 18×/13×, `MAINT_FRAG_r14.json`). Each appender supplies its own
+    * build-layout key (BM25 postings → token, IVF/SQ/PQ codes → the
+    * id column), so the rewrite restores the exact layout the builder
+    * writes; the policy only says WHEN. Replay-skipped batches never
+    * trigger maintenance (no new fragment landed).
+    */
+  case class Maintenance(maxFiles: Int = 64,
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         excessFactor: Double = 2.0)
+
+  /** Run `maintain`'s threshold check (and possibly one OPTIMIZE
+    * commit) for a table whose healthy layout clusters on
+    * `layoutCols` — the one-line hook every appender places after its
+    * landed append.
+    */
+  private[graft] def maintainAfterAppend(spark: SparkSession, path: String,
+                                         layoutCols: Seq[String],
+                                         maintain: Option[Maintenance])
+      : Unit =
+    maintain.foreach(m => optimizeIfFragmented(spark, path, layoutCols,
+      maxFiles = m.maxFiles, targetBytes = m.targetBytes,
+      excessFactor = m.excessFactor))
+
   def optimizeIfFragmented(spark: SparkSession, path: String,
                            zorderCols: Seq[String], maxFiles: Int = 64,
                            targetBytes: Long = 128L * 1024 * 1024,
                            partitionCols: Seq[String] = Nil,
-                           mergeSchema: Boolean = false): Option[Long] = {
+                           mergeSchema: Boolean = false,
+                           excessFactor: Double = 2.0): Option[Long] = {
     require(maxFiles > 0, "maxFiles must be positive")
-    if (read(spark, path, mergeSchema).inputFiles.length < maxFiles) None
+    require(excessFactor >= 1.0,
+      "excessFactor < 1 would re-optimize a freshly optimized table")
+    val (files, bytes) = scopedHeadFiles(spark, path, None, mergeSchema)
+    val healthy =
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val threshold =
+      math.max(maxFiles.toLong, math.ceil(excessFactor * healthy).toLong)
+    if (files.length < threshold) None
     else Some(optimize(spark, path, zorderCols, targetBytes,
       partitionCols = partitionCols, mergeSchema = mergeSchema))
   }
@@ -3071,6 +3143,14 @@ object TxTable {
     * back out — the [[graft.ops.AsofJoin]] normalization): two map
     * values are "the same row" iff they serialize identically, which
     * is also the only equality an independent engine can mirror.
+    * TOP-LEVEL map columns are key-sorted before serializing
+    * (`map_entries` → `array_sort` → `map_from_entries`), so two
+    * logically equal maps whose keys arrived in different build
+    * order — different upstream shuffles between the two versions —
+    * do NOT surface as a phantom delete+insert pair. Maps NESTED
+    * inside structs/arrays keep the serialize-identically caveat
+    * (canonicalizing arbitrary nesting would need a recursive
+    * rewrite; the render is still deterministic per build order).
     */
   def diff(spark: SparkSession, path: String, fromV: Long,
            toV: Long): DataFrame = {
@@ -3092,9 +3172,19 @@ object TxTable {
     }
     val mapCols = a.schema.fields.filter(f => hasMap(f.dataType))
       .map(_.name).toSet
+    // key-order-canonical render for a top-level map: sort the entry
+    // array before serializing so build order can't forge a change
+    def mapRender(c: String): org.apache.spark.sql.Column =
+      a.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          to_json(org.apache.spark.sql.functions.map_from_entries(
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.map_entries(col(c)))))
+        case _ => to_json(col(c))
+      }
     def counted(df: DataFrame, cnt: String) =
       df.select(struct(cols.map(c =>
-          if (mapCols(c)) to_json(col(c)).as(c) else col(c)): _*).as("__row"))
+          if (mapCols(c)) mapRender(c).as(c) else col(c)): _*).as("__row"))
         .groupBy("__row").agg(count(lit(1)).as(cnt))
     val ka = counted(a, "__ca")
     val kb = counted(b, "__cb")

@@ -282,41 +282,51 @@ object Bm25 {
     * replayed batch double-counts every posting — `checkDuplicates =
     * false` skips the only other defense — so any streaming
     * maintenance of the index should pass it.
+    *
+    * `maintain = Some(policy)` bounds the FILE count the append trail
+    * leaves behind: after a landed (non-replayed) append the policy's
+    * threshold is checked ([[graft.ops.TxTable.optimizeIfFragmented]])
+    * and, when crossed, ONE token-range OPTIMIZE restores the
+    * [[buildIndex]] layout — without it, 50 micro-batch appends serve
+    * ~18× slower (`MAINT_FRAG_r14.json`) until an operator remembers
+    * to compact. The check is one manifest read per batch; the
+    * rewrite is amortized by the policy's excess factor.
     */
   def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
                     idCol: String, textCol: String,
                     checkDuplicates: Boolean = true,
-                    txn: Option[(String, Long)] = None): Long = {
+                    txn: Option[(String, Long)] = None,
+                    maintain: Option[graft.ops.TxTable.Maintenance] = None)
+      : Long = {
     val storedId = indexIdCol(spark, path)
     require(storedId == idCol,
       s"index at $path was built on id column '$storedId', got '$idCol'")
-    txn.foreach { case (app, batchId) =>
-      if (graft.ops.TxTable.lastTxnVersion(spark, path, app)
-          .exists(_ >= batchId))
-        return graft.ops.TxTable.versions(spark, path).last
+    graft.ops.TxTable.withTxn(spark, path, txn) { (txnMeta, txnGuard) =>
+      requireUniqueIds(docs, idCol, "appendToIndex")
+      if (checkDuplicates) {
+        val dup = graft.ops.TxTable.read(spark, path).select(col(idCol))
+          .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .limit(3).collect()
+        require(dup.isEmpty,
+          s"appendToIndex: doc ids already indexed at $path: " +
+            dup.map(_.get(0)).mkString(", ") +
+            " — postings are append-only per doc; rebuild via buildIndex")
+      }
+      val (n, tot, seq) = indexStats(spark, path)
+      val batch = postingsOf(docs, idCol, textCol).localCheckpoint()
+      val st = batch.agg(countDistinct(col(idCol)).as("n"),
+        sum(col("tf")).as("tot")).collect().head
+      val (bn, bt) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+      val v = graft.ops.TxTable.append(spark, path, tokenSorted(batch, idCol),
+        meta = Map(StatsMetaKey -> s"${n + bn}:${tot + bt}",
+          IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString) ++ txnMeta,
+        guard = Map(SeqMetaKey -> (seq + 1L)) ++ txnGuard)
+      // token is the build layout's sort key (tokenSorted): the
+      // rewrite restores exactly what buildIndex writes
+      graft.ops.TxTable.maintainAfterAppend(spark, path, Seq("token"),
+        maintain)
+      v
     }
-    requireUniqueIds(docs, idCol, "appendToIndex")
-    if (checkDuplicates) {
-      val dup = graft.ops.TxTable.read(spark, path).select(col(idCol))
-        .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-        .limit(3).collect()
-      require(dup.isEmpty,
-        s"appendToIndex: doc ids already indexed at $path: " +
-          dup.map(_.get(0)).mkString(", ") +
-          " — postings are append-only per doc; rebuild via buildIndex")
-    }
-    val (n, tot, seq) = indexStats(spark, path)
-    val batch = postingsOf(docs, idCol, textCol).localCheckpoint()
-    val st = batch.agg(countDistinct(col(idCol)).as("n"),
-      sum(col("tf")).as("tot")).collect().head
-    val (bn, bt) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-    val (txnMeta, txnGuard) = txn.map { case (app, batchId) =>
-      graft.ops.TxTable.txnClaim(app, batchId)
-    }.getOrElse((Map.empty[String, String], Map.empty[String, Long]))
-    graft.ops.TxTable.append(spark, path, tokenSorted(batch, idCol),
-      meta = Map(StatsMetaKey -> s"${n + bn}:${tot + bt}",
-        IdColMetaKey -> idCol, SeqMetaKey -> (seq + 1).toString) ++ txnMeta,
-      guard = Map(SeqMetaKey -> (seq + 1L)) ++ txnGuard)
   }
 
   /** Remove documents from a persisted index — the lifecycle's third

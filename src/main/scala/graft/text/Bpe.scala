@@ -220,8 +220,21 @@ object Bpe {
     */
   def extendMerges(spark: SparkSession, path: String, docs: DataFrame,
                    textCol: String, extraMerges: Int,
-                   maxWords: Int = 20000): Long = {
-    val existing = loadMerges(spark, path)
+                   maxWords: Int = 20000): Long =
+    extendFromSnapshot(spark, path, loadMerges(spark, path), docs,
+      textCol, extraMerges, maxWords)
+
+  /** [[extendMerges]] with the vocabulary snapshot already read — the
+    * seam that makes the read-commit race DETERMINISTICALLY testable:
+    * a spec hands two extenders the same snapshot and the second
+    * commit must abort (the spec can't interleave inside a single
+    * extendMerges call). Production callers use [[extendMerges]].
+    */
+  private[graft] def extendFromSnapshot(spark: SparkSession, path: String,
+                                        existing: Seq[(String, String)],
+                                        docs: DataFrame, textCol: String,
+                                        extraMerges: Int,
+                                        maxWords: Int = 20000): Long = {
     val words = wordHistogram(docs, textCol, maxWords)
     val resumed = words.map { case (w, c) =>
       (applyMergesGreedy(codePointSymbols(w), existing), c)
@@ -234,9 +247,17 @@ object Bpe {
       ((existing.size + i).toLong, l, r, l + r)
     }.toDF("rank", "left", "right", "merged")
     val total = existing.size + more.size
+    // Guard on the state that was READ, not the target: the head
+    // carries count == existing.size at snapshot time, so a guard of
+    // existing.size + 1 aborts any extender once the count advanced
+    // past the vocabulary it trained from. Guarding on `total` only
+    // catches a racer with the SAME extraMerges — two extenders with
+    // different extraMerges (+5 and +12 from the same 18-merge read)
+    // would both pass and append overlapping ranks, silently forking
+    // the vocabulary (the Bm25.appendToIndex SeqMetaKey pattern).
     graft.ops.TxTable.append(spark, path, rows,
       meta = Map(CountMetaKey -> total.toString),
-      guard = Map(CountMetaKey -> total.toLong))
+      guard = Map(CountMetaKey -> (existing.size + 1).toLong))
   }
 
   /** Replay `merges` over a symbol sequence in rank order — each merge

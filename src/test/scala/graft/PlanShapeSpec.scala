@@ -92,6 +92,75 @@ class PlanShapeSpec extends SparkSpec {
     }.isDefined), s"partial WindowGroupLimit must precede the exchange:\n$plan")
   } }
 
+  test("as-of join (backward): ONE window pass, no range-condition join") { noAqe {
+    // the load-bearing shape: union + one carry window — NOT a range
+    // join (which plans as a nested-loop/cartesian and explodes at
+    // scale). A second WindowExec creeping in doubles the sort+shuffle
+    // cost of every as-of query.
+    val trades = df((1L to 200L).map(i => PlanFact(i % 10, s"t$i")))
+      .withColumn("ts", col("k") * 7 + length(col("v")))
+      .select(col("k"), col("ts"), col("v"))
+    val quotes = df((1L to 100L).map(i => PlanDim(i % 10, s"q$i")))
+      .withColumn("ts", col("dk") * 5)
+      .select(col("dk").as("k"), col("ts"), col("name").as("px"))
+    val joined = graft.ops.AsofJoin.asof(trades, quotes, Seq("k"), "ts",
+      valueCols = Seq("px"))
+    val plan = joined.queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1,
+      s"backward as-of must plan exactly ONE carry window:\n$plan")
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(loops.isEmpty,
+      s"as-of must never plan a range/nested-loop join:\n$plan")
+  } }
+
+  test("indexed span decontamination: the corpus scan meets a left-semi join before any explode") { noAqe {
+    // the split that makes the suite's most expensive query affordable:
+    // candidate docs (matched via the rare-token posting prune) go to
+    // the window-explode path; every other corpus row takes a narrow
+    // no-explode pass-through. If the semi join slips above the
+    // Generate, the WHOLE corpus explodes k-token windows again.
+    import graft.dedup.SpanDedup
+    val s = spark
+    import s.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_planspan").toString + "/corpus"
+    (1L to 60L).map(i => (i, s"alpha beta gamma delta token$i epsilon"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val evalSet = Seq((900L, "gamma delta token7 epsilon zeta"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_planspani").toString + "/idx"
+    graft.text.Bm25.buildIndex(corpus, "doc_id", "text", idx)
+    val masked = SpanDedup.maskContaminatedSpansIndexed(corpus, evalSet,
+      "doc_id", "text", windowTokens = 3, indexPath = idx)
+    val plan = masked.queryExecution.executedPlan
+    def scansCorpus(p: SparkPlan): Boolean = p.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("corpus")) => f
+    }.isDefined
+    def hasSemi(p: SparkPlan): Boolean = p.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString.contains("LeftSemi") &&
+          scansCorpus(j.left) => j
+    }.isDefined
+    val corpusGenerates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if scansCorpus(g) => g
+    }
+    assert(corpusGenerates.nonEmpty,
+      s"expected the candidate branch to window-explode the corpus:\n$plan")
+    assert(corpusGenerates.forall(g => hasSemi(g.child)),
+      "every corpus explode must sit ABOVE the left-semi candidate " +
+        s"split — non-candidates may never reach a Generate:\n$plan")
+  } }
+
   test("served IVF: no Lloyd (aggregate) stages in the serve-time plan") { noAqe {
     val rnd = new scala.util.Random(41)
     val vecs = (0L until 30L).map(i =>

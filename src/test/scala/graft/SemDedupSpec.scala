@@ -139,6 +139,33 @@ class SemDedupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet)
   }
 
+  test("appendToModel replay with the txn token is a no-op; without it rows double") {
+    // the checkpoint-replay window a foreachBatch maintainer lives in:
+    // the batch committed but the stream's commit marker was lost, so
+    // the restarted query re-delivers it. With txn=(app, batchId) the
+    // replay returns the unchanged head version and the assignments
+    // stay clean — a double-appended row would serve as its own
+    // duplicate, self-defeating for a dedup model.
+    val root = java.nio.file.Files.createTempDirectory("graft_semtxn")
+      .toString + "/model"
+    SemDedup.writeModel(corpus.filter(col("vec_id") <= 3), cents, root)
+    val batch = corpus.filter(col("vec_id") > 3)
+    val v1 = SemDedup.appendToModel(spark, root, batch,
+      txn = Some(("semapp", 0L)))
+    val v2 = SemDedup.appendToModel(spark, root, batch,
+      txn = Some(("semapp", 0L)))
+    assert(v2 === v1, "replayed batch must not commit")
+    val asg = s"$root/assignments"
+    assert(graft.ops.TxTable.read(spark, asg).count() === corpus.count())
+    // a NEW batch id still lands (the token tracks progress, not a lock)
+    SemDedup.appendToModel(spark, root,
+      corpus.filter(col("vec_id") === 1).withColumn("vec_id", lit(99L)),
+      txn = Some(("semapp", 1L)))
+    assert(graft.ops.TxTable.read(spark, asg).count() === corpus.count() + 1)
+    assert(graft.ops.TxTable.lastTxnVersion(spark, asg, "semapp")
+      === Some(1L))
+  }
+
   test("removeFromModel serves as if the rows never entered; one commit; no-op unknowns") {
     val root = java.nio.file.Files.createTempDirectory("graft_semrm")
       .toString + "/model"

@@ -145,6 +145,41 @@ class TextBpeSpec extends SparkSpec {
     assert(enc === encScratch)
   }
 
+  test("racing extenders from the same snapshot: second commit aborts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the merge table learns the common pairs first",
+      "the pairs the corpus repeats the most merge earliest",
+      "hug hug hug pun pun bun hugs the pug").toDF("text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bper")
+      .toString + "/merges"
+    Bpe.trainToTable(docs, "text", numMerges = 8, path)
+    // both extenders read the SAME 8-merge vocabulary, with DIFFERENT
+    // extraMerges — the case a final-count guard waves through (A
+    // lands count=13; B's target 20 > 13 would pass a >=-target
+    // check). The snapshot+1 guard aborts B: the count advanced past
+    // the state B trained from, so B's ranks 8..19 would overlap A's
+    // 8..12 and fork the vocabulary.
+    val snapshot = Bpe.loadMerges(spark, path)
+    Bpe.extendFromSnapshot(spark, path, snapshot, docs, "text",
+      extraMerges = 5)
+    assert(Bpe.loadMerges(spark, path).size === 13)
+    intercept[java.util.ConcurrentModificationException] {
+      Bpe.extendFromSnapshot(spark, path, snapshot, docs, "text",
+        extraMerges = 12)
+    }
+    // the survivor's table is intact: contiguous ranks, no duplicates
+    val ranks = graft.ops.TxTable.read(spark, path)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(ranks === (0L until 13L))
+    // and a retry that RE-READS the head (what extendMerges does)
+    // succeeds, landing the same final vocabulary as 8+5+12 sequential
+    Bpe.extendMerges(spark, path, docs, "text", extraMerges = 12)
+    assert(Bpe.loadMerges(spark, path) ===
+      Bpe.train(docs, "text", numMerges = 25))
+  }
+
   test("extendMerges on an exhausted vocabulary is a committed no-op") {
     val s = spark
     import s.implicits._

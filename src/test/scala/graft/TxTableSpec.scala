@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{array, lit, map_from_arrays}
+
 import graft.ops.TxTable
 
 /** Transaction-log table format: snapshot isolation, time travel,
@@ -241,6 +243,35 @@ class TxTableSpec extends SparkSpec {
     // given the source schema, flags included)
     assert(TxTable.diff(spark, dir, 1L, 2L).schema("m").dataType ===
       TxTable.readVersion(spark, dir, 1L).schema("m").dataType)
+  }
+
+  test("diff: map key order is canonicalized — reordered keys are not a change") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txdk")
+      .toString + "/t"
+    // same logical maps, keys built in OPPOSITE order between the two
+    // versions (the different-upstream-shuffle shape): map_from_arrays
+    // preserves build order, so a raw to_json render would differ and
+    // forge a phantom delete+insert pair
+    TxTable.overwrite(spark, dir,
+      Seq(1L).toDF("id").withColumn("m",
+        map_from_arrays(array(lit("a"), lit("b")), array(lit(1), lit(2)))))
+    TxTable.overwrite(spark, dir,
+      Seq(1L).toDF("id").withColumn("m",
+        map_from_arrays(array(lit("b"), lit("a")), array(lit(2), lit(1)))))
+    assert(TxTable.diff(spark, dir, 1L, 2L).count() === 0L,
+      "logically equal maps in a different key order must not diff")
+    // a REAL value change under reordered keys still surfaces
+    TxTable.overwrite(spark, dir,
+      Seq(1L).toDF("id").withColumn("m",
+        map_from_arrays(array(lit("b"), lit("a")), array(lit(9), lit(1)))))
+    val out = TxTable.diff(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getMap[String, Int](1).toMap,
+        r.getString(2))).toSet
+    assert(out === Set(
+      (1L, Map("a" -> 1, "b" -> 2), "delete"),
+      (1L, Map("a" -> 1, "b" -> 9), "insert")))
   }
 
   test("diff refuses snapshots with different schemas") {

@@ -152,6 +152,47 @@ class ZOrderSpec extends SparkSpec {
       maxFiles = 6).isEmpty)
   }
 
+  test("optimizeIfFragmented: a table bigger than maxFiles*targetBytes does not rewrite forever") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_z").toString + "/t"
+    // 8 single-file appends with a small targetBytes so the HEALTHY
+    // layout itself needs more than maxFiles files — the shape where
+    // an absolute `files >= maxFiles` check re-runs a full-table
+    // rewrite on EVERY micro-batch: optimize emits ceil(bytes/target)
+    // files, which is already >= maxFiles. The md5 payload keeps data
+    // bytes (not per-file parquet overhead) the dominant term.
+    def batch(lo: Int, n: Int) =
+      (lo until lo + n).map(_.toLong).toDF("k")
+        .withColumn("payload",
+          repeat(md5(col("k").cast("string")), 8))
+        .coalesce(1)
+    (0 until 8).foreach(i => TxTable.append(spark, dir, batch(i * 200, 200)))
+    val target = 24L * 1024
+    val v = TxTable.optimizeIfFragmented(spark, dir, Seq("k"),
+      maxFiles = 2, targetBytes = target)
+    assert(v.isDefined, "8 fragments over a 2-file threshold — rewrite")
+    val compacted = TxTable.read(spark, dir).inputFiles.length
+    assert(compacted > 2,
+      s"healthy layout must exceed maxFiles for this test (got $compacted)")
+    // the freshly optimized table reads as NOT fragmented even though
+    // its file count still exceeds maxFiles — no rewrite loop
+    val head = TxTable.versions(spark, dir).last
+    assert(TxTable.optimizeIfFragmented(spark, dir, Seq("k"),
+      maxFiles = 2, targetBytes = target).isEmpty,
+      "a just-compacted table must not re-trigger")
+    assert(TxTable.versions(spark, dir).last === head)
+    // more appends re-arm it once the EXCESS passes the factor
+    (0 until 2 * compacted).foreach(i =>
+      TxTable.append(spark, dir, batch(1600 + i, 1)))
+    assert(TxTable.optimizeIfFragmented(spark, dir, Seq("k"),
+      maxFiles = 2, targetBytes = target).isDefined,
+      "excess fragments past the factor must trigger again")
+    assert(TxTable.read(spark, dir).count() ===
+      1600L + 2 * compacted)
+  }
+
   test("optimize preserves a hive-partitioned layout without being told it") {
     val s = spark
     import s.implicits._
