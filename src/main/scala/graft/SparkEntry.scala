@@ -1808,6 +1808,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the WIRED maintenance lifecycle through the correctness gate:
+    // build over 1/6 of the corpus, append the rest in five
+    // micro-batches with the maintain policy riding each append
+    // (maxFiles = 3 forces real in-query OPTIMIZE commits between
+    // appends), serve from the self-compacted index. The same
+    // full-corpus oracle as q_x_bm25_indexed gates it: maintenance is
+    // layout-only, so however many compactions interleaved with the
+    // appends, the served ranking must be bit-equal to an index that
+    // was never fragmented
+    "q_x_bm25_maintained" -> ((s, dir) => {
+      val idx = tmpQueryDir("graft_bm25mt") + "/index"
+      val docs = t(s, dir, "documents")
+      graft.text.Bm25.buildIndex(docs.filter(col("doc_id") % 6 === 0),
+        "doc_id", "text", idx)
+      val policy = Some(graft.ops.TxTable.Maintenance(maxFiles = 3))
+      (1 to 5).foreach { i =>
+        graft.text.Bm25.appendToIndex(s, idx,
+          docs.filter(col("doc_id") % 6 === i), "doc_id", "text",
+          checkDuplicates = false, maintain = policy)
+      }
+      graft.text.Bm25.searchIndexed(s, idx,
+          Seq(("q1", "merge join table"), ("q2", "fast scan query"),
+            ("q3", "stream window agg")), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // the lifecycle's third leg: REMOVE documents (GDPR purge /
     // contamination excision) — build over the full corpus, delete 20
     // doc ids, serve. The oracle is the same BM25 SQL over the
@@ -5706,6 +5732,7 @@ object SparkEntry {
     "q_x_bm25" -> bm25Oracle,
 
     "q_x_bm25_indexed" -> bm25Oracle,
+    "q_x_bm25_maintained" -> bm25Oracle,
 
     "q_x_bm25_removed" -> bm25OracleSql("WHERE doc_id NOT BETWEEN 1 AND 20"),
 
