@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Re-pin BENCH.pin.json from a fresh quiet-host Bench artifact
-(builder-side tool). Usage: repin.py <bench_out.json> [note]
+(builder-side tool). Usage: repin.py <bench_out.json> [note] [round]
 
 Applies the BASELINE.md protocol mechanically: the current pin is
 appended to `history` (with its stamps and protocol), `value` /
@@ -35,7 +35,8 @@ new = {
     "isolated": False,
     "failed": 0,
     "sf": src["sf"],
-    "pinned_round": pin["pinned_round"],
+    "pinned_round": int(sys.argv[3]) if len(sys.argv) > 3
+                    else pin["pinned_round"],
     "n_queries": len(queries),
     "protocol": (
         "per-query median of %d (SPARK_GRAFT_BENCH_RUNS), local[%d], "
@@ -52,6 +53,10 @@ new = {
     "queries": {k: round(v, 3) for k, v in sorted(queries.items())},
     "history": history,
 }
+# the raw rep arrays (round 15+): rep spread is the first line of
+# adjudication evidence per BASELINE.md, so the pin carries it too
+if "reps" in src:
+    new["reps"] = {k: src["reps"][k] for k in sorted(src["reps"])}
 json.dump(new, open("BENCH.pin.json", "w"))
 print(f"pinned {total} s over {len(queries)} queries "
       f"(was {old['value']} over {old['n_queries']})")
