@@ -195,8 +195,11 @@ class GraftStreamSpec extends SparkSpec {
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!b.isEmpty) {
+            // txn + maintain together: the full production maintainer
+            // shape — replay-safe AND self-compacting
             Similarity.ivfAppend(spark, lists, index, b,
-              txn = Some(("ivf_m", bid))); ()
+              txn = Some(("ivf_m", bid)),
+              maintain = Some(TxTable.Maintenance(maxFiles = 2))); ()
           }
       }
       .option("checkpointLocation", cp).start()
@@ -214,6 +217,10 @@ class GraftStreamSpec extends SparkSpec {
       nprobe = 4, index).collect().map(_.toSeq).toSet
     assert(served === oneShot)
     assert(TxTable.read(spark, lists).count() === 40L)
+    // the maintain policy compacted inside the stream: the append
+    // trail may never leave more files than its threshold behind
+    assert(TxTable.read(spark, lists).inputFiles.length <= 2,
+      "the foreachBatch maintainer must keep the lists compacted")
   }
 
   test("streaming sketch maintenance: a follower keeps the HLL grains current") {
