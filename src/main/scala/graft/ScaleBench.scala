@@ -250,6 +250,18 @@ object ScaleBench {
       Prepare(n)(spark, base); Prepare(n)(spark, out)
     }
 
+    // SPARK_GRAFT_PREPARE_SETTLE=<sec>: optionally sit out the
+    // loadavg decay the Prepare rebuilds leave behind, so load_pre
+    // describes the MEASUREMENT window instead of the build's wake —
+    // the r14 full ladder and the first r15 serve ladder both had to
+    // annotate their stamps as "Prepare-decay, ratios internal";
+    // with the settle the artifact's absolutes stand on their own.
+    sys.env.get("SPARK_GRAFT_PREPARE_SETTLE").map(_.toInt).foreach { sec =>
+      System.err.println(s"[scale] settling ${sec}s after Prepare " +
+        "(loadavg decay before the stamp)")
+      Thread.sleep(sec * 1000L)
+    }
+
     // stamped AFTER synthesis + prepare and BEFORE any timed row: a
     // 100-copy synthesis saturates the host for minutes, and a stamp
     // taken around it describes the build, not the measurement window
