@@ -260,6 +260,18 @@ object ScaleBench {
       System.err.println(s"[scale] settling ${sec}s after Prepare " +
         "(loadavg decay before the stamp)")
       Thread.sleep(sec * 1000L)
+      // the idle window cools what the pre-Prepare warm-up heated
+      // (JIT state, page cache over the base tables): without a
+      // re-warm the FIRST timed rows pay the settle as fake base
+      // cost (measured: x_bm25_serve base 4.09 s post-settle vs
+      // 1.03 s warm — a 0.45 "ratio" that was really cold-start).
+      // One untimed base-scale pass per row re-warms exactly what
+      // the timed base reps will touch; settle mode is for SPOT
+      // ladders, so the extra pass is bounded by a handful of rows.
+      Ladder.foreach { n =>
+        (SparkEntry.queries ++ Extra)(n)(spark, base)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     // stamped AFTER synthesis + prepare and BEFORE any timed row: a
