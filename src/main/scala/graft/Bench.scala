@@ -72,6 +72,40 @@ object Bench {
       .mode("overwrite").save()
     graft.ops.Sources.table(spark, sfDir, "region")
       .write.format("noop").mode("overwrite").save()
+    // Warm the index-BUILDER path too (added round 16 — a protocol
+    // change, re-pinned the same round): the pin-to-pin variance was
+    // dominated by queries that build persisted indexes to tmp dirs
+    // INSIDE their timed region (q_x_hybrid_search_served 5.66↔9.53 s
+    // same-code across r13–r15 pins; q_x_funnel, q_x_inc_dedup* in the
+    // same band) — the first such query absorbed the parquet WRITE
+    // path's classloading + JIT (commit protocol, codec init, Hadoop
+    // local-FS setup) with whatever page-cache state /tmp had. A
+    // fixed-size tiny build of each index family before the timed
+    // region pays that cost once, outside every query's clock.
+    locally {
+      val s = spark
+      import s.implicits._
+      val warm = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm").toString
+      val docs = (0L until 64L)
+        .map(i => (i, s"warm token$i merge join scan"))
+        .toDF("doc_id", "text")
+      graft.text.Bm25.buildIndex(docs, "doc_id", "text", warm + "/bm25")
+      graft.text.Bm25.searchIndexed(spark, warm + "/bm25",
+        Seq(("w", "merge join")), topK = 3).collect()
+      val emb = (0L until 64L)
+        .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
+        .toDF("vec_id", "embedding")
+      val idx = graft.ann.Similarity.buildIvfIndex(emb, numLists = 2)
+        .localCheckpoint()
+      graft.ann.Similarity.writeIvfLists(emb, idx, warm + "/ivf")
+      graft.ops.TxTable.append(spark, warm + "/ivf",
+        graft.ops.TxTable.read(spark, warm + "/ivf").limit(4))
+      graft.ops.TxTable.optimize(spark, warm + "/ivf", Seq("vec_id"))
+      org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(warm), true)
+    }
 
     val names =
       if (only.nonEmpty) only else SparkEntry.queries.keys.toSeq.sorted

@@ -12,6 +12,15 @@ import graft.ops.TxTable
   * appenders' `maintain` policy keeping serve cost flat across the
   * same append trail `frag` lets degrade):
   *
+  * `runMain graft.MaintBench maintained [dataDir] [commits] [retain]`
+  * samples serve cost, head file count, on-disk bytes, and the
+  * rewrite economics (count/bytes of each maintenance compaction,
+  * worst per-append wall cost) along a maintained trail — commit 1
+  * is the fresh-build baseline row; `retain > 0` additionally wires
+  * `Maintenance(retainVersions = Some(retain))` so the artifact
+  * prices the retention policy's disk bound against the default
+  * keep-everything trail.
+  *
   * `runMain graft.MaintBench frag [dataDir] [commits]` — builds the
   * persisted BM25 posting table and the IVF lists the way a STREAMING
   * maintainer leaves them (one build + `commits−1` small appends →
@@ -87,7 +96,8 @@ object MaintBench {
       case "maintained" =>
         val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val commits = args.lift(2).map(_.toInt).getOrElse(50)
-        maintained(spark, dir, commits)
+        val retain = args.lift(3).map(_.toInt).filter(_ > 0)
+        maintained(spark, dir, commits, retain)
       case other => sys.error(s"unknown MaintBench mode '$other'")
     }
     spark.stop()
@@ -178,8 +188,81 @@ object MaintBench {
     * count never outruns the policy's threshold. Contrast row for
     * MAINT_FRAG's 18×/13× unmaintained degradation.
     */
+  /** One sampled point of the maintained trail: serve cost, head file
+    * count, on-disk footprint, and the rewrite economics since the
+    * run began (how many maintenance compactions fired, the bytes THE
+    * LAST ONE rewrote vs the table's live bytes — the fragment-only
+    * claim is `rewrite_bytes_last ≪ table_bytes` on a large table —
+    * and the wall cost of the worst append since the previous sample,
+    * which is the batch that paid a rewrite).
+    */
+  private case class Sample(commit: Int, files: Int, serveSec: Double,
+                            tableBytes: Long, diskBytes: Long,
+                            rewrites: Int, rewriteBytesLast: Long,
+                            rewriteBytesTotal: Long, maxAppendSec: Double)
+
+  /** Head files (absolute path → bytes) straight off the manifest. */
+  private def headSizes(spark: SparkSession, path: String)
+      : Map[String, Long] =
+    TxTable.read(spark, path).inputFiles.map { f =>
+      val file = new java.io.File(new java.net.URI(f))
+      (file.getPath, file.length())
+    }.toMap
+
+  /** Total on-disk bytes under the table root (data + log + trail). */
+  private def diskBytes(path: String): Long = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    } finally it.close()
+  }
+
+  /** Drive `commits` maintained appends, sampling serve + economics.
+    * `append(i)` lands batch i; rewrite bytes are inferred from the
+    * head-file diff around each append (files REMOVED by the
+    * maintenance commit are exactly the files its rewrite read).
+    */
+  private def trail(spark: SparkSession, path: String, commits: Int,
+                    sampleAt: Set[Int], append: Int => Unit,
+                    serve: () => DataFrame): Seq[Sample] = {
+    var rewrites = 0
+    var rewriteLast = 0L
+    var rewriteTotal = 0L
+    var maxAppend = 0.0
+    def sample(c: Int): Sample = {
+      val sizes = headSizes(spark, path)
+      val s = Sample(c, sizes.size, medianSec(3)(serve()),
+        sizes.values.sum, diskBytes(path), rewrites, rewriteLast,
+        rewriteTotal, maxAppend)
+      maxAppend = 0.0
+      s
+    }
+    // the commit-1 row is the fresh-build BASELINE the flatness claim
+    // is measured against — emit it before any append
+    val out = Seq.newBuilder[Sample]
+    out += sample(1)
+    (1 until commits).foreach { i =>
+      val before = headSizes(spark, path)
+      val t0 = System.nanoTime()
+      append(i)
+      maxAppend = math.max(maxAppend, (System.nanoTime() - t0) / 1e9)
+      val after = headSizes(spark, path)
+      val removed = before.keySet -- after.keySet
+      if (removed.nonEmpty) {
+        rewrites += 1
+        rewriteLast = removed.toSeq.map(before).sum
+        rewriteTotal += rewriteLast
+      }
+      if (sampleAt(i + 1)) out += sample(i + 1)
+    }
+    out.result()
+  }
+
   private def maintained(spark: SparkSession, dir: String,
-                         commits: Int): Unit = {
+                         commits: Int,
+                         retain: Option[Int] = None): Unit = {
     import graft.ann.Similarity
     import graft.text.Bm25
     val root = stateRoot("maintained", dir)
@@ -192,8 +275,9 @@ object MaintBench {
     val emb = graft.ops.Sources.table(spark, dir, "embeddings")
       .localCheckpoint()
     val loadPre = graft.util.Host.loadavg()
-    val policy = Some(TxTable.Maintenance(maxFiles = 12))
-    val sampleAt = Set(1, commits / 4, commits / 2,
+    val policy = Some(TxTable.Maintenance(maxFiles = 12,
+      retainVersions = retain))
+    val sampleAt = Set(commits / 4, commits / 2,
       3 * commits / 4, commits)
 
     // ---- BM25 with the policy riding every append
@@ -202,16 +286,11 @@ object MaintBench {
       "doc_id", "text", bmPath)
     val queries = Seq(("q1", "merge join table"), ("q2", "fast scan query"),
       ("q3", "stream window agg"))
-    def bmServe() = Bm25.searchIndexed(spark, bmPath, queries, topK = 10)
-    val bmSamples = (1 until commits).flatMap { i =>
-      Bm25.appendToIndex(spark, bmPath,
+    val bmSamples = trail(spark, bmPath, commits, sampleAt,
+      i => { Bm25.appendToIndex(spark, bmPath,
         docs.filter(col("doc_id") % commits === i), "doc_id", "text",
-        checkDuplicates = false, maintain = policy)
-      if (sampleAt(i + 1))
-        Some((i + 1, TxTable.read(spark, bmPath).inputFiles.length,
-          medianSec(3)(bmServe())))
-      else None
-    }
+        checkDuplicates = false, maintain = policy); () },
+      () => Bm25.searchIndexed(spark, bmPath, queries, topK = 10))
 
     // ---- IVF lists, same loop
     val ivfPath = root + "/ivf"
@@ -220,24 +299,25 @@ object MaintBench {
     Similarity.writeIvfLists(emb.filter(col("vec_id") % commits === 0),
       index, ivfPath)
     val qv = emb.filter(col("vec_id") < 8)
-    def ivfServe() = Similarity.ivfTopKFromLists(spark, ivfPath, qv,
-      k = 5, nprobe = 4, index)
-    val ivfSamples = (1 until commits).flatMap { i =>
-      Similarity.ivfAppend(spark, ivfPath, index,
-        emb.filter(col("vec_id") % commits === i), maintain = policy)
-      if (sampleAt(i + 1))
-        Some((i + 1, TxTable.read(spark, ivfPath).inputFiles.length,
-          medianSec(3)(ivfServe())))
-      else None
-    }
+    val ivfSamples = trail(spark, ivfPath, commits, sampleAt,
+      i => { Similarity.ivfAppend(spark, ivfPath, index,
+        emb.filter(col("vec_id") % commits === i), maintain = policy); () },
+      () => Similarity.ivfTopKFromLists(spark, ivfPath, qv,
+        k = 5, nprobe = 4, index))
 
     val loadPost = graft.util.Host.loadavg()
-    def samples(xs: Seq[(Int, Int, Double)]) = xs.map { case (c, n, t) =>
-      s"""{"commit":$c,"files":$n,"serve_sec":${f(t)}}"""
+    def samples(xs: Seq[Sample]) = xs.map { s =>
+      s"""{"commit":${s.commit},"files":${s.files},""" +
+        s""""serve_sec":${f(s.serveSec)},"table_bytes":${s.tableBytes},""" +
+        s""""disk_bytes":${s.diskBytes},"rewrites":${s.rewrites},""" +
+        s""""rewrite_bytes_last":${s.rewriteBytesLast},""" +
+        s""""rewrite_bytes_total":${s.rewriteBytesTotal},""" +
+        s""""max_append_sec":${f(s.maxAppendSec)}}"""
     }.mkString("[", ",", "]")
     writeLine(s"""{"metric":"maint_maintained",""" +
       s""""dir":${graft.util.Host.jsonStr(dir)},"commits":$commits,""" +
       s""""max_files":12,""" +
+      s""""retain_versions":${retain.getOrElse(0)},""" +
       s""""load_pre":${loadPre.map(f).mkString("[", ",", "]")},""" +
       s""""load_post":${loadPost.map(f).mkString("[", ",", "]")},""" +
       s""""bm25":${samples(bmSamples)},""" +

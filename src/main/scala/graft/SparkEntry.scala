@@ -2492,6 +2492,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the WIRED maintenance lifecycle on the VECTOR side (the dense
+    // mirror of q_x_bm25_maintained): centroids + lists over 1/6 of
+    // the corpus, five maintained ivfAppend micro-batches (maxFiles =
+    // 3 forces real in-query compactions between appends — including
+    // the fragment-only scope when the head has healthy files to
+    // keep), serve probing every list. Maintenance is layout-only and
+    // full probe is exhaustive search, so the brute-force oracle gates
+    // the whole wired path end-to-end
+    "q_x_ann_ivf_maintained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lists = tmpQueryDir("graft_ivfmt") + "/lists"
+      val base = emb.filter(col("vec_id") % 6 === 0)
+      val index = Similarity.buildIvfIndex(base, numLists = 8)
+        .localCheckpoint()
+      Similarity.writeIvfLists(base, index, lists)
+      val policy = Some(graft.ops.TxTable.Maintenance(maxFiles = 3))
+      (1 to 5).foreach { i =>
+        Similarity.ivfAppend(s, lists, index,
+          emb.filter(col("vec_id") % 6 === i), maintain = policy)
+      }
+      Similarity.ivfTopKFromLists(s, lists, emb.filter(col("vec_id") < 8),
+          k = 5, nprobe = 8, index)
+        .orderBy("query_id", "rank")
+    }),
+
     // the dense index lifecycle's third leg (mirroring q_x_bm25_removed
     // on the lexical side): build centroids + persisted lists over the
     // FULL corpus, ivfRemove 20 vector ids (one atomic manifest-pruned
@@ -6070,6 +6095,26 @@ object SparkEntry {
          |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
          |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0
          |    AND c.vec_id NOT BETWEEN 8 AND 27),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // same exhaustive-search oracle as q_x_ann_ivf: however many
+    // maintenance compactions interleaved with the five appends, the
+    // lists hold the FULL corpus and full probe is brute force —
+    // maintenance that changed anything but layout would hash-mismatch
+    "q_x_ann_ivf_maintained" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "c.embedding")}
+         |      / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+         |         * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+         |  WHERE sqrt(${sqlDot("q.embedding", "q.embedding")}) > 0
+         |    AND sqrt(${sqlDot("c.embedding", "c.embedding")}) > 0),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank

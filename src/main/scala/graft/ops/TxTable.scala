@@ -2787,9 +2787,25 @@ object TxTable {
       else declaredPartitionCols(spark, path).getOrElse(Nil)
     val (files, bytes) = scopedHeadFiles(spark, path, where, mergeSchema)
     if (files.isEmpty) return versions(spark, path).last
+    rewriteClustered(spark, path, files, bytes, zc, targetBytes,
+      bitsPerCol, layout, mergeSchema)
+  }
+
+  /** The clustered-rewrite core shared by [[optimize]] (whole/WHERE
+    * scope) and [[optimizeIfFragmented]]'s fragment-only scope:
+    * rewrite exactly `relFiles` (totalling `bytes`) into
+    * ceil(bytes/targetBytes) files clustered on `zc` — or bin-packed
+    * with no clustering when `zc` is empty (the [[compact]] layout,
+    * for tables whose serve path has no range key to restore).
+    */
+  private def rewriteClustered(spark: SparkSession, path: String,
+                               relFiles: Seq[String], bytes: Long,
+                               zc: Seq[String], targetBytes: Long,
+                               bitsPerCol: Int, layout: Seq[String],
+                               mergeSchema: Boolean): Long = {
     val numFiles =
       math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    rewriteFiles(spark, path, files, layout, mergeSchema,
+    rewriteFiles(spark, path, relFiles, layout, mergeSchema,
       None) { snapshot =>
       // ONE clustering column = a plain range cluster: the 1-D
       // "z-order" is exactly a sort, it works for ANY orderable type
@@ -2799,7 +2815,10 @@ object TxTable {
       // index builders (Bm25 tokenSorted, IVF idSorted) write — so
       // OPTIMIZE after fragmenting appends restores the BUILD layout,
       // not an approximation of it.
-      if (zc.size == 1)
+      if (zc.isEmpty) {
+        if (layout.isEmpty) snapshot.repartition(numFiles)
+        else snapshot.repartition(numFiles, layout.map(col): _*)
+      } else if (zc.size == 1)
         snapshot.repartitionByRange(numFiles,
             (layout.map(col) :+ col(zc.head)): _*)
           .sortWithinPartitions((layout.map(col) :+ col(zc.head)): _*)
@@ -2843,23 +2862,85 @@ object TxTable {
     * writes; the policy only says WHEN. Replay-skipped batches never
     * trigger maintenance (no new fragment landed).
     */
+  /** `retainVersions = Some(k)`: after each maintenance compaction
+    * that actually committed, [[vacuum]] down to the newest `k`
+    * manifests — the retention half of the lifecycle. Without it the
+    * maintained trail's superseded fragments and pre-OPTIMIZE files
+    * accumulate on disk forever (the log keeps every version
+    * time-travelable); with it, disk is bounded at live-bytes +
+    * `k` versions' worth of churn. Opt-in because it TRADES time
+    * travel for disk: versions older than the newest `k` stop being
+    * readable, so only set it when no reader pins old versions
+    * (Delta's VACUUM retention contract). Vacuuming only after a
+    * compaction (not every append) amortizes the file listing and is
+    * when the reclaimable bytes actually appear.
+    */
   case class Maintenance(maxFiles: Int = 64,
                          targetBytes: Long = 128L * 1024 * 1024,
-                         excessFactor: Double = 2.0)
+                         excessFactor: Double = 2.0,
+                         retainVersions: Option[Int] = None)
 
   /** Run `maintain`'s threshold check (and possibly one OPTIMIZE
-    * commit) for a table whose healthy layout clusters on
-    * `layoutCols` — the one-line hook every appender places after its
-    * landed append.
+    * commit, then the retention vacuum) for a table whose healthy
+    * layout clusters on `layoutCols` — the one-line hook every
+    * appender places after its landed append.
+    *
+    * A LOST MAINTENANCE RACE IS SUCCESS: when the compaction half
+    * aborts with the standard conflict error (a concurrent committer
+    * — another maintained appender's OPTIMIZE, a manual compaction, a
+    * DML — moved the head first), the append this hook rides on has
+    * ALREADY landed and the policy's goal (a bounded file count) was
+    * just advanced by whoever won, so the conflict is swallowed
+    * rather than failing a micro-batch whose data is durable. (The
+    * failure mode this removes: two maintained appenders on one index
+    * crossing the threshold in the same window — one compacts, the
+    * other's replace aborts, and without the catch a checkpoint
+    * retries a batch that needs no retry.) The EXPLICIT
+    * [[optimizeIfFragmented]] API keeps the error: a caller invoking
+    * maintenance by hand wants to know it lost.
     */
   private[graft] def maintainAfterAppend(spark: SparkSession, path: String,
                                          layoutCols: Seq[String],
                                          maintain: Option[Maintenance])
       : Unit =
-    maintain.foreach(m => optimizeIfFragmented(spark, path, layoutCols,
-      maxFiles = m.maxFiles, targetBytes = m.targetBytes,
-      excessFactor = m.excessFactor))
+    maintain.foreach { m =>
+      val compacted =
+        try optimizeIfFragmented(spark, path, layoutCols,
+          maxFiles = m.maxFiles, targetBytes = m.targetBytes,
+          excessFactor = m.excessFactor)
+        catch {
+          case _: java.util.ConcurrentModificationException => None
+        }
+      compacted.foreach(_ => m.retainVersions.foreach(k =>
+        vacuum(spark, path, keepVersions = k)))
+    }
 
+  /** Rewrite scope selection: when the threshold trips, compact ONLY
+    * the fragment files (those under `targetBytes / 2` — optimize's
+    * own output lands near `targetBytes`, so a healthy file can never
+    * re-qualify) whenever that suffices to bring the head back under
+    * the threshold, and keep every already-healthy file byte- and
+    * path-identical. The triggering micro-batch then pays O(trail),
+    * not O(table) — at 100 TB the difference between a seconds-long
+    * hiccup and an hours-long stream stall on whichever batch crosses
+    * the line. Fragment-only output files cluster on `zorderCols` like
+    * a full OPTIMIZE but cover the whole key range of their trail, so
+    * healthy-but-overlapping files accumulate across partial passes;
+    * the escalation below bounds that: when even a fragment-only pass
+    * would leave `>= threshold` files (the overlap debt has piled up),
+    * the FULL rewrite runs and restores the tight build layout. Every
+    * maintenance pass therefore ends `< threshold` files, same serve
+    * bound as before, while full rewrites amortize to once per
+    * ~`healthy` partial passes instead of every threshold crossing.
+    *
+    * Empty `zorderCols` (after the declared-clustering fallback) is
+    * the no-range-key table — a grain-less global sketch, a keyless
+    * event log: maintenance bin-packs ([[compact]] semantics) instead
+    * of erroring, because bounding the file count never needed a sort
+    * key. An empty head returns None (nothing to maintain — reachable
+    * when a maintained appender lands an empty batch on an empty
+    * table).
+    */
   def optimizeIfFragmented(spark: SparkSession, path: String,
                            zorderCols: Seq[String], maxFiles: Int = 64,
                            targetBytes: Long = 128L * 1024 * 1024,
@@ -2869,14 +2950,34 @@ object TxTable {
     require(maxFiles > 0, "maxFiles must be positive")
     require(excessFactor >= 1.0,
       "excessFactor < 1 would re-optimize a freshly optimized table")
-    val (files, bytes) = scopedHeadFiles(spark, path, None, mergeSchema)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path is not a TxTable (no $LogDir manifests)")
+    val (fs, p) = fsFor(spark, path)
+    val sized = readManifest(fs, p, vs.last)._2.map(pathOf)
+      .map(f => (f, fs.getFileStatus(new Path(p, f)).getLen))
+    if (sized.isEmpty) return None
+    val bytes = sized.map(_._2).sum
     val healthy =
       math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val threshold =
       math.max(maxFiles.toLong, math.ceil(excessFactor * healthy).toLong)
-    if (files.length < threshold) None
-    else Some(optimize(spark, path, zorderCols, targetBytes,
-      partitionCols = partitionCols, mergeSchema = mergeSchema))
+    if (sized.size < threshold) return None
+    val zc =
+      if (zorderCols.nonEmpty) zorderCols
+      else clusteringColumns(spark, path)
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else declaredPartitionCols(spark, path).getOrElse(Nil)
+    val frags = sized.filter(_._2 < targetBytes / 2)
+    val fragBytes = frags.map(_._2).sum
+    val projected = (sized.size - frags.size) +
+      math.max(1, math.ceil(fragBytes.toDouble / targetBytes).toInt)
+    if (frags.nonEmpty && projected < threshold)
+      Some(rewriteClustered(spark, path, frags.map(_._1), fragBytes,
+        zc, targetBytes, bitsPerCol = 8, layout, mergeSchema))
+    else
+      Some(rewriteClustered(spark, path, sized.map(_._1), bytes,
+        zc, targetBytes, bitsPerCol = 8, layout, mergeSchema))
   }
 
   /** Commit pre-written data files as one streaming micro-batch append
@@ -2958,15 +3059,12 @@ object TxTable {
       else declaredPartitionCols(spark, path).getOrElse(Nil)
     val (files, bytes) = scopedHeadFiles(spark, path, where, mergeSchema)
     if (files.isEmpty) return versions(spark, path).last
-    val numFiles =
-      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    rewriteFiles(spark, path, files, layout, mergeSchema, None)(df =>
-      if (layout.isEmpty) df.repartition(numFiles)
-      // partitioned: distribute BY the partition columns so each task
-      // holds whole partitions — the per-dir writer then emits ~one
-      // file per partition instead of (tasks × partitions) shards
-      else df.repartition(numFiles,
-        layout.map(org.apache.spark.sql.functions.col): _*))
+    // zc = Nil → rewriteClustered's bin-pack branch; when partitioned
+    // it distributes BY the partition columns so each task holds whole
+    // partitions — the per-dir writer then emits ~one file per
+    // partition instead of (tasks × partitions) shards
+    rewriteClustered(spark, path, files, bytes, Nil, targetBytes,
+      bitsPerCol = 8, layout, mergeSchema)
   }
 
   /** The head snapshot's manifest-relative files that may match
@@ -3173,10 +3271,24 @@ object TxTable {
     val mapCols = a.schema.fields.filter(f => hasMap(f.dataType))
       .map(_.name).toSet
     // key-order-canonical render for a top-level map: sort the entry
-    // array before serializing so build order can't forge a change
+    // array before serializing so build order can't forge a change.
+    // array_sort needs an ORDERABLE entry struct — a map whose value
+    // type itself contains a map (map<string, map<string,int>>) has
+    // none, and the sort would fail AT PLAN TIME; those fall back to
+    // the plain render (deterministic per build order, the pre-
+    // canonicalization contract)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case st: StructType => st.fields.forall(f => orderable(f.dataType))
+        case arr: org.apache.spark.sql.types.ArrayType =>
+          orderable(arr.elementType)
+        case _ => true
+      }
     def mapRender(c: String): org.apache.spark.sql.Column =
       a.schema(c).dataType match {
-        case _: org.apache.spark.sql.types.MapType =>
+        case m: org.apache.spark.sql.types.MapType
+            if orderable(m.keyType) && orderable(m.valueType) =>
           to_json(org.apache.spark.sql.functions.map_from_entries(
             org.apache.spark.sql.functions.array_sort(
               org.apache.spark.sql.functions.map_entries(col(c)))))

@@ -274,6 +274,28 @@ class TxTableSpec extends SparkSpec {
       (1L, Map("a" -> 1, "b" -> 9), "insert")))
   }
 
+  test("diff: a map whose value type is itself a map still diffs (no plan-time sort error)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txdn")
+      .toString + "/t"
+    // map<string, map<string,int>>: the entry struct is NOT orderable
+    // (array_sort would throw an AnalysisException at plan time), so
+    // canonicalization must fall back to the plain render
+    def nested(v: Int) = Seq(1L).toDF("id").withColumn("m",
+      map_from_arrays(array(lit("outer")),
+        array(map_from_arrays(array(lit("inner")), array(lit(v))))))
+    TxTable.overwrite(spark, dir, nested(1))
+    TxTable.overwrite(spark, dir, nested(1))
+    assert(TxTable.diff(spark, dir, 1L, 2L).count() === 0L,
+      "identical nested-map snapshots must diff empty")
+    TxTable.overwrite(spark, dir, nested(9))
+    val out = TxTable.diff(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out === Set((1L, "delete"), (1L, "insert")),
+      "a real nested-map change must still surface")
+  }
+
   test("diff refuses snapshots with different schemas") {
     val s = spark
     import s.implicits._
