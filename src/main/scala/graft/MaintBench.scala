@@ -12,14 +12,18 @@ import graft.ops.TxTable
   * appenders' `maintain` policy keeping serve cost flat across the
   * same append trail `frag` lets degrade):
   *
-  * `runMain graft.MaintBench maintained [dataDir] [commits] [retain]`
+  * `runMain graft.MaintBench maintained [dataDir] [commits] [retain]
+  * [targetMB]`
   * samples serve cost, head file count, on-disk bytes, and the
   * rewrite economics (count/bytes of each maintenance compaction,
   * worst per-append wall cost) along a maintained trail — commit 1
   * is the fresh-build baseline row; `retain > 0` additionally wires
   * `Maintenance(retainVersions = Some(retain))` so the artifact
   * prices the retention policy's disk bound against the default
-  * keep-everything trail.
+  * keep-everything trail; `targetMB > 0` overrides the policy's
+  * `targetBytes` so the corpus under test actually holds healthy
+  * (at-target) files and the fragment-only rewrite scope is
+  * observable (`rewrite_bytes_last` ≪ `table_bytes`).
   *
   * `runMain graft.MaintBench frag [dataDir] [commits]` — builds the
   * persisted BM25 posting table and the IVF lists the way a STREAMING
@@ -97,7 +101,13 @@ object MaintBench {
         val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val commits = args.lift(2).map(_.toInt).getOrElse(50)
         val retain = args.lift(3).map(_.toInt).filter(_ > 0)
-        maintained(spark, dir, commits, retain)
+        // targetMB sizes the policy's healthy file to the CORPUS under
+        // test: the fragment-only economics only show when the table
+        // holds files at/above targetBytes (at the default 128 MB a
+        // small corpus is all-fragments and every rewrite is the full
+        // table — correct, but it measures nothing partial)
+        val targetMB = args.lift(4).map(_.toInt).filter(_ > 0)
+        maintained(spark, dir, commits, retain, targetMB)
       case other => sys.error(s"unknown MaintBench mode '$other'")
     }
     spark.stop()
@@ -262,7 +272,8 @@ object MaintBench {
 
   private def maintained(spark: SparkSession, dir: String,
                          commits: Int,
-                         retain: Option[Int] = None): Unit = {
+                         retain: Option[Int] = None,
+                         targetMB: Option[Int] = None): Unit = {
     import graft.ann.Similarity
     import graft.text.Bm25
     val root = stateRoot("maintained", dir)
@@ -276,6 +287,8 @@ object MaintBench {
       .localCheckpoint()
     val loadPre = graft.util.Host.loadavg()
     val policy = Some(TxTable.Maintenance(maxFiles = 12,
+      targetBytes = targetMB.map(_ * 1024L * 1024L)
+        .getOrElse(128L * 1024 * 1024),
       retainVersions = retain))
     val sampleAt = Set(commits / 4, commits / 2,
       3 * commits / 4, commits)
