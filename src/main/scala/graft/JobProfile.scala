@@ -32,7 +32,20 @@ object JobProfile {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
-            .getOrElse("?")
+            .getOrElse {
+              // fall back to the MAIN thread's stack (actions block it):
+              // the innermost graft.* frames identify the operator step
+              import scala.jdk.CollectionConverters._
+              Thread.getAllStackTraces.asScala
+                .find(_._1.getName == "main")
+                .map(_._2.toSeq
+                  .filter(f => f.getClassName.startsWith("graft.") &&
+                    !f.getClassName.contains("JobProfile"))
+                  .take(3)
+                  .map(f => s"${f.getFileName}:${f.getLineNumber}")
+                  .mkString(" < "))
+                .filter(_.nonEmpty).getOrElse("?")
+            }
           js.stageInfos.foreach(si =>
             stageTasks(si.stageId) = si.numTasks)
           starts(js.jobId) = (System.nanoTime(), desc,
@@ -46,10 +59,30 @@ object JobProfile {
             }
           }
       })
+    final case class S(name: String, ms: Long, tasks: Int, wallMs: Long,
+                       shufRead: Long, shufWrite: Long)
+    val stages = mutable.ArrayBuffer.empty[S]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val si = sc.stageInfo
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(0L)
+          stages.synchronized {
+            stages += S(si.name, si.taskMetrics.executorRunTime,
+              si.numTasks, wall,
+              si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+              si.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
 
     // warm rep first (JIT/classloading), profile the later reps
     (1 to reps).foreach { r =>
       jobs.synchronized(jobs.clear())
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -64,6 +97,13 @@ object JobProfile {
           .toSeq.sortBy(-_._2._1)
         byDesc.take(40).foreach { case (d, (ms, n, tasks)) =>
           println(f"${ms / 1000.0}%8.3f s  x$n%-4d tasks=$tasks%-6d $d")
+        }
+        val ss = stages.synchronized(stages.toVector)
+        println(s"-- stages (wall desc; exec=Σtask run time) --")
+        ss.sortBy(-_.wallMs).take(25).foreach { s =>
+          println(f"wall ${s.wallMs / 1000.0}%7.3f s exec ${s.ms / 1000.0}%8.3f s " +
+            f"tasks=${s.tasks}%-4d sr=${s.shufRead / 1048576}%4d MB " +
+            f"sw=${s.shufWrite / 1048576}%4d MB  ${s.name.take(90)}")
         }
       }
     }

@@ -45,7 +45,11 @@ object Dedup {
     * second row-sized intermediate.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // spread before the shingle explosion — an under-partitioned scan
+    // would single-task the whole tokenize+explode fan-out (identity at
+    // production partition counts, see Scale.spreadForFanOut)
+    graft.util.Scale.spreadForFanOut(df)
+      .select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("id"),
         explode(TextAnalysis.shinglesFromTokens(col("__tk"), n)).as("shingle"))

@@ -212,8 +212,13 @@ object SpanDedup {
   private def windowOcc(df: DataFrame, idCol: String, textCol: String,
                         k: Int): (DataFrame, DataFrame) = {
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"),
-      size(toks).cast("int").as("n_tokens"))
+    // spread before the window explosion: an under-partitioned corpus
+    // scan would run the whole tokenize+explode+digest fan-out on its
+    // few scan tasks (guide §2.5; identity at production partition
+    // counts — see Scale.spreadForFanOut)
+    val base = graft.util.Scale.spreadForFanOut(df)
+      .select(col(idCol), toks.as("__toks"),
+        size(toks).cast("int").as("n_tokens"))
     val wins = base.select(col(idCol),
       when(col("n_tokens") < k, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), col("n_tokens") - k),

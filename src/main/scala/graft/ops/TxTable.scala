@@ -937,6 +937,27 @@ object TxTable {
       Map(BloomMetaKey -> enc(s"${cols.mkString(",")}:$bits:$hashes")))
   }
 
+  /** The [[BloomMetaKey]] entry for declaring blooms ATOMICALLY with a
+    * data commit's `meta` (the commit computes the per-file tokens for
+    * its own files in the same claim): an index builder that declares
+    * blooms this way pays ONE commit where the declare-then-ANALYZE
+    * sequence pays three plus a full re-read of the just-written data.
+    * Same validation bounds as [[setBloomFilters]]; column existence/
+    * type is the caller's contract (the frame being committed is in
+    * hand).
+    */
+  private[graft] def bloomDeclarationMeta(cols: Seq[String],
+                                          bits: Int = 8192,
+                                          hashes: Int = 6)
+      : Map[String, String] = {
+    require(cols.nonEmpty, "bloom declaration needs at least one column")
+    require(bits >= 64 && bits <= (1 << 24) && bits % 64 == 0,
+      s"bits must be in [64, 2^24] and a multiple of 64, got $bits")
+    require(hashes >= 1 && hashes <= 16,
+      s"hashes must be in [1,16], got $hashes")
+    Map(BloomMetaKey -> enc(s"${cols.mkString(",")}:$bits:$hashes"))
+  }
+
   /** The table's bloom configuration — (columns, bits, hashes) — if
     * declared. */
   def bloomFilterConfig(spark: SparkSession,
@@ -1087,12 +1108,19 @@ object TxTable {
     * min/max plus (when the table declares them) per-column bloom
     * tokens — the single formatting path every data commit shares.
     */
+  /** `pendingMeta`: the meta of the commit IN FLIGHT — a bloom config
+    * declared there (see [[bloomDeclarationMeta]]) applies to this
+    * commit's own files, overriding the head's carried config.
+    */
   private def statsLines(spark: SparkSession, fs: FileSystem, p: Path,
-                         path: String, relFiles: Seq[String]): Seq[String] = {
+                         path: String, relFiles: Seq[String],
+                         pendingMeta: Map[String, String] = Map.empty)
+      : Seq[String] = {
     val stats = footerStats(fs, p, relFiles)
-    val blooms = versions(spark, path).lastOption
+    val headMeta = versions(spark, path).lastOption
       .map(v => parseMeta(readManifest(fs, p, v)._1))
-      .flatMap(bloomConfigOf)
+      .getOrElse(Map.empty[String, String])
+    val blooms = bloomConfigOf(headMeta ++ pendingMeta)
       .map { case (cols, bits, k) =>
         bloomTokens(spark, fs, p, relFiles, cols, bits, k) }
       .getOrElse(Map.empty[String, String])
@@ -3610,9 +3638,10 @@ object TxTable {
     val activeConstraints = headConstraints(spark, path)
     enforceConstraints(spark, path, fs, p, newFiles, Some(dataDir),
       activeConstraints)
-    // footer min/max (+ declared blooms) per new file ride in the
-    // manifest line; failures degrade to stats-less lines
-    val newLines = statsLines(spark, fs, p, path, newFiles)
+    // footer min/max (+ declared blooms — including one declared by
+    // THIS commit's meta) per new file ride in the manifest line;
+    // failures degrade to stats-less lines
+    val newLines = statsLines(spark, fs, p, path, newFiles, meta)
     // declare the layout in the manifest: partitioned commits state
     // their columns; overwrites own the WHOLE layout, so they also
     // clear a stale declaration when the new snapshot is flat. A flat

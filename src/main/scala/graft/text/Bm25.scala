@@ -46,8 +46,9 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // the inverted index: ONE shuffle to (doc, token) counts
-    val perDoc = docs
+    // the inverted index: ONE shuffle to (doc, token) counts (input
+    // spread first — see Scale.spreadForFanOut)
+    val perDoc = graft.util.Scale.spreadForFanOut(docs)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
         .as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
@@ -146,7 +147,9 @@ object Bm25 {
     */
   private def postingsOf(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    val perDoc = docs
+    // spread before the posting explosion (identity at production
+    // partition counts, see Scale.spreadForFanOut)
+    val perDoc = graft.util.Scale.spreadForFanOut(docs)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol)))
           .as(Seq("__pos", "token")))
@@ -234,13 +237,15 @@ object Bm25 {
     val st = posts.agg(countDistinct(col(idCol)).as("n"),
       sum(col("tf")).as("tot")).collect().head
     val (n, tot) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    // the token bloom is declared IN the build commit, so its per-file
+    // tokens are computed for the build's own files in the same claim —
+    // one commit where declare-then-ANALYZE paid three plus a full
+    // re-read of the just-written index (bench: every in-query index
+    // build carries that cost in its timed region)
     graft.ops.TxTable.overwrite(spark, path, tokenSorted(posts, idCol),
       meta = Map(StatsMetaKey -> s"$n:$tot", IdColMetaKey -> idCol,
-        SeqMetaKey -> "1"))
-    graft.ops.TxTable.setBloomFilters(spark, path, Seq("token"))
-    // backfill bloom tokens for the files the build committed (later
-    // appends compute them at write time, the config now being declared)
-    graft.ops.TxTable.analyze(spark, path)
+        SeqMetaKey -> "1") ++
+        graft.ops.TxTable.bloomDeclarationMeta(Seq("token")))
   }
 
   /** Refuse a batch that carries one doc id twice: postingsOf would
